@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One catalog entry: a named operator demonstration over the test
+  * tables, with an optional ANSI-SQL twin for the DuckDB oracle.
+  *
+  * Driver contract (see SparkEntry): `run(spark, sfDir)` must return a
+  * deterministic DataFrame whose column names match the oracle's exactly
+  * (the driver sorts columns by name before hashing), and whose row
+  * order is pinned by an explicit sort on a unique key prefix.
+  *
+  * Numeric-parity rules used throughout the catalog:
+  *   - double measures are summed as `DECIMAL(18,2)` then cast back to
+  *     double — exact in both Spark and DuckDB, so results are
+  *     bit-identical regardless of partial-aggregation order (a plain
+  *     double sum would differ in low-order bits between engines);
+  *   - counts are 64-bit in both engines; `year`/`month`/`row_number`
+  *     are cast to INT on the DuckDB side to match Spark's types.
+  */
+final case class Query(
+    name: String,
+    doc: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.FixedWidthBinary
+
+/** The reference engine's entire semantic surface, Spark-first.
+  *
+  * Implements the canonical hypercube query (reference
+  * `hypercube.sql:1-14`): `clients ⋈ contracts ⋈ invoices`, GROUP BY the
+  * 5 bounded dimensions `(geo, type, misc, nature, time)` with measures
+  * `SUM(consumption), SUM(amount), COUNT(DISTINCT client),
+  * COUNT(DISTINCT contract), COUNT(*)`, emitted in `(geo, type, misc,
+  * nature, time)` ascending order (reference emit loops
+  * `ETL.java:259-264`).
+  *
+  * Where the reference hand-builds a perfect-hash dense aggregation array
+  * (`ETL.java:35,109,153`), thread-local partials and coarse merge locks
+  * (`ETL.java:130-132,181-192`), the Spark plan gets the same shape for
+  * free: two broadcast hash joins (clients then the denormalized contract
+  * dim are both tiny relative to the fact), then
+  * partial-HashAggregate → shuffle → final-HashAggregate with `Expand`
+  * for the two exact distincts. At 100 TB the fact side streams through
+  * executors with only the small dimension broadcast replicated; the one
+  * shuffle is on the 5-dim group key whose cardinality is bounded at
+  * 3,121,200 groups (`ETL.java:33-35`), so the final aggregate is tiny
+  * regardless of fact size.
+  *
+  * Semantics choices (SURVEY.md §7.4):
+  *   - SQL inner-join semantics: a dangling FK drops the row (the
+  *     reference would silently mis-bucket it, `ETL.java:106-108,153`);
+  *     on valid data — FKs are `not null ≥ 1` per `README.md:14-37` —
+  *     the results are identical.
+  *   - amount is summed as float32 inputs accumulated in double, same
+  *     precision contract as the reference (`ETL.java:126,150,38`).
+  */
+object ReferenceHypercube {
+
+  /** Schema-first CSV read of `clients.csv` (reference `ETL.java:44-74`).
+    * No max-id sizing pass is needed: there are no dense arrays here. */
+  val clientSchema: StructType = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("type", IntegerType, nullable = false),
+    StructField("geo", IntegerType, nullable = false),
+    StructField("misc", IntegerType, nullable = false)))
+
+  /** `contracts.csv` (reference `ETL.java:76-112`). `start`/`end` are in
+    * the file but never consumed — declared here, pruned in [[contracts]]
+    * (reference prunes positionally, `ETL.java:101-105`). */
+  val contractSchema: StructType = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("client", IntegerType, nullable = false),
+    StructField("nature", IntegerType, nullable = false),
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false)))
+
+  def clients(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").schema(clientSchema).csv(path)
+
+  def contracts(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").schema(contractSchema).csv(path)
+      .select("id", "client", "nature")
+
+  def invoices(spark: SparkSession, path: String): DataFrame =
+    FixedWidthBinary.invoices(spark, path)
+
+  /** J1: denormalize contracts against the client dimension — broadcast
+    * hash join, build side = clients (reference fuses this into the
+    * contract load, `ETL.java:106-108`). */
+  def contractDim(clients: DataFrame, contracts: DataFrame): DataFrame =
+    contracts.alias("k")
+      .join(broadcast(clients.alias("c")), col("k.client") === col("c.id"))
+      .select(
+        col("k.id").as("contract_id"), col("k.client").as("client"),
+        col("k.nature").as("nature"), col("c.type").as("type"),
+        col("c.geo").as("geo"), col("c.misc").as("misc"))
+
+  /** J2 + A1–A6 + P3 + O1: fact ⋈ denormalized dim, 5-dim hash aggregate
+    * with two exact distincts, ordered output. Empty groups never
+    * materialize (hash aggregate only creates touched groups — the
+    * reference needs an explicit `!= 0` filter only because its dense
+    * array pre-materializes all 3.1 M slots, `ETL.java:265`). */
+  def hypercube(clients: DataFrame, contracts: DataFrame, invoices: DataFrame): DataFrame = {
+    val dim = contractDim(clients, contracts)
+    invoices.alias("i")
+      .join(broadcast(dim), col("i.contract") === dim("contract_id"))
+      .groupBy("geo", "type", "misc", "nature", "time")
+      .agg(
+        sum("consumption").as("consumption"),
+        sum("amount").as("amount"),
+        countDistinct("client").as("nclients"),
+        countDistinct("contract_id").as("ncontrats"),
+        count(lit(1)).as("ninvoices"))
+      .orderBy("geo", "type", "misc", "nature", "time")
+  }
+
+  /** End-to-end over a reference-layout data folder (`clients.csv`,
+    * `contracts.csv`, `invoices.bin` — reference `ETL.java:292-294`). */
+  def fromFolder(spark: SparkSession, dataFolder: String): DataFrame =
+    hypercube(
+      clients(spark, s"$dataFolder/clients.csv"),
+      contracts(spark, s"$dataFolder/contracts.csv"),
+      invoices(spark, s"$dataFolder/invoices.bin"))
+
+  /** S4: CSV sink with the reference's header and 2-decimal amount
+    * rendering (reference `ETL.java:254-270`). `format_string("%.2f")`
+    * is the locale-stable equivalent of the reference's default-locale
+    * `DecimalFormat("#.00")` — see SURVEY.md §2.1 S4. Single ordered
+    * file (`coalesce(1)`) matches the reference's output contract; at
+    * scale callers should write partitioned instead. */
+  def writeCsv(cube: DataFrame, outPath: String): Unit =
+    cube
+      .withColumn("amount", format_string("%.2f", round(col("amount"), 2)))
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(outPath)
+}

@@ -1,0 +1,320 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Query
+import graft.sources.{FixedWidthBinary, Tables}
+
+/** Relational operator catalog — every operator class from SURVEY.md §2
+  * (scans S1–S4, pruning P1–P3, joins J1–J2, aggregates A1–A6, ordered
+  * output O1) re-expressed over the TPC-H-ish test tables, plus the
+  * scale-path variants the reference lacks (shuffle joins, semi/anti,
+  * windows, approximate distinct).
+  *
+  * Each query is a declarative DataFrame plan: Catalyst pushes filters
+  * and projections into the parquet scans, chooses broadcast vs
+  * sort-merge join by size/AQE, and plans partial→final hash aggregates —
+  * the distributed equivalents of the reference's hand-rolled pruning
+  * (`ETL.java:101-105`), in-RAM dimension joins (`ETL.java:106-108`) and
+  * thread-local partial aggregation (`ETL.java:130-132,181-192`).
+  */
+object Relational {
+
+  /** Exact decimal sum rendered as double — deterministic across engines
+    * and partitionings (see [[graft.Query]] scaladoc). */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  val queries: Seq[Query] = Seq(
+
+    Query(
+      "q1_agg",
+      "A1–A4+P: filtered scan + 2-key hash aggregate with 4 sums (TPC-H Q1 shape). " +
+        "Partial aggregation runs map-side; only 6 groups cross the shuffle.",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        li.groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    Query(
+      "q2_scan_prune",
+      "S+P1/P2: projection + predicate pushdown. The parquet scan reads only 5 of 11 " +
+        "lineitem columns and `PushedFilters` carries both predicates to the reader " +
+        "(the Spark-native form of the reference's positional pruning, ETL.java:101-105,147).",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") > lit("2000-01-01").cast("timestamp") && col("l_quantity") < 5)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate > TIMESTAMP '2000-01-01 00:00:00' AND l_quantity < 5
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    Query(
+      "q3_join_broadcast",
+      "J1: dimension denormalization via broadcast hash joins (customer ⋈ nation ⋈ region) " +
+        "— the reference's in-RAM FK lookup join (ETL.java:106-108) distributed: the tiny " +
+        "dims replicate to every executor, the big side never shuffles.",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        val r = Tables.region(s, dir)
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name", "c_mktsegment")
+          .agg(
+            count(lit(1)).as("n_cust"),
+            dsum(col("c_acctbal")).as("sum_bal"),
+            countDistinct(col("c_nationkey")).as("n_nations"))
+          .orderBy("r_name", "c_mktsegment")
+      },
+      Some("""
+        SELECT r_name, c_mktsegment, COUNT(*) AS n_cust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+               COUNT(DISTINCT c_nationkey) AS n_nations
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, c_mktsegment
+        ORDER BY r_name, c_mktsegment""")),
+
+    Query(
+      "q4_hypercube",
+      "The flagship shape on the test schema: 3-table join + 5-dim GROUP BY with " +
+        "SUM×2, exact COUNT(DISTINCT)×2, COUNT(*) — the direct analog of " +
+        "hypercube.sql:1-14. Catalyst plans Expand + two-level aggregate for the " +
+        "multi-distinct, the distributed form of the reference's per-group " +
+        "linear-probe distinct sets (ETL.java:159-174,216-252).",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(
+            col("c_nationkey").as("geo"), col("o_orderstatus"),
+            col("l_returnflag"), col("l_linestatus"),
+            month(col("l_shipdate")).as("mth"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"),
+            countDistinct(col("o_custkey")).as("nclients"),
+            countDistinct(col("o_orderkey")).as("norders"),
+            count(lit(1)).as("nlines"))
+          .orderBy("geo", "o_orderstatus", "l_returnflag", "l_linestatus", "mth")
+      },
+      Some("""
+        SELECT c_nationkey AS geo, o_orderstatus, l_returnflag, l_linestatus,
+               CAST(month(l_shipdate) AS INT) AS mth,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               COUNT(DISTINCT o_custkey) AS nclients,
+               COUNT(DISTINCT o_orderkey) AS norders,
+               COUNT(*) AS nlines
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2, 3, 4, 5
+        ORDER BY 1, 2, 3, 4, 5""")),
+
+    Query(
+      "q5_topk",
+      "O1+LIMIT: global top-k. Spark plans TakeOrderedAndProject — per-partition " +
+        "heaps, only k rows per partition reach the driver; no global sort, no full shuffle.",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+          .limit(100),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100""")),
+
+    Query(
+      "q6_distinct",
+      "A5/A6: three exact COUNT(DISTINCT) in one aggregate — Catalyst multi-way " +
+        "Expand (each input row replicated per distinct column, then two-level " +
+        "aggregate). Exact, like the reference; see q12_approx_distinct for the " +
+        "sketch-based 100 TB variant.",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_orderkey")).as("d_orders"),
+            countDistinct(col("l_partkey")).as("d_parts"),
+            countDistinct(col("l_suppkey")).as("d_supps"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_orderkey) AS d_orders,
+               COUNT(DISTINCT l_partkey) AS d_parts,
+               COUNT(DISTINCT l_suppkey) AS d_supps,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    Query(
+      "q7_join_shuffle",
+      "J2 scale path: fact ⋈ fact with no broadcast hint — Catalyst/AQE picks " +
+        "shuffled hash or sort-merge join on the shuffled key, the plan that " +
+        "survives when both sides are too big to broadcast (100 TB case).",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("o_orderpriority"), year(col("o_orderdate")).as("yr"))
+          .agg(
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderpriority", "yr")
+      },
+      Some("""
+        SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")),
+
+    Query(
+      "q8_window",
+      "Window functions (absent in the reference — extension): first 3 orders per " +
+        "customer by row_number over a partitioned, deterministically tie-broken sort.",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        Tables.orders(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "rn")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn
+        FROM (
+          SELECT o_custkey, o_orderkey,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders) t
+        WHERE rn <= 3
+        ORDER BY o_custkey, rn""")),
+
+    Query(
+      "q9_semi_anti",
+      "Semi/anti joins (absent in the reference — extension): per nation, customers " +
+        "with vs without orders. left_semi/left_anti never materialize the right side's " +
+        "payload — at scale this is a broadcast of just the distinct key set.",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .groupBy("c_nationkey").agg(count(lit(1)).as("n_with"))
+        val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy("c_nationkey").agg(count(lit(1)).as("n_without"))
+        withOrders.join(withoutOrders, Seq("c_nationkey"), "full_outer")
+          .select(
+            col("c_nationkey"),
+            coalesce(col("n_with"), lit(0L)).as("n_with"),
+            coalesce(col("n_without"), lit(0L)).as("n_without"))
+          .orderBy("c_nationkey")
+      },
+      Some("""
+        SELECT c_nationkey,
+               COUNT(*) FILTER (WHERE o.o_custkey IS NOT NULL) AS n_with,
+               COUNT(*) FILTER (WHERE o.o_custkey IS NULL) AS n_without
+        FROM customer
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o ON c_custkey = o.o_custkey
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey""")),
+
+    Query(
+      "q10_binary_scan",
+      "S3: fixed-width big-endian binary source (the reference's invoices.bin layout, " +
+        "README.md:66) via distributed binaryRecords + ByteBuffer decode. Totals over " +
+        "the reference's own fact file; golden-checked in ScalaTest against FIXTURES.md.",
+      (s, _) =>
+        FixedWidthBinary.invoices(s, "/root/reference/data-sample/invoices.bin")
+          .agg(
+            count(lit(1)).as("n_records"),
+            sum("consumption").as("sum_consumption"),
+            countDistinct(col("contract")).as("d_contracts"),
+            min("time").as("min_time"), max("time").as("max_time"))),
+
+    Query(
+      "q11_hypercube_ref",
+      "End-to-end reference parity: the full hypercube pipeline (S1–S4, J1–J2, A1–A6, " +
+        "P3, O1) over the reference's own data-sample; golden-checked in ScalaTest " +
+        "against FIXTURES.md (34,271 groups / Σninvoices 58,176 / Σconsumption 58,294,383).",
+      (s, _) => ReferenceHypercube.fromFolder(s, "/root/reference/data-sample")),
+
+    Query(
+      "q12_approx_distinct",
+      "M4 scale variant of A5/A6: HLL++ approx_count_distinct — one pass, no Expand, " +
+        "constant memory per group; the opt-in sketch for 100 TB multi-distinct. " +
+        "No oracle (sketch estimates are engine-specific); bounds checked in ScalaTest.",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+            approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")),
+
+    Query(
+      "q13_sessionize",
+      "Sessionization (gap > 30 min) via window lag + running sum — the batch twin of " +
+        "the streaming sessionizer. Per-user event ordering is a single shuffle on " +
+        "user_id; no driver-side state.",
+      (s, dir) => {
+        // ts is epoch nanoseconds (LongType) — see Tables.events.
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, dir)
+          .withColumn("prev_ns", lag(col("ts"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_ns").isNull ||
+              col("ts") - col("prev_ns") > 1800L * 1000000000L, 1L).otherwise(0L))
+          .groupBy("user_id")
+          .agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""
+        SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        FROM (
+          SELECT user_id,
+                 CASE WHEN prev_ns IS NULL OR ns - prev_ns > 1800000000000 THEN 1 ELSE 0 END AS new_sess
+          FROM (
+            SELECT user_id,
+                   epoch_ns(ts) AS ns,
+                   LAG(epoch_ns(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_ns
+            FROM events) a) b
+        GROUP BY user_id
+        ORDER BY user_id"""))
+  )
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ReferenceHypercube
+import graft.sources.FixedWidthBinary
+
+/** Golden tests against the reference's own data-sample, values from
+  * FIXTURES.md §1 (independently computed simulation of the reference
+  * semantics over invoices.bin's 58,176 records). */
+class ReferenceParitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sample = "/root/reference/data-sample"
+
+  private lazy val cube = ReferenceHypercube.fromFolder(spark, sample).cache()
+
+  test("binary source decodes exactly 58,176 records") {
+    val inv = FixedWidthBinary.invoices(spark, s"$sample/invoices.bin")
+    assert(inv.count() === 58176L)
+    val r = inv.agg(
+      min("time").as("mn"), max("time").as("mx"),
+      sum("consumption").as("sc")).head()
+    assert(r.getAs[Int]("mn") === 1)
+    assert(r.getAs[Int]("mx") === 36)
+    assert(r.getAs[Long]("sc") === 58294383L)
+  }
+
+  test("hypercube: 34,271 non-empty groups") {
+    assert(cube.count() === 34271L)
+  }
+
+  test("hypercube: measure totals match the goldens") {
+    val r = cube.agg(
+      sum("ninvoices").as("ni"),
+      sum("consumption").as("sc"),
+      sum("amount").as("sa")).head()
+    assert(r.getAs[Long]("ni") === 58176L)
+    assert(r.getAs[Long]("sc") === 58294383L)
+    assert(math.abs(r.getAs[Double]("sa") - 3862500.83) < 1.0) // float32 accumulation tolerance
+  }
+
+  test("hypercube: first 3 groups in output order match the goldens") {
+    // (geo,type,misc,nature,time → ninv,cons,amt,ncli,ncon), FIXTURES.md §1
+    val rows = cube.limit(3).collect()
+    val expected = Seq(
+      (1, 1, 5, 1, 1, 1L, 1598L, 184.92, 1L, 1L),
+      (1, 1, 5, 1, 2, 1L, 1197L, 18.91, 1L, 1L),
+      (1, 1, 5, 1, 3, 1L, 1107L, 135.37, 1L, 1L))
+    rows.zip(expected).foreach { case (row, (geo, typ, misc, nature, time, ninv, cons, amt, ncli, ncon)) =>
+      assert(row.getAs[Int]("geo") === geo)
+      assert(row.getAs[Int]("type") === typ)
+      assert(row.getAs[Int]("misc") === misc)
+      assert(row.getAs[Int]("nature") === nature)
+      assert(row.getAs[Int]("time") === time)
+      assert(row.getAs[Long]("ninvoices") === ninv)
+      assert(row.getAs[Long]("consumption") === cons)
+      assert(math.abs(row.getAs[Double]("amount") - amt) < 0.005)
+      assert(row.getAs[Long]("nclients") === ncli)
+      assert(row.getAs[Long]("ncontrats") === ncon)
+    }
+  }
+
+  test("hypercube: per-group invariants nclients <= ncontrats <= ninvoices") {
+    val bad = cube.filter(
+      col("nclients") > col("ncontrats") || col("ncontrats") > col("ninvoices")).count()
+    assert(bad === 0L)
+    val outOfDomain = cube.filter(
+      col("geo") < 1 || col("geo") > 578 || col("type") < 1 || col("type") > 5 ||
+        col("misc") < 1 || col("misc") > 6 || col("nature") < 1 || col("nature") > 5 ||
+        col("time") < 1 || col("time") > 36).count()
+    assert(outOfDomain === 0L)
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + sanity per catalog query on the sf0.001 tier. The driver's
+  * DuckDB oracle at sf0.01 is the deep correctness gate; these catch
+  * regressions fast. */
+class RelationalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  SparkEntry.catalog.foreach { q =>
+    test(s"${q.name} returns rows and a stable schema") {
+      val df = q.run(spark, sf)
+      assert(df.columns.distinct.length === df.columns.length, "duplicate column names")
+      assert(df.count() > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q12 approx distinct is within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q12_approx_distinct")(spark, sf)
+      .select("l_returnflag", "approx_orders").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = SparkEntry.queries("q6_distinct")(spark, sf)
+      .select("l_returnflag", "d_orders").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex < 0.05, s"$k: approx $ap vs exact $ex")
+    }
+  }
+
+  test("every oracle key exists in queries") {
+    val qs = SparkEntry.queries.keySet
+    SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k)))
+  }
+}
