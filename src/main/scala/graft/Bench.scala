@@ -1,24 +1,65 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+
+/** Benchmark main. Runs the headline catalog queries on
+  * `$SPARK_GRAFT_SF_DIR` and prints ONE JSON line (also written to
+  * `$SPARK_GRAFT_BENCH_OUT`, default `BENCH_LOCAL.json`, because stdout
+  * may be interleaved with build-tool noise — round 1's output came back
+  * unparseable).
+  *
+  * Methodology (round-1 verdict fixes):
+  *   - the action is a `noop`-sink write, not `count()` — under a bare
+  *     count Catalyst's `EliminateSorts` deletes every `orderBy`, so the
+  *     declared sorts were never measured;
+  *   - one warm-up pass (JIT + file cache + parquet footer cache), then
+  *     3 timed runs per query, median reported — the round-1 single cold
+  *     shot recorded 350.9 s for a workload that steady-states at ~103 s.
+  */
 object Bench {
+
+  /** Representative, mutually diverse subset of the catalog: scan+agg,
+    * hypercube, shuffle join, semi/anti, reference parity, sketches,
+    * sessionize, dedup, LSH near-dup, text stats, ANN. */
+  val headline: Seq[String] = Seq(
+    "q1_agg", "q4_hypercube", "q5_topk", "q7_join_shuffle", "q9_semi_anti",
+    "q11_hypercube_ref", "q12_approx_distinct", "q13_sessionize",
+    "q14_text_stats", "q16_dedup_exact", "q17_dedup_minhash",
+    "q19_knn_brute", "q20_knn_lsh")
+
+  private def runOnce(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    val spark = GraftSession.local("graft-bench")
+
+    val queries = headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+    // Warm-up: one full pass (never timed).
+    queries.foreach { case (_, fn) => runOnce(fn(spark, sfDir)) }
+
+    val results = queries.map { case (name, fn) =>
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        runOnce(fn(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> median(times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()
+    println(json) // last line of stdout
   }
 }

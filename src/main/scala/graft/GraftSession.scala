@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to assemble the engine's SparkSession configuration so the
+  * mains (Bench/Verify/EtlMain) and the test JVM agree on semantics:
+  *
+  *   - UTC session time zone (oracle comparisons are tz-sensitive);
+  *   - AQE on — at scale it re-plans joins (broadcast↔shuffle), coalesces
+  *     shuffle partitions and splits skewed ones at runtime, which is the
+  *     engine's answer to skew/sizing questions the reference never faces
+  *     (single JVM, `ETL.java:196-208`);
+  *   - `nanosAsLong` so `events.parquet`'s INT64 TIMESTAMP(NANOS) column
+  *     reads as epoch-nanos LongType (see [[graft.sources.Tables.events]]);
+  *   - shuffle partitions sized to the local core count, not the 200
+  *     default — on a real cluster this would instead be ~2–3× total
+  *     executor cores (and AQE coalesces the excess anyway).
+  */
+object GraftSession {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Session for the driver-facing mains: `local[$SPARK_GRAFT_CPUS]`. */
+  def local(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val s = builder(s"local[$cpus]", shufflePartitions = cpus)
+      .appName(appName)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -15,6 +15,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     double — exact in both Spark and DuckDB, so results are
   *     bit-identical regardless of partial-aggregation order (a plain
   *     double sum would differ in low-order bits between engines);
+  *   - derived products (`price * (1 - discount)`) cast each *operand* to
+  *     decimal and multiply in the decimal domain on both sides; casting
+  *     the double product instead is NOT engine-stable (Spark rounds
+  *     HALF_UP on the shortest decimal string, DuckDB rounds the true
+  *     binary value — they disagree on ties like 48887.7749999…94);
   *   - counts are 64-bit in both engines; `year`/`month`/`row_number`
   *     are cast to INT on the DuckDB side to match Spark's types.
   */

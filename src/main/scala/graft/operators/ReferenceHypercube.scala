@@ -66,12 +66,15 @@ object ReferenceHypercube {
   def invoices(spark: SparkSession, path: String): DataFrame =
     FixedWidthBinary.invoices(spark, path)
 
-  /** J1: denormalize contracts against the client dimension — broadcast
-    * hash join, build side = clients (reference fuses this into the
-    * contract load, `ETL.java:106-108`). */
+  /** J1: denormalize contracts against the client dimension (reference
+    * fuses this into the contract load, `ETL.java:106-108`). No broadcast
+    * hint: under `autoBroadcastJoinThreshold`/AQE Catalyst broadcasts the
+    * build side while it is small and falls back to a shuffled join when
+    * clients outgrow executor memory at scale — a forced hint would OOM
+    * at 100× (clients is 1 M rows at reference scale, unbounded above). */
   def contractDim(clients: DataFrame, contracts: DataFrame): DataFrame =
     contracts.alias("k")
-      .join(broadcast(clients.alias("c")), col("k.client") === col("c.id"))
+      .join(clients.alias("c"), col("k.client") === col("c.id"))
       .select(
         col("k.id").as("contract_id"), col("k.client").as("client"),
         col("k.nature").as("nature"), col("c.type").as("type"),
@@ -85,7 +88,7 @@ object ReferenceHypercube {
   def hypercube(clients: DataFrame, contracts: DataFrame, invoices: DataFrame): DataFrame = {
     val dim = contractDim(clients, contracts)
     invoices.alias("i")
-      .join(broadcast(dim), col("i.contract") === dim("contract_id"))
+      .join(dim, col("i.contract") === dim("contract_id"))
       .groupBy("geo", "type", "misc", "nature", "time")
       .agg(
         sum("consumption").as("consumption"),

@@ -27,6 +27,24 @@ object Relational {
     * and partitionings (see [[graft.Query]] scaladoc). */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
 
+  /** Small multiplicative factor ((1±discount/tax)-shaped, |v| < 10) as an
+    * exact 2-decimal value. Products of one `DECIMAL(18,2)` operand and up
+    * to two of these stay within `DECIMAL(28,6)` — no precision loss, so
+    * decimal×decimal arithmetic is exact in both Spark and DuckDB and the
+    * final double render is bit-identical. Casting the *product of
+    * doubles* instead (round 1) hit engine-specific tie-rounding on 186
+    * of 60k rows (Spark HALF_UP on the shortest decimal string vs DuckDB
+    * rounding the true binary value). */
+  private def fac(c: Column): Column = c.cast(DecimalType(4, 2))
+
+  /** `SUM(price * (1 - discount))` with all arithmetic in the exact
+    * decimal domain; see [[fac]]. */
+  private def dsumProd(price: Column, f1: Column): Column =
+    sum(price.cast(DecimalType(18, 2)) * fac(f1)).cast("double")
+
+  private def dsumProd(price: Column, f1: Column, f2: Column): Column =
+    sum(price.cast(DecimalType(18, 2)) * fac(f1) * fac(f2)).cast("double")
+
   val queries: Seq[Query] = Seq(
 
     Query(
@@ -40,8 +58,8 @@ object Relational {
           .agg(
             dsum(col("l_quantity")).as("sum_qty"),
             dsum(col("l_extendedprice")).as("sum_base_price"),
-            dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+            dsumProd(col("l_extendedprice"), lit(1) - fac(col("l_discount"))).as("sum_disc_price"),
+            dsumProd(col("l_extendedprice"), lit(1) - fac(col("l_discount")), lit(1) + fac(col("l_tax"))).as("sum_charge"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus")
       },
@@ -49,8 +67,8 @@ object Relational {
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -112,8 +130,11 @@ object Relational {
         val c = Tables.customer(s, dir)
         val o = Tables.orders(s, dir)
         val l = Tables.lineitem(s, dir)
+        // No broadcast hint on customer: it is a true dimension but grows
+        // with scale; Catalyst/AQE broadcasts below the threshold and
+        // shuffles above it, which is the plan that survives at 100 TB.
         l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
           .groupBy(
             col("c_nationkey").as("geo"), col("o_orderstatus"),
             col("l_returnflag"), col("l_linestatus"),
@@ -191,13 +212,13 @@ object Relational {
         l.join(o, l("l_orderkey") === o("o_orderkey"))
           .groupBy(col("o_orderpriority"), year(col("o_orderdate")).as("yr"))
           .agg(
-            dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+            dsumProd(col("l_extendedprice"), lit(1) - fac(col("l_discount"))).as("revenue"),
             count(lit(1)).as("n"))
           .orderBy("o_orderpriority", "yr")
       },
       Some("""
         SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS yr,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
                COUNT(*) AS n
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey

@@ -26,12 +26,14 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's reader
-    * rejects by default; read `ts` as epoch nanoseconds (LongType) —
-    * exact, and cheaper to compare/lag than timestamps anyway. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * rejects unless `spark.sql.legacy.parquet.nanosAsLong=true`; with it,
+    * `ts` reads as epoch nanoseconds (LongType) — exact, and cheaper to
+    * compare/lag than timestamps anyway. The conf is set at session
+    * construction (Bench/Verify/EtlMain/SparkTestSession via
+    * [[graft.GraftSession]]), not mutated here: a loader silently
+    * flipping session state would race under concurrent use. */
+  def events(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "events")
-  }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }
