@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.ReferenceHypercube
+
+/** The reference CLI, Spark-first: `java ETL data_folder output_file
+  * [-t threads …]` (reference `ETL.java:272-294`) becomes
+  *
+  * {{{
+  *   runMain graft.EtlMain <data_folder> <output_dir> [--partitioned]
+  * }}}
+  *
+  * reading the fixed-name inputs `clients.csv`, `contracts.csv`,
+  * `invoices.bin` from `data_folder` (reference `ETL.java:292-294`) and
+  * writing the ordered hypercube CSV with the reference's header and
+  * `#.00` amount format. The reference's `-t/-p/-s` thread/pool/chunk
+  * knobs have no equivalent knobs here by design — parallelism is
+  * Spark's job (`$SPARK_GRAFT_CPUS` sizes the local session; on a real
+  * cluster, executor config). `--partitioned` writes one file per
+  * partition instead of the reference's single file (the 100 TB path).
+  *
+  * Per-stage timing (the reference times its 6 stages,
+  * `ETL.java:296-356`): Spark fuses scan+join+agg into one job, so the
+  * honest split is plan-time vs execution; both are printed.
+  */
+object EtlMain {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: EtlMain <data_folder> <output_dir> [--partitioned]")
+      sys.exit(2)
+    }
+    val dataFolder = args(0)
+    val outDir = args(1)
+    val singleFile = !args.contains("--partitioned")
+
+    val spark: SparkSession = GraftSession.local("graft-etl")
+    val t0 = System.nanoTime()
+    val cube = ReferenceHypercube.fromFolder(spark, dataFolder)
+    val tPlan = System.nanoTime()
+    ReferenceHypercube.writeCsv(cube, outDir, singleFile)
+    val tDone = System.nanoTime()
+    println(f"plan: ${(tPlan - t0) / 1e9}%.3f s  execute+write: ${(tDone - tPlan) / 1e9}%.3f s")
+    spark.stop()
+  }
+}

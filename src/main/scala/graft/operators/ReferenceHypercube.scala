@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -107,15 +107,24 @@ object ReferenceHypercube {
       contracts(spark, s"$dataFolder/contracts.csv"),
       invoices(spark, s"$dataFolder/invoices.bin"))
 
-  /** S4: CSV sink with the reference's header and 2-decimal amount
-    * rendering (reference `ETL.java:254-270`). `format_string("%.2f")`
-    * is the locale-stable equivalent of the reference's default-locale
-    * `DecimalFormat("#.00")` — see SURVEY.md §2.1 S4. Single ordered
-    * file (`coalesce(1)`) matches the reference's output contract; at
-    * scale callers should write partitioned instead. */
-  def writeCsv(cube: DataFrame, outPath: String): Unit =
-    cube
-      .withColumn("amount", format_string("%.2f", round(col("amount"), 2)))
-      .coalesce(1)
+  /** Reference-exact `#.00` amount rendering (`ETL.java:255,266`):
+    * half-up to 2 decimals, no leading zero before the point (`.50`,
+    * `-.50`, `.00` — `DecimalFormat("#.00")` drops it), locale-stable
+    * (the reference's `DecimalFormat` would print `,` under a French
+    * default locale; we always print `.`). */
+  private[graft] def refAmountFormat(c: Column): Column =
+    regexp_replace(format_string("%.2f", round(c, 2)), "^(-?)0\\.", "$1.")
+
+  /** S4: CSV sink with the reference's header, row order and amount
+    * rendering (reference `ETL.java:254-270`). `singleFile = true`
+    * reproduces the reference's one-ordered-file contract via
+    * `coalesce(1)` — fine at reference scale, a driver bottleneck at
+    * 100 TB; `singleFile = false` keeps the global sort but writes one
+    * file per partition (rows remain totally ordered across the
+    * lexicographically-named part files). */
+  def writeCsv(cube: DataFrame, outPath: String, singleFile: Boolean = true): Unit = {
+    val formatted = cube.withColumn("amount", refAmountFormat(col("amount")))
+    (if (singleFile) formatted.coalesce(1) else formatted)
       .write.mode("overwrite").option("header", "true").csv(outPath)
+  }
 }
