@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Query
+import graft.sources.Tables
+
+/** Deduplication operators for the training-data pipeline: exact
+  * (content-hash) and near-duplicate (MinHash + banded LSH with exact
+  * n-gram-Jaccard verification) over the `documents` table.
+  *
+  * Scale design (the part that must survive 100 TB):
+  *   - exact dedup is one hash-keyed aggregate — the groupBy key is the
+  *     64-hex SHA-256 digest, never the document body, so the shuffle
+  *     carries ~72 bytes/doc regardless of document size;
+  *   - near-dup NEVER does an all-pairs `crossJoin`: candidate
+  *     generation is an equi-join keyed on (band, band-hash) — only
+  *     documents agreeing on a full MinHash band meet, which is the
+  *     banded-LSH scheme of Broder (1997) / MMDS ch.3. With b bands of
+  *     r rows the candidate probability is 1-(1-s^r)^b: at b=64, r=3 a
+  *     pair at Jaccard 0.7 is missed with p≈1e-12 while pairs below 0.3
+  *     almost never collide, so candidate volume stays linear-ish;
+  *   - signatures are one map-side pass: k partial `min` aggregates
+  *     (map-side combine) per doc — no per-row state, no driver state;
+  *   - exact verification touches candidates only: shingle sets are
+  *     re-joined just for docs that share a band.
+  */
+object Dedup {
+
+  import TextAnalysis.{norm, shingles}
+
+  /** MinHash signature per document: `sig[i] = min over shingles of
+    * h_i(shingle)` with `h_i = xxhash64(i, shingle)` — k independent
+    * 64-bit hash slots from one seeded hash family, all computed in a
+    * single aggregate (k partial mins, map-side combined). */
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
+    sh.groupBy("doc_id")
+      .agg(array((0 until k).map(i => min(xxhash64(lit(i), col("shingle")))): _*).as("sig"))
+
+  /** Banded LSH: hash each of the b consecutive r-slot bands of the
+    * signature to one 64-bit bucket key; emit (doc_id, band, band_hash). */
+  def bands(sigs: DataFrame, b: Int, r: Int): DataFrame = {
+    val bandHash = (j: Int) =>
+      xxhash64((lit(j) +: (0 until r).map(i => col("sig")(j * r + i))): _*)
+    sigs.select(col("doc_id"),
+      posexplode(array((0 until b).map(bandHash): _*)).as(Seq("band", "band_hash")))
+  }
+
+  /** Candidate pairs (doc_a < doc_b) sharing at least one LSH band — an
+    * equi-join on the band key, i.e. a shuffle keyed on (band, band_hash),
+    * never an all-pairs product. */
+  def candidatePairs(bandsDf: DataFrame): DataFrame = {
+    val l = bandsDf.as("l")
+    val r = bandsDf.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over the shingle sets, computed only for candidate
+    * pairs: |A∩B| via a shingle equi-join restricted to candidates,
+    * |A∪B| = |A|+|B|-|A∩B|. */
+  def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sh.as("sb"),
+        col("sb.doc_id") === col("doc_b") && col("sb.shingle") === col("sa.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("za"), col("za.doc_id") === col("doc_a"))
+      .join(sizes.as("zb"), col("zb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("za.n") + col("zb.n") - col("inter")).cast("double")).as("jaccard"))
+  }
+
+  /** Full near-dup pipeline: shingle → MinHash(k) → LSH(b×r) → candidate
+    * equi-join → exact-Jaccard verify → threshold. */
+  def nearDuplicates(docs: DataFrame, n: Int, k: Int, b: Int, r: Int,
+      threshold: Double): DataFrame = {
+    require(k >= b * r, s"signature of $k slots cannot fill $b bands of $r")
+    val sh = shingles(docs, n)
+    val cand = candidatePairs(bands(minhashSignatures(sh, k), b, r))
+    verifyJaccard(cand, sh)
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Seq[Query] = Seq(
+
+    Query(
+      "q16_dedup_exact",
+      "Exact deduplication: normalize → SHA-256 content hash → keep the lowest " +
+        "doc_id per hash. The aggregate is keyed on the digest (72 bytes/doc " +
+        "over the shuffle, not the body); survivors come out with their copy " +
+        "count. On this corpus every doc is unique — the operator's value is " +
+        "the contract, verified exactly by the oracle.",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), sha2(norm(col("text")), 256).as("content_hash"))
+          .groupBy("content_hash")
+          .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+          .select("doc_id", "content_hash", "n_copies")
+          .orderBy("doc_id"),
+      Some("""
+        SELECT MIN(doc_id) AS doc_id, content_hash, COUNT(*) AS n_copies
+        FROM (SELECT doc_id, sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
+              FROM documents)
+        GROUP BY content_hash
+        ORDER BY doc_id""")),
+
+    Query(
+      "q17_dedup_minhash",
+      "Near-duplicate detection: word-3-gram shingles → 192-slot MinHash → " +
+        "64×3 banded LSH candidates (equi-join on band hash, never crossJoin) → " +
+        "exact Jaccard verify ≥ 0.7. The oracle is the brute-force shingle-join " +
+        "Jaccard — they agree because banding at b=64,r=3 misses a 0.7-similar " +
+        "pair with p≈1e-12.",
+      (s, dir) =>
+        nearDuplicates(Tables.documents(s, dir), n = 3, k = 192, b = 64, r = 3,
+          threshold = 0.7),
+      Some("""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+                                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+          FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+                FROM documents)
+        ), sz AS (
+          SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sz za ON za.doc_id = doc_a
+        JOIN sz zb ON zb.doc_id = doc_b
+        WHERE CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) >= 0.7
+        ORDER BY doc_a, doc_b"""))
+  )
+}

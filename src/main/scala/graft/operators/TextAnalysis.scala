@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline: normalization,
+  * tokenization, word-n-gram shingling, language-ID, quality scoring and
+  * content fingerprinting over the `documents` table.
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * (no UDFs): per-row string work stays inside whole-stage codegen and
+  * the only shuffles are the explicit `groupBy(doc_id)` aggregations —
+  * at 100 TB each of these operators is a single map-side pass plus (for
+  * the shingle aggregates) one shuffle keyed on doc_id.
+  *
+  * The reference has no text surface at all (`SURVEY.md §2.6`); these are
+  * the north-star extensions (`SURVEY.md §7.2 M5`).
+  */
+object TextAnalysis {
+
+  /** Canonical normalization used by every text operator (and mirrored in
+    * every oracle SQL): lowercase, trim, collapse whitespace runs to one
+    * space. Normalizing before hashing/shingling is what makes dedup
+    * robust to formatting noise. */
+  def norm(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(norm(text), " ")
+
+  /** Word n-gram shingles of a token array (space-joined), empty if the
+    * document has fewer than n tokens. */
+  def shingleArray(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array())
+
+  /** Distinct (doc_id, shingle) pairs for a documents frame — the shared
+    * input of MinHash dedup, n-gram-Jaccard verification and
+    * fingerprinting. One explode, one distinct (shuffle on doc+shingle). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), explode(shingleArray(tokens(col("text")), n)).as("shingle"))
+      .distinct()
+
+  // ---- language identification (stopword-profile heuristic) ----
+
+  /** Tiny per-language stopword profiles (public knowledge; the classic
+    * n-gram/stopword-profile approach of Cavnar & Trenkle 1994 reduced to
+    * function-word hit rates, which SQL can express on both engines). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "des", "que", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "von"),
+    "es" -> Seq("el", "los", "las", "de", "y", "un", "una", "que", "es", "en"))
+
+  /** Count of tokens hitting language `l`'s stopword profile. */
+  def stopwordHits(toks: Column, l: String): Column =
+    size(filter(toks, t => array_contains(typedLit(stopwords(l)), t)))
+
+  /** CJK characters in the normalized text (zh detection needs chars, not
+    * words — Chinese doesn't whitespace-tokenize). */
+  def cjkChars(n: Column): Column =
+    length(n) - length(regexp_replace(n, "[\\x{4e00}-\\x{9fff}]", ""))
+
+  // ---- queries ----
+
+  import graft.Query
+  import graft.sources.Tables
+
+  val queries: Seq[Query] = Seq(
+
+    Query(
+      "q14_text_stats",
+      "Per-document token statistics: token count, normalized length, distinct " +
+        "tokens, mean token length. Pure map-side except one doc-keyed aggregate; " +
+        "the parquet scan reads only (doc_id, text).",
+      (s, dir) => {
+        val t = tokens(col("text"))
+        val n = norm(col("text"))
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            size(t).as("n_tokens"),
+            length(n).as("n_chars"),
+            size(array_distinct(t)).as("n_distinct"),
+            // norm is single-space separated, so Σ|token| = len - (count-1)
+            ((length(n) - size(t) + 1).cast("double") / size(t).cast("double")).as("avg_tok_len"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(ws) AS INT) AS n_tokens,
+               CAST(length(n) AS INT) AS n_chars,
+               CAST(len(list_distinct(ws)) AS INT) AS n_distinct,
+               CAST(length(n) - len(ws) + 1 AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS avg_tok_len
+        FROM (
+          SELECT doc_id, n, string_split(n, ' ') AS ws
+          FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS n
+                FROM documents))
+        ORDER BY doc_id""")),
+
+    Query(
+      "q15_lang_quality",
+      "Language-ID (stopword-profile + CJK-ratio heuristic) and quality scoring " +
+        "(length / stopword-density / punctuation components) per document — " +
+        "the standard pre-training corpus filters, one codegen'd map pass.",
+      (s, dir) => {
+        val n = norm(col("text"))
+        val t = tokens(col("text"))
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang").as("lang_label"), n.as("n"), t.as("t"))
+          .select(
+            col("doc_id"), col("lang_label"),
+            size(col("t")).as("n_tokens"),
+            stopwordHits(col("t"), "en").as("h_en"),
+            stopwordHits(col("t"), "fr").as("h_fr"),
+            stopwordHits(col("t"), "de").as("h_de"),
+            stopwordHits(col("t"), "es").as("h_es"),
+            (cjkChars(col("n")).cast("double") / length(col("n")).cast("double")).as("cjk_ratio"),
+            ((length(col("n")) - length(regexp_replace(col("n"), "[!-/:-@\\[-`{-~]", "")))
+              .cast("double") / length(col("n")).cast("double")).as("punct_ratio"))
+        docs.select(
+          col("doc_id"), col("lang_label"),
+          // deterministic argmax with fixed tie-break order en>de>es>fr
+          when(col("cjk_ratio") > 0.3, "zh")
+            .when(col("h_en") >= col("h_de") && col("h_en") >= col("h_es") && col("h_en") >= col("h_fr"), "en")
+            .when(col("h_de") >= col("h_es") && col("h_de") >= col("h_fr"), "de")
+            .when(col("h_es") >= col("h_fr"), "es")
+            .otherwise("fr").as("pred_lang"),
+          least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)).as("len_score"),
+          least((col("h_en") + col("h_fr") + col("h_de") + col("h_es")).cast("double")
+            * lit(4.0) / col("n_tokens").cast("double"), lit(1.0)).as("stop_score"),
+          col("punct_ratio"))
+          .withColumn("quality",
+            (col("len_score") + col("stop_score") + (lit(1.0) - col("punct_ratio"))) / lit(3.0))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, lang_label,
+               CASE WHEN cjk_ratio > 0.3 THEN 'zh'
+                    WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+                    WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+                    WHEN h_es >= h_fr THEN 'es'
+                    ELSE 'fr' END AS pred_lang,
+               least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS len_score,
+               least(CAST(h_en + h_fr + h_de + h_es AS DOUBLE) * 4.0 / CAST(n_tokens AS DOUBLE), 1.0) AS stop_score,
+               punct_ratio,
+               (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                + least(CAST(h_en + h_fr + h_de + h_es AS DOUBLE) * 4.0 / CAST(n_tokens AS DOUBLE), 1.0)
+                + (1.0 - punct_ratio)) / 3.0 AS quality
+        FROM (
+          SELECT doc_id, lang AS lang_label,
+                 len(ws) AS n_tokens,
+                 len(list_filter(ws, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS h_en,
+                 len(list_filter(ws, t -> list_contains(['le','la','les','de','et','un','une','des','que','est'], t))) AS h_fr,
+                 len(list_filter(ws, t -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','von'], t))) AS h_de,
+                 len(list_filter(ws, t -> list_contains(['el','los','las','de','y','un','una','que','es','en'], t))) AS h_es,
+                 CAST(length(n) - length(regexp_replace(n, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE) / CAST(length(n) AS DOUBLE) AS cjk_ratio,
+                 CAST(length(n) - length(regexp_replace(n, '[!-/:-@[-`{-~]', '', 'g')) AS DOUBLE) / CAST(length(n) AS DOUBLE) AS punct_ratio
+          FROM (
+            SELECT doc_id, lang, n, string_split(n, ' ') AS ws
+            FROM (SELECT doc_id, lang, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS n
+                  FROM documents)))
+        ORDER BY doc_id""")),
+
+    Query(
+      "q18_fingerprint",
+      "Document fingerprinting: bottom-k sketch of the shingle set (k smallest " +
+        "md5(shingle) digests, concatenated) — a compact, mergeable content " +
+        "signature; two docs share a fingerprint prefix iff their shingle sets " +
+        "overlap heavily. One shuffle keyed on doc_id.",
+      (s, dir) =>
+        shingles(Tables.documents(s, dir), n = 3)
+          .groupBy("doc_id")
+          .agg(
+            concat_ws(",", slice(sort_array(collect_set(md5(col("shingle")))), 1, 4)).as("fingerprint"),
+            countDistinct(col("shingle")).as("n_shingles"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               array_to_string(list_sort(list(DISTINCT md5(s)))[1:4], ',') AS fingerprint,
+               COUNT(DISTINCT s) AS n_shingles
+        FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+                                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+          FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+                FROM documents))
+        GROUP BY doc_id
+        ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.sources.Tables
+
+/** Text-pipeline operator tests: dedup (exact + MinHash-LSH), shingling,
+  * language-ID — on sf0.001 plus synthetic fixtures. */
+class TextPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  test("exact dedup collapses normalization-equivalent copies") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    // Inject noisy copies: same content modulo case/whitespace, new ids.
+    val noisy = docs.limit(5).select(
+      (col("doc_id") + 100000).as("doc_id"),
+      upper(concat(lit("  "), regexp_replace(col("text"), " ", "   "))).as("text"))
+    val all = docs.union(noisy)
+    val deduped = all
+      .select(col("doc_id"), sha2(TextAnalysis.norm(col("text")), 256).as("h"))
+      .groupBy("h").agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+    assert(deduped.count() === 500) // the 5 noisy copies collapsed
+    assert(deduped.filter(col("n_copies") === 2).count() === 5)
+    // survivors are the original (lowest) ids
+    assert(deduped.filter(col("doc_id") >= 100000).count() === 0)
+  }
+
+  test("MinHash-LSH near-dup matches brute-force shingle-join exactly at tau=0.7") {
+    val docs = Tables.documents(spark, sf)
+    val lsh = Dedup.nearDuplicates(docs, n = 3, k = 192, b = 64, r = 3, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // Brute force: every pair sharing >= 1 shingle, exact Jaccard.
+    val sh = TextAnalysis.shingles(docs, 3)
+    val allPairs = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val brute = Dedup.verifyJaccard(allPairs, sh)
+      .filter(col("jaccard") >= 0.7).orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(brute.nonEmpty) // the corpus has planted near-dups
+    assert(lsh.toSeq === brute.toSeq) // recall AND precision = 1 at this b,r
+  }
+
+  test("banded LSH produces no candidates for dissimilar docs (no all-pairs blowup)") {
+    val docs = Tables.documents(spark, sf)
+    val sh = TextAnalysis.shingles(docs, 3)
+    val nCand = Dedup.candidatePairs(
+      Dedup.bands(Dedup.minhashSignatures(sh, 192), b = 64, r = 3)).count()
+    // 500 docs -> 124,750 possible pairs; candidates must stay near the
+    // true near-dup count, not the quadratic blowup.
+    assert(nCand < 500)
+  }
+
+  test("shingleArray produces overlapping word n-grams") {
+    val out = Seq("the quick brown fox jumps")
+      .toDF("text")
+      .select(TextAnalysis.shingleArray(TextAnalysis.tokens(col("text")), 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(out === Seq("the quick brown", "quick brown fox", "brown fox jumps"))
+    val short = Seq("one two").toDF("text")
+      .select(TextAnalysis.shingleArray(TextAnalysis.tokens(col("text")), 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(short === Seq.empty)
+  }
+
+  test("language-ID identifies natural-language samples by stopword profile") {
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it is a good day for the walk"),
+      ("fr", "le chat est sur la table et les enfants de la maison sont la"),
+      ("de", "der hund ist nicht mit der katze und das haus von dem mann"),
+      ("es", "el perro y el gato de la casa es un animal que come y duerme"),
+      ("zh", "今天天气很好我们去公园散步吧"))
+      .toDF("expected", "text")
+    val t = TextAnalysis.tokens(col("text"))
+    val n = TextAnalysis.norm(col("text"))
+    val pred = samples.select(
+      col("expected"),
+      when(TextAnalysis.cjkChars(n).cast("double") / length(n) > 0.3, "zh")
+        .when(TextAnalysis.stopwordHits(t, "en") >= TextAnalysis.stopwordHits(t, "de") &&
+          TextAnalysis.stopwordHits(t, "en") >= TextAnalysis.stopwordHits(t, "es") &&
+          TextAnalysis.stopwordHits(t, "en") >= TextAnalysis.stopwordHits(t, "fr"), "en")
+        .when(TextAnalysis.stopwordHits(t, "de") >= TextAnalysis.stopwordHits(t, "es") &&
+          TextAnalysis.stopwordHits(t, "de") >= TextAnalysis.stopwordHits(t, "fr"), "de")
+        .when(TextAnalysis.stopwordHits(t, "es") >= TextAnalysis.stopwordHits(t, "fr"), "es")
+        .otherwise("fr").as("pred"))
+    assert(pred.filter(col("expected") =!= col("pred")).count() === 0)
+  }
+
+  test("fingerprint is stable under formatting noise") {
+    val fp = (df: org.apache.spark.sql.DataFrame) =>
+      TextAnalysis.shingles(df, 3).groupBy("doc_id")
+        .agg(concat_ws(",", slice(sort_array(collect_set(md5(col("shingle")))), 1, 4)).as("fp"))
+    val base = Tables.documents(spark, sf).select("doc_id", "text").limit(20)
+    val noisy = base.select(col("doc_id"),
+      upper(regexp_replace(col("text"), " ", "  ")).as("text"))
+    val joined = fp(base).as("x").join(fp(noisy).as("y"), "doc_id")
+      .filter(col("x.fp") =!= col("y.fp"))
+    assert(joined.count() === 0)
+  }
+}
