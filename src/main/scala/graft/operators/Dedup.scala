@@ -91,6 +91,56 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---- SimHash (Charikar 2002) ----
+
+  /** 64-bit SimHash over the 3-gram shingle set: bit j of the fingerprint
+    * is the sign of Σ_shingles (±1 depending on bit j of xxhash64(shingle)).
+    * One explode + one doc-keyed aggregate (64 partial sums, map-side
+    * combined). Note the statistical contract: with only ~10² features per
+    * short document, a 3% feature diff still lands E[Hamming] ≈ 10 — on
+    * short documents SimHash separates *identical-modulo-formatting* from
+    * *different*, while MinHash (q17) is the graded-similarity detector;
+    * on long documents (10⁴+ features) SimHash tightens into the
+    * near-dup radius. Both are offered because at 100 TB SimHash is one
+    * 8-byte fingerprint per doc vs MinHash's k×8-byte signature. */
+  def simhash64(docs: DataFrame): DataFrame = {
+    val toks = TextAnalysis.shingles(docs, 3)
+      .withColumnRenamed("shingle", "tok")
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j"))
+    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    sums.select(col("doc_id"),
+      (0 until 64).map(j => when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxDist (≤ 3 here):
+    * band the 64-bit fingerprint into 4×16-bit chunks — by pigeonhole any
+    * pair within Hamming 3 agrees on at least one whole chunk, so an
+    * equi-join on (chunk index, chunk value) finds ALL such pairs without
+    * an all-pairs product; `bit_count(xor)` verifies the exact distance. */
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-chunk banding only guarantees recall up to Hamming 3")
+    val fp = simhash64(docs)
+    val chunked = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(j =>
+        shiftright(col("simhash"), 16 * j).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk", "cv")))
+    val cand = chunked.as("l")
+      .join(chunked.as("r"),
+        col("l.chunk") === col("r.chunk") && col("l.cv") === col("r.cv") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.simhash").as("ha"), col("r.simhash").as("hb"))
+      .distinct()
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Seq[Query] = Seq(
 
     Query(
@@ -143,6 +193,14 @@ object Dedup {
         JOIN sz za ON za.doc_id = doc_a
         JOIN sz zb ON zb.doc_id = doc_b
         WHERE CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) >= 0.7
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+
+    Query(
+      "q22_simhash",
+      "SimHash near-dup pairs (Hamming ≤ 3 over 64-bit token-set SimHash): " +
+        "4×16-bit chunk banding guarantees full recall at this radius via an " +
+        "equi-join; bit_count(xor) verifies. No oracle (xxhash64 is " +
+        "Spark-specific); cross-checked against the MinHash pairs in ScalaTest.",
+      (s, dir) => simhashNearDups(Tables.documents(s, dir), maxDist = 3))
   )
 }

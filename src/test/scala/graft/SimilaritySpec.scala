@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Similarity-search and SimHash tests on sf0.001 plus planted fixtures. */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("LSH finds planted near-identical vectors (recall on true near-dups)") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    // Plant a barely-perturbed copy of each query vector: scale every
+    // element by 1.02 (cosine 1.0 against the original) under a new id.
+    val planted = emb.filter(col("vec_id") < 10).select(
+      (col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.02f)).as("embedding"))
+    val corpus = emb.union(planted)
+    val res = Similarity.knnLsh(corpus, nQueries = 10, k = 5)
+      .filter(col("neighbor_id") === col("query_id") + 10000)
+    // the planted copy must surface as the rank-1 neighbor for every query
+    assert(res.count() === 10)
+    assert(res.filter(col("rank") === 1).count() === 10)
+  }
+
+  test("LSH recall vs brute force on real (near-random) data, with bounded candidates") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Similarity.knnBrute(emb, 10, 5).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.knnLsh(emb, 10, 5).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(f"real-data recall@5 = $recall%.2f (corpus cosines are near-random, ~0.3 for true top-5)")
+    assert(recall > 0.0) // structural floor; the sharp contract is the planted test
+    // candidate volume must stay well below |Q| x |corpus| (the scale point)
+    val e = Similarity.prepared(emb)
+    val buckets = Similarity.srpBuckets(e, 12, 6, 64)
+    val qb = buckets.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
+    val nCand = buckets.join(qb, Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct().count()
+    assert(nCand < 10L * 500L / 2) // < half the brute-force comparisons
+  }
+
+  test("brute-force kNN is symmetric-sane: scores within [-1,1], ranks dense") {
+    val res = Similarity.knnBrute(Tables.embeddings(spark, sf), 10, 5).collect()
+    assert(res.length === 50)
+    assert(res.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-12))
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.values.forall(_.map(_.getInt(2)).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
+  }
+
+  test("simhash banding is complete: equi-join pairs == brute-force Hamming<=3 pairs") {
+    val docs = Tables.documents(spark, sf)
+    val banded = Dedup.simhashNearDups(docs, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // Brute force: all-pairs Hamming over the fingerprints (500 docs only).
+    val fp = Dedup.simhash64(docs)
+    val brute = fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("d"))
+      .filter(col("d") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded === brute) // pigeonhole guarantee: no pair within radius missed
+    // context: how much of the graded MinHash near-dup set this radius covers
+    val minhash = Dedup.nearDuplicates(docs, 3, 192, 64, 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val caught = (minhash & banded.map(t => (t._1, t._2))).size.toDouble / minhash.size
+    info(f"Hamming<=3 covers $caught%.2f of jaccard>=0.7 pairs (short docs: ~100 features)")
+  }
+
+  test("simhash of a duplicated document is bit-identical (Hamming 0)") {
+    val docs = Tables.documents(spark, sf).limit(3).select("doc_id", "text")
+    val copies = docs.select((col("doc_id") + 5000).as("doc_id"),
+      upper(concat(col("text"), lit("  "))).as("text")) // case/space noise only
+    val fp = Dedup.simhash64(docs.union(copies)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0 until 3).foreach { i =>
+      assert(fp(i.toLong) === fp(i.toLong + 5000))
+    }
+  }
+}

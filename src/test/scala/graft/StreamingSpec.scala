@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Sessionize
+import graft.sources.Tables
+
+/** Structured Streaming sessionization: batch/stream equivalence and the
+  * custom-state path. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("session_window batch counts agree with the q13 lag/running-sum formulation") {
+    val events = Tables.events(spark, sf)
+    val a = Sessionize.sessionCounts(events).select("user_id", "n_sessions", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = SparkEntry.queries("q13_sessionize")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b)
+  }
+
+  test("session_window over a MemoryStream matches the batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts").as[Sessionize.Event].collect()
+
+    val stream = MemoryStream[Sessionize.Event]
+    val query = Sessionize.sessions(stream.toDF())
+      .writeStream.format("memory").queryName("stream_sessions")
+      .outputMode("complete").start()
+    try {
+      // feed in two chunks to exercise incremental state
+      val (first, second) = events.splitAt(events.length / 2)
+      stream.addData(first.toIndexedSeq)
+      query.processAllAvailable()
+      stream.addData(second.toIndexedSeq)
+      query.processAllAvailable()
+      val streamed = spark.table("stream_sessions")
+        .groupBy("user_id").agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = Sessionize.sessionCounts(Tables.events(spark, sf))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+    } finally query.stop()
+  }
+
+  test("flatMapGroupsWithState custom sessionizer closes sessions correctly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapNs = 1800L * 1000000000L
+    val h = 3600L * 1000000000L // 1h in ns
+    // user 1: two sessions (events 1h apart); user 2: one session
+    val data = Seq(
+      Sessionize.Event(1L, 1L, h), Sessionize.Event(1L, 2L, h + 1000000000L),
+      Sessionize.Event(1L, 3L, 3 * h),
+      Sessionize.Event(2L, 4L, h))
+    val stream = MemoryStream[Sessionize.Event]
+    val query = Sessionize.sessionsCustom(stream.toDS(), gapNs)
+      .writeStream.format("memory").queryName("custom_sessions")
+      .outputMode("append").start()
+    try {
+      stream.addData(data)
+      query.processAllAvailable()
+      // advance the watermark far past everything to flush open sessions
+      stream.addData(Seq(Sessionize.Event(99L, 999L, 100 * h)))
+      query.processAllAvailable()
+      stream.addData(Seq(Sessionize.Event(99L, 1000L, 200 * h)))
+      query.processAllAvailable()
+      val out = spark.table("custom_sessions").as[Sessionize.Session]
+        .collect().filter(_.user_id != 99L)
+        .map(s => (s.user_id, s.n_events)).sorted.toSeq
+      // user 1 -> sessions of 2 and 1 events; user 2 -> 1 session of 1
+      assert(out === Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+    } finally query.stop()
+  }
+}
