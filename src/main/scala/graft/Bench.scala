@@ -42,7 +42,10 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val spark = GraftSession.local("graft-bench")
 
-    val queries = headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+    val selected = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(headline)
+    val queries = selected.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
     // Warm-up: one full pass (never timed).
     queries.foreach { case (_, fn) => runOnce(fn(spark, sfDir)) }
 

@@ -1,0 +1,92 @@
+package graft
+
+import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream, PrintWriter}
+import java.nio.file.{Files, Paths}
+
+import graft.operators.ReferenceHypercube
+
+/** Reference-scale benchmark: generates a deterministic dataset of the
+  * exact shape the reference's published numbers describe
+  * (`README.md:76`: 1 M clients, 1.6 M contracts, 57.6 M invoices ≈
+  * 922 MB of 16-byte binary records) and times the full hypercube
+  * pipeline over it — so the "within 2× of the reference" gate can be
+  * judged at the *same* scale instead of extrapolated from sf-tier data
+  * 1000× smaller. Baseline: the reference does this end-to-end in 11.5 s
+  * on 8 threads / 2012 hardware ≈ 11.8 M invoices/s peak
+  * (`README.md:81`, `Processing-rate.PNG`).
+  *
+  * Generation is fixture tooling, not a query path: a SplitMix64-seeded
+  * stream written once to `target/refscale/` (~950 MB, regenerated only
+  * if absent). Value domains follow `README.md:12-38`.
+  */
+object RefScale {
+  private val NClients = 1000000
+  private val NContracts = 1600000
+  private val NInvoices = 57600000
+
+  /** SplitMix64 — tiny deterministic PRNG (public-domain algorithm). */
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+  private def bounded(seed: Long, lo: Int, hi: Int): Int =
+    lo + (Math.floorMod(mix(seed), (hi - lo + 1).toLong)).toInt
+
+  def generate(dir: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val cw = new PrintWriter(new BufferedOutputStream(new FileOutputStream(s"$dir/clients.csv"), 1 << 20))
+    cw.println("id,type,geo,misc")
+    var i = 1
+    while (i <= NClients) {
+      cw.println(s"$i,${bounded(i * 7L + 1, 1, 5)},${bounded(i * 7L + 2, 1, 578)},${bounded(i * 7L + 3, 1, 6)}")
+      i += 1
+    }
+    cw.close()
+
+    val kw = new PrintWriter(new BufferedOutputStream(new FileOutputStream(s"$dir/contracts.csv"), 1 << 20))
+    kw.println("id,id_client,nature,start,end")
+    i = 1
+    while (i <= NContracts) {
+      kw.println(s"$i,${bounded(i * 13L + 1, 1, NClients)},${bounded(i * 13L + 2, 1, 5)},201401,201612")
+      i += 1
+    }
+    kw.close()
+
+    val bw = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(s"$dir/invoices.bin"), 1 << 20))
+    i = 1
+    while (i <= NInvoices) {
+      bw.writeInt(i)                                         // id (discarded by the engine)
+      bw.writeInt(bounded(i * 17L + 1, 1, NContracts))       // contract
+      bw.writeByte(bounded(i * 17L + 2, 1, 36))              // time
+      bw.writeFloat(bounded(i * 17L + 3, 0, 99999) / 100.0f) // amount [0, 1000), 2dp
+      bw.writeShort(bounded(i * 17L + 4, 0, 2000))           // consumption
+      bw.writeByte(0)                                        // pad
+      i += 1
+    }
+    bw.close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = "target/refscale"
+    if (!Files.exists(Paths.get(s"$dir/invoices.bin"))) {
+      println("generating reference-scale dataset (~950 MB)...")
+      val t0 = System.nanoTime()
+      generate(dir)
+      println(f"generated in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    val spark = GraftSession.local("graft-refscale")
+    // warm-up (file cache + JIT), then the timed end-to-end run incl. CSV write
+    ReferenceHypercube.fromFolder(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    val t1 = System.nanoTime()
+    ReferenceHypercube.writeCsv(
+      ReferenceHypercube.fromFolder(spark, dir), s"$dir/out", singleFile = false)
+    val secs = (System.nanoTime() - t1) / 1e9
+    val json = f"""{"metric":"refscale_end_to_end","value":$secs%.3f,"unit":"sec","rows":$NInvoices,"rows_per_sec":${(NInvoices / secs).toLong},"baseline_sec":11.5,"baseline_rows_per_sec":11800000}"""
+    Files.writeString(Paths.get("target/refscale_bench.json"), json + "\n")
+    spark.stop()
+    println(json)
+  }
+}

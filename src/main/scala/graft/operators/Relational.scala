@@ -248,21 +248,19 @@ object Relational {
 
     Query(
       "q9_semi_anti",
-      "Semi/anti joins (absent in the reference — extension): per nation, customers " +
-        "with vs without orders. left_semi/left_anti never materialize the right side's " +
-        "payload — at scale this is a broadcast of just the distinct key set.",
+      "Semi/anti semantics (absent in the reference — extension): per nation, " +
+        "customers with vs without orders, in ONE pass — left join against the " +
+        "distinct key set + conditional counts. Equivalent to a left_semi plus a " +
+        "left_anti plan but scans orders once instead of twice (the round-1 " +
+        "two-pass form was flagged as an efficiency nit).",
       (s, dir) => {
         val c = Tables.customer(s, dir)
-        val o = Tables.orders(s, dir)
-        val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
-          .groupBy("c_nationkey").agg(count(lit(1)).as("n_with"))
-        val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
-          .groupBy("c_nationkey").agg(count(lit(1)).as("n_without"))
-        withOrders.join(withoutOrders, Seq("c_nationkey"), "full_outer")
-          .select(
-            col("c_nationkey"),
-            coalesce(col("n_with"), lit(0L)).as("n_with"),
-            coalesce(col("n_without"), lit(0L)).as("n_without"))
+        val o = Tables.orders(s, dir).select("o_custkey").distinct()
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy("c_nationkey")
+          .agg(
+            count(col("o_custkey")).as("n_with"),
+            sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_without"))
           .orderBy("c_nationkey")
       },
       Some("""
