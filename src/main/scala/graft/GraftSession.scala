@@ -22,6 +22,11 @@ object GraftSession {
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // Size-GATED broadcast policy (not a hint): dims up to 64 MB — e.g.
+      // the reference-scale 1.6 M-row denormalized contract dim — replicate
+      // instead of shuffling the fact stream; anything larger still gets a
+      // shuffled join, so this stays safe when dimensions outgrow memory.
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -82,8 +82,23 @@ object FixedWidthBinary {
     spark.createDataFrame(rows, schema(layout))
   }
 
+  /** One decoded invoice record (the typed fast path's row shape). */
+  final case class InvoiceRecord(contract: Int, time: Int, amount: Float, consumption: Int)
+
   /** The reference fact table: `invoices.bin` → (contract, time, amount,
-    * consumption). */
-  def invoices(spark: SparkSession, path: String): DataFrame =
-    read(spark, path, invoiceLayout)
+    * consumption).
+    *
+    * Specialized typed path rather than the generic [[read]]: decoding
+    * straight into a case class with absolute `ByteBuffer` gets feeds
+    * Spark's codegen'd product encoder — the generic path's per-field
+    * pattern match + boxed `Row.fromSeq` + runtime RowEncoder measured
+    * ~2× slower over the 57.6 M-record reference-scale file, and this
+    * scan is the engine's hottest input. */
+  def invoices(spark: SparkSession, path: String): DataFrame = {
+    val rdd = spark.sparkContext.binaryRecords(path, 16).map { bytes =>
+      val bb = ByteBuffer.wrap(bytes) // big-endian by default, like the reference decode
+      InvoiceRecord(bb.getInt(4), bb.get(8).toInt, bb.getFloat(9), bb.getShort(13).toInt)
+    }
+    spark.createDataset(rdd)(org.apache.spark.sql.Encoders.product[InvoiceRecord]).toDF()
+  }
 }
