@@ -100,14 +100,30 @@ object ReferenceHypercube {
     * Empty groups never materialize (hash aggregate only creates touched
     * groups — the reference needs an explicit `!= 0` filter only because
     * its dense array pre-materializes all 3.1 M slots, `ETL.java:265`). */
-  def hypercube(clients: DataFrame, contracts: DataFrame, invoices: DataFrame): DataFrame = {
+  /** Amount-precision modes (SURVEY.md §7.2 M3): the reference
+    * accumulates float32 amounts in double (`ETL.java:126,150,38`) —
+    * fast, but low-order bits depend on addition order; SQL-exact mode
+    * follows the declared schema `numeric(10,2)` (`README.md:31`) with
+    * exact decimal sums, bit-stable under any partitioning. */
+  sealed trait AmountMode
+  /** Reference-exact: float32 inputs accumulated in double. */
+  case object ReferenceExact extends AmountMode
+  /** SQL-exact: `DECIMAL(10,2)` inputs, exact decimal accumulation. */
+  case object SqlExact extends AmountMode
+
+  def hypercube(clients: DataFrame, contracts: DataFrame, invoices: DataFrame,
+      amountMode: AmountMode = ReferenceExact): DataFrame = {
     val dim = contractDim(clients, contracts)
+    val amountIn = amountMode match {
+      case ReferenceExact => col("amount")
+      case SqlExact => col("amount").cast(DecimalType(10, 2))
+    }
     val byContractTime = invoices
       .groupBy("contract", "time")
       .agg(
         count(lit(1)).as("pre_ninv"),
         sum("consumption").as("pre_cons"),
-        sum("amount").as("pre_amt"))
+        sum(amountIn).as("pre_amt"))
     byContractTime
       .join(dim, col("contract") === dim("contract_id"))
       .groupBy("geo", "type", "misc", "nature", "time")

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, ReferenceHypercube, TextAnalysis}
+
+/** Property-based tests (SURVEY.md §5.4): engine invariants over random
+  * generated datasets. ScalaCheck generators drive the data; the sweep
+  * is a fixed deterministic seed list (the scalatest-plus bridge isn't
+  * in the offline dependency cache, so sampling is explicit). */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+  private def bounded(seed: Long, lo: Int, hi: Int): Int =
+    lo + Math.floorMod(mix(seed), (hi - lo + 1).toLong).toInt
+
+  private val genDims: Gen[(Int, Int, Int)] = for {
+    nClients <- Gen.choose(3, 30)
+    nContracts <- Gen.choose(3, 60)
+    nInvoices <- Gen.choose(10, 400)
+  } yield (nClients, nContracts, nInvoices)
+
+  test("hypercube invariants hold for random datasets") {
+    import spark.implicits._
+    (1L to 8L).foreach { run =>
+      val (nc, nk, ni) = sample(genDims, run)
+      val seed = mix(run)
+      val clients = (1 to nc).map(i =>
+        (i, bounded(seed + i, 1, 5), bounded(seed + i + 7, 1, 578), bounded(seed + i + 13, 1, 6)))
+        .toDF("id", "type", "geo", "misc")
+      val contracts = (1 to nk).map(i =>
+        (i, bounded(seed * 3 + i, 1, nc), bounded(seed * 3 + i + 7, 1, 5)))
+        .toDF("id", "client", "nature")
+      val invoices = (1 to ni).map(i =>
+        (bounded(seed * 5 + i, 1, nk), bounded(seed * 5 + i + 7, 1, 36),
+          bounded(seed * 5 + i + 13, 0, 9999) / 100.0f, bounded(seed * 5 + i + 17, 0, 500)))
+        .toDF("contract", "time", "amount", "consumption")
+
+      val cube = ReferenceHypercube.hypercube(clients, contracts, invoices).collect()
+
+      // per-group: 1 <= nclients <= ncontrats <= ninvoices
+      cube.foreach { r =>
+        val (ncli, ncon, ninv) =
+          (r.getAs[Long]("nclients"), r.getAs[Long]("ncontrats"), r.getAs[Long]("ninvoices"))
+        assert(1L <= ncli && ncli <= ncon && ncon <= ninv)
+      }
+      // global: sum(ninvoices) == fact row count (every generated FK is valid)
+      assert(cube.map(_.getAs[Long]("ninvoices")).sum === ni.toLong)
+      // output totally ordered by the 5 dims
+      val keys = cube.map(r => (r.getAs[Int]("geo"), r.getAs[Int]("type"),
+        r.getAs[Int]("misc"), r.getAs[Int]("nature"), r.getAs[Int]("time"))).toSeq
+      assert(keys === keys.sorted)
+    }
+  }
+
+  test("exact dedup is survivor-minimal and count-preserving for random duplicated corpora") {
+    import spark.implicits._
+    (1L to 5L).foreach { run =>
+      val n = sample(Gen.choose(5, 40), run)
+      val dupFactor = sample(Gen.choose(1, 4), run + 100)
+      val seed = mix(run + 7)
+      val rows = (1 to n).flatMap { i =>
+        val base = s"doc ${mix(seed + i) & 0xffff} body word${i % 7} tail"
+        val copies = 1 + bounded(seed + i, 0, dupFactor - 1)
+        (0 until copies).map { c =>
+          val noisy = if (c % 2 == 1) base.toUpperCase + "  " else base
+          (i.toLong * 100 + c, noisy)
+        }
+      }
+      val docs = rows.toDF("doc_id", "text")
+      val out = docs
+        .select(col("doc_id"), sha2(TextAnalysis.norm(col("text")), 256).as("h"))
+        .groupBy("h").agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .collect()
+      assert(out.length === n) // one survivor per base doc
+      assert(out.map(_.getAs[Long]("n_copies")).sum === rows.length.toLong)
+      assert(out.forall(_.getAs[Long]("doc_id") % 100 === 0)) // lowest id survives
+    }
+  }
+
+  test("minhash LSH finds every truly-similar planted pair (random corpora)") {
+    import spark.implicits._
+    (1L to 3L).foreach { run =>
+      val n = sample(Gen.choose(6, 20), run)
+      val seed = mix(run + 31)
+      val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+      val base = (1 to n).map { i =>
+        (i.toLong,
+          (0 until 20).map(j => vocab(bounded(seed + i * 31 + j, 0, vocab.length - 1))).mkString(" "))
+      }
+      val copies = base.take(n / 2).map { case (id, t) =>
+        (id + 1000, t.split(" ").updated(0, "changed").mkString(" ")) // 1-token edit
+      }
+      val docs = (base ++ copies).toDF("doc_id", "text")
+      val found = Dedup.nearDuplicates(docs, n = 3, k = 192, b = 64, r = 3, threshold = 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // every planted pair whose true jaccard clears the threshold must be found
+      val sh = TextAnalysis.shingles(docs, 3)
+      val planted = copies.map { case (cid, _) => (cid - 1000, cid) }
+      val trueJac = Dedup.verifyJaccard(planted.toDF("doc_a", "doc_b"), sh)
+        .filter(col("jaccard") >= 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(trueJac.nonEmpty)
+      assert(trueJac.subsetOf(found))
+    }
+  }
+}

