@@ -30,10 +30,19 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** Dot product of two `array<double>` columns: element products via
-    * `zip_with`, then a strict left-to-right `aggregate` fold (the fold
-    * order is what keeps the result deterministic and engine-portable). */
+  /** Dot product of two `array<double>` columns — the native codegen'd
+    * [[graft.functions.VectorDot]] expression (single fused primitive
+    * loop, no per-row array allocation). Accumulation is strict
+    * left-to-right IEEE double, identical to the composed
+    * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` form ([[dotComposed]]) and
+    * to DuckDB's `list_dot_product` — deterministic and engine-portable,
+    * which the oracle gate depends on. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorDot.vector_dot(a, b)
+
+  /** The built-ins-only formulation of [[dot]] (kept as the reference
+    * semantics and the cross-check in ScalaTest). */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
