@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Query
+import graft.sources.Tables
+
+/** Skew-mitigation operators: salting for hot keys.
+  *
+  * AQE's skew-join splitting (on in [[graft.GraftSession]]) already
+  * handles most join skew at runtime; salting remains the manual tool
+  * for the cases AQE does not cover:
+  *   - **aggregation skew** — one hot group key funnels through a single
+  *     reduce task. [[saltedAggregate]] splits each group into `nSalts`
+  *     deterministic sub-groups (partial aggregate per (key, salt)),
+  *     then merges the sub-aggregates — two small shuffles instead of
+  *     one stuck task;
+  *   - **join skew on engines/plans without AQE splitting** —
+  *     [[saltedJoin]] replicates the build side per salt and scatters
+  *     the probe side deterministically.
+  *
+  * Salts are `pmod(hash(entire row), n)` — deterministic (same data →
+  * same result, the oracle gate depends on it), uniform, and no RNG
+  * state on executors. Salting is semantically invisible: every salted
+  * operator must produce exactly the plain operator's result, which is
+  * what the oracle twin checks.
+  */
+object Skew {
+
+  /** Deterministic salt in [0, nSalts) from the full row content. */
+  private def rowSalt(df: DataFrame, nSalts: Int): Column =
+    pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(nSalts))
+
+  /** Two-stage salted sum/count aggregation over a possibly-skewed key:
+    * stage 1 aggregates (key, salt) sub-groups (spreading a hot key over
+    * nSalts reduce tasks), stage 2 merges sub-aggregates per key. Counts
+    * and sums merge losslessly; avg is derived sum/count. */
+  def saltedAggregate(df: DataFrame, key: Column, value: Column, nSalts: Int): DataFrame =
+    df.select(key.as("k"), value.as("v"), rowSalt(df, nSalts).as("salt"))
+      .groupBy("k", "salt")
+      .agg(count(lit(1)).as("pn"), sum("v").as("psum"))
+      .groupBy("k")
+      .agg(sum("pn").as("n"), sum("psum").as("total"))
+
+  /** Salted equi-join for a skewed probe side: the build side is
+    * replicated once per salt (explode), the probe side scatters by its
+    * deterministic row salt; result equals the plain inner join. Use
+    * when the build side is small-ish but a probe hot key overwhelms a
+    * single task and AQE splitting is unavailable. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+      buildKey: String, nSalts: Int): DataFrame = {
+    val saltedProbe = probe.withColumn("__salt", rowSalt(probe, nSalts))
+    val saltedBuild = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    saltedProbe.join(saltedBuild,
+        saltedProbe(probeKey) === saltedBuild(buildKey) &&
+          saltedProbe("__salt") === saltedBuild("__salt"))
+      .drop("__salt")
+  }
+
+  val queries: Seq[Query] = Seq(
+    Query(
+      "q24_salted_agg",
+      "Two-stage salted aggregation over the (skewed) lineitem return-flag key: " +
+        "8 deterministic sub-groups per key spread the hot groups across reduce " +
+        "tasks, then merge. Salting must be semantically invisible — the oracle " +
+        "is the PLAIN group-by.",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        // value pre-cast to decimal so both salted stages sum exactly —
+        // the two-stage merge is then order-free and oracle-identical
+        saltedAggregate(li, col("l_returnflag"), col("l_quantity").cast("decimal(18,2)"), nSalts = 8)
+          .select(col("k").as("l_returnflag"), col("n"),
+            col("total").cast("double").as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""))
+  )
+}

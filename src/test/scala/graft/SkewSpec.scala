@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Skew
+import graft.sources.Tables
+
+/** Salting must be semantically invisible: salted results equal plain
+  * results on real and deliberately-skewed data. */
+class SkewSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("saltedAggregate equals the plain aggregate on a hot-key distribution") {
+    import spark.implicits._
+    // 10k rows where 90% share one key — the classic stuck-reducer shape
+    val rows = (1 to 10000).map(i => (if (i % 10 == 0) s"k${i % 7}" else "hot", i.toLong))
+    val df = rows.toDF("k", "v")
+    val salted = Skew.saltedAggregate(df, col("k"), col("v"), nSalts = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted === plain)
+  }
+
+  test("saltedJoin equals the plain inner join, including duplicate keys") {
+    import spark.implicits._
+    val probe = Seq((1, "a"), (1, "b"), (2, "c"), (3, "d"), (3, "e"), (3, "f"))
+      .toDF("pk", "pv")
+    val build = Seq((1, "x"), (3, "y"), (3, "z"), (4, "w")).toDF("bk", "bv")
+    val salted = Skew.saltedJoin(probe, build, "pk", "bk", nSalts = 4)
+      .select("pk", "pv", "bk", "bv")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getString(3))).toSeq.sorted
+    val plain = probe.join(build, probe("pk") === build("bk"))
+      .select("pk", "pv", "bk", "bv")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getString(3))).toSeq.sorted
+    assert(salted === plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("q24_salted_agg runs over testdata with stable results") {
+    val r1 = SparkEntry.queries("q24_salted_agg")(spark, sf).collect()
+    val r2 = SparkEntry.queries("q24_salted_agg")(spark, sf).collect()
+    assert(r1.map(_.toString).toSeq === r2.map(_.toString).toSeq) // deterministic salts
+    val plain = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    r1.foreach(r => assert(r.getAs[Long]("n") === plain(r.getAs[String]("l_returnflag"))))
+  }
+}
