@@ -165,6 +165,30 @@ object TextAnalysis {
         ORDER BY doc_id""")),
 
     Query(
+      "q25_bpe_tokens",
+      "BPE-style subword token counting: a GPT-2-shaped pretokenizer regex " +
+        "(contractions | letter runs | digit runs | punctuation runs, leading " +
+        "space attached) — the standard what-will-this-cost estimator for LLM " +
+        "corpora. Lookahead-free so Java regex and RE2 agree; pure map pass.",
+      (s, dir) => {
+        val n = norm(col("text"))
+        val pat = "'(s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(n, lit(pat), lit(0))).as("n_bpe_tokens"),
+            size(split(n, " ")).as("n_ws_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(n, '''(s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS INT) AS n_bpe_tokens,
+               CAST(len(string_split(n, ' ')) AS INT) AS n_ws_tokens
+        FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS n
+              FROM documents)
+        ORDER BY doc_id""")),
+
+    Query(
       "q18_fingerprint",
       "Document fingerprinting: bottom-k sketch of the shingle set (k smallest " +
         "md5(shingle) digests, concatenated) — a compact, mergeable content " +

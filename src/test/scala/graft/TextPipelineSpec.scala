@@ -90,6 +90,18 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(pred.filter(col("expected") =!= col("pred")).count() === 0)
   }
 
+  test("BPE-ish pretokenizer splits contractions, digits and punctuation runs") {
+    val pat = "'(s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+    val counts = Seq(
+      ("it's 2024, don't panic!!", 8), // it|'s| 2024|,| don|'t| panic|!!
+      ("hello world", 2),
+      ("a1b2", 4))
+      .toDF("text", "expected")
+      .select(col("expected"),
+        size(regexp_extract_all(TextAnalysis.norm(col("text")), lit(pat), lit(0))).as("got"))
+    assert(counts.filter(col("expected") =!= col("got")).count() === 0)
+  }
+
   test("fingerprint is stable under formatting noise") {
     val fp = (df: org.apache.spark.sql.DataFrame) =>
       TextAnalysis.shingles(df, 3).groupBy("doc_id")
