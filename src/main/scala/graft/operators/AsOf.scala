@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Query
+import graft.sources.Tables
+
+/** As-of (point-in-time) join: for every left row, the single right row
+  * with the greatest timestamp ≤ the left timestamp, per key — the
+  * temporal-join primitive of market-data and feature-store pipelines.
+  *
+  * Built by composition (preference (a) of the engine's custom-operator
+  * policy) rather than a custom `SparkPlan`: tag and union both sides,
+  * then one `last(..., ignoreNulls)` running window per key over the
+  * merged time order carries the latest right-side values forward onto
+  * each left row. Cost: one shuffle on the key (the union sorts within
+  * partitions) — the same partitioning a hand-built sort-merge as-of
+  * operator would need, with no all-pairs inequality join anywhere
+  * (a naive `l.ts >= r.ts` join is a range cross product; this is
+  * linear after the sort).
+  *
+  * Ties: a right row at exactly the left row's timestamp matches
+  * (`>=` semantics, sorted right-before-left at equal timestamps);
+  * duplicate right rows at the same (key, ts) are deduplicated to the
+  * max tiebreak id first, keeping the result deterministic. Left rows
+  * with no prior right row are dropped (inner as-of, matching DuckDB's
+  * `ASOF JOIN`).
+  */
+object AsOf {
+
+  /** `left` (key, ts, payload…) as-of joined against `right`
+    * (key, ts, payload…); both frames must expose the named key/ts
+    * columns; right payload columns are carried onto matching left rows. */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String): DataFrame = {
+    val rightCols = right.columns.filter(c => c != key && c != ts).toSeq
+    val leftCols = left.columns.filter(c => c != key && c != ts).toSeq
+    // merged stream: right rows sort before left rows at equal ts so that
+    // an exactly-simultaneous right row is visible to the left row (>=)
+    val taggedRight = right.select(
+      Seq(col(key), col(ts), lit(0).as("__side")) ++
+        rightCols.map(col) ++ leftCols.map(c => lit(null).as(c)): _*)
+    val taggedLeft = left.select(
+      Seq(col(key), col(ts), lit(1).as("__side")) ++
+        rightCols.map(c => lit(null).as(c)) ++ leftCols.map(col): _*)
+    val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(taggedRight.unionByName(taggedLeft)) {
+      case (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("__side") === 1 && rightCols.map(col(_).isNotNull).reduce(_ && _))
+      .drop("__side")
+  }
+
+  val queries: Seq[Query] = Seq(
+    Query(
+      "q26_asof_join",
+      "As-of join composed from a tagged union + per-key running last() window " +
+        "(one shuffle on the key, no inequality cross product): each event picks " +
+        "up its user's most recent checkpoint at-or-before its timestamp. Oracle " +
+        "is DuckDB's native ASOF JOIN.",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("user_id", "ts", "event_id")
+        // deterministic sparse checkpoint stream: every 20th event, deduped
+        // to one row per (user, ts) keeping the max id
+        val cp = ev.filter(col("event_id") % 20 === 0)
+          .groupBy(col("user_id"), col("ts").as("ts"))
+          .agg(max("event_id").as("cp_id"))
+          .select(col("user_id"), col("ts"), col("cp_id"))
+        // note: raw ts is not in the output — DuckDB reads the parquet
+        // TIMESTAMP(NANOS) at microsecond precision while Spark keeps
+        // full nanos, so the raw values differ below the microsecond;
+        // the match itself is unaffected (events are seconds apart)
+        asOfJoin(ev, cp, key = "user_id", ts = "ts")
+          .select(col("event_id"), col("user_id"), col("cp_id"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, epoch_ns(ts) AS ts, event_id FROM events),
+        cp AS (
+          SELECT user_id, ts, MAX(event_id) AS cp_id
+          FROM ev WHERE event_id % 20 = 0
+          GROUP BY user_id, ts)
+        SELECT e.event_id, e.user_id, c.cp_id
+        FROM ev e ASOF JOIN cp c
+          ON e.user_id = c.user_id AND e.ts >= c.ts
+        ORDER BY e.event_id"""))
+  )
+}
