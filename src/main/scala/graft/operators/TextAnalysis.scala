@@ -36,12 +36,17 @@ object TextAnalysis {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
       .otherwise(array())
 
-  /** Distinct (doc_id, shingle) pairs for a documents frame — the shared
-    * input of MinHash dedup, n-gram-Jaccard verification and
-    * fingerprinting. One explode, one distinct (shuffle on doc+shingle). */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+  /** Raw (doc_id, shingle) explode — duplicates included, NO shuffle.
+    * Feed this to duplicate-idempotent consumers (MinHash `min`
+    * aggregates) so they skip the distinct's full-corpus shuffle. */
+  def shinglesRaw(docs: DataFrame, n: Int = 3): DataFrame =
     docs.select(col("doc_id"), explode(shingleArray(tokens(col("text")), n)).as("shingle"))
-      .distinct()
+
+  /** Distinct (doc_id, shingle) pairs for a documents frame — the shared
+    * input of n-gram-Jaccard verification and fingerprinting. One
+    * explode, one distinct (shuffle on doc+shingle). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    shinglesRaw(docs, n).distinct()
 
   // ---- language identification (stopword-profile heuristic) ----
 

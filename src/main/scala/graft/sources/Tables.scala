@@ -32,8 +32,17 @@ object Tables {
     * construction (Bench/Verify/EtlMain/SparkTestSession via
     * [[graft.GraftSession]]), not mutated here: a loader silently
     * flipping session state would race under concurrent use. */
-  def events(spark: SparkSession, dir: String): DataFrame =
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    // A session built without GraftSession would otherwise die inside the
+    // parquet reader with an opaque nanos-timestamp error — turn the
+    // contract violation into an actionable message instead.
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet carries INT64 TIMESTAMP(NANOS): build the session via " +
+        "graft.GraftSession (or set spark.sql.legacy.parquet.nanosAsLong=true " +
+        "at session construction) before reading it")
     load(spark, dir, "events")
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

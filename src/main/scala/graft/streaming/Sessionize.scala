@@ -79,8 +79,13 @@ object Sessionize {
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
               cur match {
-                case Some(s) if e.ts - s.end <= gapNs =>
-                  cur = Some(SessionState(s.start, e.ts, s.n + 1))
+                // merge if the event is within gap of EITHER session edge —
+                // a late-but-within-watermark event from a later trigger
+                // batch can land before s.end (or even before s.start);
+                // min/max keeps the bounds monotone instead of dragging
+                // the session end backwards to e.ts
+                case Some(s) if e.ts - s.end <= gapNs && s.start - e.ts <= gapNs =>
+                  cur = Some(SessionState(math.min(s.start, e.ts), math.max(s.end, e.ts), s.n + 1))
                 case Some(s) =>
                   closed += Session(user, s.start, s.end, s.n)
                   cur = Some(SessionState(e.ts, e.ts, 1))

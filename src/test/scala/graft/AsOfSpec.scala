@@ -31,4 +31,34 @@ class AsOfSpec extends AnyFunSuite {
       .collect().map(_.getAs[String]("tag")).toSet
     assert(out === Set("e3", "e4", "e5", "e6")) // ts 30..60 all see cp at 25
   }
+
+  test("asOfJoin carries a right row with NULL payload values atomically") {
+    val left = Seq((1L, 20L, "l1"), (1L, 30L, "l2")).toDF("user_id", "ts", "tag")
+    val right = Seq((1L, 5L, Option(3L), Option(4L)), (1L, 15L, Option.empty[Long], Option(7L)))
+      .toDF("user_id", "ts", "x", "y")
+    val out = AsOf.asOfJoin(left, right, "user_id", "ts")
+      .select("tag", "x", "y").collect()
+      .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    // both left rows must see the newest right row AS IT IS (x=null, y=7);
+    // per-column carrying would stitch the older x=3 onto the newer y=7 —
+    // a composite right row that never existed
+    assert(out === Set(("l1", None, Some(7L)), ("l2", None, Some(7L))))
+  }
+
+  test("asOfJoin matches against a payload-less right frame (existence-only)") {
+    val left = Seq((1L, 10L, "late"), (1L, 2L, "early")).toDF("user_id", "ts", "tag")
+    val right = Seq((1L, 5L)).toDF("user_id", "ts")
+    val out = AsOf.asOfJoin(left, right, "user_id", "ts")
+      .collect().map(_.getAs[String]("tag")).toSet
+    assert(out === Set("late")) // ts=2 precedes every right row -> dropped
+  }
+
+  test("asOfJoin rejects colliding left/right payload column names") {
+    val left = Seq((1L, 10L, "v")).toDF("user_id", "ts", "payload")
+    val right = Seq((1L, 5L, "w")).toDF("user_id", "ts", "payload")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.asOfJoin(left, right, "user_id", "ts")
+    }
+    assert(e.getMessage.contains("payload"))
+  }
 }

@@ -35,6 +35,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.map(_.checksum).distinct.length === 50)
   }
 
+  test("extractFeatures decodes a real PNG to pixel statistics via ImageIO") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4; y <- 0 until 2) img.setRGB(x, y, 0x204060)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val bytes = baos.toByteArray
+    val feat = Multimodal.extractFeatures(Seq((1L, bytes)).toDF("doc_id", "payload"), dim = 8)
+      .collect().head
+    assert(feat.nbytes === bytes.length)
+    assert(feat.feature(0) === 4f) // width
+    assert(feat.feature(1) === 2f) // height
+    assert(feat.feature(2) === 0x20.toFloat) // mean R of the solid fill
+    assert(feat.feature(3) === 0x40.toFloat) // mean G
+    assert(feat.feature(4) === 0x60.toFloat) // mean B
+    // non-image payloads still take the deterministic stub path
+    val stub = Multimodal.extractFeatures(
+      Seq((2L, "plain text".getBytes("UTF-8"))).toDF("doc_id", "payload"), dim = 8)
+      .collect().head
+    assert(stub.feature.length === 8)
+  }
+
+  test("sampleFrames yields zero frames for an empty payload") {
+    import spark.implicits._
+    val p = Multimodal.payloads(Seq((1L, ""), (2L, "x")).toDF("doc_id", "text"))
+    val frames = Multimodal.sampleFrames(p, frameBytes = 64, stride = 1).collect()
+    // doc 1 (0 bytes) must emit NO frames — not the two phantom frames a
+    // descending sequence(0,-1) would produce; doc 2 emits exactly one
+    assert(frames.count(_.getAs[Long]("doc_id") == 1L) === 0)
+    assert(frames.count(_.getAs[Long]("doc_id") == 2L) === 1)
+  }
+
   test("frame sampling covers the payload exactly with the declared stride") {
     val p = Multimodal.payloads(Tables.documents(spark, sf).limit(20))
     val frames = Multimodal.sampleFrames(p, frameBytes = 64, stride = 1)

@@ -39,6 +39,20 @@ class SkewSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("rowSalt spreads bit-identical hot-key rows over multiple salts") {
+    import spark.implicits._
+    // every row identical: a content-only salt would collapse to ONE
+    // sub-group and the skew would survive salting entirely
+    val df = Seq.fill(1000)(("hot", 1L)).toDF("k", "v")
+    val salts = df.select(Skew.rowSalt(df, 8).as("s"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(salts.size >= 2)
+    // and the salted aggregate still merges to the plain result
+    val salted = Skew.saltedAggregate(df, col("k"), col("v"), nSalts = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted === Set(("hot", 1000L, 1000L)))
+  }
+
   test("q24_salted_agg runs over testdata with stable results") {
     val r1 = SparkEntry.queries("q24_salted_agg")(spark, sf).collect()
     val r2 = SparkEntry.queries("q24_salted_agg")(spark, sf).collect()

@@ -48,6 +48,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("custom sessionizer keeps session bounds monotone under late-but-within-watermark events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapNs = 1800L * 1000000000L
+    val sec = 1000000000L
+    val t0 = 3600L * sec
+    val stream = MemoryStream[Sessionize.Event]
+    val query = Sessionize.sessionsCustom(stream.toDS(), gapNs)
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      // batch 1: session [t0, t0+15s]; watermark advances to t0+5s
+      stream.addData(Seq(Sessionize.Event(1L, 1L, t0), Sessionize.Event(1L, 2L, t0 + 15 * sec)))
+      query.processAllAvailable()
+      // batch 2: late event at t0+8s — above the watermark, inside the
+      // session. Must merge WITHOUT dragging the session end backwards.
+      stream.addData(Seq(Sessionize.Event(1L, 3L, t0 + 8 * sec)))
+      query.processAllAvailable()
+      // flush via far-future watermark advances
+      stream.addData(Seq(Sessionize.Event(99L, 999L, 100L * 3600 * sec)))
+      query.processAllAvailable()
+      stream.addData(Seq(Sessionize.Event(99L, 1000L, 200L * 3600 * sec)))
+      query.processAllAvailable()
+      val out = spark.table("late_sessions").as[Sessionize.Session]
+        .collect().filter(_.user_id == 1L)
+      assert(out.length === 1)
+      assert(out.head.n_events === 3L)
+      assert(out.head.start_ns === t0)            // not moved by the late event
+      assert(out.head.end_ns === t0 + 15 * sec)   // NOT dragged back to t0+8s
+    } finally query.stop()
+  }
+
   test("flatMapGroupsWithState custom sessionizer closes sessions correctly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
