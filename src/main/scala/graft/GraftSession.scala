@@ -28,6 +28,10 @@ object GraftSession {
       // shuffled join, so this stays safe when dimensions outgrow memory.
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
+      // zstd compresses the int-heavy shuffle rows of the aggregation
+      // pipelines ~2× tighter than lz4 at negligible CPU cost — less
+      // shuffle I/O locally, less network at cluster scale
+      .config("spark.io.compression.codec", "zstd")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 

@@ -86,6 +86,39 @@ object RefScale {
       ReferenceHypercube.invoices(spark, s"$dir/invoices.bin")
         .write.format("noop").mode("overwrite").save()
     }
+    // stage-by-stage budget breakdown (each stage includes its inputs)
+    if (sys.env.contains("SPARK_GRAFT_REFSCALE_STAGES")) {
+      import org.apache.spark.sql.functions._
+      val cl = ReferenceHypercube.clients(spark, s"$dir/clients.csv")
+      val ct = ReferenceHypercube.contracts(spark, s"$dir/contracts.csv")
+      val inv = ReferenceHypercube.invoices(spark, s"$dir/invoices.bin")
+      val dim = ReferenceHypercube.contractDim(cl, ct)
+      val dimSide = broadcast(dim)
+      val dims = Seq(col("geo"), col("type"), col("misc"), col("nature"), col("time"))
+      val joined = inv.join(dimSide, col("contract") === dimSide("contract_id"))
+        .select(dims ++ Seq(col("contract"), col("client"),
+          col("consumption"), col("amount").as("amt")): _*)
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      time("scan+join+project")(noop(joined))
+      time("...+repartition")(noop(joined.repartition(dims: _*)))
+      val cube = ReferenceHypercube.fromFolder(spark, dir)
+      time("...+chained aggs+sort (full, noop)")(noop(cube))
+      time("full incl. CSV write")(
+        ReferenceHypercube.writeCsv(ReferenceHypercube.fromFolder(spark, dir),
+          s"$dir/out", singleFile = false))
+      spark.stop()
+      return
+    }
+    // plan audit: print the AQE-final physical plan of one executed run
+    if (sys.env.contains("SPARK_GRAFT_REFSCALE_EXPLAIN")) {
+      val df = ReferenceHypercube.fromFolder(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      // after execution the AdaptiveSparkPlan holds the final plan
+      println(df.queryExecution.executedPlan.toString)
+      spark.stop()
+      return
+    }
     // warm-up (file cache + JIT), then the timed end-to-end run incl. CSV write
     time("full cube (noop, warm-up)") {
       ReferenceHypercube.fromFolder(spark, dir)
