@@ -135,6 +135,8 @@ object RefScale {
     val secs = times(1)
     val json = f"""{"metric":"refscale_end_to_end","value":$secs%.3f,"unit":"sec","runs":[${times.map(t => f"$t%.3f").mkString(",")}],"rows":$NInvoices,"rows_per_sec":${(NInvoices / secs).toLong},"baseline_sec":11.5,"baseline_rows_per_sec":11800000}"""
     Files.writeString(Paths.get("target/refscale_bench.json"), json + "\n")
+    // tracked copy at the repo root so the result survives target/ cleans
+    Files.writeString(Paths.get("REFSCALE_BENCH.json"), json + "\n")
     spark.stop()
     println(json)
   }

@@ -121,10 +121,48 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Deterministic near-duplicate benchmark corpus: every vector plus a
+    * perturbed copy (first coordinate ×1.05, worst-case cosine ≈ 0.9997 to its
+    * original even when that coordinate dominates the norm) at `vec_id + offset`. The test embeddings carry no
+    * natural high-similarity pairs (max cross cosine ≈ 0.5), and
+    * bucketed near-dup is meaningful only in the high-similarity regime
+    * — planting puts the operator in the regime it exists for, exactly
+    * reproducibly on both engines (float→double cast, then one IEEE
+    * multiply). */
+  def plantedDupCorpus(emb: DataFrame, offset: Long): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    e.unionByName(e.select((col("vec_id") + offset).as("vec_id"),
+      concat(array(element_at(col("emb"), 1) * 1.05),
+        slice(col("emb"), lit(2), size(col("emb")) - 1)).as("emb")))
+  }
+
+  /** Bucketed embedding near-dup: SRP-LSH candidates → exact cosine
+    * verify ≥ τ — the scale path [[cosineNearDups]]'s scaladoc promises.
+    * Candidates come from a (table, bucket) self-equi-join; cosine is
+    * computed in the join projection and thresholded BEFORE the
+    * dedup shuffle, so only surviving pairs (not vectors) are ever
+    * re-shuffled. At 12 tables × 16 bits a planted pair (cos ≥ 0.9997)
+    * is missed with p ≈ 4e-12 while random pairs (cos ≤ 0.52) collide in
+    * ~2% of cases — candidate volume stays near-linear in the corpus. */
+  def cosineNearDupsLsh(corpus: DataFrame, threshold: Double,
+      tables: Int = 12, bits: Int = 16, dim: Int = 64): DataFrame = {
+    val e = corpus.withColumn("nrm", l2norm(col("emb")))
+    val buckets = srpBuckets(e, tables, bits, dim)
+    buckets.as("l")
+      .join(buckets.as("r"),
+        col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+        cosine(col("l.emb"), col("l.nrm"), col("r.emb"), col("r.nrm")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .dropDuplicates("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine ≥ τ),
-    * exact via a broadcast self-join on the prepared corpus. The LSH
-    * variant of candidate generation is [[knnLsh]]'s bucketing; this
-    * exact form is the oracle-checkable dedup contract. */
+    * exact via a broadcast self-join on the prepared corpus. This exact
+    * form is the oracle-checkable dedup contract and the correctness
+    * twin of the bucketed scale path [[cosineNearDupsLsh]] (q27). */
   def cosineNearDups(emb: DataFrame, threshold: Double): DataFrame = {
     val e = prepared(emb)
     val l = e.select(col("vec_id").as("vec_a"), col("emb").as("ea"), col("nrm").as("na"))
@@ -170,7 +208,8 @@ object Similarity {
       "q21_embed_neardup",
       "Embedding-cosine near-duplicate pairs (cosine ≥ 0.45): the vector-space " +
         "dedup contract, exact over the corpus. At 100 TB the same verify runs " +
-        "behind q20's SRP bucketing instead of the self-join.",
+        "behind SRP bucketing instead of the self-join — that scale path is " +
+        "registered as q27_embed_neardup_lsh.",
       (s, dir) => cosineNearDups(Tables.embeddings(s, dir), threshold = 0.45),
       Some("""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -179,6 +218,29 @@ object Similarity {
                list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
         FROM n a JOIN n b ON a.vec_id < b.vec_id
         WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+        ORDER BY vec_a, vec_b""")),
+
+    Query(
+      "q27_embed_neardup_lsh",
+      "Bucketed embedding near-dup at scale: SRP-LSH (12 tables × 16-bit " +
+        "signatures) candidate equi-join → exact cosine verify ≥ 0.9, over a " +
+        "deterministic planted-duplicate corpus (every vector + a perturbed " +
+        "copy). Never an all-pairs product — the scale path for q21. Oracle is " +
+        "the brute-force pair scan; they agree because a planted pair is missed " +
+        "with p≈4e-12.",
+      (s, dir) => cosineNearDupsLsh(
+        plantedDupCorpus(Tables.embeddings(s, dir), offset = 1000000L),
+        threshold = 0.9),
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c AS (SELECT * FROM e
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id, [v[1] * 1.05] || v[2:] AS v FROM e),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM c)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9
         ORDER BY vec_a, vec_b"""))
   )
 }

@@ -46,6 +46,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(nCand < 10L * 500L / 2) // < half the brute-force comparisons
   }
 
+  test("bucketed near-dup (q27) agrees exactly with the brute-force pair scan") {
+    val corpus = Similarity.plantedDupCorpus(
+      Tables.embeddings(spark, sf).select("vec_id", "embedding"), offset = 1000000L)
+    val lsh = Similarity.cosineNearDupsLsh(corpus, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same corpus
+    val n = corpus.withColumn("nrm", Similarity.l2norm(col("emb")))
+    val a = n.select(col("vec_id").as("vec_a"), col("emb").as("ea"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("vec_b"), col("emb").as("eb"), col("nrm").as("nb"))
+    val brute = a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        Similarity.cosine(col("ea"), col("na"), col("eb"), col("nb")).as("c"))
+      .filter(col("c") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === brute)
+    // every original must pair with exactly its planted copy
+    val nOrig = Tables.embeddings(spark, sf).count()
+    assert(brute.size === nOrig.toInt)
+    assert(brute.forall { case (x, y) => y === x + 1000000L })
+  }
+
   test("brute-force kNN is symmetric-sane: scores within [-1,1], ranks dense") {
     val res = Similarity.knnBrute(Tables.embeddings(spark, sf), 10, 5).collect()
     assert(res.length === 50)
