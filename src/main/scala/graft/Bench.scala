@@ -27,7 +27,8 @@ object Bench {
     "q1_agg", "q4_hypercube", "q5_topk", "q7_join_shuffle", "q9_semi_anti",
     "q11_hypercube_ref", "q12_approx_distinct", "q13_sessionize",
     "q14_text_stats", "q16_dedup_exact", "q17_dedup_minhash",
-    "q19_knn_brute", "q20_knn_lsh", "q24_salted_agg", "q26_asof_join")
+    "q19_knn_brute", "q20_knn_lsh", "q24_salted_agg", "q26_asof_join",
+    "q27_embed_neardup_lsh")
 
   private def runOnce(df: DataFrame): Unit = {
     // queries that persist() intermediate frames (e.g. q17's candidate

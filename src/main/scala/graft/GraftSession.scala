@@ -35,10 +35,14 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
-  /** Session for the driver-facing mains: `local[$SPARK_GRAFT_CPUS]`. */
+  /** Session for the driver-facing mains: `local[$SPARK_GRAFT_CPUS]`.
+    * Shuffle partitions default to 3× the core count: multiple waves of
+    * smaller tasks let the scheduler route around cores stolen by host
+    * co-tenants (with exactly one wave, a single slowed task drags the
+    * whole stage), and AQE coalesces the excess on small exchanges. */
   def local(appName: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val s = builder(s"local[$cpus]", shufflePartitions = cpus)
+    val s = builder(s"local[$cpus]", shufflePartitions = cpus * 3)
       .appName(appName)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

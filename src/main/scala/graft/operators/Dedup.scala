@@ -105,7 +105,15 @@ object Dedup {
   def nearDuplicates(docs: DataFrame, n: Int, k: Int, b: Int, r: Int,
       threshold: Double): DataFrame = {
     require(k >= b * r, s"signature of $k slots cannot fill $b bands of $r")
-    val exploded = TextAnalysis.shinglesRaw(docs, n)
+    // At 100 TB even the remaining two corpus scans are worth trading for
+    // storage: flip this conf to persist the raw shingle explode across
+    // the signature and verify branches (a deliberate storage/compute
+    // trade — measured a net LOSS at local bench scale, where recompute
+    // pipelines inside codegen, so it defaults off).
+    val persistShingles = docs.sparkSession.conf
+      .getOption("spark.graft.dedup.persistShingles").contains("true")
+    val exploded0 = TextAnalysis.shinglesRaw(docs, n)
+    val exploded = if (persistShingles) exploded0.persist() else exploded0
     val cand = candidatePairs(bands(minhashSignatures(exploded, k), b, r)).persist()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))

@@ -123,28 +123,44 @@ object Relational {
       "q4_hypercube",
       "The flagship shape on the test schema: 3-table join + 5-dim GROUP BY with " +
         "SUM×2, exact COUNT(DISTINCT)×2, COUNT(*) — the direct analog of " +
-        "hypercube.sql:1-14. Catalyst plans Expand + two-level aggregate for the " +
-        "multi-distinct, the distributed form of the reference's per-group " +
-        "linear-probe distinct sets (ETL.java:159-174,216-252).",
+        "hypercube.sql:1-14. Planned as ONE hash repartition on the output dims " +
+        "followed by three chained in-partition aggregation levels (order → " +
+        "customer → group): each level's grouping keys are a superset of the " +
+        "partitioning, so no further exchange exists, and both exact distincts " +
+        "become plain counts with no Expand — the order row structurally carries " +
+        "exactly one customer key, the same FD the reference's per-group distinct " +
+        "sets exploit (ETL.java:159-174,216-252).",
       (s, dir) => {
         val c = Tables.customer(s, dir)
         val o = Tables.orders(s, dir)
         val l = Tables.lineitem(s, dir)
+        val dims = Seq(col("geo"), col("o_orderstatus"),
+          col("l_returnflag"), col("l_linestatus"), col("mth"))
         // No broadcast hint on customer: it is a true dimension but grows
         // with scale; Catalyst/AQE broadcasts below the threshold and
         // shuffles above it, which is the plan that survives at 100 TB.
         l.join(o, l("l_orderkey") === o("o_orderkey"))
           .join(c, o("o_custkey") === c("c_custkey"))
-          .groupBy(
-            col("c_nationkey").as("geo"), col("o_orderstatus"),
+          .select(col("c_nationkey").as("geo"), col("o_orderstatus"),
             col("l_returnflag"), col("l_linestatus"),
-            month(col("l_shipdate")).as("mth"))
+            month(col("l_shipdate")).as("mth"),
+            col("o_orderkey"), col("o_custkey"),
+            col("l_quantity").cast(DecimalType(18, 2)).as("qty"),
+            col("l_extendedprice").cast(DecimalType(18, 2)).as("price"))
+          .repartition(dims: _*)
+          .groupBy(dims :+ col("o_orderkey") :+ col("o_custkey"): _*)
+          .agg(count(lit(1)).as("pre_nlines"),
+            sum("qty").as("pre_qty"), sum("price").as("pre_price"))
+          .groupBy(dims :+ col("o_custkey"): _*)
+          .agg(count(lit(1)).as("pre_norders"), sum("pre_nlines").as("pre_nlines"),
+            sum("pre_qty").as("pre_qty"), sum("pre_price").as("pre_price"))
+          .groupBy(dims: _*)
           .agg(
-            dsum(col("l_quantity")).as("sum_qty"),
-            dsum(col("l_extendedprice")).as("sum_price"),
-            countDistinct(col("o_custkey")).as("nclients"),
-            countDistinct(col("o_orderkey")).as("norders"),
-            count(lit(1)).as("nlines"))
+            sum("pre_qty").cast("double").as("sum_qty"),
+            sum("pre_price").cast("double").as("sum_price"),
+            count(lit(1)).as("nclients"),
+            sum("pre_norders").as("norders"),
+            sum("pre_nlines").as("nlines"))
           .orderBy("geo", "o_orderstatus", "l_returnflag", "l_linestatus", "mth")
       },
       Some("""
