@@ -30,12 +30,15 @@ object Bench {
     "q19_knn_brute", "q20_knn_lsh", "q24_salted_agg", "q26_asof_join",
     "q27_embed_neardup_lsh")
 
-  private def runOnce(df: DataFrame): Unit = {
-    // queries that persist() intermediate frames (e.g. q17's candidate
-    // pairs) would otherwise be served from the previous run's cache —
-    // CacheManager matches by logical plan — and time only the cache read
-    df.sparkSession.catalog.clearCache()
-    df.write.format("noop").mode("overwrite").save()
+  /** `build` is by-name and runs AFTER the cache clear: queries that
+    * persist (and eagerly materialize) intermediate frames — e.g. q17's
+    * candidate pairs — do that work during query CONSTRUCTION, and it
+    * must land inside the timed region, not be wiped by the clear.
+    * Clearing also stops CacheManager serving a run from the previous
+    * run's plan-identical cache entries. */
+  private def runOnce(spark: org.apache.spark.sql.SparkSession)(build: => DataFrame): Unit = {
+    spark.catalog.clearCache()
+    build.write.format("noop").mode("overwrite").save()
   }
 
   private def median(xs: Seq[Double]): Double = {
@@ -58,12 +61,12 @@ object Bench {
       s"unknown bench queries: ${unknown.mkString(", ")} (catalog: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
     val queries = selected.map(n => n -> SparkEntry.queries(n))
     // Warm-up: one full pass (never timed).
-    queries.foreach { case (_, fn) => runOnce(fn(spark, sfDir)) }
+    queries.foreach { case (_, fn) => runOnce(spark)(fn(spark, sfDir)) }
 
     val results = queries.map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        runOnce(fn(spark, sfDir))
+        runOnce(spark)(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
       name -> median(times)

@@ -52,19 +52,39 @@ object Dedup {
       posexplode(array((0 until b).map(bandHash): _*)).as(Seq("band", "band_hash")))
   }
 
-  /** Candidate pairs (doc_a < doc_b) sharing at least one LSH band — an
-    * equi-join on the band key, i.e. a shuffle keyed on (band, band_hash),
-    * never an all-pairs product. */
-  def candidatePairs(bandsDf: DataFrame): DataFrame = {
-    val l = bandsDf.as("l")
-    val r = bandsDf.as("r")
-    l.join(r,
-        col("l.band") === col("r.band") &&
-          col("l.band_hash") === col("r.band_hash") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
+  /** All ordered member pairs co-occurring in a bucket — the bucket→pairs
+    * step of every banded-LSH scheme, WITHOUT a self-join: one aggregation
+    * collects each bucket's member structs (sorted, so `a < b` by the
+    * leading id field), and the pair expansion happens inside the row via
+    * higher-order functions. A self-join formulation reads the bucket
+    * frame twice, and because AQE launches both join-side map stages
+    * concurrently, even a persisted frame gets computed twice (the cache
+    * population races) — this shape reads it exactly once.
+    *
+    * Rows out: one (a, b) struct pair per co-bucketed pair; callers
+    * project fields and `distinct()` across buckets. Skew contract: a
+    * bucket of m members expands to m(m-1)/2 pairs inside one task — the
+    * standard LSH caveat; keep buckets selective (enough bits/rows per
+    * band). */
+  private[graft] def pairsWithinBuckets(df: DataFrame, bucketCols: Seq[String],
+      fields: Seq[String]): DataFrame = {
+    val ms = array_sort(collect_list(struct(fields.map(col): _*)))
+    df.groupBy(bucketCols.map(col): _*)
+      .agg(ms.as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(flatten(transform(col("ms"), (a, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+          b => struct(a.as("a"), b.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
   }
+
+  /** Candidate pairs (doc_a < doc_b) sharing at least one LSH band —
+    * bucket-grouped pair expansion keyed on (band, band_hash), never an
+    * all-pairs product and never a second scan of the band frame. */
+  def candidatePairs(bandsDf: DataFrame): DataFrame =
+    pairsWithinBuckets(bandsDf, Seq("band", "band_hash"), Seq("doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
 
   /** Exact Jaccard over the shingle sets, computed only for candidate
     * pairs: |A∩B| via a shingle equi-join restricted to candidates,
@@ -114,12 +134,25 @@ object Dedup {
       .getOption("spark.graft.dedup.persistShingles").contains("true")
     val exploded0 = TextAnalysis.shinglesRaw(docs, n)
     val exploded = if (persistShingles) exploded0.persist() else exploded0
+    // The two persisted frames are materialized EAGERLY (count()): they
+    // are KB-sized but guard the expensive pipelines (signature corpus
+    // scan; candidate-shingle corpus scan), and lazy persists race —
+    // downstream stages launch concurrently under AQE and each computes
+    // the uncached frame again. The barrier pins corpus scans at exactly
+    // two, at any scale.
     val cand = candidatePairs(bands(minhashSignatures(exploded, k), b, r)).persist()
+    cand.count()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))
       .distinct()
-    // filter BEFORE distinct: the dedup shuffle carries only candidates
-    val shCand = exploded.join(broadcast(candDocs), Seq("doc_id")).distinct().persist()
+    // semi-filter the DOCUMENTS (not the exploded shingles) by candidate
+    // id, so the second pass re-shingles only the handful of candidate
+    // documents — the corpus-wide tokenise+explode happens exactly once,
+    // in the signature pass above
+    val shCand = TextAnalysis.shinglesRaw(
+        docs.join(broadcast(candDocs), Seq("doc_id")), n)
+      .distinct().persist()
+    shCand.count()
     verifyJaccard(cand, shCand)
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
@@ -161,12 +194,12 @@ object Dedup {
       posexplode(array((0 until 4).map(j =>
         shiftright(col("simhash"), 16 * j).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("chunk", "cv")))
-    val cand = chunked.as("l")
-      .join(chunked.as("r"),
-        col("l.chunk") === col("r.chunk") && col("l.cv") === col("r.cv") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        col("l.simhash").as("ha"), col("r.simhash").as("hb"))
+    // bucket-grouped pair expansion: the fingerprints ride along in the
+    // member structs, so no re-join against the SimHash aggregate (and no
+    // second corpus scan) is ever needed
+    val cand = pairsWithinBuckets(chunked, Seq("chunk", "cv"), Seq("doc_id", "simhash"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
       .distinct()
     cand
       .select(col("doc_a"), col("doc_b"),

@@ -107,7 +107,9 @@ object Similarity {
   def knnLsh(emb: DataFrame, nQueries: Int, k: Int,
       tables: Int = 12, bits: Int = 6, dim: Int = 64): DataFrame = {
     val e = prepared(emb)
-    val buckets = srpBuckets(e, tables, bits, dim)
+    // persisted: both the query-side filter and the corpus side read this
+    // frame — unpersisted, the signature dots run twice
+    val buckets = srpBuckets(e, tables, bits, dim).persist()
     val qb = buckets.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"), col("table"), col("bucket"))
@@ -148,12 +150,14 @@ object Similarity {
       tables: Int = 12, bits: Int = 16, dim: Int = 64): DataFrame = {
     val e = corpus.withColumn("nrm", l2norm(col("emb")))
     val buckets = srpBuckets(e, tables, bits, dim)
-    buckets.as("l")
-      .join(buckets.as("r"),
-        col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket") &&
-          col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
-        cosine(col("l.emb"), col("l.nrm"), col("r.emb"), col("r.nrm")).as("cosine"))
+    // bucket-grouped pair expansion (no self-join, signatures computed
+    // once); vectors ride in the member structs so the verify is inline —
+    // cosine is thresholded BEFORE the cross-bucket dedup, so only
+    // surviving id pairs are ever re-shuffled
+    graft.operators.Dedup.pairsWithinBuckets(
+        buckets, Seq("table", "bucket"), Seq("vec_id", "emb", "nrm"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(col("a.emb"), col("a.nrm"), col("b.emb"), col("b.nrm")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .dropDuplicates("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")

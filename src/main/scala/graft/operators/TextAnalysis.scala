@@ -28,6 +28,20 @@ object TextAnalysis {
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(norm(text), " ")
 
+  /** Same tokens as [[tokens]] in ONE regex pass: extracting the
+    * non-whitespace runs of the lowercased text yields exactly the
+    * tokens of the whitespace-collapsed [[norm]] form without
+    * materializing it (a split-on-`\s+` formulation would instead emit
+    * phantom empty tokens for leading tabs/newlines, which `trim` does
+    * not strip). Sole difference: an empty/all-whitespace document
+    * yields `[]` here vs `[""]` from [[tokens]] — indistinguishable to
+    * every shingle consumer (both produce zero shingles). Use on paths
+    * that never need the normalized string itself; the shingle explode
+    * scans every document body, and the saved regexp_replace pass is
+    * measurable. */
+  def tokensFast(text: Column): Column =
+    regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+
   /** Word n-gram shingles of a token array (space-joined), empty if the
     * document has fewer than n tokens. */
   def shingleArray(toks: Column, n: Int): Column =
@@ -40,7 +54,7 @@ object TextAnalysis {
     * Feed this to duplicate-idempotent consumers (MinHash `min`
     * aggregates) so they skip the distinct's full-corpus shuffle. */
   def shinglesRaw(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), explode(shingleArray(tokens(col("text")), n)).as("shingle"))
+    docs.select(col("doc_id"), explode(shingleArray(tokensFast(col("text")), n)).as("shingle"))
 
   /** Distinct (doc_id, shingle) pairs for a documents frame — the shared
     * input of n-gram-Jaccard verification and fingerprinting. One
