@@ -4,11 +4,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Similarity, TextAnalysis}
-import graft.sources.Tables
 
-/** Ad-hoc stage profiler for the heavy catalog queries — times each
-  * sub-pipeline of q17/q27 in isolation (noop sink, cache cleared
-  * between stages) so optimization effort lands where the time is. */
+/** Ad-hoc stage profiler for the heavy catalog queries — same-JVM,
+  * alternating A/B of single-partition vs rebalanced pipelines so host
+  * load noise hits both sides equally. */
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -20,38 +19,36 @@ object Profile {
       println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
-    // ---- q17 sub-stages ----
-    val docs = Tables.documents(spark, sfDir)
-    val exploded = TextAnalysis.shinglesRaw(docs, 3)
-    time("q17 shingle explode only")(noop(exploded))
-    time("q17 h0 only")(noop(exploded.select(col("doc_id"), xxhash64(col("shingle")).as("h0"))))
-    val sigs = Dedup.minhashSignatures(exploded, 192)
-    time("q17 signatures (192 mins)")(noop(sigs))
-    time("q17 bands")(noop(Dedup.bands(sigs, 64, 3)))
-    time("q17 candidates")(noop(Dedup.candidatePairs(Dedup.bands(sigs, 64, 3))))
-    time("q17 full")(noop(SparkEntry.queries("q17_dedup_minhash")(spark, sfDir)))
-
-    // ---- q17 lazy-persist variant (no materialization barrier) ----
-    def lazyVariant(): DataFrame = {
-      val cand = Dedup.candidatePairs(Dedup.bands(Dedup.minhashSignatures(exploded, 192), 64, 3)).persist()
+    val docsRaw = spark.read.parquet(s"$sfDir/documents.parquet")
+    val liRaw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val embRaw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def sigsOf(d: DataFrame) = Dedup.minhashSignatures(d, 3, 192)
+    def hllOf(d: DataFrame) = d.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("ad"))
+    def srpOf(d: DataFrame) = Similarity.srpBuckets(
+      Similarity.plantedDupCorpus(d.select("vec_id", "embedding"), 1000000L)
+        .withColumn("nrm", Similarity.l2norm(col("emb"))), 12, 16, 64)
+    val d32 = docsRaw.repartition(32)
+    val hsDF = d32.select(col("doc_id"),
+      TextAnalysis.shingleHashArray(TextAnalysis.tokensFast(col("text")), 3).as("hs"))
+      .persist()
+    hsDF.count()
+    (1 to 3).foreach { i =>
+      time(s"sigs #$i")(noop(sigsOf(d32)))
+      time(s"bands #$i")(noop(Dedup.bands(sigsOf(d32), 64, 3)))
+      time(s"candidates #$i")(noop(
+        Dedup.candidatePairs(Dedup.bands(sigsOf(d32), 64, 3))))
+      spark.catalog.clearCache()
+      val cand = Dedup.candidatePairs(Dedup.bands(sigsOf(d32), 64, 3)).persist()
+      time(s"cand.count #$i")(println(s"[profile]   -> ${cand.count()} pairs"))
       val candDocs = cand.select(col("doc_a").as("doc_id"))
         .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-      val shCand = exploded.join(broadcast(candDocs), Seq("doc_id")).distinct().persist()
-      Dedup.verifyJaccard(cand, shCand).filter(col("jaccard") >= 0.7).orderBy("doc_a", "doc_b")
+      val shCand = TextAnalysis.shinglesRaw(
+        d32.join(broadcast(candDocs), Seq("doc_id")), 3).distinct().persist()
+      time(s"shCand.count #$i")(println(s"[profile]   -> ${shCand.count()} shingle rows"))
+      time(s"verify #$i")(noop(Dedup.verifyJaccard(cand, shCand)
+        .filter(col("jaccard") >= 0.7).orderBy("doc_a", "doc_b")))
     }
-    (1 to 3).foreach { i => time(s"q17 lazy persists #$i")(noop(lazyVariant())) }
-    (1 to 3).foreach { i =>
-      time(s"q17 eager counts #$i")(noop(SparkEntry.queries("q17_dedup_minhash")(spark, sfDir)))
-    }
-
-    // ---- q27 sub-stages ----
-    val corpus = Similarity.plantedDupCorpus(
-      Tables.embeddings(spark, sfDir).select("vec_id", "embedding"), 1000000L)
-    val e = corpus.withColumn("nrm", Similarity.l2norm(col("emb")))
-    time("q27 corpus+norm")(noop(e))
-    val buckets = Similarity.srpBuckets(e, 12, 16, 64)
-    time("q27 srp buckets (192 plane dots)")(noop(buckets))
-    time("q27 full")(noop(SparkEntry.queries("q27_embed_neardup_lsh")(spark, sfDir)))
     spark.stop()
   }
 }

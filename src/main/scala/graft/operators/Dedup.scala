@@ -30,18 +30,25 @@ object Dedup {
 
   import TextAnalysis.{norm, shingles}
 
-  /** MinHash signature per document: `sig[i] = min over shingles of
-    * h_i(shingle)`, where the variable-length shingle is hashed to a
-    * 64-bit value ONCE and the k family members are `xxhash64(i, h0)`
-    * over that fixed-width value — k string hashes per row become one
-    * (the dominant per-row cost at k=192). All k mins are one aggregate:
-    * k partial min buffers, map-side combined, one shuffle keyed on
-    * doc_id. `min` is idempotent to duplicates, so `sh` may be the raw
-    * (pre-distinct) shingle explode — same signatures, one less shuffle. */
-  def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
-    sh.select(col("doc_id"), xxhash64(col("shingle")).as("h0"))
-      .groupBy("doc_id")
-      .agg(array((0 until k).map(i => min(xxhash64(lit(i), col("h0")))): _*).as("sig"))
+  /** MinHash signature per document, computed entirely per ROW: the
+    * token array's n-gram hashes ([[TextAnalysis.shingleHashArray]], one
+    * xxhash64 per shingle) feed the native
+    * [[graft.functions.MinHashSignature]] expression, whose fused loop
+    * takes the k affine-family mins in a local k-long array. No shingle
+    * explode, no k-way min aggregate, NO SHUFFLE — signatures are map
+    * work at any scale (duplicate shingles are harmless: min is
+    * idempotent). Documents with fewer than n tokens have no shingles
+    * and are dropped, exactly as the exploded formulation dropped them. */
+  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame =
+    // filter on the TOKEN COUNT, not on size() of the aliased hash array:
+    // a filter over the aliased column gets pushed below the projection
+    // with the whole (interpreted, CodegenFallback) higher-order shingle
+    // expression re-inlined into its condition — measured 8x slower than
+    // this cheap equivalent predicate (<n tokens <=> zero shingles)
+    docs.filter(size(TextAnalysis.tokensFast(col("text"))) >= n)
+      .select(col("doc_id"),
+        graft.functions.MinHashSignature.minhash_signature(
+          TextAnalysis.shingleHashArray(TextAnalysis.tokensFast(col("text")), n), k).as("sig"))
 
   /** Banded LSH: hash each of the b consecutive r-slot bands of the
     * signature to one 64-bit bucket key; emit (doc_id, band, band_hash). */
@@ -86,6 +93,26 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
+  /** Exact Jaccard for candidate pairs from per-doc shingle ARRAYS:
+    * two equi-joins pin each pair's shingle sets side by side, and
+    * |A∩B| is an in-row `array_intersect` — 2 exchanges total, vs ~6
+    * for the shingle-row join formulation ([[verifyJaccard]], kept as
+    * the brute-force test oracle). `shArr` carries one row per
+    * candidate DOC (not per shingle), so both joins broadcast at any
+    * candidate volume that fits the LSH contract; per-row cost is
+    * O(|A|+|B|) on sorted-set intersection of bounded document
+    * shingle sets. */
+  def verifyJaccardArrays(cand: DataFrame, shArr: DataFrame): DataFrame =
+    cand
+      .join(shArr.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(shArr.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).as("i"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
+          .as("jaccard"))
+
   /** Exact Jaccard over the shingle sets, computed only for candidate
     * pairs: |A∩B| via a shingle equi-join restricted to candidates,
     * |A∪B| = |A|+|B|-|A∩B|. */
@@ -104,16 +131,14 @@ object Dedup {
           (col("za.n") + col("zb.n") - col("inter")).cast("double")).as("jaccard"))
   }
 
-  /** Full near-dup pipeline: shingle → MinHash(k) → LSH(b×r) → candidate
-    * equi-join → exact-Jaccard verify → threshold.
+  /** Full near-dup pipeline: shingle-hash → MinHash(k) → LSH(b×r) →
+    * candidate bucket expansion → exact-Jaccard verify → threshold.
     *
     * Plan shape (round-3 restructure — was 4 full corpus re-scans plus a
     * needless distinct on the signature path):
-    *   1. the signature aggregate consumes the RAW shingle explode —
-    *     `min` is idempotent to duplicate shingles, so the (doc_id,
-    *     shingle) distinct shuffle the old plan paid there is gone; the
-    *     explode feeds straight into a map-side-combined min aggregate
-    *     (k longs per doc cross the wire, never shingle rows);
+    *   1. signatures are PER-ROW map work (native fused expression, see
+    *     [[minhashSignatures]]) — the old shingle explode + k-way min
+    *     aggregate and its doc-keyed exchange are gone entirely;
     *   2. candidate pairs are persisted (a handful of rows) and their
     *     doc ids broadcast back as a semi-filter, so the exact-verify
     *     branches distinct/join only the CANDIDATE documents' shingles —
@@ -125,35 +150,31 @@ object Dedup {
   def nearDuplicates(docs: DataFrame, n: Int, k: Int, b: Int, r: Int,
       threshold: Double): DataFrame = {
     require(k >= b * r, s"signature of $k slots cannot fill $b bands of $r")
-    // At 100 TB even the remaining two corpus scans are worth trading for
-    // storage: flip this conf to persist the raw shingle explode across
-    // the signature and verify branches (a deliberate storage/compute
-    // trade — measured a net LOSS at local bench scale, where recompute
-    // pipelines inside codegen, so it defaults off).
-    val persistShingles = docs.sparkSession.conf
-      .getOption("spark.graft.dedup.persistShingles").contains("true")
-    val exploded0 = TextAnalysis.shinglesRaw(docs, n)
-    val exploded = if (persistShingles) exploded0.persist() else exploded0
-    // The two persisted frames are materialized EAGERLY (count()): they
-    // are KB-sized but guard the expensive pipelines (signature corpus
+    // The persisted candidate frame is materialized EAGERLY (count()): it
+    // is KB-sized but guards the expensive pipelines (signature corpus
     // scan; candidate-shingle corpus scan), and lazy persists race —
     // downstream stages launch concurrently under AQE and each computes
     // the uncached frame again. The barrier pins corpus scans at exactly
-    // two, at any scale.
-    val cand = candidatePairs(bands(minhashSignatures(exploded, k), b, r)).persist()
+    // two, at any scale. The rebalance spreads a low-split local scan
+    // across cores before the per-row signature loop (no-op at scale).
+    val cand = candidatePairs(
+      bands(minhashSignatures(Tables.rebalanced(docs), n, k), b, r)).persist()
     cand.count()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))
       .distinct()
-    // semi-filter the DOCUMENTS (not the exploded shingles) by candidate
-    // id, so the second pass re-shingles only the handful of candidate
-    // documents — the corpus-wide tokenise+explode happens exactly once,
-    // in the signature pass above
-    val shCand = TextAnalysis.shinglesRaw(
-        docs.join(broadcast(candDocs), Seq("doc_id")), n)
-      .distinct().persist()
-    shCand.count()
-    verifyJaccard(cand, shCand)
+    // semi-filter the DOCUMENTS by candidate id and build each one's
+    // distinct shingle ARRAY per row — no explode, no distinct shuffle,
+    // no aggregate; the candidate docs' second tokenize pass is the only
+    // other corpus scan. Persisted + counted so the two verify joins
+    // read it from storage instead of re-scanning the corpus each.
+    val shArr = docs.join(broadcast(candDocs), Seq("doc_id"))
+      .select(col("doc_id"),
+        array_distinct(TextAnalysis.shingleArray(
+          TextAnalysis.tokensFast(col("text")), n)).as("sh"))
+      .persist()
+    shArr.count()
+    verifyJaccardArrays(cand, shArr)
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
   }
@@ -161,26 +182,28 @@ object Dedup {
   // ---- SimHash (Charikar 2002) ----
 
   /** 64-bit SimHash over the 3-gram shingle set: bit j of the fingerprint
-    * is the sign of Σ_shingles (±1 depending on bit j of xxhash64(shingle)).
-    * One explode + one doc-keyed aggregate (64 partial sums, map-side
-    * combined). Note the statistical contract: with only ~10² features per
+    * is the sign of Σ_shingles (±1 depending on bit j of the shingle
+    * hash), computed per ROW by the native fused
+    * [[graft.functions.SimHash64]] expression — map-only at any scale.
+    * Note the statistical contract: with only ~10² features per
     * short document, a 3% feature diff still lands E[Hamming] ≈ 10 — on
     * short documents SimHash separates *identical-modulo-formatting* from
     * *different*, while MinHash (q17) is the graded-similarity detector;
     * on long documents (10⁴+ features) SimHash tightens into the
     * near-dup radius. Both are offered because at 100 TB SimHash is one
     * 8-byte fingerprint per doc vs MinHash's k×8-byte signature. */
-  def simhash64(docs: DataFrame): DataFrame = {
-    val toks = TextAnalysis.shingles(docs, 3)
-      .withColumnRenamed("shingle", "tok")
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j"))
-    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    sums.select(col("doc_id"),
-      (0 until 64).map(j => when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_.bitwiseOR(_)).as("simhash"))
-  }
+  def simhash64(docs: DataFrame): DataFrame =
+    // per-row fused loop over the DISTINCT shingle-hash set (distinct by
+    // 64-bit hash ≈ distinct by shingle; a collision merging two
+    // shingles has p≈2^-64 per doc and only perturbs one fingerprint) —
+    // no explode, no 64-sum aggregate, no shuffle; featureless docs are
+    // dropped exactly as the exploded formulation dropped them
+    Tables.rebalanced(docs)
+      .filter(size(TextAnalysis.tokensFast(col("text"))) >= 3)
+      .select(col("doc_id"),
+        graft.functions.SimHash64.simhash64(array_distinct(
+          TextAnalysis.shingleHashArray(TextAnalysis.tokensFast(col("text")), 3)))
+          .as("simhash"))
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist (≤ 3 here):
     * band the 64-bit fingerprint into 4×16-bit chunks — by pigeonhole any

@@ -50,6 +50,18 @@ object TextAnalysis {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
       .otherwise(array())
 
+  /** Per-shingle 64-bit hashes WITHOUT materializing shingle strings: the
+    * n tokens of each n-gram feed one multi-argument xxhash64 (each arg
+    * chains into the running hash state), skipping the concat_ws
+    * allocation per shingle. The values differ from
+    * `xxhash64(concat_ws(...))` but are equally uniform — only signature
+    * internals consume them, never an oracle-visible result. */
+  def shingleHashArray(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => xxhash64((0 until n).map(j => element_at(toks, i + lit(j + 1))): _*)))
+      .otherwise(array().cast("array<bigint>"))
+
   /** Raw (doc_id, shingle) explode — duplicates included, NO shuffle.
     * Feed this to duplicate-idempotent consumers (MinHash `min`
     * aggregates) so they skip the distinct's full-corpus shuffle. */
@@ -212,14 +224,19 @@ object TextAnalysis {
       "Document fingerprinting: bottom-k sketch of the shingle set (k smallest " +
         "md5(shingle) digests, concatenated) — a compact, mergeable content " +
         "signature; two docs share a fingerprint prefix iff their shingle sets " +
-        "overlap heavily. One shuffle keyed on doc_id.",
-      (s, dir) =>
-        shingles(Tables.documents(s, dir), n = 3)
-          .groupBy("doc_id")
-          .agg(
-            concat_ws(",", slice(sort_array(collect_set(md5(col("shingle")))), 1, 4)).as("fingerprint"),
-            countDistinct(col("shingle")).as("n_shingles"))
-          .orderBy("doc_id"),
+        "overlap heavily. Computed per ROW from the doc's distinct-shingle " +
+        "array (no explode, no doc-keyed aggregate, no shuffle before the " +
+        "final order).",
+      (s, dir) => {
+        val sh = array_distinct(shingleArray(tokensFast(col("text")), 3))
+        Tables.rebalanced(Tables.documents(s, dir))
+          .filter(size(tokensFast(col("text"))) >= 3)
+          .select(col("doc_id"), sh.as("sh"))
+          .select(col("doc_id"),
+            concat_ws(",", slice(array_sort(transform(col("sh"), s => md5(s))), 1, 4)).as("fingerprint"),
+            size(col("sh")).cast("long").as("n_shingles"))
+          .orderBy("doc_id")
+      },
       Some("""
         SELECT doc_id,
                array_to_string(list_sort(list(DISTINCT md5(s)))[1:4], ',') AS fingerprint,

@@ -15,6 +15,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Adapt file-derived scan parallelism to the cluster's — for inputs
+    * feeding HEAVY per-row pipelines only. A table whose parquet layout
+    * yields fewer splits than the cluster has cores (the test tables are
+    * single-row-group files → exactly ONE split) pins every downstream
+    * map-side stage to one core; redistributing across
+    * `defaultParallelism` engages them all. The branch fires only when
+    * scan parallelism is below the core count, so the exchange moves at
+    * most a few scan-partitions' worth of bytes — and on a real cluster
+    * reading many-row-group files it does not fire at all. The explicit
+    * partition count keeps AQE from coalescing the exchange back down
+    * (AQE respects user-specified numPartitions).
+    *
+    * Deliberately NOT applied in [[load]]: for cheap-per-row consumers
+    * (plain partial aggregates, SRP plane dots) the measured A/B shows
+    * the extra full-table shuffle COSTS more than the parallelism gains —
+    * partial aggregation already reduces on the scan side. Callers with
+    * expensive per-row derivation (MinHash/SimHash signature hashing:
+    * ~200 hash evaluations per exploded shingle row) opt in. */
+  def rebalanced(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

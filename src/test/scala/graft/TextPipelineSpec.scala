@@ -47,9 +47,8 @@ class TextPipelineSpec extends AnyFunSuite {
 
   test("banded LSH produces no candidates for dissimilar docs (no all-pairs blowup)") {
     val docs = Tables.documents(spark, sf)
-    val sh = TextAnalysis.shingles(docs, 3)
     val nCand = Dedup.candidatePairs(
-      Dedup.bands(Dedup.minhashSignatures(sh, 192), b = 64, r = 3)).count()
+      Dedup.bands(Dedup.minhashSignatures(docs, 3, 192), b = 64, r = 3)).count()
     // 500 docs -> 124,750 possible pairs; candidates must stay near the
     // true near-dup count, not the quadratic blowup.
     assert(nCand < 500)
