@@ -51,16 +51,15 @@ object TextAnalysis {
       .otherwise(array())
 
   /** Per-shingle 64-bit hashes WITHOUT materializing shingle strings: the
-    * n tokens of each n-gram feed one multi-argument xxhash64 (each arg
-    * chains into the running hash state), skipping the concat_ws
-    * allocation per shingle. The values differ from
-    * `xxhash64(concat_ws(...))` but are equally uniform — only signature
-    * internals consume them, never an oracle-visible result. */
+    * n tokens of each n-gram chain through one xxhash64 state inside the
+    * fused native [[graft.functions.NgramXxHash64]] expression (a
+    * composed transform/element_at form would be a CodegenFallback HOF
+    * and eject the whole projection from codegen). The values differ
+    * from `xxhash64(concat_ws(...))` but are equally uniform — only
+    * signature internals consume them, never an oracle-visible result.
+    * Fewer than n tokens yields an empty array. */
   def shingleHashArray(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => xxhash64((0 until n).map(j => element_at(toks, i + lit(j + 1))): _*)))
-      .otherwise(array().cast("array<bigint>"))
+    graft.functions.NgramXxHash64.ngram_xxhash64(toks, n)
 
   /** Raw (doc_id, shingle) explode — duplicates included, NO shuffle.
     * Feed this to duplicate-idempotent consumers (MinHash `min`

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.MinHashSignature
+import graft.functions.MinHashSignature.minhash_signature
+import graft.functions.SimHash64.simhash64
+
+/** Native signature expressions (MinHashSignature, SimHash64):
+  * reference-model parity, codegen participation, degenerate inputs. */
+class SignatureExprSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Plain-Scala reference model of the affine MinHash family. */
+  private def refMinhash(hs: Seq[Long], k: Int): Seq[Long] =
+    (0 until k).map { i =>
+      val a = 0x9E3779B97F4A7C15L * (2L * i + 1L)
+      val b = 0xBF58476D1CE4E5B9L * i + 0x94D049BB133111EBL
+      if (hs.isEmpty) Long.MaxValue else hs.map(h => a * h + b).min
+    }
+
+  /** Plain-Scala reference model of 64-bit SimHash. */
+  private def refSimhash(hs: Seq[Long]): Long =
+    (0 until 64).map { j =>
+      val s = hs.map(h => if (((h >>> j) & 1L) == 1L) 1 else -1).sum
+      if (s >= 0) 1L << j else 0L
+    }.reduce(_ | _)
+
+  test("minhash_signature matches the Scala reference model exactly") {
+    import spark.implicits._
+    val rows = Seq(
+      Seq(42L, -7L, Long.MaxValue, 0L),
+      Seq(1L),
+      Seq(-1L, -2L, -3L, Long.MinValue),
+      Seq.empty[Long])
+    val out = rows.toDF("hs")
+      .select(minhash_signature(col("hs"), 32).as("sig"))
+      .as[Seq[Long]].collect()
+    rows.zip(out).foreach { case (in, got) =>
+      assert(got === refMinhash(in, 32), s"input $in")
+    }
+  }
+
+  test("simhash64 matches the Scala reference model exactly") {
+    import spark.implicits._
+    val rows = Seq(
+      Seq(42L, -7L, 12345L),
+      Seq(0L),
+      Seq(-1L),
+      Seq(3L, 3L, 3L, 5L))
+    val out = rows.toDF("hs").select(simhash64(col("hs")).as("fp"))
+      .as[Long].collect()
+    rows.zip(out).foreach { case (in, got) =>
+      assert(got === refSimhash(in), s"input $in")
+    }
+  }
+
+  test("ngram_xxhash64 is bit-identical to the composed multi-arg xxhash64 fold") {
+    import graft.functions.NgramXxHash64.ngram_xxhash64
+    val toks = operators.TextAnalysis.tokensFast(col("text"))
+    // the composed (HOF) formulation with identical seed-chaining
+    val composed = when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => xxhash64((0 until 3).map(j => element_at(toks, i + lit(j + 1))): _*)))
+      .otherwise(array().cast("array<bigint>"))
+    val both = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(ngram_xxhash64(toks, 3).as("native"), composed.as("hof"))
+    assert(both.filter(not(col("native") <=> col("hof"))).count() === 0)
+  }
+
+  test("full signature pipeline participates in whole-stage codegen") {
+    // table-backed input: a local literal would constant-fold into a
+    // LocalTableScan and bypass codegen entirely. This asserts the whole
+    // scan -> ngram-hash -> signature path is ONE codegen stage (the
+    // composed HOF form was CodegenFallback and ejected the projection).
+    val hs = operators.TextAnalysis.shingleHashArray(
+      operators.TextAnalysis.tokensFast(col("text")), 3)
+    val df = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(minhash_signature(hs, 8).as("sig"), simhash64(hs).as("fp"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("minhash_signature") && l.contains("*(")),
+      s"minhash_signature not inside a codegen stage:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("simhash64") && l.contains("*(")),
+      s"simhash64 not inside a codegen stage:\n$plan")
+  }
+
+  test("interpreted eval agrees with codegen output") {
+    // Evaluate the expression trees directly (interpreted path) against
+    // the Dataset (codegen) results for the same inputs.
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val input = Seq(7L, -13L, 99L)
+    val lit = Literal.create(new GenericArrayData(input.toArray),
+      ArrayType(LongType, containsNull = false))
+    val sigInterp = MinHashSignature(lit, 16).eval(null)
+      .asInstanceOf[ArrayData].toLongArray.toSeq
+    assert(sigInterp === refMinhash(input, 16))
+    val fpInterp = graft.functions.SimHash64(lit).eval(null).asInstanceOf[Long]
+    assert(fpInterp === refSimhash(input))
+  }
+
+  test("duplicate shingles do not change either signature's min/set semantics") {
+    import spark.implicits._
+    val base = Seq(11L, 22L, 33L)
+    val dup = base ++ base ++ base.take(1)
+    val df = Seq(base, dup).toDF("hs")
+      .select(minhash_signature(col("hs"), 16).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(df(0) === df(1)) // min is idempotent to duplicates
+  }
+}
