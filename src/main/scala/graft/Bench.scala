@@ -22,13 +22,15 @@ object Bench {
 
   /** Representative, mutually diverse subset of the catalog: scan+agg,
     * hypercube, shuffle join, semi/anti, reference parity, sketches,
-    * sessionize, dedup, LSH near-dup, text stats, ANN. */
+    * sessionize, dedup (hash, MinHash-LSH, exact prefix-filter join),
+    * fingerprinting, text stats, ANN (brute, LSH, IVF). */
   val headline: Seq[String] = Seq(
     "q1_agg", "q4_hypercube", "q5_topk", "q7_join_shuffle", "q9_semi_anti",
     "q11_hypercube_ref", "q12_approx_distinct", "q13_sessionize",
     "q14_text_stats", "q16_dedup_exact", "q17_dedup_minhash",
-    "q19_knn_brute", "q20_knn_lsh", "q24_salted_agg", "q26_asof_join",
-    "q27_embed_neardup_lsh")
+    "q18_fingerprint", "q19_knn_brute", "q20_knn_lsh", "q22_simhash",
+    "q24_salted_agg", "q26_asof_join", "q27_embed_neardup_lsh",
+    "q28_jaccard_join", "q29_knn_ivf")
 
   /** `build` is by-name and runs AFTER the cache clear: queries that
     * persist (and eagerly materialize) intermediate frames — e.g. q17's

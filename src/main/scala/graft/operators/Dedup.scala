@@ -179,6 +179,74 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---- exact similarity join (prefix filtering) ----
+
+  /** EXACT all-pairs Jaccard similarity join — no LSH, no approximation:
+    * the prefix-filtering inverted-index family (SSJoin/All-Pairs/PPJoin;
+    * Chaudhuri 2006, Bayardo 2007, Xiao 2008), in the symmetric
+    * bucket-join formulation:
+    *
+    *   1. per doc: the distinct shingle-hash set, ordered by GLOBAL
+    *      document frequency (rarest first, ties by hash) — frequency
+    *      ordering is what keeps stop-shingles out of every prefix, so
+    *      inverted-index buckets stay small at any corpus size;
+    *   2. per doc: index only the first `|X| - ceil(u*|X|) + 1` ordered
+    *      shingles, u = tau/(1+tau). Losslessness: J(A,B) >= tau implies
+    *      |A∩B| >= u*(|A|+|B|); a pair missing from every shared bucket
+    *      must hide all common shingles outside one of the two prefixes,
+    *      of which there are at most (ceil(u|A|)-1) + (ceil(u|B|)-1) <
+    *      u*(|A|+|B|) — contradiction;
+    *   3. candidates: bucket-grouped pair expansion on the prefix hash
+    *      (one aggregation, no self-join), pruned by the length filter
+    *      min(|A|,|B|) >= tau*max(|A|,|B|) (necessary for J >= tau);
+    *   4. exact verify: in-row intersection of the full sorted hash sets.
+    *
+    * Scale shape: one corpus scan for the per-doc sets (persisted — at
+    * 100 TB this is the dedup working set an engine would checkpoint),
+    * one shingle-keyed shuffle for document frequencies, one for the
+    * frequency-ordered re-collection, one prefix-keyed shuffle for
+    * candidates; verification is two doc-keyed equi-joins. Never a
+    * cartesian product, and no recall/precision trade at all —
+    * cross-validated against q17's LSH pipeline by the same oracle.
+    *
+    * Jaccard is computed over 64-bit shingle hashes (a collision merging
+    * two shingles within a doc has p≈2^-64; the brute-force ScalaTest
+    * and the DuckDB oracle would both catch it). */
+  def jaccardJoin(docs0: DataFrame, n: Int, tau: Double): DataFrame = {
+    val u = tau / (1.0 + tau)
+    val docs = Tables.rebalanced(docs0)
+    val base = docs
+      .filter(size(TextAnalysis.tokensFast(col("text"))) >= n)
+      .select(col("doc_id"), array_sort(array_distinct(
+        TextAnalysis.shingleHashArray(TextAnalysis.tokensFast(col("text")), n))).as("hs"))
+      .persist()
+    base.count() // barrier: 4 consumers below, corpus scanned exactly once
+    val withSz = base.select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
+    val dfreq = withSz.select(explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    val ordered = withSz.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
+      .join(dfreq, Seq("h"))
+      .groupBy("doc_id", "sz")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+    val prefixLen = (col("sz") - ceil(col("sz") * u) + 1).cast("int")
+    val pref = ordered.select(col("doc_id"), col("sz"),
+      explode(slice(col("ord.h"), lit(1), prefixLen)).as("h"))
+    val cand = pairsWithinBuckets(pref, Seq("h"), Seq("doc_id", "sz"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("na"), col("b.sz").as("nb"))
+      // length pruning, relaxed by an epsilon so fp rounding of tau*max
+      // can only ever keep a pair, never drop one
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        greatest(col("na"), col("nb")) * tau - 1e-9)
+      .dropDuplicates("doc_a", "doc_b")
+      .persist()
+    cand.count()
+    verifyJaccardArrays(cand.select("doc_a", "doc_b"),
+        base.select(col("doc_id"), col("hs").as("sh")))
+      .filter(col("jaccard") >= tau)
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ---- SimHash (Charikar 2002) ----
 
   /** 64-bit SimHash over the 3-gram shingle set: bit j of the fingerprint
@@ -264,6 +332,36 @@ object Dedup {
       (s, dir) =>
         nearDuplicates(Tables.documents(s, dir), n = 3, k = 192, b = 64, r = 3,
           threshold = 0.7),
+      Some("""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+                                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+          FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+                FROM documents)
+        ), sz AS (
+          SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sz za ON za.doc_id = doc_a
+        JOIN sz zb ON zb.doc_id = doc_b
+        WHERE CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) >= 0.7
+        ORDER BY doc_a, doc_b""")),
+
+    Query(
+      "q28_jaccard_join",
+      "EXACT n-gram Jaccard similarity join >= 0.7 via frequency-ordered " +
+        "prefix filtering (All-Pairs/PPJoin family): inverted-index candidates " +
+        "on rare-shingle prefixes + length pruning + in-row set verify. " +
+        "Lossless by the prefix-filter theorem — same oracle as q17's " +
+        "MinHash-LSH pipeline, so the two algorithm families cross-validate.",
+      (s, dir) =>
+        jaccardJoin(Tables.documents(s, dir), n = 3, tau = 0.7),
       Some("""
         WITH sh AS (
           SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),

@@ -123,6 +123,56 @@ object Similarity {
     topK(scored, k)
   }
 
+  // ---- IVF (inverted-file) ANN ----
+
+  /** IVF-flat approximate kNN: the corpus is coarse-quantized to its
+    * nearest centroid (the "inverted file"), a query probes only its
+    * `nProbe` nearest centroids' lists, and exact cosine re-ranks inside
+    * the probed lists — the other classic ANN decomposition next to LSH
+    * (q20): LSH buckets by random projection, IVF buckets by data-driven
+    * proximity.
+    *
+    * Centroids are a deterministic stride-sample of the corpus (every
+    * `centroidStride`-th vec_id). A k-means pass would tighten the lists;
+    * sampling keeps the operator fully deterministic and engine-portable,
+    * and every scale property lives in the LIST STRUCTURE, not centroid
+    * quality.
+    *
+    * Scale shape: centroids are C rows — broadcast everywhere; the
+    * assignment argmax is an in-partition window after a broadcast join
+    * (one vec-keyed exchange); the probe step shuffles the corpus ONCE
+    * keyed on cluster id — on a real deployment that partitioning is
+    * written out bucketed-by-cluster, making every later query's probe a
+    * partition-pruned read touching nProbe/C of the data. Never a cross
+    * product against the corpus; each corpus vector lives in exactly one
+    * list, so no candidate dedup is needed. */
+  def knnIvf(emb: DataFrame, nQueries: Int, k: Int,
+      centroidStride: Int = 64, nProbe: Int = 8): DataFrame = {
+    val e = prepared(emb)
+    val cent = e.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    def centScores(side: DataFrame): DataFrame =
+      side.join(broadcast(cent), lit(true))
+        .withColumn("cs", cosine(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")))
+    // nearest centroid per corpus vector (deterministic tie-break)
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("cent_id"))
+    val assigned = centScores(e)
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id").as("cluster"))
+    // nProbe nearest centroids per query
+    val q = e.filter(col("vec_id") < nQueries)
+    val wProbe = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("cent_id"))
+    val probes = centScores(q)
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cent_id").as("cluster"))
+    val scored = assigned.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("score"))
+    topK(scored, k)
+  }
+
   /** Deterministic near-duplicate benchmark corpus: every vector plus a
     * perturbed copy (first coordinate ×1.05, worst-case cosine ≈ 0.9997 to its
     * original even when that coordinate dominates the norm) at `vec_id + offset`. The test embeddings carry no
@@ -207,6 +257,17 @@ object Similarity {
         "cosine re-ranks candidates only. Recall vs q19 measured in ScalaTest. " +
         "No oracle: approximate by design.",
       (s, dir) => knnLsh(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
+
+    Query(
+      "q29_knn_ivf",
+      "Approximate top-5 neighbors via IVF-flat (stride-sampled centroids, " +
+        "nProbe=8): corpus coarse-quantized to inverted lists, queries probe " +
+        "their nearest lists only, exact cosine re-ranks candidates. The " +
+        "data-driven-bucketing counterpart of q20's LSH; at scale the " +
+        "cluster-keyed layout is written bucketed so probes are " +
+        "partition-pruned reads. Recall vs q19 measured in ScalaTest. " +
+        "No oracle: approximate by design.",
+      (s, dir) => knnIvf(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
 
     Query(
       "q21_embed_neardup",

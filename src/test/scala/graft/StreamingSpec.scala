@@ -22,6 +22,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("streaming content-hash dedup matches batch dropDuplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (doc_id, text, ts) rows; 8 distinct contents across 20 docs
+    val base = (0L until 20L).map(i =>
+      (i, s"document body number ${i % 8}",
+        java.sql.Timestamp.valueOf(s"2026-01-01 10:${10 + i.toInt}:00")))
+    def named(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("doc_id", "text", "ts")
+
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val query = graft.streaming.DedupStream.dedupped(named(stream.toDF()), "ts")
+      .select("content_hash")
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      val (first, second) = base.splitAt(10)
+      stream.addData(first.toIndexedSeq)
+      query.processAllAvailable()
+      stream.addData(second.toIndexedSeq)
+      query.processAllAvailable()
+      val streamed = spark.table("stream_dedup")
+        .collect().map(_.getString(0)).sorted.toSeq
+      val batch = graft.streaming.DedupStream.dedupped(named(base.toDF()), "ts")
+        .select("content_hash")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(streamed === batch)
+      assert(streamed.size === 8) // one survivor per distinct content
+    } finally query.stop()
+  }
+
   test("session_window over a MemoryStream matches the batch result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -45,6 +45,22 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(lsh.toSeq === brute.toSeq) // recall AND precision = 1 at this b,r
   }
 
+  test("prefix-filter Jaccard join matches brute force pairs at tau=0.7 (hash-set Jaccard)") {
+    val docs = Tables.documents(spark, sf)
+    val pf = Dedup.jaccardJoin(docs, n = 3, tau = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // Brute force over string shingle sets (the oracle's formulation).
+    val sh = TextAnalysis.shingles(docs, 3)
+    val allPairs = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val brute = Dedup.verifyJaccard(allPairs, sh)
+      .filter(col("jaccard") >= 0.7).orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(brute.nonEmpty)
+    assert(pf.toSeq === brute.toSeq) // lossless: recall AND precision = 1
+  }
+
   test("banded LSH produces no candidates for dissimilar docs (no all-pairs blowup)") {
     val docs = Tables.documents(spark, sf)
     val nCand = Dedup.candidatePairs(
