@@ -30,7 +30,8 @@ object Bench {
     "q14_text_stats", "q16_dedup_exact", "q17_dedup_minhash",
     "q18_fingerprint", "q19_knn_brute", "q20_knn_lsh", "q22_simhash",
     "q24_salted_agg", "q26_asof_join", "q27_embed_neardup_lsh",
-    "q28_jaccard_join", "q29_knn_ivf")
+    "q28_jaccard_join", "q29_knn_ivf", "q30_range_join", "q31_percentiles",
+    "q32_rollup")
 
   /** `build` is by-name and runs AFTER the cache clear: queries that
     * persist (and eagerly materialize) intermediate frames — e.g. q17's

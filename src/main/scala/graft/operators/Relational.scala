@@ -350,6 +350,99 @@ object Relational {
                    LAG(epoch_ns(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_ns
             FROM events) a) b
         GROUP BY user_id
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    Query(
+      "q30_range_join",
+      "Time-range join WITHOUT an inequality cross product: count events within " +
+        "±5 min of each event via bucketization — probe side explodes into its " +
+        "bucket and both neighbors, build side keys on its own bucket, so the " +
+        "range predicate becomes an EQUI-join plus an in-row |Δt| filter. " +
+        "Bucket width = window guarantees completeness (|Δt| ≤ w ⟹ bucket " +
+        "distance ≤ 1) and each qualifying pair meets in exactly one bucket. " +
+        "At scale: shuffle keyed on bucket (3 rows/probe event, 1 row/build " +
+        "event); event bursts make hot buckets — the salting of q24 composes. " +
+        "Oracle: DuckDB's native inequality join.",
+      (s, dir) => {
+        val w = 300000000000L // ±5 minutes in nanoseconds
+        val e = Tables.events(s, dir).select("event_id", "user_id", "ts")
+        val bucket = expr(s"ts div $w")
+        val probe = e.select(col("event_id"), col("user_id"), col("ts"),
+          explode(array(bucket - 1, bucket, bucket + 1)).as("bucket"))
+        val build = e.select(col("event_id").as("rid"), col("ts").as("rts"),
+          bucket.as("rbucket"))
+        probe.join(build,
+            col("bucket") === col("rbucket") && col("rid") =!= col("event_id") &&
+              abs(col("rts") - col("ts")) <= lit(w), "left")
+          .groupBy("event_id", "user_id")
+          .agg(count(col("rid")).as("n_near"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT a.event_id, a.user_id, COUNT(b.event_id) AS n_near
+        FROM events a LEFT JOIN events b
+          ON b.event_id <> a.event_id
+         AND abs(epoch_ns(b.ts) - epoch_ns(a.ts)) <= 300000000000
+        GROUP BY a.event_id, a.user_id
+        ORDER BY a.event_id""")),
+
+    Query(
+      "q31_percentiles",
+      "Exact per-group percentiles (p25/p50/p75/p95) of the extended price — " +
+        "the distribution profiling every data-quality pass needs. Spark's " +
+        "exact percentile aggregate interpolates identically to DuckDB's " +
+        "quantile_cont on the double domain; approx_percentile is the " +
+        "documented sketch escape at extreme group cardinality.",
+      (s, dir) => {
+        val p = Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("x"))
+        p.groupBy("l_returnflag")
+          .agg(
+            expr("percentile(x, 0.25)").as("p25"),
+            expr("percentile(x, 0.5)").as("p50"),
+            expr("percentile(x, 0.75)").as("p75"),
+            expr("percentile(x, 0.95)").as("p95"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS p25,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)  AS p50,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS p75,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS p95,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    Query(
+      "q32_rollup",
+      "ROLLUP aggregate: detail, per-flag subtotal, and grand-total rows in one " +
+        "pass (Catalyst Expand + single hash aggregate — the multi-granularity " +
+        "form of the hypercube family). grouping() flags disambiguate NULL " +
+        "group keys from NULL data; null ordering pinned explicitly (Spark " +
+        "defaults NULLS FIRST, DuckDB NULLS LAST).",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(
+            // grouping() only resolves inside the rollup's own agg list
+            grouping(col("l_returnflag")).cast("int").as("g_flag"),
+            grouping(col("l_linestatus")).cast("int").as("g_status"),
+            count(lit(1)).as("n"),
+            dsum(col("l_quantity")).as("sum_qty"))
+          .select(col("l_returnflag"), col("l_linestatus"), col("g_flag"),
+            col("g_status"), col("n"), col("sum_qty"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
   )
 }
