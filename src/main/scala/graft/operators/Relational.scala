@@ -389,20 +389,40 @@ object Relational {
     Query(
       "q31_percentiles",
       "Exact per-group percentiles (p25/p50/p75/p95) of the extended price — " +
-        "the distribution profiling every data-quality pass needs. Spark's " +
-        "exact percentile aggregate interpolates identically to DuckDB's " +
-        "quantile_cont on the double domain; approx_percentile is the " +
-        "documented sketch escape at extreme group cardinality.",
+        "the distribution profiling every data-quality pass needs. SORT-based: " +
+        "one sort shuffle + row_number, keep only the two rows straddling each " +
+        "requested rank, interpolate. Spark's percentile() AGGREGATE instead " +
+        "holds every group value in one in-memory map — a single-task OOM at " +
+        "100 TB group sizes (and 3x slower even locally); the sort form scales " +
+        "with the shuffle, like every engine's exact-quantile path. " +
+        "Interpolation bit-matches DuckDB quantile_cont on the double domain.",
       (s, dir) => {
-        val p = Tables.lineitem(s, dir)
+        val ps = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
+        val base = Tables.lineitem(s, dir)
           .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("x"))
-        p.groupBy("l_returnflag")
-          .agg(
-            expr("percentile(x, 0.25)").as("p25"),
-            expr("percentile(x, 0.5)").as("p50"),
-            expr("percentile(x, 0.75)").as("p75"),
-            expr("percentile(x, 0.95)").as("p95"),
-            count(lit(1)).as("n"))
+        val w = Window.partitionBy("l_returnflag").orderBy("x")
+        val nw = Window.partitionBy("l_returnflag")
+        // 0-based fractional rank of percentile p is pos = p*(n-1); the
+        // straddling 1-based rows are floor(pos)+1 and ceil(pos)+1
+        def pos(p: Double): Column = lit(p) * (col("n") - 1).cast("double")
+        val ranked = base
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(nw))
+        val straddles = ps.map(_._1).flatMap(p =>
+          Seq(col("rn") === floor(pos(p)) + 1, col("rn") === ceil(pos(p)) + 1))
+        val picked = ranked.filter(straddles.reduce(_ || _))
+        val aggs = ps.flatMap { case (p, name) => Seq(
+          max(when(col("rn") === floor(pos(p)) + 1, col("x"))).as(s"lo_$name"),
+          max(when(col("rn") === ceil(pos(p)) + 1, col("x"))).as(s"hi_$name"))
+        } :+ max(col("n")).as("n")
+        picked.groupBy("l_returnflag")
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("l_returnflag") +: ps.map { case (p, name) =>
+            // lo*(1-f) + hi*f — bit-matches DuckDB quantile_cont (the
+            // lo + (hi-lo)*f variant differs in the last ulp)
+            (col(s"lo_$name") * (lit(1.0) - (pos(p) - floor(pos(p)))) +
+              col(s"hi_$name") * (pos(p) - floor(pos(p)))).as(name)
+          } :+ col("n"): _*)
           .orderBy("l_returnflag")
       },
       Some("""
