@@ -437,6 +437,26 @@ object Relational {
         ORDER BY l_returnflag""")),
 
     Query(
+      "q33_approx_percentiles",
+      "Sketch-tier percentiles: approx_percentile with accuracy 10000 — a " +
+        "mergeable one-pass map-side sketch (rank error ≤ n/accuracy), the " +
+        "escape hatch when even q31's sort shuffle is too much at extreme " +
+        "scale; the quantile analog of q12's HLL-vs-exact-distinct pairing. " +
+        "No oracle (sketch internals are engine-specific); ScalaTest bounds " +
+        "its error against the exact q31.",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("x"))
+          .groupBy("l_returnflag")
+          .agg(
+            expr("approx_percentile(x, array(0.25, 0.5, 0.75, 0.95), 10000)").as("qs"),
+            count(lit(1)).as("n"))
+          .select(col("l_returnflag"),
+            col("qs")(0).as("p25"), col("qs")(1).as("p50"),
+            col("qs")(2).as("p75"), col("qs")(3).as("p95"), col("n"))
+          .orderBy("l_returnflag")),
+
+    Query(
       "q32_rollup",
       "ROLLUP aggregate: detail, per-flag subtotal, and grand-total rows in one " +
         "pass (Catalyst Expand + single hash aggregate — the multi-granularity " +

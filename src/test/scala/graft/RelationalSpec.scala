@@ -35,6 +35,20 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q33 approx percentiles are within 5% of the exact sort-based q31") {
+    val approx = SparkEntry.queries("q33_approx_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val exact = SparkEntry.queries("q31_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    exact.foreach { case (k, ex) =>
+      ex.zip(approx(k)).foreach { case (e, a) =>
+        assert(math.abs(a - e) / e < 0.05, s"$k: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("every oracle key exists in queries") {
     val qs = SparkEntry.queries.keySet
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k)))
