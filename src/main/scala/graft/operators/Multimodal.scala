@@ -140,6 +140,56 @@ object Multimodal {
       }
   }
 
+  /** A resize result: original vs re-encoded size plus whether the
+    * payload was actually an image (non-images pass through unchanged). */
+  final case class ResizedMedia(
+      doc_id: Long,
+      in_bytes: Int,
+      out_bytes: Int,
+      resized: Boolean,
+      payload: Array[Byte])
+
+  /** Real image resize on the same executor-local batch seam as
+    * [[extractFeatures]]: PNG/JPEG payloads decode via ImageIO, draw
+    * bilinearly into a `w`×`h` RGB canvas, and re-encode as PNG (PNG is
+    * lossless and deterministic, so identical inputs yield identical
+    * bytes across executors and retries — JPEG re-encode would not
+    * guarantee that). Non-image payloads pass through untouched with
+    * `resized = false` — the id/size bookkeeping still flows so a mixed
+    * corpus keeps one output schema. Map-only; payloads never leave the
+    * scanning executor. */
+  def resizeImages(payloads: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val out =
+            if (!looksLikeImage(bytes)) None
+            else
+              try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+                .map { im =>
+                  val canvas = new java.awt.image.BufferedImage(
+                    w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  val g = canvas.createGraphics()
+                  g.setRenderingHint(
+                    java.awt.RenderingHints.KEY_INTERPOLATION,
+                    java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                  g.drawImage(im, 0, 0, w, h, null)
+                  g.dispose()
+                  val baos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(canvas, "png", baos)
+                  baos.toByteArray
+                }
+              catch { case _: java.io.IOException => None }
+          out match {
+            case Some(resized) => ResizedMedia(id, bytes.length, resized.length, resized = true, resized)
+            case None => ResizedMedia(id, bytes.length, bytes.length, resized = false, bytes)
+          }
+        }
+      }
+  }
+
   /** Frame sampling: slice the payload into fixed-size chunks ("frames")
     * and keep every `stride`-th — pure expression work (`substring` on
     * binary), no UDF, stays in codegen. */

@@ -57,6 +57,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stub.feature.length === 8)
   }
 
+  test("resizeImages bilinearly resizes a real PNG, passes non-images through") {
+    import spark.implicits._
+    // 8x4 solid color -> 4x2; solid fill survives any interpolation exactly
+    val img = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 8; y <- 0 until 4) img.setRGB(x, y, 0x204060)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val txt = "not an image".getBytes("UTF-8")
+    val out = Multimodal.resizeImages(
+        Seq((1L, png), (2L, txt)).toDF("doc_id", "payload"), w = 4, h = 2)
+      .collect().sortBy(_.doc_id)
+    assert(out(0).resized)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out(0).payload))
+    assert(back.getWidth === 4 && back.getHeight === 2)
+    for (x <- 0 until 4; y <- 0 until 2)
+      assert((back.getRGB(x, y) & 0xFFFFFF) === 0x204060)
+    // determinism: PNG re-encode of the same input is byte-identical
+    val again = Multimodal.resizeImages(
+        Seq((1L, png)).toDF("doc_id", "payload"), w = 4, h = 2).collect().head
+    assert(again.payload.toSeq === out(0).payload.toSeq)
+    // non-image passthrough, untouched bytes
+    assert(!out(1).resized)
+    assert(out(1).payload.toSeq === txt.toSeq)
+    assert(out(1).in_bytes === out(1).out_bytes)
+  }
+
   test("sampleFrames yields zero frames for an empty payload") {
     import spark.implicits._
     val p = Multimodal.payloads(Seq((1L, ""), (2L, "x")).toDF("doc_id", "text"))
