@@ -94,11 +94,15 @@ object Similarity {
       when(dot(emb, plane) >= 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** (vec_id, table, bucket) — one row per hash table per vector. */
+  /** (vec_id, table, bucket) — one row per hash table per vector. All
+    * tables×bits sign dots run in the native fused
+    * [[graft.functions.SrpSignatures]] expression (primitive plane
+    * matrix; the composed per-plane `typedlit` form paid a boxed unbox
+    * per element access). Same plane family → identical buckets. */
   def srpBuckets(e: DataFrame, tables: Int, bits: Int, dim: Int): DataFrame =
     e.select(col("vec_id"), col("emb"), col("nrm"),
-      posexplode(array((0 until tables).map(t => srpSignature(col("emb"), t, bits, dim)): _*))
-        .as(Seq("table", "bucket")))
+      posexplode(graft.functions.SrpSignatures.srp_signatures(
+        col("emb"), tables, bits, dim)).as(Seq("table", "bucket")))
 
   /** Approximate top-k: candidates = corpus vectors sharing any (table,
     * bucket) with the query, then exact cosine on candidates only.

@@ -69,6 +69,21 @@ class SignatureExprSpec extends AnyFunSuite {
     assert(both.filter(not(col("native") <=> col("hof"))).count() === 0)
   }
 
+  test("srp_signatures matches the composed per-plane VectorDot form bit-exactly") {
+    import graft.functions.SrpSignatures.srp_signatures
+    import graft.operators.Similarity
+    val e = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val native = e.select(col("vec_id"),
+      srp_signatures(col("emb"), 4, 6, 64).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val composed = e.select(col("vec_id"),
+      array((0 until 4).map(t => Similarity.srpSignature(col("emb"), t, 6, 64)): _*).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(native.keySet === composed.keySet)
+    native.foreach { case (id, s) => assert(s === composed(id), s"vec $id") }
+  }
+
   test("full signature pipeline participates in whole-stage codegen") {
     // table-backed input: a local literal would constant-fold into a
     // LocalTableScan and bypass codegen entirely. This asserts the whole
