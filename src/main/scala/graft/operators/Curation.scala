@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Query
+import graft.sources.Tables
+
+/** End-to-end corpus curation — the capstone composition showing the
+  * training-data operators working as one pipeline, the way a pre-train
+  * data job actually runs them:
+  *
+  *   1. admit: language-ID == en AND quality ≥ 0.5 (q15's scorer);
+  *   2. exact dedup: lowest doc_id survives per normalized SHA-256
+  *      content hash (q16's contract);
+  *   3. near-dup exclusion: among survivors, drop the higher id of every
+  *      pair with n-gram Jaccard ≥ 0.7 (q17/q28's detector — the exact
+  *      prefix-filter join, so the stage is lossless);
+  *   4. account: documents and whitespace tokens kept.
+  *
+  * Every stage is a previously-oracle-verified operator; the composition
+  * itself is verified end-to-end by one DuckDB oracle. Scale shape is
+  * the union of its parts: map-only scoring, one digest-keyed shuffle,
+  * the prefix-filter join's bounded shuffles, and a final tiny
+  * aggregate. */
+object Curation {
+
+  def curated(docs: DataFrame): DataFrame = {
+    val lq = TextAnalysis.langQuality(docs)
+      .select(col("doc_id"), col("pred_lang"), col("quality"), col("n_tokens"))
+    val admitted = lq
+      .filter(col("pred_lang") === "en" && col("quality") >= 0.5)
+      .select(col("doc_id"), col("n_tokens"))
+    val adDocs = docs.join(admitted.select("doc_id"), Seq("doc_id"))
+    val survivors = adDocs
+      .select(col("doc_id"), sha2(TextAnalysis.norm(col("text")), 256).as("h"))
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val survDocs = docs.join(survivors, Seq("doc_id"))
+    // non-cascading exclusion rule: any survivor that is the HIGHER id of
+    // a qualifying near-dup pair among survivors is dropped (deterministic
+    // and engine-portable; a cascading rule would depend on drop order)
+    val dropped = Dedup.jaccardJoin(survDocs, n = 3, tau = 0.7)
+      .select(col("doc_b").as("doc_id")).distinct()
+    survDocs.select("doc_id")
+      .join(admitted, Seq("doc_id"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens_kept"))
+  }
+
+  val queries: Seq[Query] = Seq(
+    Query(
+      "q34_curation",
+      "End-to-end corpus curation: language/quality admission (q15) -> exact " +
+        "content-hash dedup (q16) -> lossless near-dup exclusion via the exact " +
+        "prefix-filter Jaccard join (q28) -> document/token accounting. One " +
+        "DuckDB oracle verifies the whole composition.",
+      (s, dir) => curated(Tables.documents(s, dir)),
+      Some("""
+        WITH nrm AS (
+          SELECT doc_id, lang, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS n
+          FROM documents
+        ), feat AS (
+          SELECT doc_id,
+                 len(ws) AS n_tokens,
+                 len(list_filter(ws, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS h_en,
+                 len(list_filter(ws, t -> list_contains(['le','la','les','de','et','un','une','des','que','est'], t))) AS h_fr,
+                 len(list_filter(ws, t -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','von'], t))) AS h_de,
+                 len(list_filter(ws, t -> list_contains(['el','los','las','de','y','un','una','que','es','en'], t))) AS h_es,
+                 CAST(length(n) - length(regexp_replace(n, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE) / CAST(length(n) AS DOUBLE) AS cjk_ratio,
+                 CAST(length(n) - length(regexp_replace(n, '[!-/:-@[-`{-~]', '', 'g')) AS DOUBLE) / CAST(length(n) AS DOUBLE) AS punct_ratio
+          FROM (SELECT doc_id, n, string_split(n, ' ') AS ws FROM nrm)
+        ), lq AS (
+          SELECT doc_id, n_tokens,
+                 CASE WHEN cjk_ratio > 0.3 THEN 'zh'
+                      WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+                      WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+                      WHEN h_es >= h_fr THEN 'es'
+                      ELSE 'fr' END AS pred_lang,
+                 (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                  + least(CAST(h_en + h_fr + h_de + h_es AS DOUBLE) * 4.0 / CAST(n_tokens AS DOUBLE), 1.0)
+                  + (1.0 - punct_ratio)) / 3.0 AS quality
+          FROM feat
+        ), adm AS (
+          SELECT doc_id, n_tokens FROM lq WHERE pred_lang = 'en' AND quality >= 0.5
+        ), surv AS (
+          SELECT MIN(h.doc_id) AS doc_id
+          FROM (SELECT doc_id, sha256(n) AS hash FROM nrm) h
+          JOIN adm a ON a.doc_id = h.doc_id
+          GROUP BY h.hash
+        ), sh AS (
+          SELECT DISTINCT s.doc_id, u.s
+          FROM (SELECT doc_id, string_split(n, ' ') AS ws FROM nrm
+                WHERE doc_id IN (SELECT doc_id FROM surv)) s,
+               LATERAL (SELECT unnest(list_transform(range(1, len(s.ws) - 1),
+                                      i -> s.ws[i] || ' ' || s.ws[i+1] || ' ' || s.ws[i+2])) AS s) u
+        ), sz AS (
+          SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), dropped AS (
+          SELECT DISTINCT doc_b AS doc_id
+          FROM pairs
+          JOIN sz za ON za.doc_id = doc_a
+          JOIN sz zb ON zb.doc_id = doc_b
+          WHERE CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) >= 0.7
+        )
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(a.n_tokens) AS BIGINT) AS n_tokens_kept
+        FROM surv s
+        JOIN adm a ON a.doc_id = s.doc_id
+        WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)"""))
+  )
+}

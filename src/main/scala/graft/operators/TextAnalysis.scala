@@ -98,6 +98,40 @@ object TextAnalysis {
   import graft.Query
   import graft.sources.Tables
 
+  /** Language-ID + quality scoring frame shared by q15 and the q34
+    * curation pipeline: (doc_id, lang_label, pred_lang, len_score,
+    * stop_score, punct_ratio, quality, n_tokens). */
+  def langQuality(docsIn: DataFrame): DataFrame = {
+    val n = norm(col("text"))
+    val t = tokens(col("text"))
+    val docs = docsIn
+      .select(col("doc_id"), col("lang").as("lang_label"), n.as("n"), t.as("t"))
+      .select(
+        col("doc_id"), col("lang_label"),
+        size(col("t")).as("n_tokens"),
+        stopwordHits(col("t"), "en").as("h_en"),
+        stopwordHits(col("t"), "fr").as("h_fr"),
+        stopwordHits(col("t"), "de").as("h_de"),
+        stopwordHits(col("t"), "es").as("h_es"),
+        (cjkChars(col("n")).cast("double") / length(col("n")).cast("double")).as("cjk_ratio"),
+        ((length(col("n")) - length(regexp_replace(col("n"), "[!-/:-@\\[-`{-~]", "")))
+          .cast("double") / length(col("n")).cast("double")).as("punct_ratio"))
+    docs.select(
+      col("doc_id"), col("lang_label"), col("n_tokens"),
+      // deterministic argmax with fixed tie-break order en>de>es>fr
+      when(col("cjk_ratio") > 0.3, "zh")
+        .when(col("h_en") >= col("h_de") && col("h_en") >= col("h_es") && col("h_en") >= col("h_fr"), "en")
+        .when(col("h_de") >= col("h_es") && col("h_de") >= col("h_fr"), "de")
+        .when(col("h_es") >= col("h_fr"), "es")
+        .otherwise("fr").as("pred_lang"),
+      least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)).as("len_score"),
+      least((col("h_en") + col("h_fr") + col("h_de") + col("h_es")).cast("double")
+        * lit(4.0) / col("n_tokens").cast("double"), lit(1.0)).as("stop_score"),
+      col("punct_ratio"))
+      .withColumn("quality",
+        (col("len_score") + col("stop_score") + (lit(1.0) - col("punct_ratio"))) / lit(3.0))
+  }
+
   val queries: Seq[Query] = Seq(
 
     Query(
@@ -135,37 +169,11 @@ object TextAnalysis {
       "Language-ID (stopword-profile + CJK-ratio heuristic) and quality scoring " +
         "(length / stopword-density / punctuation components) per document — " +
         "the standard pre-training corpus filters, one codegen'd map pass.",
-      (s, dir) => {
-        val n = norm(col("text"))
-        val t = tokens(col("text"))
-        val docs = Tables.documents(s, dir)
-          .select(col("doc_id"), col("lang").as("lang_label"), n.as("n"), t.as("t"))
-          .select(
-            col("doc_id"), col("lang_label"),
-            size(col("t")).as("n_tokens"),
-            stopwordHits(col("t"), "en").as("h_en"),
-            stopwordHits(col("t"), "fr").as("h_fr"),
-            stopwordHits(col("t"), "de").as("h_de"),
-            stopwordHits(col("t"), "es").as("h_es"),
-            (cjkChars(col("n")).cast("double") / length(col("n")).cast("double")).as("cjk_ratio"),
-            ((length(col("n")) - length(regexp_replace(col("n"), "[!-/:-@\\[-`{-~]", "")))
-              .cast("double") / length(col("n")).cast("double")).as("punct_ratio"))
-        docs.select(
-          col("doc_id"), col("lang_label"),
-          // deterministic argmax with fixed tie-break order en>de>es>fr
-          when(col("cjk_ratio") > 0.3, "zh")
-            .when(col("h_en") >= col("h_de") && col("h_en") >= col("h_es") && col("h_en") >= col("h_fr"), "en")
-            .when(col("h_de") >= col("h_es") && col("h_de") >= col("h_fr"), "de")
-            .when(col("h_es") >= col("h_fr"), "es")
-            .otherwise("fr").as("pred_lang"),
-          least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)).as("len_score"),
-          least((col("h_en") + col("h_fr") + col("h_de") + col("h_es")).cast("double")
-            * lit(4.0) / col("n_tokens").cast("double"), lit(1.0)).as("stop_score"),
-          col("punct_ratio"))
-          .withColumn("quality",
-            (col("len_score") + col("stop_score") + (lit(1.0) - col("punct_ratio"))) / lit(3.0))
-          .orderBy("doc_id")
-      },
+      (s, dir) =>
+        langQuality(Tables.documents(s, dir))
+          .select("doc_id", "lang_label", "pred_lang", "len_score",
+            "stop_score", "punct_ratio", "quality")
+          .orderBy("doc_id"),
       Some("""
         SELECT doc_id, lang_label,
                CASE WHEN cjk_ratio > 0.3 THEN 'zh'
