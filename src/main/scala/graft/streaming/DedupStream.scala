@@ -25,10 +25,25 @@ object DedupStream {
 
   /** First arrival per distinct normalized content hash. `tsCol` is an
     * event-time TIMESTAMP column; on a streaming input the watermark
-    * both bounds state and admits `delay` of disorder. */
-  def dedupped(docs: DataFrame, tsCol: String, delay: String = "10 minutes"): DataFrame =
-    docs
+    * both bounds state and admits `delay` of disorder.
+    *
+    * Uses `dropDuplicatesWithinWatermark`, NOT plain `dropDuplicates`:
+    * the plain form only expires dedup state when the event-time column
+    * is itself part of the key subset, so keying on the hash alone would
+    * grow state forever — the WithinWatermark variant keys on the hash
+    * and still expires each entry once the watermark passes its event
+    * time plus the delay (duplicates farther apart than the delay are
+    * deliberately re-admitted). The WithinWatermark variant is
+    * streaming-only, so a batch input takes plain dropDuplicates — the
+    * exact semantics the streaming form converges to when every
+    * duplicate lands inside the delay, which the equivalence test
+    * exercises. */
+  def dedupped(docs: DataFrame, tsCol: String, delay: String = "10 minutes"): DataFrame = {
+    val hashed = docs
       .withColumn("content_hash", sha2(TextAnalysis.norm(col("text")), 256))
-      .withWatermark(tsCol, delay)
-      .dropDuplicates("content_hash")
+    if (hashed.isStreaming)
+      hashed.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark("content_hash")
+    else
+      hashed.dropDuplicates("content_hash")
+  }
 }

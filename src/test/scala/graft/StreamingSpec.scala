@@ -25,7 +25,10 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming content-hash dedup matches batch dropDuplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    // (doc_id, text, ts) rows; 8 distinct contents across 20 docs
+    // (doc_id, text, ts) rows; 8 distinct contents across 20 docs. All
+    // duplicates land within the 1h watermark delay, so the
+    // within-watermark dedup state never expires mid-test and the
+    // streaming result must equal the batch result exactly.
     val base = (0L until 20L).map(i =>
       (i, s"document body number ${i % 8}",
         java.sql.Timestamp.valueOf(s"2026-01-01 10:${10 + i.toInt}:00")))
@@ -33,7 +36,7 @@ class StreamingSpec extends AnyFunSuite {
       df.toDF("doc_id", "text", "ts")
 
     val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
-    val query = graft.streaming.DedupStream.dedupped(named(stream.toDF()), "ts")
+    val query = graft.streaming.DedupStream.dedupped(named(stream.toDF()), "ts", "1 hour")
       .select("content_hash")
       .writeStream.format("memory").queryName("stream_dedup")
       .outputMode("append").start()
@@ -45,7 +48,7 @@ class StreamingSpec extends AnyFunSuite {
       query.processAllAvailable()
       val streamed = spark.table("stream_dedup")
         .collect().map(_.getString(0)).sorted.toSeq
-      val batch = graft.streaming.DedupStream.dedupped(named(base.toDF()), "ts")
+      val batch = graft.streaming.DedupStream.dedupped(named(base.toDF()), "ts", "1 hour")
         .select("content_hash")
         .collect().map(_.getString(0)).sorted.toSeq
       assert(streamed === batch)
