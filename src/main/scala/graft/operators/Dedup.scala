@@ -228,7 +228,11 @@ object Dedup {
       .join(dfreq, Seq("h"))
       .groupBy("doc_id", "sz")
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
-    val prefixLen = (col("sz") - ceil(col("sz") * u) + 1).cast("int")
+    // epsilon inside the ceil: if u*sz lands a hair ABOVE an integer in
+    // fp, a bare ceil overshoots the true ceiling and shortens the
+    // prefix by one — which would break losslessness; the epsilon can
+    // only ever lengthen the prefix (more candidates, never a miss)
+    val prefixLen = (col("sz") - ceil(col("sz") * u - 1e-9) + 1).cast("int")
     val pref = ordered.select(col("doc_id"), col("sz"),
       explode(slice(col("ord.h"), lit(1), prefixLen)).as("h"))
     val cand = pairsWithinBuckets(pref, Seq("h"), Seq("doc_id", "sz"))
