@@ -158,11 +158,18 @@ object Similarity {
     def centScores(side: DataFrame): DataFrame =
       side.join(broadcast(cent), lit(true))
         .withColumn("cs", cosine(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")))
-    // nearest centroid per corpus vector (deterministic tie-break)
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("cent_id"))
+    // nearest centroid per corpus vector via max_by on (score, cent_id)
+    // — a hash aggregate whose partials combine MAP-SIDE, so the
+    // exchange carries one row per vector, not the N×C scored rows a
+    // window-rank formulation would sort and shuffle. Ties (two
+    // centroids at identical cosine) break deterministically to the
+    // higher cent_id via the struct ordering.
     val assigned = centScores(e)
-      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id").as("cluster"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("emb"), col("nrm"), col("cent_id")),
+        struct(col("cs"), col("cent_id"))).as("m"))
+      .select(col("vec_id"), col("m.emb").as("emb"), col("m.nrm").as("nrm"),
+        col("m.cent_id").as("cluster"))
     // nProbe nearest centroids per query
     val q = e.filter(col("vec_id") < nQueries)
     val wProbe = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("cent_id"))
