@@ -3,11 +3,15 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, TextAnalysis}
+import graft.sources.Tables
 
-/** Ad-hoc stage profiler for the heavy catalog queries — same-JVM,
-  * alternating A/B of single-partition vs rebalanced pipelines so host
-  * load noise hits both sides equally. */
+/** Ad-hoc stage profiler for the heaviest dedup pipeline (q17): times
+  * each sub-stage in isolation so optimization effort lands where the
+  * time is. The cache is cleared BETWEEN whole measurements, never
+  * inside one — a mid-pipeline clear would silently unpersist the
+  * operator's own barrier frames and re-attribute upstream cost to
+  * downstream stages. */
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,35 +23,15 @@ object Profile {
       println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
-    val docsRaw = spark.read.parquet(s"$sfDir/documents.parquet")
-    val liRaw = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    val embRaw = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    def sigsOf(d: DataFrame) = Dedup.minhashSignatures(d, 3, 192)
-    def hllOf(d: DataFrame) = d.groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("ad"))
-    def srpOf(d: DataFrame) = Similarity.srpBuckets(
-      Similarity.plantedDupCorpus(d.select("vec_id", "embedding"), 1000000L)
-        .withColumn("nrm", Similarity.l2norm(col("emb"))), 12, 16, 64)
-    val d32 = docsRaw.repartition(32)
-    val hsDF = d32.select(col("doc_id"),
-      TextAnalysis.shingleHashArray(TextAnalysis.tokensFast(col("text")), 3).as("hs"))
-      .persist()
-    hsDF.count()
+    val docs = Tables.documents(spark, sfDir)
+    def sigs = Dedup.minhashSignatures(Tables.rebalanced(docs), 3, 192)
     (1 to 3).foreach { i =>
-      time(s"sigs #$i")(noop(sigsOf(d32)))
-      time(s"bands #$i")(noop(Dedup.bands(sigsOf(d32), 64, 3)))
-      time(s"candidates #$i")(noop(
-        Dedup.candidatePairs(Dedup.bands(sigsOf(d32), 64, 3))))
-      spark.catalog.clearCache()
-      val cand = Dedup.candidatePairs(Dedup.bands(sigsOf(d32), 64, 3)).persist()
-      time(s"cand.count #$i")(println(s"[profile]   -> ${cand.count()} pairs"))
-      val candDocs = cand.select(col("doc_a").as("doc_id"))
-        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-      val shCand = TextAnalysis.shinglesRaw(
-        d32.join(broadcast(candDocs), Seq("doc_id")), 3).distinct().persist()
-      time(s"shCand.count #$i")(println(s"[profile]   -> ${shCand.count()} shingle rows"))
-      time(s"verify #$i")(noop(Dedup.verifyJaccard(cand, shCand)
-        .filter(col("jaccard") >= 0.7).orderBy("doc_a", "doc_b")))
+      time(s"q17 signatures #$i")(noop(sigs))
+      time(s"q17 bands #$i")(noop(Dedup.bands(sigs, 64, 3)))
+      time(s"q17 candidates #$i")(noop(Dedup.candidatePairs(Dedup.bands(sigs, 64, 3))))
+      time(s"q17 full #$i")(noop(
+        Dedup.nearDuplicates(docs, n = 3, k = 192, b = 64, r = 3, threshold = 0.7)))
+      time(s"q28 full #$i")(noop(Dedup.jaccardJoin(docs, n = 3, tau = 0.7)))
     }
     spark.stop()
   }

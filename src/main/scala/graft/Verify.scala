@@ -13,6 +13,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // several operators persist barrier frames (q17/q28 candidates,
+      // q20 buckets); drop them once the query's output is written so 28
+      // sequential queries don't accumulate session-lifetime cache
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

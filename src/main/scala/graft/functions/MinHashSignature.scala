@@ -50,12 +50,15 @@ case class MinHashSignature(child: Expression, k: Int)
     val mins = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < n) {
-      val h = hs.getLong(j)
-      var i = 0
-      while (i < k) {
-        val v = MinHashSignature.A(i) * h + MinHashSignature.B(i)
-        if (v < mins(i)) mins(i) = v
-        i += 1
+      // null elements are absent features (guards containsNull inputs)
+      if (!hs.isNullAt(j)) {
+        val h = hs.getLong(j)
+        var i = 0
+        while (i < k) {
+          val v = MinHashSignature.A(i) * h + MinHashSignature.B(i)
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
       }
       j += 1
     }
@@ -77,6 +80,7 @@ case class MinHashSignature(child: Expression, k: Int)
          |long[] $mins = new long[$k];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |for (int $j = 0; $j < $n; $j++) {
+         |  if ($hs.isNullAt($j)) continue;
          |  long $h = $hs.getLong($j);
          |  for (int $i = 0; $i < $k; $i++) {
          |    long $v = $a[$i] * $h + $b[$i];

@@ -45,7 +45,13 @@ case class NgramXxHash64(child: Expression, n: Int) extends UnaryExpression {
       while (i < m) {
         var h = 42L
         var j = 0
-        while (j < n) { h = XXH64.hashUTF8String(toks.getUTF8String(i + j), h); j += 1 }
+        // null tokens contribute nothing to the chain — the same
+        // skip-null semantics as the multi-arg xxhash64 this mirrors
+        // (and a guard against NPE on containsNull inputs)
+        while (j < n) {
+          if (!toks.isNullAt(i + j)) h = XXH64.hashUTF8String(toks.getUTF8String(i + j), h)
+          j += 1
+        }
         out(i) = h
         i += 1
       }
@@ -68,7 +74,9 @@ case class NgramXxHash64(child: Expression, n: Int) extends UnaryExpression {
          |for (int $i = 0; $i < $m; $i++) {
          |  long $h = 42L;
          |  for (int $j = 0; $j < $n; $j++) {
-         |    $h = $xxh.hashUTF8String($toks.getUTF8String($i + $j), $h);
+         |    if (!$toks.isNullAt($i + $j)) {
+         |      $h = $xxh.hashUTF8String($toks.getUTF8String($i + $j), $h);
+         |    }
          |  }
          |  $out[$i] = $h;
          |}

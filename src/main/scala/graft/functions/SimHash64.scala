@@ -16,8 +16,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * feature explode plus a 64-sum aggregate (64 partial buffers and a
   * doc-keyed exchange); this is per-row map work with a 64-int local
   * counter array — no explode, no aggregate, no shuffle at any scale.
-  * An empty feature array yields fingerprint 0 with every counter at the
-  * `>= 0` tie — callers filter featureless documents first. */
+  * An empty feature array leaves every counter at the `>= 0` tie, so all
+  * 64 bits set (fingerprint -1L) — callers filter featureless documents
+  * first rather than relying on a sentinel value. */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -35,11 +36,14 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     val c = new Array[Int](64)
     var j = 0
     while (j < n) {
-      val h = hs.getLong(j)
-      var i = 0
-      while (i < 64) {
-        c(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
-        i += 1
+      // null elements are absent features (guards containsNull inputs)
+      if (!hs.isNullAt(j)) {
+        val h = hs.getLong(j)
+        var i = 0
+        while (i < 64) {
+          c(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
+          i += 1
+        }
       }
       j += 1
     }
@@ -61,6 +65,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
          |int $n = $hs.numElements();
          |int[] $c = new int[64];
          |for (int $j = 0; $j < $n; $j++) {
+         |  if ($hs.isNullAt($j)) continue;
          |  long $h = $hs.getLong($j);
          |  for (int $i = 0; $i < 64; $i++) {
          |    $c[$i] += ((($h >>> $i) & 1L) == 1L) ? 1 : -1;

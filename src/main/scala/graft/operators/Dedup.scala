@@ -211,7 +211,14 @@ object Dedup {
     *
     * Jaccard is computed over 64-bit shingle hashes (a collision merging
     * two shingles within a doc has p≈2^-64; the brute-force ScalaTest
-    * and the DuckDB oracle would both catch it). */
+    * and the DuckDB oracle would both catch it).
+    *
+    * Cache contract: `base` (one shingle-hash array per doc) stays
+    * persisted for the session — it is the operator's working set and
+    * the result frame reads it lazily, so the operator cannot unpersist
+    * it itself. Batch drivers that run many queries in one session
+    * should `spark.catalog.clearCache()` between them (Bench and Verify
+    * both do). */
   def jaccardJoin(docs0: DataFrame, n: Int, tau: Double): DataFrame = {
     val u = tau / (1.0 + tau)
     val docs = Tables.rebalanced(docs0)

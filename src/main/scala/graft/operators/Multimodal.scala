@@ -54,9 +54,13 @@ object Multimodal {
     * given payload. Returns None when ImageIO cannot parse the bytes
     * (caller falls back to the stub). */
   private[operators] def decodeImage(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    // NonFatal, not just IOException: corrupt bytes that pass the magic
+    // sniff make ImageIO throw CMMException / IllegalArgumentException /
+    // ArrayIndexOutOfBoundsException — any of which would otherwise kill
+    // the task instead of falling back to the stub
     val img =
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
     img.map { im =>
       val w = im.getWidth
       val h = im.getHeight
@@ -181,7 +185,7 @@ object Multimodal {
                   javax.imageio.ImageIO.write(canvas, "png", baos)
                   baos.toByteArray
                 }
-              catch { case _: java.io.IOException => None }
+              catch { case scala.util.control.NonFatal(_) => None }
           out match {
             case Some(resized) => ResizedMedia(id, bytes.length, resized.length, resized = true, resized)
             case None => ResizedMedia(id, bytes.length, bytes.length, resized = false, bytes)

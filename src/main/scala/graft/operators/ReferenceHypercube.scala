@@ -200,12 +200,26 @@ object ReferenceHypercube {
     * cost-based planner runs. Returns None (→ generic fallback) when the
     * dim has NULL or negative keys or the packed widths overflow a long;
     * `time` stays unpacked, so fact-side values are unconstrained. */
-  /** Driver-side memo of the dim-statistics row keyed by the dim plan's
-    * canonical form — the stats job is deterministic for a given input,
-    * and callers (bench loops, retries) rebuild the same plan many
-    * times. Same spirit as Spark's own file-index/footer caches. */
+  /** Driver-side memo of the dim-statistics row — the stats job is
+    * deterministic for a given input, and callers (bench loops, retries)
+    * rebuild the same plan many times. Same spirit as Spark's own
+    * file-index/footer caches. The key includes the dim's RESOLVED INPUT
+    * FILES, not just the canonicalized plan: canonicalization strips
+    * file paths (two same-schema CSV scans of different folders render
+    * identically), so a plan-only key would silently reuse one dataset's
+    * min/max for another and mis-size the packed key bit widths. Plans
+    * with no resolvable input files are not cached at all. */
   private val dimStatsCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+
+  private def dimStatsCached(dim: DataFrame): org.apache.spark.sql.Row = {
+    val files = dim.inputFiles
+    if (files.isEmpty) dimStats(dim)
+    else dimStatsCache.computeIfAbsent(
+      files.sorted.mkString("\n") + "\n" +
+        dim.queryExecution.analyzed.canonicalized.toString,
+      _ => dimStats(dim))
+  }
 
   /** The one-off statistics aggregate over the dim table. */
   private def dimStats(dim: DataFrame): org.apache.spark.sql.Row =
@@ -219,8 +233,7 @@ object ReferenceHypercube {
         count(col("nature")) + count(col("client")) + count(col("contract_id"))).head()
 
   private def packedPlan(dim: DataFrame, joined: DataFrame): Option[DataFrame] = {
-    val s = dimStatsCache.computeIfAbsent(
-      dim.queryExecution.analyzed.canonicalized.toString, _ => dimStats(dim))
+    val s = dimStatsCached(dim)
     val n = s.getLong(12)
     if (n == 0 || s.getLong(13) != 6 * n) return None // empty dim or NULL keys
     val maxes = (0 to 5).map(i => s.get(i) match {

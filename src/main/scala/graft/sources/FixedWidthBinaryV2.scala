@@ -159,7 +159,15 @@ object FixedWidthBinaryV2 {
     private lazy val fileLen: Long = {
       val conf = SparkSession.active.sparkContext.hadoopConfiguration
       val p = new Path(table.path)
-      p.getFileSystem(conf).getFileStatus(p).getLen
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      // fail loudly on a directory: its inode "length" is meaningless and
+      // would silently plan an empty/garbage scan (globs never resolve to
+      // a status and already throw). Multi-file layouts would need a
+      // listing + per-file partition planning — a contract widening, not
+      // a silent fallback.
+      require(st.isFile,
+        s"FixedWidthBinaryV2 reads a single record-aligned file; ${table.path} is a directory")
+      st.getLen
     }
     private def totalRecords: Long = fileLen / recLen // trailing partial record dropped
 

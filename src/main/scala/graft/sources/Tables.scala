@@ -32,10 +32,26 @@ object Tables {
     * the extra full-table shuffle COSTS more than the parallelism gains —
     * partial aggregation already reduces on the scan side. Callers with
     * expensive per-row derivation (MinHash/SimHash signature hashing:
-    * ~200 hash evaluations per exploded shingle row) opt in. */
+    * ~200 hash evaluations per exploded shingle row) opt in.
+    *
+    * Only scan-shaped plans (leaf + project/filter, no joins/aggregates/
+    * shuffles) are ever probed: on anything else `df.rdd` would make AQE
+    * EXECUTE every upstream exchange stage just to report a partition
+    * count — real jobs whose results are then thrown away and recomputed
+    * by the actual query. Shuffle-bearing inputs already own their
+    * parallelism (shuffle.partitions), so they pass through untouched. */
   def rebalanced(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+    def scanShaped(p: LogicalPlan): Boolean = p match {
+      case Project(_, c) => scanShaped(c)
+      case Filter(_, c) => scanShaped(c)
+      case leaf if leaf.children.isEmpty => true
+      case _ => false
+    }
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (scanShaped(df.queryExecution.optimizedPlan) &&
+      df.rdd.getNumPartitions < target) df.repartition(target)
+    else df
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
