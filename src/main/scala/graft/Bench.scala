@@ -31,7 +31,7 @@ object Bench {
     "q18_fingerprint", "q19_knn_brute", "q20_knn_lsh", "q22_simhash",
     "q24_salted_agg", "q26_asof_join", "q27_embed_neardup_lsh",
     "q28_jaccard_join", "q29_knn_ivf", "q30_range_join", "q31_percentiles",
-    "q32_rollup", "q33_approx_percentiles", "q34_curation")
+    "q32_rollup", "q33_approx_percentiles", "q34_curation", "q35_split")
 
   /** `build` is by-name and runs AFTER the cache clear: queries that
     * persist (and eagerly materialize) intermediate frames — e.g. q17's

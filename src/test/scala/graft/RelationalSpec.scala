@@ -49,6 +49,26 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("deterministic sampling is stable, near-fraction, and monotone in the fraction") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sampling
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val n = docs.count().toDouble
+    val s10 = Sampling.deterministicSample(docs, col("doc_id"), 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s30 = Sampling.deterministicSample(docs, col("doc_id"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // stable across runs (hash-based, no RNG)
+    val s10again = Sampling.deterministicSample(docs, col("doc_id"), 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s10 === s10again)
+    // monotone: growing the fraction only ADDS rows (an RNG sample can't)
+    assert(s10.subsetOf(s30))
+    // near the requested fraction (binomial tolerance at n=500)
+    assert(math.abs(s10.size / n - 0.1) < 0.05)
+    assert(math.abs(s30.size / n - 0.3) < 0.07)
+  }
+
   test("every oracle key exists in queries") {
     val qs = SparkEntry.queries.keySet
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k)))
