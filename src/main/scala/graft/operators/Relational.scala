@@ -45,6 +45,90 @@ object Relational {
   private def dsumProd(price: Column, f1: Column, f2: Column): Column =
     sum(price.cast(DecimalType(18, 2)) * fac(f1) * fac(f2)).cast("double")
 
+  /** Value-histogram buckets per group for [[exactPercentiles]]. 4096 keeps
+    * the per-(group,bucket) count frame tiny (G×4096 rows) while making the
+    * pass-2 candidate set ~targets/4096 of the data. */
+  private val PctBuckets = 4096
+
+  /** Distributed EXACT per-group percentiles (linear interpolation,
+    * `lo*(1-f)+hi*f` — bit-matches DuckDB `quantile_cont`).
+    *
+    * Two-pass bucketed rank — the scale-safe exact-quantile plan:
+    *   1. `stats`: per-group (n, min, max) — one map-side partial aggregate.
+    *   2. `counts`: per-(group, value-bucket) histogram — a second map-side
+    *      partial aggregate over the same scan pipeline; only G×B tiny rows
+    *      cross the shuffle.
+    *   3. Cumulative bucket counts (a window over the TINY counts frame —
+    *      ≤B rows per group regardless of data size) locate, for each target
+    *      0-based order statistic `r = floor/ceil(p*(n-1))`, the bucket that
+    *      contains it and the local rank `r - cum_before` inside it.
+    *   4. Pass 2 re-scans, broadcast-semi-joins down to rows in straddling
+    *      buckets (≤ 2·|ps| buckets per group, each ~n/B rows), ranks each
+    *      such bucket independently (`Window.partitionBy(group, bucket)` —
+    *      parallelism G×B, per-task work ~n/B), and picks the straddle rows.
+    *
+    * Every full-data stage is map-only (scan + broadcast join + partial
+    * agg); no group is ever sorted in a single task and the fact table
+    * never crosses a shuffle — at 100 TB the cost is two scans plus
+    * KB-scale exchanges. Value ties never straddle buckets (equal values
+    * share a bucket), so value-at-rank is well-defined regardless of the
+    * arbitrary tie order inside a bucket.
+    *
+    * @param base frame with the group column and a double measure `x`
+    * @param grp  group column name
+    * @param ps   (fraction, output column name) pairs
+    */
+  def exactPercentiles(base: DataFrame, grp: String, ps: Seq[(Double, String)]): DataFrame = {
+    val b = lit(PctBuckets)
+    val stats = base.groupBy(grp).agg(
+      count(lit(1)).as("n"), min("x").as("mn"), max("x").as("mx"))
+    // Deterministic value bucket; the min==max (or single-row) group
+    // degenerates to bucket 0. x==mx lands on B and is clamped to B-1.
+    val bucketed = base.join(broadcast(stats), Seq(grp))
+      .withColumn("bkt", when(col("mx") > col("mn"),
+        least(lit(PctBuckets - 1),
+          floor((col("x") - col("mn")) / (col("mx") - col("mn")) * b).cast("int")))
+        .otherwise(0))
+      .select(col(grp), col("x"), col("bkt"))
+    val counts = bucketed.groupBy(grp, "bkt").agg(count(lit(1)).as("cnt"))
+    val cw = Window.partitionBy(grp).orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = counts.withColumn("cum", coalesce(sum("cnt").over(cw), lit(0L)))
+      .withColumnRenamed(grp, "c_grp")
+    // 0-based fractional rank of percentile p is pos = p*(n-1); the
+    // straddling 0-based order statistics are floor(pos) and ceil(pos).
+    def posOf(p: Double): Column = lit(p) * (col("n") - 1).cast("double")
+    val targets = stats.select(col(grp), explode(array(ps.flatMap { case (p, name) =>
+      Seq(struct(lit(s"lo_$name").as("tag"), floor(posOf(p)).cast("long").as("r")),
+        struct(lit(s"hi_$name").as("tag"), ceil(posOf(p)).cast("long").as("r")))
+    }: _*)).as("t")).select(col(grp), col("t.tag").as("tag"), col("t.r").as("r"))
+    // Which bucket holds rank r — inequality join, but both sides are tiny
+    // (G×2|ps| targets vs G×B counts).
+    val needed = targets.join(cum,
+      col(grp) === col("c_grp") && col("r") >= col("cum") &&
+        col("r") < col("cum") + col("cnt"))
+      .select(col(grp), col("tag"), col("bkt"), (col("r") - col("cum")).as("lr"))
+    val needBkts = needed.select(grp, "bkt").distinct()
+    val rw = Window.partitionBy(grp, "bkt").orderBy("x")
+    val vals = bucketed.join(broadcast(needBkts), Seq(grp, "bkt"))
+      .withColumn("lr", row_number().over(rw).cast("long") - 1)
+      .join(broadcast(needed), Seq(grp, "bkt", "lr"))
+      .select(col(grp), col("tag"), col("x"))
+    val aggs = ps.flatMap { case (_, name) => Seq(
+      max(when(col("tag") === s"lo_$name", col("x"))).as(s"lo_$name"),
+      max(when(col("tag") === s"hi_$name", col("x"))).as(s"hi_$name"))
+    }
+    vals.groupBy(grp).agg(aggs.head, aggs.tail: _*)
+      .join(broadcast(stats.select(col(grp), col("n"))), Seq(grp))
+      .select(col(grp) +: ps.map { case (p, name) =>
+        // lo*(1-f) + hi*f — bit-matches DuckDB quantile_cont (the
+        // lo + (hi-lo)*f variant differs in the last ulp)
+        (col(s"lo_$name") * (lit(1.0) - (posOf(p) - floor(posOf(p)))) +
+          col(s"hi_$name") * (posOf(p) - floor(posOf(p)))).as(name)
+      } :+ col("n"): _*)
+      .orderBy(grp)
+  }
+
   val queries: Seq[Query] = Seq(
 
     Query(
@@ -389,42 +473,22 @@ object Relational {
     Query(
       "q31_percentiles",
       "Exact per-group percentiles (p25/p50/p75/p95) of the extended price — " +
-        "the distribution profiling every data-quality pass needs. SORT-based: " +
-        "one sort shuffle + row_number, keep only the two rows straddling each " +
-        "requested rank, interpolate. Spark's percentile() AGGREGATE instead " +
-        "holds every group value in one in-memory map — a single-task OOM at " +
-        "100 TB group sizes (and 3x slower even locally); the sort form scales " +
-        "with the shuffle, like every engine's exact-quantile path. " +
+        "the distribution profiling every data-quality pass needs. " +
+        "Bucketed two-pass rank: pass 1 computes per-group count/min/max and " +
+        "per-(group,bucket) histogram counts (map-side partial aggregates — " +
+        "no full-data shuffle at all); cumulative bucket counts locate the " +
+        "bucket holding each target order statistic; pass 2 re-scans, keeps " +
+        "only the ~targets/B fraction of rows in straddling buckets, and " +
+        "ranks those tiny buckets in parallel. No group's rows ever funnel " +
+        "through one task (the round-3 Window.partitionBy(group) form did — " +
+        "a single-task sort of tens of GB per group at 100 TB), and unlike a " +
+        "global-sort rank the full fact table never crosses a shuffle. " +
         "Interpolation bit-matches DuckDB quantile_cont on the double domain.",
-      (s, dir) => {
-        val ps = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
-        val base = Tables.lineitem(s, dir)
-          .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("x"))
-        val w = Window.partitionBy("l_returnflag").orderBy("x")
-        val nw = Window.partitionBy("l_returnflag")
-        // 0-based fractional rank of percentile p is pos = p*(n-1); the
-        // straddling 1-based rows are floor(pos)+1 and ceil(pos)+1
-        def pos(p: Double): Column = lit(p) * (col("n") - 1).cast("double")
-        val ranked = base
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(nw))
-        val straddles = ps.map(_._1).flatMap(p =>
-          Seq(col("rn") === floor(pos(p)) + 1, col("rn") === ceil(pos(p)) + 1))
-        val picked = ranked.filter(straddles.reduce(_ || _))
-        val aggs = ps.flatMap { case (p, name) => Seq(
-          max(when(col("rn") === floor(pos(p)) + 1, col("x"))).as(s"lo_$name"),
-          max(when(col("rn") === ceil(pos(p)) + 1, col("x"))).as(s"hi_$name"))
-        } :+ max(col("n")).as("n")
-        picked.groupBy("l_returnflag")
-          .agg(aggs.head, aggs.tail: _*)
-          .select(col("l_returnflag") +: ps.map { case (p, name) =>
-            // lo*(1-f) + hi*f — bit-matches DuckDB quantile_cont (the
-            // lo + (hi-lo)*f variant differs in the last ulp)
-            (col(s"lo_$name") * (lit(1.0) - (pos(p) - floor(pos(p)))) +
-              col(s"hi_$name") * (pos(p) - floor(pos(p)))).as(name)
-          } :+ col("n"): _*)
-          .orderBy("l_returnflag")
-      },
+      (s, dir) => Relational.exactPercentiles(
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("x")),
+        "l_returnflag",
+        Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95")),
       Some("""
         SELECT l_returnflag,
                quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS p25,

@@ -35,6 +35,61 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q31 exact percentiles never sort a whole group in one task") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    // Two groups, many rows, forced multi-partition input: the old
+    // Window.partitionBy(group) plan would funnel each group's 25k rows
+    // through a single task; the bucketed two-pass plan must not.
+    val two = spark.range(50000).repartition(8)
+      .select(when(col("id") % 2 === 0, "G").otherwise("H").as("g"),
+        (col("id") % 9973).cast("double").as("x"))
+    val out = graft.operators.Relational.exactPercentiles(
+      two, "g", Seq(0.5 -> "p50", 0.95 -> "p95"))
+    val rows = out.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.size === 2)
+    def q(vals: Seq[Double], p: Double): Double = {
+      val sorted = vals.sorted
+      val pos = p * (sorted.length - 1)
+      val (lo, hi) = (sorted(pos.floor.toInt), sorted(pos.ceil.toInt))
+      lo * (1 - (pos - pos.floor)) + hi * (pos - pos.floor)
+    }
+    val byG = (0L until 50000L).groupBy(i => if (i % 2 == 0) "G" else "H")
+      .map { case (g, is) => g -> is.map(i => (i % 9973).toDouble).toSeq }
+    byG.foreach { case (g, vals) =>
+      assert(rows(g).getAs[Double]("p50") === q(vals, 0.5), s"group $g p50")
+      assert(rows(g).getAs[Double]("p95") === q(vals, 0.95), s"group $g p95")
+    }
+    // Structural guard: every window over row-scale data partitions by
+    // (group, bucket) — parallelism G×B; a 1-column window spec is only
+    // allowed over the pre-aggregated counts frame (≤B rows per group).
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.ReusedSubqueryExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val expanded = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Seq.empty
+      }
+      p +: (p.children ++ expanded ++ p.subqueries.map {
+        case r: ReusedSubqueryExec => r.child
+        case s => s
+      }).flatMap(allNodes)
+    }
+    val nodes = allNodes(out.queryExecution.executedPlan)
+    val ws = nodes.collect { case w: WindowExec => w }
+    assert(ws.nonEmpty, "expected window nodes in the percentile plan")
+    ws.foreach { w =>
+      // The cumulative-counts window (ordered by the bucket id) runs over
+      // the aggregated histogram — ≤B rows per group at any data size.
+      val overCounts = w.orderSpec.exists(_.child.references.exists(_.name == "bkt"))
+      assert(w.partitionSpec.length >= 2 || overCounts,
+        s"window partitioned by a bare group key over row-scale data:\n$w")
+    }
+  }
+
   test("q33 approx percentiles are within 5% of the exact sort-based q31") {
     val approx = SparkEntry.queries("q33_approx_percentiles")(spark, sf)
       .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2),
