@@ -5,6 +5,7 @@ import scala.util.hashing.MurmurHash3
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Query
 import graft.sources.Tables
@@ -129,6 +130,49 @@ object Similarity {
 
   // ---- IVF (inverted-file) ANN ----
 
+  /** Corpus × centroid cosine scores. The centroid side is ALWAYS a
+    * bounded broadcast (≤ `centroids` rows), so this nested loop is
+    * O(n·C) with C fixed — never corpus × corpus. */
+  private def centScores(side: DataFrame, cent: DataFrame): DataFrame =
+    side.join(broadcast(cent), lit(true))
+      .withColumn("cs", cosine(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")))
+
+  /** Nearest-centroid assignment via max_by on (score, cent_id) — a hash
+    * aggregate whose partials combine MAP-SIDE, so the exchange carries
+    * one row per vector, not the n×C scored rows a window-rank
+    * formulation would sort and shuffle. Ties (two centroids at identical
+    * cosine) break deterministically to the higher cent_id via the struct
+    * ordering. Output: (vec_id, emb, nrm, cluster). */
+  private def assignToCentroids(e: DataFrame, cent: DataFrame): DataFrame =
+    centScores(e, cent)
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("emb"), col("nrm"), col("cent_id")),
+        struct(col("cs"), col("cent_id"))).as("m"))
+      .select(col("vec_id"), col("m.emb").as("emb"), col("m.nrm").as("nrm"),
+        col("m.cent_id").as("cluster"))
+
+  /** One deterministic Lloyd (k-means) step: assign every vector to its
+    * nearest centroid, then replace each centroid with its members' mean.
+    * Element sums run over the posexploded (cluster, dim) key — a map-side
+    * partial aggregate whose exchange carries ≤ C·d tiny rows per
+    * partition — and are summed in the exact decimal domain so the
+    * refined centroids are bit-deterministic regardless of partition
+    * order (a plain double sum would vary run to run). Clusters that lose
+    * all members (or degenerate to a zero mean) drop out — C never grows. */
+  private def lloydStep(e: DataFrame, cent: DataFrame): DataFrame =
+    assignToCentroids(e, cent)
+      .select(col("cluster"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos")
+      .agg((sum(col("v").cast(DecimalType(38, 18))).cast("double") /
+        count(lit(1)).cast("double")).as("m"))
+      .groupBy("cluster")
+      // struct ordering is field-lexicographic, so sorting on (pos, m)
+      // reassembles the mean vector in dimension order
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        t => t("m")).as("c_emb"))
+      .select(col("cluster").as("cent_id"), col("c_emb"), l2norm(col("c_emb")).as("c_nrm"))
+      .filter(col("c_nrm") > 0)
+
   /** IVF-flat approximate kNN: the corpus is coarse-quantized to its
     * nearest centroid (the "inverted file"), a query probes only its
     * `nProbe` nearest centroids' lists, and exact cosine re-ranks inside
@@ -136,44 +180,37 @@ object Similarity {
     * (q20): LSH buckets by random projection, IVF buckets by data-driven
     * proximity.
     *
-    * Centroids are a deterministic stride-sample of the corpus (every
-    * `centroidStride`-th vec_id). A k-means pass would tighten the lists;
-    * sampling keeps the operator fully deterministic and engine-portable,
-    * and every scale property lives in the LIST STRUCTURE, not centroid
-    * quality.
+    * Centroids: `centroids` seed vectors chosen by smallest
+    * xxhash64(vec_id) — a deterministic hash-order sample whose size is
+    * FIXED independent of corpus size (a production IVF pins C ≈ √n or a
+    * constant; round 3's every-64th-vec_id stride made C grow O(n) and
+    * the assignment O(n²)) — then tightened by `lloydIters` deterministic
+    * k-means steps (decimal-domain member means, see [[lloydStep]]).
     *
-    * Scale shape: centroids are C rows — broadcast everywhere; the
-    * assignment argmax is an in-partition window after a broadcast join
-    * (one vec-keyed exchange); the probe step shuffles the corpus ONCE
+    * Scale shape: every centroid frame is ≤ C rows — broadcast
+    * everywhere; index build cost is O(n·C) cosine evaluations per
+    * assignment/Lloyd pass with C bounded, all map-side, plus one
+    * vec-keyed exchange per pass; the probe step shuffles the corpus ONCE
     * keyed on cluster id — on a real deployment that partitioning is
     * written out bucketed-by-cluster, making every later query's probe a
     * partition-pruned read touching nProbe/C of the data. Never a cross
     * product against the corpus; each corpus vector lives in exactly one
     * list, so no candidate dedup is needed. */
   def knnIvf(emb: DataFrame, nQueries: Int, k: Int,
-      centroidStride: Int = 64, nProbe: Int = 8): DataFrame = {
+      centroids: Int = 256, nProbe: Int = 8, lloydIters: Int = 1): DataFrame = {
     val e = prepared(emb)
-    val cent = e.filter(col("vec_id") % centroidStride === 0)
+    val seeds = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(centroids)
       .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
-    def centScores(side: DataFrame): DataFrame =
-      side.join(broadcast(cent), lit(true))
-        .withColumn("cs", cosine(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")))
-    // nearest centroid per corpus vector via max_by on (score, cent_id)
-    // — a hash aggregate whose partials combine MAP-SIDE, so the
-    // exchange carries one row per vector, not the N×C scored rows a
-    // window-rank formulation would sort and shuffle. Ties (two
-    // centroids at identical cosine) break deterministically to the
-    // higher cent_id via the struct ordering.
-    val assigned = centScores(e)
-      .groupBy("vec_id")
-      .agg(max_by(struct(col("emb"), col("nrm"), col("cent_id")),
-        struct(col("cs"), col("cent_id"))).as("m"))
-      .select(col("vec_id"), col("m.emb").as("emb"), col("m.nrm").as("nrm"),
-        col("m.cent_id").as("cluster"))
+    val cent = (1 to lloydIters).foldLeft(seeds)((c, _) => lloydStep(e, c))
+    // eager barrier: the C-row centroid frame feeds two broadcasts
+    // (assignment + probes) whose lineage is lloydIters corpus passes —
+    // unpersisted, AQE races both sides and the Lloyd pipeline runs twice
+    cent.persist().count()
+    val assigned = assignToCentroids(e, cent)
     // nProbe nearest centroids per query
     val q = e.filter(col("vec_id") < nQueries)
     val wProbe = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("cent_id"))
-    val probes = centScores(q)
+    val probes = centScores(q, cent)
       .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"), col("cent_id").as("cluster"))
@@ -271,12 +308,13 @@ object Similarity {
 
     Query(
       "q29_knn_ivf",
-      "Approximate top-5 neighbors via IVF-flat (stride-sampled centroids, " +
-        "nProbe=8): corpus coarse-quantized to inverted lists, queries probe " +
-        "their nearest lists only, exact cosine re-ranks candidates. The " +
-        "data-driven-bucketing counterpart of q20's LSH; at scale the " +
-        "cluster-keyed layout is written bucketed so probes are " +
-        "partition-pruned reads. Recall vs q19 measured in ScalaTest. " +
+      "Approximate top-5 neighbors via IVF-flat (C=256 hash-sampled seed " +
+        "centroids — bounded regardless of corpus size — tightened by one " +
+        "deterministic Lloyd step, nProbe=8): corpus coarse-quantized to " +
+        "inverted lists, queries probe their nearest lists only, exact cosine " +
+        "re-ranks candidates. The data-driven-bucketing counterpart of q20's " +
+        "LSH; at scale the cluster-keyed layout is written bucketed so probes " +
+        "are partition-pruned reads. Recall vs q19 measured in ScalaTest. " +
         "No oracle: approximate by design.",
       (s, dir) => knnIvf(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
 

@@ -56,7 +56,7 @@ class SimilaritySpec extends AnyFunSuite {
     // scores -> same argmax list (deterministic tie-break) -> must
     // surface as the rank-1 neighbor even with selective probing
     val res = Similarity.knnIvf(corpus, nQueries = 10, k = 5,
-        centroidStride = 16, nProbe = 8)
+        centroids = 32, nProbe = 8)
       .filter(col("neighbor_id") === col("query_id") + 10000)
     assert(res.count() === 10)
     assert(res.filter(col("rank") === 1).count() === 10)
@@ -66,12 +66,20 @@ class SimilaritySpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, sf)
     val brute = Similarity.knnBrute(emb, 10, 5).select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Similarity.knnIvf(emb, 10, 5, centroidStride = 16, nProbe = 8)
+    val ivf = Similarity.knnIvf(emb, 10, 5, centroids = 32, nProbe = 8)
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & ivf).size.toDouble / brute.size
-    info(f"IVF recall@5 = $recall%.2f (near-random corpus; probes 8 of ~32 lists at sf0.001)")
+    val seedsOnly = Similarity.knnIvf(emb, 10, 5, centroids = 32, nProbe = 8,
+        lloydIters = 0)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallSeeds = (brute & seedsOnly).size.toDouble / brute.size
+    info(f"IVF recall@5 = $recall%.2f (seeds-only $recallSeeds%.2f; " +
+      "near-random corpus; probes 8 of 32 lists at sf0.001)")
     assert(recall > 0.0)
+    assert(recall >= recallSeeds - 0.1,
+      "one Lloyd step should not materially hurt recall")
     assert(ivf.size <= 50) // shape: still top-5 per query
   }
 
