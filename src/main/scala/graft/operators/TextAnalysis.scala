@@ -231,17 +231,19 @@ object TextAnalysis {
       "Document fingerprinting: bottom-k sketch of the shingle set (k smallest " +
         "md5(shingle) digests, concatenated) — a compact, mergeable content " +
         "signature; two docs share a fingerprint prefix iff their shingle sets " +
-        "overlap heavily. Computed per ROW from the doc's distinct-shingle " +
-        "array (no explode, no doc-keyed aggregate, no shuffle before the " +
-        "final order).",
+        "overlap heavily. Computed per ROW by the fused native " +
+        "BottomKNgramMd5 expression (no explode, no doc-keyed aggregate, no " +
+        "shuffle before the final order, and — unlike the composed " +
+        "transform+array_sort+slice form, whose CodegenFallback HOFs ejected " +
+        "the whole projection from codegen — one whole-stage-codegen'd pass).",
       (s, dir) => {
-        val sh = array_distinct(shingleArray(tokensFast(col("text")), 3))
+        val toks = tokensFast(col("text"))
         Tables.rebalanced(Tables.documents(s, dir))
-          .filter(size(tokensFast(col("text"))) >= 3)
-          .select(col("doc_id"), sh.as("sh"))
+          .filter(size(toks) >= 3)
           .select(col("doc_id"),
-            concat_ws(",", slice(array_sort(transform(col("sh"), s => md5(s))), 1, 4)).as("fingerprint"),
-            size(col("sh")).cast("long").as("n_shingles"))
+            graft.functions.BottomKNgramMd5.bottomk_ngram_md5(toks, 3, 4).as("fp"))
+          .select(col("doc_id"), col("fp.fingerprint").as("fingerprint"),
+            col("fp.n_shingles").as("n_shingles"))
           .orderBy("doc_id")
       },
       Some("""

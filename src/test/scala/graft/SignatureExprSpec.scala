@@ -119,6 +119,53 @@ class SignatureExprSpec extends AnyFunSuite {
     assert(fpInterp === refSimhash(input))
   }
 
+  test("bottomk_ngram_md5 matches the composed distinct+md5+sort+slice form") {
+    import graft.functions.BottomKNgramMd5.bottomk_ngram_md5
+    val toks = operators.TextAnalysis.tokensFast(col("text"))
+    val sh = array_distinct(operators.TextAnalysis.shingleArray(toks, 3))
+    val both = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(size(toks) >= 3)
+      .select(
+        bottomk_ngram_md5(toks, 3, 4).as("fp"),
+        concat_ws(",", slice(array_sort(transform(sh, s => md5(s))), 1, 4)).as("c_fp"),
+        size(sh).cast("long").as("c_n"))
+    assert(both.filter(col("fp.fingerprint") =!= col("c_fp") ||
+      col("fp.n_shingles") =!= col("c_n")).count() === 0)
+  }
+
+  test("bottomk_ngram_md5 handles degenerate inputs and stays codegen'd") {
+    import graft.functions.BottomKNgramMd5
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(ts: String*) = Literal.create(
+      new GenericArrayData(ts.map(UTF8String.fromString).toArray),
+      ArrayType(StringType, containsNull = false))
+    // fewer tokens than n -> empty fingerprint, zero shingles
+    val empty = BottomKNgramMd5(arr("a", "b"), 3, 4).eval(null).asInstanceOf[InternalRow]
+    assert(empty.getUTF8String(0).toString === "")
+    assert(empty.getLong(1) === 0L)
+    // fewer distinct shingles than k -> all of them, in digest order
+    val one = BottomKNgramMd5(arr("a", "b", "c"), 3, 4).eval(null).asInstanceOf[InternalRow]
+    assert(one.getUTF8String(0).numChars === 32)
+    assert(one.getLong(1) === 1L)
+    // duplicate shingles collapse ("a b a b a" has shingles {a b a, b a b})
+    val dup = BottomKNgramMd5(arr("a", "b", "a", "b", "a"), 3, 4)
+      .eval(null).asInstanceOf[InternalRow]
+    assert(dup.getLong(1) === 2L)
+    // codegen participation on a table-backed scan
+    val df = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(graft.functions.BottomKNgramMd5.bottomk_ngram_md5(
+        operators.TextAnalysis.tokensFast(col("text")), 3, 4).as("fp"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("bottomk_ngram_md5") && l.contains("*(")),
+      s"bottomk_ngram_md5 not inside a codegen stage:\n$plan")
+  }
+
   test("duplicate shingles do not change either signature's min/set semantics") {
     import spark.implicits._
     val base = Seq(11L, 22L, 33L)
