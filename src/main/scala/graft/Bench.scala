@@ -31,7 +31,8 @@ object Bench {
     "q18_fingerprint", "q19_knn_brute", "q20_knn_lsh", "q22_simhash",
     "q24_salted_agg", "q26_asof_join", "q27_embed_neardup_lsh",
     "q28_jaccard_join", "q29_knn_ivf", "q30_range_join", "q31_percentiles",
-    "q32_rollup", "q33_approx_percentiles", "q34_curation", "q35_split")
+    "q32_rollup", "q33_approx_percentiles", "q34_curation", "q35_split",
+    "q36_salted_join")
 
   /** `build` is by-name and runs AFTER the cache clear: queries that
     * persist (and eagerly materialize) intermediate frames — e.g. q17's
@@ -49,6 +50,15 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
+  /** 1/5/15-min load averages as a JSON array — environment telemetry so a
+    * contended artifact is distinguishable from a regression (the round-3
+    * driver bench read 5× steady state under co-tenant load, and nothing
+    * in the JSON could prove it). */
+  def loadavgJson(): String =
+    try Files.readString(Paths.get("/proc/loadavg")).trim
+      .split(" ").take(3).mkString("[", ",", "]")
+    catch { case _: Exception => "[]" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
@@ -63,6 +73,7 @@ object Bench {
     require(unknown.isEmpty,
       s"unknown bench queries: ${unknown.mkString(", ")} (catalog: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
     val queries = selected.map(n => n -> SparkEntry.queries(n))
+    val loadStart = loadavgJson()
     // Warm-up: one full pass (never timed).
     queries.foreach { case (_, fn) => runOnce(spark)(fn(spark, sfDir)) }
 
@@ -72,12 +83,15 @@ object Bench {
         runOnce(spark)(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
-      name -> median(times)
+      name -> times
     }
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = results.map { case (k, ts) => s""""$k":${median(ts)}""" }.mkString("{", ",", "}")
+    // full raw run lists + load averages: medians alone can't prove a
+    // number was (or wasn't) taken under host contention
+    val runs = results.map { case (k, ts) => s""""$k":[${ts.mkString(",")}]""" }.mkString("{", ",", "}")
+    val total = results.map(r => median(r._2)).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"loadavg_start":$loadStart,"loadavg_end":${loadavgJson()}}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()
     println(json) // last line of stdout

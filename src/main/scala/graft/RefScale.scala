@@ -127,6 +127,7 @@ object RefScale {
     // median of 5 timed end-to-end runs (host contention makes single
     // shots vary up to 3× — with ~1 outlier per batch, 3 runs is not
     // robust enough for a stable median)
+    val loadStart = Bench.loadavgJson()
     val times = (1 to 5).map { _ =>
       val t1 = System.nanoTime()
       ReferenceHypercube.writeCsv(
@@ -134,7 +135,7 @@ object RefScale {
       (System.nanoTime() - t1) / 1e9
     }.sorted
     val secs = times(2)
-    val json = f"""{"metric":"refscale_end_to_end","value":$secs%.3f,"unit":"sec","runs":[${times.map(t => f"$t%.3f").mkString(",")}],"rows":$NInvoices,"rows_per_sec":${(NInvoices / secs).toLong},"baseline_sec":11.5,"baseline_rows_per_sec":11800000}"""
+    val json = f"""{"metric":"refscale_end_to_end","value":$secs%.3f,"unit":"sec","runs":[${times.map(t => f"$t%.3f").mkString(",")}],"rows":$NInvoices,"rows_per_sec":${(NInvoices / secs).toLong},"baseline_sec":11.5,"baseline_rows_per_sec":11800000,"loadavg_start":$loadStart,"loadavg_end":${Bench.loadavgJson()}}"""
     Files.writeString(Paths.get("target/refscale_bench.json"), json + "\n")
     // tracked copy at the repo root so the result survives target/ cleans
     Files.writeString(Paths.get("REFSCALE_BENCH.json"), json + "\n")

@@ -26,23 +26,40 @@ import graft.sources.Tables
 object Curation {
 
   def curated(docs: DataFrame): DataFrame = {
-    val lq = TextAnalysis.langQuality(docs)
+    // ONE persisted corpus pass computes the normalized text and token
+    // array every stage consumes (round 3 re-derived them in each of the
+    // three stages — three full normalize/tokenize scans); `tokens(text)`
+    // is `split(norm, " ")` by definition, so scoring, hashing and
+    // shingling below are bit-identical to the standalone operators.
+    // This is the corpus working set an engine would checkpoint at 100 TB.
+    val w = Tables.rebalanced(docs)
+      .select(col("doc_id"), col("lang"), TextAnalysis.norm(col("text")).as("nrm"))
+      .withColumn("toks", split(col("nrm"), " "))
+      .persist()
+    w.count() // barrier: three consumers below race the cache otherwise
+    val lq = TextAnalysis.langQualityNormed(w.select(col("doc_id"),
+        col("lang").as("lang_label"), col("nrm").as("n"), col("toks").as("t")))
       .select(col("doc_id"), col("pred_lang"), col("quality"), col("n_tokens"))
     val admitted = lq
       .filter(col("pred_lang") === "en" && col("quality") >= 0.5)
       .select(col("doc_id"), col("n_tokens"))
-    val adDocs = docs.join(admitted.select("doc_id"), Seq("doc_id"))
-    val survivors = adDocs
-      .select(col("doc_id"), sha2(TextAnalysis.norm(col("text")), 256).as("h"))
+    val survivors = w.join(admitted.select("doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), sha2(col("nrm"), 256).as("h"))
       .groupBy("h").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    val survDocs = docs.join(survivors, Seq("doc_id"))
+    // shingle-hash sets of the survivors, from the shared token arrays
+    val base = w.join(survivors, Seq("doc_id"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_sort(array_distinct(
+        graft.functions.NgramXxHash64.ngram_xxhash64(col("toks"), 3))).as("hs"))
+      .persist()
+    base.count() // barrier, as in Dedup.jaccardJoin
     // non-cascading exclusion rule: any survivor that is the HIGHER id of
     // a qualifying near-dup pair among survivors is dropped (deterministic
     // and engine-portable; a cascading rule would depend on drop order)
-    val dropped = Dedup.jaccardJoin(survDocs, n = 3, tau = 0.7)
+    val dropped = Dedup.jaccardJoinOnHashes(base, tau = 0.7)
       .select(col("doc_b").as("doc_id")).distinct()
-    survDocs.select("doc_id")
+    survivors
       .join(admitted, Seq("doc_id"))
       .join(dropped, Seq("doc_id"), "left_anti")
       .agg(count(lit(1)).as("n_docs"),

@@ -220,7 +220,6 @@ object Dedup {
     * should `spark.catalog.clearCache()` between them (Bench and Verify
     * both do). */
   def jaccardJoin(docs0: DataFrame, n: Int, tau: Double): DataFrame = {
-    val u = tau / (1.0 + tau)
     val docs = Tables.rebalanced(docs0)
     val base = docs
       .filter(size(TextAnalysis.tokensFast(col("text"))) >= n)
@@ -228,6 +227,15 @@ object Dedup {
         TextAnalysis.shingleHashArray(TextAnalysis.tokensFast(col("text")), n))).as("hs"))
       .persist()
     base.count() // barrier: 4 consumers below, corpus scanned exactly once
+    jaccardJoinOnHashes(base, tau)
+  }
+
+  /** The prefix-filter join of [[jaccardJoin]] over a prepared `(doc_id,
+    * hs)` frame — `hs` the doc's sorted distinct 64-bit shingle hashes,
+    * already persisted by the caller (so a pipeline that owns a shared
+    * tokenization pass, q34, skips this operator's own corpus scan). */
+  def jaccardJoinOnHashes(base: DataFrame, tau: Double): DataFrame = {
+    val u = tau / (1.0 + tau)
     val withSz = base.select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
     val dfreq = withSz.select(explode(col("hs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))

@@ -48,10 +48,13 @@ object ReferenceHypercube {
 
   /** `contracts.csv` (reference `ETL.java:76-112`). `start`/`end` are in
     * the file but never consumed — declared here, pruned in [[contracts]]
-    * (reference prunes positionally, `ETL.java:101-105`). */
+    * (reference prunes positionally, `ETL.java:101-105`). Field names
+    * match the file header exactly (`id_client`, not `client`) so
+    * CSVHeaderChecker stays quiet; [[contracts]] renames to the engine's
+    * `client`. */
   val contractSchema: StructType = StructType(Seq(
     StructField("id", IntegerType, nullable = false),
-    StructField("client", IntegerType, nullable = false),
+    StructField("id_client", IntegerType, nullable = false),
     StructField("nature", IntegerType, nullable = false),
     StructField("start", IntegerType, nullable = false),
     StructField("end", IntegerType, nullable = false)))
@@ -61,7 +64,7 @@ object ReferenceHypercube {
 
   def contracts(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").schema(contractSchema).csv(path)
-      .select("id", "client", "nature")
+      .select(col("id"), col("id_client").as("client"), col("nature"))
 
   def invoices(spark: SparkSession, path: String): DataFrame =
     FixedWidthBinary.invoices(spark, path)

@@ -89,6 +89,36 @@ object Skew {
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY l_returnflag
-        ORDER BY l_returnflag"""))
+        ORDER BY l_returnflag""")),
+
+    Query(
+      "q36_salted_join",
+      "Salted equi-join on a deliberately hot key: every lineitem row joins a " +
+        "3-row per-return-flag dim, so an unsalted shuffle join funnels the " +
+        "whole fact through 3 reduce tasks; the deterministic row salt spreads " +
+        "each hot key over 8 sub-partitions while the build side replicates " +
+        "8x (shuffle_hash-hinted so the salted shuffle path is what executes — " +
+        "a 24-row build would otherwise broadcast and hide the skew story). " +
+        "Salting must be semantically invisible — the oracle is the PLAIN join.",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_returnflag")
+        val dim = Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag").as("flag"))
+          .agg(count(lit(1)).as("n_flag"))
+        saltedJoin(li, dim.hint("shuffle_hash"), "l_returnflag", "flag", nSalts = 8)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("n_flag"))
+          // (orderkey, linenumber) is NOT unique in the synthetic lineitem;
+          // the flag completes a total order (remaining ties are identical rows)
+          .orderBy("l_orderkey", "l_linenumber", "l_returnflag")
+      },
+      Some("""
+        SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, d.n_flag
+        FROM lineitem l
+        JOIN (SELECT l_returnflag AS flag, COUNT(*) AS n_flag
+              FROM lineitem GROUP BY 1) d
+          ON l.l_returnflag = d.flag
+        ORDER BY l.l_orderkey, l.l_linenumber, l.l_returnflag"""))
   )
 }

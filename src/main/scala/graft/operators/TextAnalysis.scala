@@ -104,8 +104,15 @@ object TextAnalysis {
   def langQuality(docsIn: DataFrame): DataFrame = {
     val n = norm(col("text"))
     val t = tokens(col("text"))
+    langQualityNormed(docsIn
+      .select(col("doc_id"), col("lang").as("lang_label"), n.as("n"), t.as("t")))
+  }
+
+  /** As [[langQuality]], but over an already-normalized frame
+    * `(doc_id, lang_label, n, t)` — so a pipeline that persists one
+    * normalization pass (q34) can score without re-deriving it. */
+  def langQualityNormed(docsIn: DataFrame): DataFrame = {
     val docs = docsIn
-      .select(col("doc_id"), col("lang").as("lang_label"), n.as("n"), t.as("t"))
       .select(
         col("doc_id"), col("lang_label"),
         size(col("t")).as("n_tokens"),
