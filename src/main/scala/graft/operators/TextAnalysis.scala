@@ -263,6 +263,99 @@ object TextAnalysis {
           FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
                 FROM documents))
         GROUP BY doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    Query(
+      "q37_pii_scrub",
+      "PII scrubbing: regex redaction of emails then phone numbers, per-doc " +
+        "redaction counts, and a SHA-256 over the scrubbed text proving the " +
+        "rewrite is byte-identical across engines. The synthetic corpus " +
+        "carries no natural PII, so a deterministic contact line is appended " +
+        "first (same expression in the oracle). Patterns are lookahead-free " +
+        "so Java regex and RE2 agree; counts are split-based (DuckDB has no " +
+        "regexp_count; both engines keep trailing empty splits). Pure map " +
+        "pass — the redaction path of every pre-training privacy filter.",
+      (s, dir) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+        val withPii = concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com or +1 555 010"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+        val noEmail = regexp_replace(withPii, emailRe, "[EMAIL]")
+        val scrubbed = regexp_replace(noEmail, phoneRe, "[PHONE]")
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            (size(split(withPii, emailRe)) - 1).as("n_emails"),
+            (size(split(noEmail, phoneRe)) - 1).as("n_phones"),
+            sha2(scrubbed, 256).as("scrub_hash"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH pii AS (
+          SELECT doc_id,
+                 concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                        '@example.com or +1 555 010',
+                        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS t
+          FROM documents
+        ), ne AS (
+          SELECT doc_id, t,
+                 regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t2
+          FROM pii)
+        SELECT doc_id,
+               CAST(len(string_split_regex(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS INT) AS n_emails,
+               CAST(len(string_split_regex(t2, '\+?[0-9][0-9()\- ]{6,}[0-9]')) - 1 AS INT) AS n_phones,
+               sha256(regexp_replace(t2, '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g')) AS scrub_hash
+        FROM ne
+        ORDER BY doc_id""")),
+
+    Query(
+      "q38_repetition",
+      "Repetition / boilerplate scoring (the Gopher-family quality signals): " +
+        "duplicate-token fraction (1 - distinct/total) and top-2-gram " +
+        "concentration (most frequent bigram count / total bigrams) per " +
+        "document. The bigram explode feeds two doc-keyed hash aggregates — " +
+        "partials combine map-side, so the exchange carries (doc, gram) " +
+        "counts, never raw text; ratios are exact-integer double divisions, " +
+        "bit-identical across engines.",
+      (s, dir) => {
+        val toks = tokensFast(col("text"))
+        val docs = Tables.documents(s, dir)
+        val grams = docs
+          .select(col("doc_id"), explode(shingleArray(tokensFast(col("text")), 2)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(max("c").as("top"), sum("c").as("tot"))
+        docs
+          .select(col("doc_id"), size(toks).as("n_tokens"),
+            size(array_distinct(toks)).as("n_distinct"))
+          .join(grams, Seq("doc_id"))
+          .select(
+            col("doc_id"),
+            (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+              .as("dup_token_ratio"),
+            (col("top").cast("double") / col("tot").cast("double")).as("top_bigram_ratio"),
+            col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH ws AS (
+          SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM documents
+        ), gc AS (
+          SELECT doc_id, g, COUNT(*) AS c
+          FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                                      i -> w[i] || ' ' || w[i+1])) AS g
+                FROM ws)
+          GROUP BY doc_id, g
+        ), gt AS (
+          SELECT doc_id, MAX(c) AS top, SUM(c) AS tot FROM gc GROUP BY doc_id
+        )
+        SELECT ws.doc_id,
+               1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS dup_token_ratio,
+               CAST(top AS DOUBLE) / CAST(tot AS DOUBLE) AS top_bigram_ratio,
+               CAST(len(w) AS INT) AS n_tokens
+        FROM ws JOIN gt ON ws.doc_id = gt.doc_id
+        ORDER BY ws.doc_id"""))
   )
 }

@@ -128,4 +128,30 @@ class TextPipelineSpec extends AnyFunSuite {
       .filter(col("x.fp") =!= col("y.fp"))
     assert(joined.count() === 0)
   }
+
+  test("PII scrub redacts the planted email and phone in every document") {
+    val out = SparkEntry.queries("q37_pii_scrub")(spark, sf)
+    assert(out.filter(col("n_emails") < 1 || col("n_phones") < 1).count() === 0)
+    // hashes are 64 lowercase hex chars (sha-256 of the scrubbed text)
+    assert(out.filter(not(col("scrub_hash").rlike("^[0-9a-f]{64}$"))).count() === 0)
+  }
+
+  test("repetition signals are valid ratios and detect a planted boilerplate doc") {
+    val out = SparkEntry.queries("q38_repetition")(spark, sf)
+    assert(out.filter(col("dup_token_ratio") < 0 || col("dup_token_ratio") > 1 ||
+      col("top_bigram_ratio") <= 0 || col("top_bigram_ratio") > 1).count() === 0)
+    // a doc that is one phrase repeated maxes both signals — computed with
+    // the operator's own helpers over a planted frame
+    import spark.implicits._
+    val planted = Seq((1L, ("spam ham " * 50).trim)).toDF("doc_id", "text")
+    val toks = graft.operators.TextAnalysis.tokensFast(col("text"))
+    val grams = planted
+      .select(col("doc_id"), explode(
+        graft.operators.TextAnalysis.shingleArray(toks, 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top"), sum("c").as("tot"))
+      .select((col("top").cast("double") / col("tot").cast("double")).as("ratio"))
+      .head().getDouble(0)
+    assert(grams > 0.49, s"repeated phrase should concentrate bigrams, got $grams")
+  }
 }
