@@ -314,28 +314,24 @@ object TextAnalysis {
       "Repetition / boilerplate scoring (the Gopher-family quality signals): " +
         "duplicate-token fraction (1 - distinct/total) and top-2-gram " +
         "concentration (most frequent bigram count / total bigrams) per " +
-        "document. The bigram explode feeds two doc-keyed hash aggregates — " +
-        "partials combine map-side, so the exchange carries (doc, gram) " +
-        "counts, never raw text; ratios are exact-integer double divisions, " +
-        "bit-identical across engines.",
+        "document, computed per ROW by the fused native RepetitionStats " +
+        "expression — token set + bigram-hash frequency map with a running " +
+        "max in one codegen'd pass, instead of a corpus-scale bigram explode " +
+        "feeding two doc-keyed shuffles. Map-only at any scale; ratios are " +
+        "exact-integer double divisions, bit-identical across engines.",
       (s, dir) => {
         val toks = tokensFast(col("text"))
-        val docs = Tables.documents(s, dir)
-        val grams = docs
-          .select(col("doc_id"), explode(shingleArray(tokensFast(col("text")), 2)).as("g"))
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id")
-          .agg(max("c").as("top"), sum("c").as("tot"))
-        docs
-          .select(col("doc_id"), size(toks).as("n_tokens"),
-            size(array_distinct(toks)).as("n_distinct"))
-          .join(grams, Seq("doc_id"))
+        Tables.rebalanced(Tables.documents(s, dir))
+          .filter(size(toks) >= 2) // oracle drops zero-bigram docs via its join
+          .select(col("doc_id"),
+            graft.functions.RepetitionStats.repetition_stats(toks).as("r"))
           .select(
             col("doc_id"),
-            (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+            (lit(1.0) - col("r.n_distinct").cast("double") / col("r.n_tokens").cast("double"))
               .as("dup_token_ratio"),
-            (col("top").cast("double") / col("tot").cast("double")).as("top_bigram_ratio"),
-            col("n_tokens"))
+            (col("r.top_bigram").cast("double") / col("r.tot_bigrams").cast("double"))
+              .as("top_bigram_ratio"),
+            col("r.n_tokens").cast("int").as("n_tokens"))
           .orderBy("doc_id")
       },
       Some("""

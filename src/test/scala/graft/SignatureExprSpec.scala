@@ -166,6 +166,33 @@ class SignatureExprSpec extends AnyFunSuite {
       s"bottomk_ngram_md5 not inside a codegen stage:\n$plan")
   }
 
+  test("repetition_stats matches the composed explode+aggregate form and stays codegen'd") {
+    import graft.functions.RepetitionStats.repetition_stats
+    val toks = operators.TextAnalysis.tokensFast(col("text"))
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val native = docs.filter(size(toks) >= 2)
+      .select(col("doc_id"), repetition_stats(toks).as("r"))
+      .select(col("doc_id"), col("r.n_tokens"), col("r.n_distinct"),
+        col("r.top_bigram"), col("r.tot_bigrams"))
+    val composed = docs
+      .select(col("doc_id"), explode(
+        operators.TextAnalysis.shingleArray(toks, 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top"), sum("c").as("tot"))
+      .join(docs.select(col("doc_id"), size(toks).cast("long").as("n"),
+        size(array_distinct(toks)).cast("long").as("nd")), Seq("doc_id"))
+    val joined = native.join(composed, Seq("doc_id"))
+    assert(joined.count() === native.count())
+    assert(joined.filter(col("n_tokens") =!= col("n") ||
+      col("n_distinct") =!= col("nd") || col("top_bigram") =!= col("top") ||
+      col("tot_bigrams") =!= col("tot")).count() === 0)
+    native.collect()
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("repetition_stats") && l.contains("*(")),
+      s"repetition_stats not inside a codegen stage:\n$plan")
+  }
+
   test("duplicate shingles do not change either signature's min/set semantics") {
     import spark.implicits._
     val base = Seq(11L, 22L, 33L)
