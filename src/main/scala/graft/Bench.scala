@@ -32,7 +32,9 @@ object Bench {
     "q24_salted_agg", "q26_asof_join", "q27_embed_neardup_lsh",
     "q28_jaccard_join", "q29_knn_ivf", "q30_range_join", "q31_percentiles",
     "q32_rollup", "q33_approx_percentiles", "q34_curation", "q35_split",
-    "q36_salted_join", "q37_pii_scrub", "q38_repetition")
+    "q36_salted_join", "q37_pii_scrub", "q38_repetition",
+    "q39_decontaminate", "q40_dup_clusters", "q41_pack_shards",
+    "q42_oov_score")
 
   /** `build` is by-name and runs AFTER the cache clear: queries that
     * persist (and eagerly materialize) intermediate frames — e.g. q17's

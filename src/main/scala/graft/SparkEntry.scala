@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOf, Curation, Dedup, Multimodal, Relational, Sampling, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOf, Curation, Decontamination, Dedup, DupClusters, Multimodal, Relational, Sampling, Shards, Similarity, Skew, TextAnalysis, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,9 @@ object SparkEntry {
   def catalog: Seq[Query] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ Skew.queries ++
-      AsOf.queries ++ Curation.queries ++ Sampling.queries
+      AsOf.queries ++ Curation.queries ++ Sampling.queries ++
+      Decontamination.queries ++ DupClusters.queries ++ Shards.queries ++
+      Vocab.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The hypercube shape (3-table join + 5-dim GROUP BY + multi-distinct)

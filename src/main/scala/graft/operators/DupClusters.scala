@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Query
+import graft.sources.Tables
+
+/** Duplicate-cluster resolution: connected components over the
+  * near-duplicate pair graph, so a chain A~B, B~C collapses to ONE
+  * cluster even when A~C itself is below the similarity threshold —
+  * the step every production dedup pipeline runs between pair
+  * generation (q17/q28) and survivor election, and one a pairwise
+  * join can never express.
+  *
+  * Algorithm: alternating large-star / small-star contraction
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC 2014 — public literature). Each round:
+  *
+  *   - large-star: every node u links each STRICTLY LARGER neighbor to
+  *     m(u) = min(N(u) ∪ {u});
+  *   - small-star: every node u links each not-larger neighbor and
+  *     itself to the minimum over those.
+  *
+  * Both steps preserve connectivity exactly (no approximation) and
+  * monotonically pull edges toward each component's minimum; the edge
+  * set converges to a star forest rooted at component minima in
+  * O(log² n) rounds on ANY graph shape — unlike naive min-label
+  * propagation, whose round count is the graph DIAMETER (a 1M-node
+  * path would need 1M rounds; star contraction needs ~20). Each round
+  * is two node-keyed aggregate+join passes — all equi-shuffles on the
+  * node id, edge payloads are two longs, nothing corpus-sized.
+  *
+  * Driver-side state is one Boolean per round (converged?) plus a
+  * per-round `localCheckpoint` to truncate lineage — without it the
+  * plan doubles every round and the optimizer, not the cluster,
+  * becomes the bottleneck.
+  */
+object DupClusters {
+
+  private def star(edges: DataFrame, large: Boolean): DataFrame = {
+    // undirected incidence: each edge seen from both endpoints
+    val bi = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    // large-star links only larger neighbors but takes the min over ALL
+    // neighbors; small-star restricts both sides to the not-larger ones
+    val nbrs = if (large) bi else bi.filter(col("v") <= col("u"))
+    val mins = nbrs.groupBy("u")
+      .agg(least(min(col("v")), col("u")).as("m"))
+    val relinked = nbrs
+      .filter(if (large) col("v") > col("u") else col("v") <= col("u"))
+      .join(mins, Seq("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+    val out = if (large) relinked else relinked.union(mins.select(col("u"), col("m").as("v")))
+    out.filter(col("u") =!= col("v"))
+      // canonical (small, large) orientation so convergence is testable
+      // as set equality of canonical pairs
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+  }
+
+  /** (doc_id, cluster_id) for every node of the pair graph `edges`
+    * (columns `u`, `v`), cluster_id = the component's minimum id. */
+  def connectedComponents(edges0: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val spark = edges0.sparkSession
+    var edges = edges0
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = star(star(edges, large = true), large = false)
+        .localCheckpoint(true)
+      // star preserves node sets and only shrinks toward the minimum, so
+      // equal counts + empty difference == identical edge sets
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+      round += 1
+    }
+    require(converged, s"connected components did not converge in $maxRounds rounds")
+    // star forest: every non-root points straight at its component min
+    val roots = edges.select(col("v").as("doc_id")).distinct()
+      .exceptAll(edges.select(col("u").as("doc_id")).distinct())
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(roots)
+  }
+
+  /** Empty-graph-safe wrapper producing a stable empty schema. */
+  private def ccOrEmpty(spark: SparkSession, edges: DataFrame): DataFrame =
+    if (edges.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cluster_id", org.apache.spark.sql.types.LongType))))
+    else connectedComponents(edges)
+
+  val queries: Seq[Query] = Seq(
+    Query(
+      "q40_dup_clusters",
+      "Connected components over the q28 exact-Jaccard near-dup pair graph " +
+        "via alternating large-star/small-star contraction (O(log² n) rounds, " +
+        "each two node-keyed equi-shuffles; per-round localCheckpoint truncates " +
+        "lineage). Every paired doc maps to its component's minimum id — " +
+        "transitive closure of near-duplication, which pairwise joins cannot " +
+        "express. Oracle: DuckDB recursive-CTE reachability over the same pairs.",
+      (s, dir) => {
+        val pairs = Dedup.jaccardJoin(Tables.documents(s, dir), n = 3, tau = 0.7)
+          .select(col("doc_a").as("u"), col("doc_b").as("v"))
+        ccOrEmpty(s, pairs).orderBy("doc_id")
+      },
+      Some("""
+        WITH RECURSIVE sh AS (
+          SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+                                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+          FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+                FROM documents)
+        ), sz AS (
+          SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), edges AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sz za ON za.doc_id = doc_a
+          JOIN sz zb ON zb.doc_id = doc_b
+          WHERE CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) >= 0.7
+        ), bi AS (
+          SELECT doc_a AS u, doc_b AS v FROM edges
+          UNION
+          SELECT doc_b AS u, doc_a AS v FROM edges
+        ), reach(u, v) AS (
+          SELECT u, v FROM bi
+          UNION
+          SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u WHERE b.v <> r.u
+        )
+        SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+        FROM reach GROUP BY u
+        ORDER BY doc_id"""))
+  )
+}

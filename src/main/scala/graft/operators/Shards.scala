@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Query
+import graft.sources.Tables
+
+/** Token-budget shard assignment — laying a corpus out into contiguous
+  * fixed-token-budget training shards (the write-side step of every
+  * LLM data pipeline: tokenized documents stream into shard files of
+  * ~N tokens each, in a deterministic document order).
+  *
+  * The core primitive is a GLOBAL running token total in document
+  * order, which the naive formulation — `sum().over(Window.orderBy(
+  * "doc_id"))` with no partition — computes in ONE task over the whole
+  * corpus (Spark even warns: "No Partition Defined for Window
+  * operation"). That is q31's single-task pathology in its purest
+  * form, and at 100 TB it is not slow but impossible.
+  *
+  * Scale-safe two-pass prefix sum instead (the textbook distributed
+  * scan):
+  *
+  *   1. range-partition by the order key (`repartitionByRange` samples
+  *      the key distribution, so partitions are balanced even under
+  *      skew), pin the partition id;
+  *   2. per-partition token totals — P rows, P = partition count — get
+  *      a driver-free exclusive prefix via a window over those P rows
+  *      (trivially small);
+  *   3. broadcast the offsets back and window-scan WITHIN each range
+  *      partition (`Window.partitionBy(pid)`) — every window group is
+  *      one bounded range partition, so the scan parallelism equals
+  *      the partition count at any data size.
+  *
+  * A document's shard is `floor(exclusive_prefix / budget)` — the shard
+  * holding its first token; shards are contiguous in key order and
+  * within one budget of the target, and the assignment is fully
+  * deterministic (same answer at any partition count), which the
+  * DuckDB oracle — running the SAME math as one window — checks.
+  */
+object Shards {
+
+  /** (doc_id, n_tokens, shard_id) with contiguous token-budget shards
+    * in `doc_id` order. */
+  def packShards(docs: DataFrame, budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val parts = spark.sparkContext.defaultParallelism
+    val toks = docs.select(col("doc_id"),
+      size(TextAnalysis.tokensFast(col("text"))).cast("long").as("n_tokens"))
+    // pid must be identical in both passes below, so the ranged frame is
+    // persisted and materialized once (same cache contract as q28's
+    // jaccardJoin: batch drivers clearCache() between queries)
+    val ranged = toks.repartitionByRange(parts, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    ranged.count()
+    val offsets = ranged.groupBy("pid")
+      .agg(sum("n_tokens").as("ptotal"))
+      .withColumn("poffset",
+        coalesce(sum("ptotal").over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "poffset")
+    val local = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = ranged
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("start_off",
+        col("poffset") + sum("n_tokens").over(local) - col("n_tokens"))
+      // exact: token offsets are far below 2^53, so the double floor is
+      // the true integer quotient on both engines
+      .withColumn("shard_id",
+        floor(col("start_off") / lit(budget.toDouble)).cast("long"))
+      .select("doc_id", "n_tokens", "shard_id")
+    out
+  }
+
+  /** Per-shard manifest: document count, token total, id span. */
+  def shardManifest(docs: DataFrame, budget: Long): DataFrame =
+    packShards(docs, budget)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+
+  val queries: Seq[Query] = Seq(
+    Query(
+      "q41_pack_shards",
+      "Token-budget shard layout (2048 tokens/shard) via a scale-safe " +
+        "two-pass distributed prefix sum: range-partition on the order key, " +
+        "per-partition totals -> broadcast exclusive offsets -> within-" +
+        "partition window scan. No global single-task window; parallelism " +
+        "equals the partition count at any corpus size. Output is the " +
+        "per-shard manifest; the oracle runs the same math as one window.",
+      (s, dir) =>
+        shardManifest(Tables.documents(s, dir), budget = 2048L)
+          .orderBy("shard_id"),
+      Some("""
+        WITH tok AS (
+          SELECT doc_id,
+                 CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        ), pref AS (
+          SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS start_off
+          FROM tok
+        )
+        SELECT CAST(FLOOR(CAST(start_off AS DOUBLE) / 2048.0) AS BIGINT) AS shard_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM pref
+        GROUP BY 1
+        ORDER BY shard_id"""))
+  )
+}

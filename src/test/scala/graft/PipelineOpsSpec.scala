@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Decontamination, DupClusters, Shards, Vocab}
+import graft.sources.Tables
+
+/** Round-4 pipeline operators: decontamination, duplicate clustering
+  * (connected components), shard packing, OOV scoring. */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  // ---- q39 decontamination ----
+
+  test("decontamination flags a planted 8-gram copy and nothing else") {
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains bench 8-gram "alpha … theta" (positions 1-8) twice-distinct? once
+      (10L, "xx alpha beta gamma delta epsilon zeta eta theta yy"),
+      (11L, "totally unrelated words that never overlap with anything here"),
+      (12L, "alpha beta gamma delta epsilon zeta eta wrong tail end")) // 7-token overlap only
+      .toDF("doc_id", "text")
+    val out = Decontamination.contaminationCounts(corpus, bench, n = 8)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(out === Array((10L, 1L), (11L, 0L), (12L, 0L)))
+  }
+
+  test("decontamination counts distinct contaminated grams per doc") {
+    val bench = Seq((1L, "a b c d e f g h i j"))
+      .toDF("doc_id", "text") // bench grams: a..h, b..i, c..j
+    val corpus = Seq((10L, "a b c d e f g h i zz")) // shares a..h and b..i
+      .toDF("doc_id", "text")
+    val out = Decontamination.contaminationCounts(corpus, bench, n = 8)
+      .as[(Long, Long)].collect()
+    assert(out === Array((10L, 2L)))
+  }
+
+  // ---- q40 connected components ----
+
+  /** Brute-force union-find reference. */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def ccCheck(edges: Seq[(Long, Long)]): Unit = {
+    val got = DupClusters.connectedComponents(edges.toDF("u", "v"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === ufComponents(edges))
+  }
+
+  test("connected components: long path collapses to its minimum") {
+    // diameter 63 — naive min-propagation would need 63 rounds; star
+    // contraction must land well inside the round cap
+    ccCheck((0L until 63L).map(i => (i, i + 1)))
+  }
+
+  test("connected components: chain of near-dup pairs is ONE cluster") {
+    ccCheck(Seq((5L, 9L), (9L, 2L), (17L, 20L))) // {2,5,9} and {17,20}
+  }
+
+  test("connected components: random graphs match union-find") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val n = 60
+      val edges = (1 to 80).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      ccCheck(edges)
+    }
+  }
+
+  test("connected components: duplicate/reversed edges and self-pairs are harmless") {
+    ccCheck(Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (3L, 4L)).filter(e => e._1 != e._2))
+  }
+
+  // ---- q41 shard packing ----
+
+  test("shard packing matches the single-window brute force and is partition-count-stable") {
+    val docs = Tables.documents(spark, sf)
+    val got = Shards.packShards(docs, budget = 1024L)
+    // brute force: one global (single-task) window — test-only reference
+    val brute = docs
+      .select(col("doc_id"),
+        size(graft.operators.TextAnalysis.tokensFast(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_off",
+        coalesce(sum("n_tokens").over(
+          Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("shard_id", floor(col("start_off") / 1024.0).cast("long"))
+      .select("doc_id", "n_tokens", "shard_id")
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+    // same assignment when the source arrives pre-shuffled differently
+    val got2 = Shards.packShards(docs.repartition(7, col("doc_id")), budget = 1024L)
+    assert(got2.exceptAll(brute).isEmpty)
+  }
+
+  test("shards are contiguous and within one document of the budget") {
+    val m = Shards.shardManifest(Tables.documents(spark, sf), budget = 2048L)
+      .orderBy("shard_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // ids contiguous from 0
+    assert(m.map(_._1).toSeq === m.indices.map(_.toLong))
+    // doc spans partition the id range in order
+    m.sliding(2).foreach { case Array(a, b) => assert(b._4 === a._5 + 1); case _ => }
+    // every shard except the last spans its full budget: the NEXT doc
+    // would start past the boundary (tokens per shard >= budget - last
+    // doc overhang; equivalently n_tokens + shard start >= budget)
+    val withStart = m.scanLeft(0L)((acc, s) => acc + s._3).zip(m)
+    withStart.dropRight(1).foreach { case (start, s) =>
+      assert(start + s._3 >= (s._1 + 1) * 2048L)
+      assert(start < (s._1 + 1) * 2048L)
+    }
+  }
+
+  // ---- q42 vocab / OOV ----
+
+  test("top-k vocabulary is deterministic under df ties and OOV counts occurrences") {
+    val ref = Seq((1L, "b a c a"), (2L, "a b d")).toDF("doc_id", "text")
+    // df: a=2, b=2, c=1, d=1 — k=3 keeps a, b (df desc) then c (token asc tie)
+    val vocab = Vocab.topVocab(ref, 3).as[(String, Long)].collect()
+    assert(vocab === Array(("a", 2L), ("b", 2L), ("c", 1L)))
+    val corpus = Seq((10L, "a b c d d x")).toDF("doc_id", "text")
+    val out = Vocab.oovCounts(corpus, Vocab.topVocab(ref, 3))
+      .as[(Long, Long, Long)].collect()
+    assert(out === Array((10L, 6L, 3L))) // d, d, x are OOV occurrences
+  }
+}
