@@ -68,6 +68,41 @@ object Skew {
       .drop("__salt")
   }
 
+  /** Exact per-group top-`n` (the "at most N documents per source"
+    * quota every corpus-mixing pipeline applies) WITHOUT the
+    * single-task-per-group window: a bare
+    * `row_number over (partition by group)` funnels each group's entire
+    * row set through one task — q31's pathology, fatal on a hot source
+    * at 100 TB. Two-level tournament instead:
+    *
+    *   1. rank within (group, salt) — each window partition holds
+    *      ~|group|/nSalts rows, so a hot group spreads over nSalts
+    *      tasks; keep the per-salt top n;
+    *   2. rank the ≤ nSalts·n survivors per group — bounded input
+    *      independent of group size — and keep the true top n.
+    *
+    * Exact by the tournament property: the global top n of a group is
+    * contained in the union of its per-salt top n. Deterministic when
+    * `orderKeys` is a total order (callers append a unique tie-break).
+    * The emitted `rk` is the group-global rank, identical to the naive
+    * window's. */
+  def groupQuota(df: DataFrame, group: Column, orderKeys: Seq[Column],
+      n: Int, nSalts: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // salt from the order keys themselves: deterministic, and distinct
+    // rows of one group land on different salts (identical order keys
+    // would mean identical rank anyway)
+    val salted = df.withColumn("__salt", pmod(hash(orderKeys: _*), lit(nSalts)))
+    val perSalt = Window.partitionBy(group, col("__salt")).orderBy(orderKeys.map(_.asc): _*)
+    val finals = Window.partitionBy(group).orderBy(orderKeys.map(_.asc): _*)
+    salted
+      .withColumn("__r1", row_number().over(perSalt))
+      .filter(col("__r1") <= n)
+      .withColumn("rk", row_number().over(finals))
+      .filter(col("rk") <= n)
+      .drop("__salt", "__r1")
+  }
+
   val queries: Seq[Query] = Seq(
     Query(
       "q24_salted_agg",
@@ -119,6 +154,33 @@ object Skew {
         JOIN (SELECT l_returnflag AS flag, COUNT(*) AS n_flag
               FROM lineitem GROUP BY 1) d
           ON l.l_returnflag = d.flag
-        ORDER BY l.l_orderkey, l.l_linenumber, l.l_returnflag"""))
+        ORDER BY l.l_orderkey, l.l_linenumber, l.l_returnflag""")),
+
+    Query(
+      "q43_group_quota",
+      "Per-source document quota (top 5 per source by content-stable md5 " +
+        "rank): exact per-group top-N via the two-level salted tournament — " +
+        "per-(group,salt) ranks spread a hot source over 8 tasks, then the " +
+        "bounded survivor set (<= 8*5 rows per group) is ranked globally. " +
+        "Never a whole-group single-task window; the oracle is the naive " +
+        "one-window row_number.",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("source", "doc_id")
+        groupQuota(docs, col("source"),
+            Seq(Sampling.hashBucket(col("doc_id")), col("doc_id")),
+            n = 5, nSalts = 8)
+          .select(col("source"), col("doc_id"), col("rk").cast("int").as("rk"))
+          .orderBy("source", "doc_id")
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT source, doc_id,
+                 CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS INT) AS rk
+          FROM documents)
+        SELECT source, doc_id, rk
+        FROM ranked WHERE rk <= 5
+        ORDER BY source, doc_id"""))
   )
 }

@@ -124,6 +124,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q43 group quota ----
+
+  test("salted group quota equals the naive single-window top-N, skewed groups included") {
+    val rnd = new scala.util.Random(7)
+    // one giant group (id 0: 5000 rows) + many small ones — the shape
+    // that kills a bare partitionBy(group) window
+    val rows = (0 until 5000).map(i => (0L, rnd.nextLong())) ++
+      (1 to 40).flatMap(g => (0 until rnd.nextInt(20) + 1).map(_ => (g.toLong, rnd.nextLong())))
+    val df = rows.toDF("grp", "key").distinct()
+    val got = graft.operators.Skew.groupQuota(df, col("grp"),
+        Seq(col("key"), col("grp")), n = 3, nSalts = 8)
+      .select("grp", "key", "rk")
+    val naive = df.withColumn("rk",
+        row_number().over(Window.partitionBy("grp").orderBy(col("key").asc, col("grp").asc)))
+      .filter(col("rk") <= 3)
+      .select("grp", "key", "rk")
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+    // quota actually binds: the giant group emits exactly n rows
+    assert(got.filter(col("grp") === 0L).count() === 3)
+  }
+
   // ---- q42 vocab / OOV ----
 
   test("top-k vocabulary is deterministic under df ties and OOV counts occurrences") {
