@@ -75,6 +75,21 @@ object Shards {
     out
   }
 
+  /** Materialize the shard layout as a partitioned parquet dataset:
+    * one `shard_id=K/` directory per shard, exactly ONE file per shard
+    * (each shard's rows are co-located by the `repartition` on the
+    * partition column before the write), rows sorted by `doc_id` within
+    * the file. This is the write-side contract a training loader wants:
+    * list the directories, stream one file per shard, tokens arrive in
+    * deterministic document order. Scale shape: the join back to the
+    * full rows is doc-keyed, the writer shuffle moves each row once,
+    * and file count = shard count regardless of executor count. */
+  def writeShards(docs: DataFrame, budget: Long, outDir: String): Unit =
+    docs.join(packShards(docs, budget).select("doc_id", "shard_id"), Seq("doc_id"))
+      .repartition(col("shard_id"))
+      .sortWithinPartitions("shard_id", "doc_id")
+      .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
+
   /** Per-shard manifest: document count, token total, id span. */
   def shardManifest(docs: DataFrame, budget: Long): DataFrame =
     packShards(docs, budget)

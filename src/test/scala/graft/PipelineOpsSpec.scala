@@ -124,6 +124,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("shard writer lays out one file per shard and round-trips exactly") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val out = "target/test_shards"
+    Shards.writeShards(docs, budget = 2048L, out)
+    val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("shard_id="))
+    val manifest = Shards.shardManifest(docs, budget = 2048L)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(dirs.length === manifest.length)
+    // exactly one data file per shard directory
+    dirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) === 1, d.getName)
+    }
+    // read-back equals the source, and shard membership matches the manifest spans
+    val back = spark.read.parquet(out)
+    assert(back.count() === docs.count())
+    assert(back.select("doc_id", "text").exceptAll(docs).isEmpty)
+    val spans = back.groupBy("shard_id")
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(spans.map(s => (s._1, s._4, s._2, s._3)).toSeq ===
+      manifest.map(m => (m._1, m._2, m._4, m._5)).toSeq)
+  }
+
   // ---- q43 group quota ----
 
   test("salted group quota equals the naive single-window top-N, skewed groups included") {
