@@ -40,7 +40,7 @@ object Decontamination {
     // shuffle is needed before counting
     val corpusGrams = corpus.select(col("doc_id"),
       explode(array_distinct(grams)).as("g"))
-    val benchGrams = bench.select(explode(grams).as("g")).distinct()
+    val benchGrams = bench.select(explode(array_distinct(grams)).as("g")).distinct()
     val hits = corpusGrams
       .join(broadcast(benchGrams), Seq("g"))
       .groupBy("doc_id")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Query
@@ -62,7 +62,6 @@ object DupClusters {
   /** (doc_id, cluster_id) for every node of the pair graph `edges`
     * (columns `u`, `v`), cluster_id = the component's minimum id. */
   def connectedComponents(edges0: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val spark = edges0.sparkSession
     var edges = edges0
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
@@ -88,15 +87,6 @@ object DupClusters {
       .union(roots)
   }
 
-  /** Empty-graph-safe wrapper producing a stable empty schema. */
-  private def ccOrEmpty(spark: SparkSession, edges: DataFrame): DataFrame =
-    if (edges.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("cluster_id", org.apache.spark.sql.types.LongType))))
-    else connectedComponents(edges)
-
   val queries: Seq[Query] = Seq(
     Query(
       "q40_dup_clusters",
@@ -109,7 +99,9 @@ object DupClusters {
       (s, dir) => {
         val pairs = Dedup.jaccardJoin(Tables.documents(s, dir), n = 3, tau = 0.7)
           .select(col("doc_a").as("u"), col("doc_b").as("v"))
-        ccOrEmpty(s, pairs).orderBy("doc_id")
+        // empty pair graphs are fine: the loop converges on the first
+        // round and the unions preserve the (doc_id, cluster_id) schema
+        connectedComponents(pairs).orderBy("doc_id")
       },
       Some("""
         WITH RECURSIVE sh AS (

@@ -42,12 +42,28 @@ import graft.sources.Tables
 object Shards {
 
   /** (doc_id, n_tokens, shard_id) with contiguous token-budget shards
-    * in `doc_id` order. */
-  def packShards(docs: DataFrame, budget: Long): DataFrame = {
+    * in `doc_id` order.
+    *
+    * Cache contract (lazy callers): the internal range-partitioned
+    * frame stays persisted because the returned frame reads it twice
+    * (offsets + scan) and the partition ids must agree between the two
+    * reads; batch drivers `clearCache()` between queries (the
+    * jaccardJoin contract). Action-shaped callers ([[writeShards]])
+    * release it themselves via [[packShardsWithHandle]]. */
+  def packShards(docs: DataFrame, budget: Long): DataFrame =
+    packShardsWithHandle(docs, budget)._1
+
+  /** [[packShards]] plus the persisted internal frame, so callers that
+    * RUN an action over the result can unpersist afterwards. */
+  def packShardsWithHandle(docs: DataFrame, budget: Long): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     val parts = spark.sparkContext.defaultParallelism
+    // split-based tokens, not tokensFast: an empty/whitespace doc counts
+    // 1 (the [""] split) in both Spark and the SQL string_split twin —
+    // with tokensFast it would count 0 here and 1 in SQL, shifting every
+    // downstream shard boundary by one token
     val toks = docs.select(col("doc_id"),
-      size(TextAnalysis.tokensFast(col("text"))).cast("long").as("n_tokens"))
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
     // pid must be identical in both passes below, so the ranged frame is
     // persisted and materialized once (same cache contract as q28's
     // jaccardJoin: batch drivers clearCache() between queries)
@@ -72,7 +88,7 @@ object Shards {
       .withColumn("shard_id",
         floor(col("start_off") / lit(budget.toDouble)).cast("long"))
       .select("doc_id", "n_tokens", "shard_id")
-    out
+    (out, ranged)
   }
 
   /** Materialize the shard layout as a partitioned parquet dataset:
@@ -84,11 +100,15 @@ object Shards {
     * deterministic document order. Scale shape: the join back to the
     * full rows is doc-keyed, the writer shuffle moves each row once,
     * and file count = shard count regardless of executor count. */
-  def writeShards(docs: DataFrame, budget: Long, outDir: String): Unit =
-    docs.join(packShards(docs, budget).select("doc_id", "shard_id"), Seq("doc_id"))
-      .repartition(col("shard_id"))
-      .sortWithinPartitions("shard_id", "doc_id")
-      .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
+  def writeShards(docs: DataFrame, budget: Long, outDir: String): Unit = {
+    val (packed, handle) = packShardsWithHandle(docs, budget)
+    try
+      docs.join(packed.select("doc_id", "shard_id"), Seq("doc_id"))
+        .repartition(col("shard_id"))
+        .sortWithinPartitions("shard_id", "doc_id")
+        .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
+    finally handle.unpersist() // the write is the one action; no leak
+  }
 
   /** Per-shard manifest: document count, token total, id span. */
   def shardManifest(docs: DataFrame, budget: Long): DataFrame =

@@ -36,7 +36,14 @@ object Skew {
     * rows across salts. Still deterministic given a deterministic input
     * partitioning (same files, same splits → same ids → same salts) —
     * and the RESULT is salt-invariant anyway: any salt assignment merges
-    * to the same aggregate/join output, which is what the oracle checks. */
+    * to the same aggregate/join output, which is what the oracle checks.
+    *
+    * Task-retry safety: `monotonically_increasing_id` marks its stage
+    * INDETERMINATE in the DAG scheduler, so a fetch-failure recompute
+    * rolls back and re-runs the downstream reduce stages wholesale
+    * (SPARK-25341) instead of mixing two different salt assignments
+    * across task attempts — the SPARK-23207 corruption class does not
+    * apply on Spark 3.1+. */
   private[graft] def rowSalt(df: DataFrame, nSalts: Int): Column =
     pmod(hash(df.columns.map(col).toIndexedSeq :+ monotonically_increasing_id(): _*),
       lit(nSalts))
@@ -82,16 +89,21 @@ object Skew {
     *      independent of group size — and keep the true top n.
     *
     * Exact by the tournament property: the global top n of a group is
-    * contained in the union of its per-salt top n. Deterministic when
-    * `orderKeys` is a total order (callers append a unique tie-break).
-    * The emitted `rk` is the group-global rank, identical to the naive
-    * window's. */
+    * contained in the union of its per-salt top n. The emitted `rk` is
+    * the group-global rank, identical to the naive window's.
+    *
+    * HARD precondition: `orderKeys` must totally order each group
+    * (append a unique id as the last key). It is what makes the result
+    * well-defined at all — under ties `row_number` picks arbitrarily,
+    * so the naive window itself is nondeterministic — and it is also
+    * what keeps the salting effective, because the salt derives from
+    * the order keys: rows tied on every key would land on ONE salt and
+    * re-concentrate a hot group onto a single stage-1 task. */
   def groupQuota(df: DataFrame, group: Column, orderKeys: Seq[Column],
       n: Int, nSalts: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // salt from the order keys themselves: deterministic, and distinct
-    // rows of one group land on different salts (identical order keys
-    // would mean identical rank anyway)
+    // salt from the order keys: deterministic (same row → same salt on
+    // every run and retry), uniform when the keys are unique per row
     val salted = df.withColumn("__salt", pmod(hash(orderKeys: _*), lit(nSalts)))
     val perSalt = Window.partitionBy(group, col("__salt")).orderBy(orderKeys.map(_.asc): _*)
     val finals = Window.partitionBy(group).orderBy(orderKeys.map(_.asc): _*)

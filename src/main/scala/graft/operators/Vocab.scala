@@ -31,17 +31,24 @@ object Vocab {
     * token ascending): (token, df). */
   def topVocab(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"),
-        explode(array_distinct(TextAnalysis.tokensFast(col("text")))).as("token"))
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("token").asc)
       .limit(k)
 
   /** Per-document token and OOV-occurrence counts against `vocab`
-    * (a small (token, …) frame, broadcast): (doc_id, n_tokens, n_oov). */
+    * (a small (token, …) frame, broadcast): (doc_id, n_tokens, n_oov).
+    *
+    * Uses the split-based [[TextAnalysis.tokens]], not `tokensFast`:
+    * an empty/whitespace-only document splits to `[""]` — one (OOV)
+    * token — in BOTH Spark and the SQL `string_split` twin, so the doc
+    * stays visible to the quality filter instead of silently vanishing
+    * (`tokensFast` would emit no rows for it, dropping the doc from the
+    * per-document output and diverging from any SQL reimplementation). */
   def oovCounts(corpus: DataFrame, vocab: DataFrame): DataFrame =
     corpus.select(col("doc_id"),
-        explode(TextAnalysis.tokensFast(col("text"))).as("token"))
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
       .join(broadcast(vocab.select(col("token"), lit(1).as("__in"))),
         Seq("token"), "left")
       .groupBy("doc_id")
