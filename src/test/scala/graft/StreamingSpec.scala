@@ -114,6 +114,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("map-only text operators run unchanged on a stream: langQuality batch == stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The admission scorer (q15) is pure per-row work, so the SAME
+    // DataFrame code must run on a readStream source with no rewrite and
+    // produce identical rows — this is the property that lets the whole
+    // quality/PII/decontamination family run as a streaming ingest filter.
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val stream = MemoryStream[(Long, String, String)]
+    val q = graft.operators.TextAnalysis.langQuality(
+        stream.toDF().toDF("doc_id", "lang", "text"))
+      .select("doc_id", "pred_lang", "quality")
+      .writeStream.format("memory").queryName("stream_lq")
+      .outputMode("append").start()
+    try {
+      val (a, b) = docs.splitAt(docs.size / 2)
+      stream.addData(a.toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(b.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_lq")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+      val batch = graft.operators.TextAnalysis.langQuality(
+          Tables.documents(spark, sf).select("doc_id", "lang", "text"))
+        .select("doc_id", "pred_lang", "quality")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState custom sessionizer closes sessions correctly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
