@@ -22,7 +22,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * shuffles whose keys carry the gram strings. Here the whole signal is
   * per-row map work: a token hash set for the distinct count and a
   * bigram-hash frequency map with a running max (bigrams are hashed with
-  * the same xxhash64 chaining as [[NgramXxHash64]]; a 64-bit collision
+  * the same xxhash64 chaining scheme as [[NgramXxHash64]], though null
+  * tokens hash as empty strings here rather than being skipped; a 64-bit collision
   * inside one document merges two bigrams with p≈2⁻⁶⁴ — the same
   * accepted argument as the Jaccard/SimHash hash-set operators).
   *
@@ -71,7 +72,11 @@ object RepetitionStats {
       val t = if (t0 == null) UTF8String.EMPTY_UTF8 else t0
       seen.add(t)
       if (i > 0) {
-        // bigram hash with the same seed-chaining as NgramXxHash64(n=2)
+        // same seed-chaining SCHEME as NgramXxHash64(n=2); NOT
+        // bit-compatible with it on null tokens (NgramXxHash64 skips
+        // them, this hashes the empty string for totality) — only the
+        // within-document frequencies consume these hashes, never a
+        // cross-expression comparison
         val bh = XXH64.hashUTF8String(t, prevH)
         val c = freq.merge(bh, 1L, (a, b) => a + b)
         if (c > top) top = c

@@ -85,8 +85,8 @@ object Curation {
                  len(list_filter(ws, t -> list_contains(['le','la','les','de','et','un','une','des','que','est'], t))) AS h_fr,
                  len(list_filter(ws, t -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','von'], t))) AS h_de,
                  len(list_filter(ws, t -> list_contains(['el','los','las','de','y','un','una','que','es','en'], t))) AS h_es,
-                 CAST(length(n) - length(regexp_replace(n, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE) / CAST(length(n) AS DOUBLE) AS cjk_ratio,
-                 CAST(length(n) - length(regexp_replace(n, '[!-/:-@[-`{-~]', '', 'g')) AS DOUBLE) / CAST(length(n) AS DOUBLE) AS punct_ratio
+                 CAST(length(n) - length(regexp_replace(n, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE) / CAST(NULLIF(length(n), 0) AS DOUBLE) AS cjk_ratio,
+                 CAST(length(n) - length(regexp_replace(n, '[!-/:-@[-`{-~]', '', 'g')) AS DOUBLE) / CAST(NULLIF(length(n), 0) AS DOUBLE) AS punct_ratio
           FROM (SELECT doc_id, n, string_split(n, ' ') AS ws FROM nrm)
         ), lq AS (
           SELECT doc_id, n_tokens,

@@ -63,22 +63,28 @@ object Relational {
     *      0-based order statistic `r = floor/ceil(p*(n-1))`, the bucket that
     *      contains it and the local rank `r - cum_before` inside it.
     *   4. Pass 2 re-scans, broadcast-semi-joins down to rows in straddling
-    *      buckets (≤ 2·|ps| buckets per group, each ~n/B rows), ranks each
-    *      such bucket independently (`Window.partitionBy(group, bucket)` —
-    *      parallelism G×B, per-task work ~n/B), and picks the straddle rows.
+    *      buckets (≤ 2·|ps| buckets per group), collapses them to
+    *      per-distinct-VALUE counts in a map-side-combining aggregate,
+    *      and walks the tiny per-bucket value ladder (cumulative counts)
+    *      to the straddle values.
     *
     * Every full-data stage is map-only (scan + broadcast join + partial
-    * agg); no group is ever sorted in a single task and the fact table
-    * never crosses a shuffle — at 100 TB the cost is two scans plus
-    * KB-scale exchanges. Value ties never straddle buckets (equal values
-    * share a bucket), so value-at-rank is well-defined regardless of the
-    * arbitrary tie order inside a bucket.
+    * agg); no group — and no tie-dominated bucket — is ever sorted in a
+    * single task and the fact table never crosses a shuffle — at 100 TB
+    * the cost is two scans plus KB-scale exchanges. Value ties never
+    * straddle buckets (equal values share a bucket), and pass 2 ranks
+    * distinct values with multiplicities, so tie skew collapses instead
+    * of concentrating a bucket into one window task.
     *
     * @param base frame with the group column and a double measure `x`
     * @param grp  group column name
     * @param ps   (fraction, output column name) pairs
     */
-  def exactPercentiles(base: DataFrame, grp: String, ps: Seq[(Double, String)]): DataFrame = {
+  def exactPercentiles(base0: DataFrame, grp: String, ps: Seq[(Double, String)]): DataFrame = {
+    // NULL measures are excluded up front (the quantile_cont contract);
+    // without this they would inflate n AND land in the top bucket,
+    // because least(lit(B-1), floor(null)) skips the null in Spark
+    val base = base0.filter(col("x").isNotNull)
     val b = lit(PctBuckets)
     val stats = base.groupBy(grp).agg(
       count(lit(1)).as("n"), min("x").as("mn"), max("x").as("mx"))
@@ -109,10 +115,25 @@ object Relational {
         col("r") < col("cum") + col("cnt"))
       .select(col(grp), col("tag"), col("bkt"), (col("r") - col("cum")).as("lr"))
     val needBkts = needed.select(grp, "bkt").distinct()
-    val rw = Window.partitionBy(grp, "bkt").orderBy("x")
-    val vals = bucketed.join(broadcast(needBkts), Seq(grp, "bkt"))
-      .withColumn("lr", row_number().over(rw).cast("long") - 1)
-      .join(broadcast(needed), Seq(grp, "bkt", "lr"))
+    // Rank straddling buckets over DISTINCT values, not rows: the
+    // per-(grp,bkt,x) partial aggregate collapses ties map-side, so a
+    // value-dominated group (99% one constant — the common real-world
+    // skew on score/flag measures) contributes ONE row to the window
+    // below instead of re-creating the single-task whole-group sort the
+    // bucketing exists to avoid. A local rank lr falls on value x iff
+    // cum_before <= lr < cum_before + count(x). (The remaining
+    // degenerate shape — millions of DISTINCT values packed into one
+    // bucket's value range — would need one recursive re-bucketing
+    // level; ties, the case that actually concentrates mass, cannot
+    // cause it by construction.)
+    val valCounts = bucketed.join(broadcast(needBkts), Seq(grp, "bkt"))
+      .groupBy(grp, "bkt", "x").agg(count(lit(1)).as("vcnt"))
+    val vw = Window.partitionBy(grp, "bkt").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val vals = valCounts
+      .withColumn("vcum", coalesce(sum("vcnt").over(vw), lit(0L)))
+      .join(broadcast(needed), Seq(grp, "bkt"))
+      .filter(col("lr") >= col("vcum") && col("lr") < col("vcum") + col("vcnt"))
       .select(col(grp), col("tag"), col("x"))
     val aggs = ps.flatMap { case (_, name) => Seq(
       max(when(col("tag") === s"lo_$name", col("x"))).as(s"lo_$name"),

@@ -113,7 +113,10 @@ object Similarity {
       tables: Int = 12, bits: Int = 6, dim: Int = 64): DataFrame = {
     val e = prepared(emb)
     // persisted: both the query-side filter and the corpus side read this
-    // frame — unpersisted, the signature dots run twice
+    // frame — unpersisted, the signature dots run twice. Cache contract
+    // as in Dedup.jaccardJoin: the returned frame reads this lazily, so
+    // the operator cannot release it itself; batch drivers clearCache()
+    // between queries (Bench and Verify both do)
     val buckets = srpBuckets(e, tables, bits, dim).persist()
     val qb = buckets.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
@@ -204,7 +207,9 @@ object Similarity {
     val cent = (1 to lloydIters).foldLeft(seeds)((c, _) => lloydStep(e, c))
     // eager barrier: the C-row centroid frame feeds two broadcasts
     // (assignment + probes) whose lineage is lloydIters corpus passes —
-    // unpersisted, AQE races both sides and the Lloyd pipeline runs twice
+    // unpersisted, AQE races both sides and the Lloyd pipeline runs
+    // twice. Same session-scoped cache contract as jaccardJoin/knnLsh:
+    // batch drivers clearCache() between queries
     cent.persist().count()
     val assigned = assignToCentroids(e, cent)
     // nProbe nearest centroids per query

@@ -120,6 +120,11 @@ object TextAnalysis {
         stopwordHits(col("t"), "fr").as("h_fr"),
         stopwordHits(col("t"), "de").as("h_de"),
         stopwordHits(col("t"), "es").as("h_es"),
+        // zero-length (empty/whitespace) docs: Spark's non-ANSI divide
+        // yields NULL here, and the oracle divides by NULLIF(length, 0)
+        // so DuckDB yields NULL too (its default IEEE ops would give
+        // NaN/inf and hash-mismatch) — the doc then fails every >=
+        // admission filter identically in both engines
         (cjkChars(col("n")).cast("double") / length(col("n")).cast("double")).as("cjk_ratio"),
         ((length(col("n")) - length(regexp_replace(col("n"), "[!-/:-@\\[-`{-~]", "")))
           .cast("double") / length(col("n")).cast("double")).as("punct_ratio"))
@@ -201,8 +206,8 @@ object TextAnalysis {
                  len(list_filter(ws, t -> list_contains(['le','la','les','de','et','un','une','des','que','est'], t))) AS h_fr,
                  len(list_filter(ws, t -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','von'], t))) AS h_de,
                  len(list_filter(ws, t -> list_contains(['el','los','las','de','y','un','una','que','es','en'], t))) AS h_es,
-                 CAST(length(n) - length(regexp_replace(n, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE) / CAST(length(n) AS DOUBLE) AS cjk_ratio,
-                 CAST(length(n) - length(regexp_replace(n, '[!-/:-@[-`{-~]', '', 'g')) AS DOUBLE) / CAST(length(n) AS DOUBLE) AS punct_ratio
+                 CAST(length(n) - length(regexp_replace(n, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE) / CAST(NULLIF(length(n), 0) AS DOUBLE) AS cjk_ratio,
+                 CAST(length(n) - length(regexp_replace(n, '[!-/:-@[-`{-~]', '', 'g')) AS DOUBLE) / CAST(NULLIF(length(n), 0) AS DOUBLE) AS punct_ratio
           FROM (
             SELECT doc_id, lang, n, string_split(n, ' ') AS ws
             FROM (SELECT doc_id, lang, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS n
@@ -244,25 +249,37 @@ object TextAnalysis {
         "transform+array_sort+slice form, whose CodegenFallback HOFs ejected " +
         "the whole projection from codegen — one whole-stage-codegen'd pass).",
       (s, dir) => {
-        val toks = tokensFast(col("text"))
+        // ONE tokenization, NO admission filter: the expression reports
+        // ("", 0) for sub-n docs and the oracle left-joins to emit the
+        // same degenerate row, so no predicate has to re-run the
+        // full-document regex. (A struct-field filter above the project
+        // does not survive Catalyst: column pruning + pushdown rewrite
+        // it back into a SECOND bottomk_ngram_md5 evaluation in the
+        // Filter, and operator-level subexpression elimination does not
+        // span Filter/Project — measured as 2x the per-row cost.)
         Tables.rebalanced(Tables.documents(s, dir))
-          .filter(size(toks) >= 3)
           .select(col("doc_id"),
-            graft.functions.BottomKNgramMd5.bottomk_ngram_md5(toks, 3, 4).as("fp"))
+            graft.functions.BottomKNgramMd5
+              .bottomk_ngram_md5(tokensFast(col("text")), 3, 4).as("fp"))
           .select(col("doc_id"), col("fp.fingerprint").as("fingerprint"),
             col("fp.n_shingles").as("n_shingles"))
           .orderBy("doc_id")
       },
       Some("""
-        SELECT doc_id,
-               array_to_string(list_sort(list(DISTINCT md5(s)))[1:4], ',') AS fingerprint,
-               COUNT(DISTINCT s) AS n_shingles
-        FROM (
-          SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
-                                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
-          FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
-                FROM documents))
-        GROUP BY doc_id
+        WITH fp AS (
+          SELECT doc_id,
+                 array_to_string(list_sort(list(DISTINCT md5(s)))[1:4], ',') AS fingerprint,
+                 COUNT(DISTINCT s) AS n_shingles
+          FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+                                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+            FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+                  FROM documents))
+          GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(f.fingerprint, '') AS fingerprint,
+               CAST(COALESCE(f.n_shingles, 0) AS BIGINT) AS n_shingles
+        FROM documents d LEFT JOIN fp f USING (doc_id)
         ORDER BY doc_id""")),
 
     Query(
@@ -320,11 +337,17 @@ object TextAnalysis {
         "feeding two doc-keyed shuffles. Map-only at any scale; ratios are " +
         "exact-integer double divisions, bit-identical across engines.",
       (s, dir) => {
-        val toks = tokensFast(col("text"))
+        // ONE tokenization, NO admission filter (same reasoning as q18:
+        // a struct-field filter gets rewritten into a second full
+        // expression evaluation). Split-based tokens, not tokensFast, so
+        // the degenerate empty doc counts ONE token ([""]) exactly like
+        // the oracle's string_split; zero-bigram docs emit a NULL
+        // top_bigram_ratio in both engines (Spark's non-ANSI 0/0 divide
+        // is NULL, the oracle's left join feeds NULL into the division).
         Tables.rebalanced(Tables.documents(s, dir))
-          .filter(size(toks) >= 2) // oracle drops zero-bigram docs via its join
           .select(col("doc_id"),
-            graft.functions.RepetitionStats.repetition_stats(toks).as("r"))
+            graft.functions.RepetitionStats
+              .repetition_stats(tokens(col("text"))).as("r"))
           .select(
             col("doc_id"),
             (lit(1.0) - col("r.n_distinct").cast("double") / col("r.n_tokens").cast("double"))
@@ -351,7 +374,7 @@ object TextAnalysis {
                1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS dup_token_ratio,
                CAST(top AS DOUBLE) / CAST(tot AS DOUBLE) AS top_bigram_ratio,
                CAST(len(w) AS INT) AS n_tokens
-        FROM ws JOIN gt ON ws.doc_id = gt.doc_id
+        FROM ws LEFT JOIN gt ON ws.doc_id = gt.doc_id
         ORDER BY ws.doc_id"""))
   )
 }
