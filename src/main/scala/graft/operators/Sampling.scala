@@ -66,5 +66,30 @@ object Sampling {
         FROM documents
         GROUP BY 1, 2
         ORDER BY lang, split"""))
+    ,
+    Query(
+      "q44_mixture_manifest",
+      "Data-mixture manifest: document and token totals per (split, source) — " +
+        "the accounting table a pre-train run publishes so mixture weights and " +
+        "epoch math are auditable. Content-stable split assignment (q35) plus " +
+        "one map-side-combining aggregate over (split, source); tokens counted " +
+        "with the split-based tokenizer so the SQL twin is exact.",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("source"), splitColumn(col("doc_id"), 0.8, 0.1).as("split"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+          .groupBy("split", "source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+          .orderBy("split", "source"),
+      Some("""
+        SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'valid'
+                    ELSE 'test' END AS split,
+               source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY 1, 2
+        ORDER BY split, source"""))
   )
 }

@@ -90,6 +90,27 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("exact percentiles handle tie-dominated groups and exclude NULL measures") {
+    import org.apache.spark.sql.functions._
+    // 99% of the group is one constant (the tie-skew that would refill a
+    // single bucket), plus NULLs that quantile_cont semantics exclude
+    val vals = Seq.fill(9900)(42.0) ++ (1 to 100).map(_.toDouble)
+    val df = spark.createDataFrame(
+        vals.map(v => ("G", Option(v))) ++ Seq.fill(50)(("G", None: Option[Double])))
+      .toDF("g", "x").repartition(8)
+    val out = graft.operators.Relational.exactPercentiles(
+      df, "g", Seq(0.5 -> "p50", 0.99 -> "p99")).collect().head
+    def q(sorted: Seq[Double], p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val (lo, hi) = (sorted(pos.floor.toInt), sorted(pos.ceil.toInt))
+      lo * (1 - (pos - pos.floor)) + hi * (pos - pos.floor)
+    }
+    val sorted = vals.sorted
+    assert(out.getAs[Double]("p50") === q(sorted, 0.5))
+    assert(out.getAs[Double]("p99") === q(sorted, 0.99))
+    assert(out.getAs[Long]("n") === 10000L) // NULLs not counted
+  }
+
   test("q33 approx percentiles are within 5% of the exact sort-based q31") {
     val approx = SparkEntry.queries("q33_approx_percentiles")(spark, sf)
       .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2),
