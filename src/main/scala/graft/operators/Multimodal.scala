@@ -107,12 +107,13 @@ object Multimodal {
 
   /** STUB decoder — deterministic fake standing in for the non-image
     * codecs (audio/video libraries don't exist in this environment).
-    * Image payloads take the real [[decodeImage]] path. */
-  private def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
+    * Image payloads take the real [[decodeImage]] path. Takes the
+    * caller's already-computed rolling payload hash so the payload is
+    * scanned ONCE per record, not once for the checksum and again
+    * here. */
+  private def fakeDecode(roll: Long, dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
-    var h = 1125899906842597L // FNV-ish rolling state over the payload
-    var i = 0
-    while (i < bytes.length) { h = h * 31 + bytes(i); i += 1 }
+    var h = 1125899906842597L ^ roll // content-sensitive seed
     var j = 0
     while (j < dim) {
       val mixed = (h ^ (h >>> 33)) * (j * 2654435761L + 1)
@@ -138,7 +139,7 @@ object Multimodal {
           while (i < bytes.length) { crc = crc * 31 + bytes(i); i += 1 }
           val feature =
             (if (looksLikeImage(bytes)) decodeImage(bytes, dim) else None)
-              .getOrElse(fakeDecode(bytes, dim))
+              .getOrElse(fakeDecode(crc, dim))
           MediaFeature(id, bytes.length, crc, feature)
         }
       }
@@ -198,20 +199,31 @@ object Multimodal {
     * and keep every `stride`-th — pure expression work (`substring` on
     * binary), no UDF, stays in codegen. */
   def sampleFrames(payloadsDf: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    // stride <= 0 would previously make the % filter NULL out every row —
+    // a silently empty result instead of an error
+    require(stride > 0, s"stride must be positive, got $stride")
     // n_frames = ceil(nbytes/frameBytes), floored at 0: an empty payload
     // must yield ZERO frames — a bare sequence(0, n-1) at n=0 is the
     // descending [0, -1], which would emit two phantom empty frames
     val nFrames = greatest(lit(0),
       ceil(col("meta.nbytes").cast("double") / frameBytes).cast("int"))
+    // the sequence STEPS by the stride, so only kept frames are ever
+    // sliced/allocated — materializing every frame and filtering
+    // (stride-1)/stride of them away would pay the full slice cost on
+    // discarded data; frame_idx stays the original frame index
     payloadsDf.select(col("doc_id"), col("meta.nbytes").as("nbytes"),
-      posexplode(
+      explode(
         when(nFrames > 0,
           transform(
-            sequence(lit(0), nFrames - 1),
-            i => substring(col("payload"), (i * frameBytes + 1).cast("int"), lit(frameBytes))))
-          .otherwise(array().cast("array<binary>")))
-        .as(Seq("frame_idx", "frame")))
-      .filter(col("frame_idx") % stride === 0)
+            sequence(lit(0), nFrames - 1, lit(stride)),
+            i => struct(i.as("frame_idx"),
+              substring(col("payload"), (i * frameBytes + 1).cast("int"), lit(frameBytes))
+                .as("frame"))))
+          .otherwise(array().cast("array<struct<frame_idx:int,frame:binary>>")))
+        .as("f"))
+      .select(col("doc_id"), col("nbytes"),
+        col("f.frame_idx").as("frame_idx"), col("f.frame").as("frame"))
   }
 
   private val frameBytes = 64

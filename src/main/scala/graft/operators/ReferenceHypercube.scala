@@ -218,10 +218,24 @@ object ReferenceHypercube {
   private def dimStatsCached(dim: DataFrame): org.apache.spark.sql.Row = {
     val files = dim.inputFiles
     if (files.isEmpty) dimStats(dim)
-    else dimStatsCache.computeIfAbsent(
-      files.sorted.mkString("\n") + "\n" +
-        dim.queryExecution.analyzed.canonicalized.toString,
-      _ => dimStats(dim))
+    else try {
+      // key on (path, length, mtime), not path alone: a CSV regenerated
+      // IN PLACE within one long-lived session must not serve the old
+      // min/max — stale maxes would mis-size the packed-key bit widths
+      // and silently corrupt the aggregation
+      val hconf = dim.sparkSession.sparkContext.hadoopConfiguration
+      val sig = files.sorted.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(hconf).getFileStatus(p)
+        s"$f:${st.getLen}:${st.getModificationTime}"
+      }.mkString("\n")
+      dimStatsCache.computeIfAbsent(
+        sig + "\n" + dim.queryExecution.analyzed.canonicalized.toString,
+        _ => dimStats(dim))
+    } catch {
+      // a file vanished between planning and signing — skip the cache
+      case _: java.io.IOException => dimStats(dim)
+    }
   }
 
   /** The one-off statistics aggregate over the dim table. */

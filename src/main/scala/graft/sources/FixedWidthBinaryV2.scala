@@ -45,8 +45,18 @@ class FixedWidthBinaryV2 extends TableProvider {
     FixedWidthBinary.schema(parseLayout(layoutOf(options)))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new FwbTable(new CaseInsensitiveStringMap(properties))
+      properties: java.util.Map[String, String]): Table = {
+    // The record layout, not the caller, is the source of truth for
+    // types: the reader writes layout-typed values into fixed UnsafeRow
+    // slots, so silently trusting a mismatched user schema (say DOUBLE
+    // declared over an f32 field) would decode garbage with no error.
+    // A user-supplied schema is accepted only if it matches the layout.
+    val opts = new CaseInsensitiveStringMap(properties)
+    val layoutSchema = FixedWidthBinary.schema(parseLayout(layoutOf(opts)))
+    require(schema == null || schema == layoutSchema,
+      s"user-specified schema $schema does not match the layout schema $layoutSchema")
+    new FwbTable(opts)
+  }
 }
 
 object FixedWidthBinaryV2 {
@@ -183,7 +193,12 @@ object FixedWidthBinaryV2 {
     override def planInputPartitions(): Array[InputPartition] = {
       val total = totalRecords
       val recsPerSplit = math.max(1L, targetSplitBytes / recLen)
-      val nSplits = ((total + recsPerSplit - 1) / recsPerSplit).toInt
+      val nSplits64 = (total + recsPerSplit - 1) / recsPerSplit
+      // a silent .toInt wrap (huge file + tiny targetSplitBytes) would
+      // plan a negative/empty split range and read NOTHING — fail loudly
+      require(nSplits64 <= Int.MaxValue,
+        s"$nSplits64 splits of $recsPerSplit records exceed Int range; raise targetSplitBytes")
+      val nSplits = nSplits64.toInt
       (0 until nSplits).map { i =>
         val startRec = i * recsPerSplit
         val n = math.min(recsPerSplit, total - startRec)

@@ -34,16 +34,25 @@ object DedupStream {
     * and still expires each entry once the watermark passes its event
     * time plus the delay (duplicates farther apart than the delay are
     * deliberately re-admitted). The WithinWatermark variant is
-    * streaming-only, so a batch input takes plain dropDuplicates — the
-    * exact semantics the streaming form converges to when every
-    * duplicate lands inside the delay, which the equivalence test
-    * exercises. */
+    * streaming-only, so a batch input instead keeps the MINIMUM
+    * (event-time, payload) row per hash — "first arrival" made
+    * deterministic: a plain `dropDuplicates` keeps whichever duplicate a
+    * task happens to scan first, so the surviving doc_id/payload would
+    * change across runs and partitionings. The batch pick is the
+    * earliest event time (ties broken by the remaining column values),
+    * which is what the streaming form converges to when every duplicate
+    * lands inside the delay — the equivalence test exercises exactly
+    * that. */
   def dedupped(docs: DataFrame, tsCol: String, delay: String = "10 minutes"): DataFrame = {
     val hashed = docs
       .withColumn("content_hash", sha2(TextAnalysis.norm(col("text")), 256))
     if (hashed.isStreaming)
       hashed.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark("content_hash")
-    else
-      hashed.dropDuplicates("content_hash")
+    else {
+      val cols = docs.columns.toSeq
+      hashed.groupBy("content_hash")
+        .agg(min(struct(col(tsCol).as("__ts0") +: cols.map(col): _*)).as("__first"))
+        .select(cols.map(c => col(s"__first.$c").as(c)) :+ col("content_hash"): _*)
+    }
   }
 }

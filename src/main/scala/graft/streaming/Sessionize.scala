@@ -27,9 +27,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Sessionize {
 
   /** Epoch-nanos long → timestamp (microsecond precision, which is what
-    * Spark timestamps carry). */
+    * Spark timestamps carry). The ns → µs division runs in the DECIMAL
+    * domain: Column `/` is a DOUBLE division, and epoch nanos (~1.7e18)
+    * exceed 2^53, so the double path rounds the input by up to ~256 ns —
+    * enough to flip a µs boundary and break exact batch/stream session
+    * agreement at gap edges. Decimal division is exact; the long cast
+    * truncates toward zero like integer `div`. */
   def tsCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    timestamp_micros((c / 1000L).cast("long"))
+    timestamp_micros((c.cast("decimal(20,0)") / lit(1000)).cast("long"))
 
   /** Session rows (user_id, session start/end, n_events) with a
     * `gap`-separated session definition. Works on batch and streaming
@@ -86,6 +91,14 @@ object Sessionize {
                 // the session end backwards to e.ts
                 case Some(s) if e.ts - s.end <= gapNs && s.start - e.ts <= gapNs =>
                   cur = Some(SessionState(math.min(s.start, e.ts), math.max(s.end, e.ts), s.n + 1))
+                case Some(s) if s.start - e.ts > gapNs =>
+                  // admitted-but-ancient outlier: more than gap BEFORE the
+                  // current session, so it can never merge with it — emit
+                  // it as its own closed single-event session and KEEP the
+                  // newer state (replacing the state with the old lone
+                  // event would wrongly close the current session and
+                  // split its successors into a duplicate)
+                  closed += Session(user, e.ts, e.ts, 1)
                 case Some(s) =>
                   closed += Session(user, s.start, s.end, s.n)
                   cur = Some(SessionState(e.ts, e.ts, 1))

@@ -114,6 +114,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("custom sessionizer: an admitted ancient outlier closes as its own session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val s = 1000000000L // 1s in ns
+    val gapNs = 5L * s
+    val stream = MemoryStream[Sessionize.Event]
+    val query = Sessionize.sessionsCustom(stream.toDS(), gapNs)
+      .writeStream.format("memory").queryName("outlier_sessions")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(Sessionize.Event(1L, 1L, 100L * s)))
+      query.processAllAvailable()
+      // watermark is now 90s; 92s is late but admitted, and more than
+      // gap BEFORE the open [100,100] session — it must close alone and
+      // MUST NOT replace the newer state
+      stream.addData(Seq(Sessionize.Event(1L, 2L, 92L * s)))
+      query.processAllAvailable()
+      stream.addData(Seq(Sessionize.Event(1L, 3L, 101L * s)))
+      query.processAllAvailable()
+      stream.addData(Seq(Sessionize.Event(99L, 9L, 1000L * s)))
+      query.processAllAvailable()
+      stream.addData(Seq(Sessionize.Event(99L, 10L, 2000L * s)))
+      query.processAllAvailable()
+      val out = spark.table("outlier_sessions").as[Sessionize.Session]
+        .collect().filter(_.user_id == 1L)
+        .map(ss => (ss.start_ns / s, ss.end_ns / s, ss.n_events)).sorted.toSeq
+      // batch semantics: sessions {92} and {100, 101}
+      assert(out === Seq((92L, 92L, 1L), (100L, 101L, 2L)))
+    } finally query.stop()
+  }
+
+  test("batch dedup survivor is the deterministic earliest-ts row") {
+    import spark.implicits._
+    // same content, doc 20 arrives EARLIER than doc 10; survivor must be
+    // doc 20 regardless of scan order/partitioning
+    val rows = Seq(
+      (10L, "same body", java.sql.Timestamp.valueOf("2026-01-01 10:30:00")),
+      (20L, "same body", java.sql.Timestamp.valueOf("2026-01-01 10:00:00")),
+      (30L, "other body", java.sql.Timestamp.valueOf("2026-01-01 10:05:00")))
+    val out = graft.streaming.DedupStream.dedupped(
+        rows.toDF("doc_id", "text", "ts").repartition(7), "ts")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out === Seq(20L, 30L))
+  }
+
   test("map-only text operators run unchanged on a stream: langQuality batch == stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
