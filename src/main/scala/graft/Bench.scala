@@ -34,7 +34,8 @@ object Bench {
     "q32_rollup", "q33_approx_percentiles", "q34_curation", "q35_split",
     "q36_salted_join", "q37_pii_scrub", "q38_repetition",
     "q39_decontaminate", "q40_dup_clusters", "q41_pack_shards",
-    "q42_oov_score", "q43_group_quota", "q44_mixture_manifest")
+    "q42_oov_score", "q43_group_quota", "q44_mixture_manifest",
+    "q45_pack_spans")
 
   /** `build` is by-name and runs AFTER the cache clear: queries that
     * persist (and eagerly materialize) intermediate frames — e.g. q17's

@@ -56,6 +56,19 @@ object Shards {
   /** [[packShards]] plus the persisted internal frame, so callers that
     * RUN an action over the result can unpersist afterwards. */
   def packShardsWithHandle(docs: DataFrame, budget: Long): (DataFrame, DataFrame) = {
+    val (off, handle) = docOffsets(docs)
+    (off
+      // exact: token offsets are far below 2^53, so the double floor is
+      // the true integer quotient on both engines
+      .withColumn("shard_id",
+        floor(col("start_off") / lit(budget.toDouble)).cast("long"))
+      .select("doc_id", "n_tokens", "shard_id"), handle)
+  }
+
+  /** (doc_id, n_tokens, start_off) — each document's global starting
+    * token offset in `doc_id` order, via the two-pass prefix sum.
+    * Returns the persisted internal frame as the second element. */
+  def docOffsets(docs: DataFrame): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     val parts = spark.sparkContext.defaultParallelism
     // split-based tokens, not tokensFast: an empty/whitespace doc counts
@@ -83,12 +96,33 @@ object Shards {
       .join(broadcast(offsets), Seq("pid"))
       .withColumn("start_off",
         col("poffset") + sum("n_tokens").over(local) - col("n_tokens"))
-      // exact: token offsets are far below 2^53, so the double floor is
-      // the true integer quotient on both engines
-      .withColumn("shard_id",
-        floor(col("start_off") / lit(budget.toDouble)).cast("long"))
-      .select("doc_id", "n_tokens", "shard_id")
+      .select("doc_id", "n_tokens", "start_off")
     (out, ranged)
+  }
+
+  /** Shard spans WITH document breaking — the semantics an actual
+    * fixed-token training shard needs: a document straddling a budget
+    * boundary contributes a span to EACH shard it crosses, so every
+    * shard except the last holds exactly `budget` tokens. Output is
+    * (shard_id, doc_id, tok_start, tok_end): the doc-local half-open
+    * token range belonging to that shard — a loader materializes shard
+    * K by concatenating its spans in doc order. The explode emits only
+    * the shards a doc actually touches (1 + ⌊(n_tokens-1+start%B)/B⌋),
+    * so the row count grows by exactly one per boundary crossed. */
+  def packSpans(docs: DataFrame, budget: Long): DataFrame = {
+    val (off, _) = docOffsets(docs)
+    val b = lit(budget.toDouble)
+    off
+      .withColumn("s0", floor(col("start_off") / b).cast("long"))
+      .withColumn("s1",
+        floor((col("start_off") + col("n_tokens") - 1) / b).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        explode(sequence(col("s0"), col("s1"))).as("shard_id"))
+      .select(col("shard_id"), col("doc_id"),
+        (greatest(col("shard_id") * lit(budget), col("start_off")) - col("start_off"))
+          .cast("long").as("tok_start"),
+        (least((col("shard_id") + 1) * lit(budget), col("start_off") + col("n_tokens"))
+          - col("start_off")).cast("long").as("tok_end"))
   }
 
   /** Materialize the shard layout as a partitioned parquet dataset:
@@ -148,5 +182,39 @@ object Shards {
         FROM pref
         GROUP BY 1
         ORDER BY shard_id"""))
+    ,
+    Query(
+      "q45_pack_spans",
+      "Shard spans with document BREAKING (2048 tokens/shard): a doc " +
+        "straddling a budget boundary contributes a doc-local token span to " +
+        "each shard it crosses, so every shard except the last holds exactly " +
+        "the budget — the layout an actual fixed-token training shard needs. " +
+        "Same scale-safe prefix sum as q41; the explode adds one row per " +
+        "boundary crossed.",
+      (s, dir) =>
+        packSpans(Tables.documents(s, dir), budget = 2048L)
+          .orderBy("shard_id", "doc_id"),
+      Some("""
+        WITH tok AS (
+          SELECT doc_id,
+                 CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        ), pref AS (
+          SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS start_off
+          FROM tok
+        ), spans AS (
+          SELECT doc_id, n_tokens, start_off,
+                 unnest(generate_series(
+                   CAST(FLOOR(CAST(start_off AS DOUBLE) / 2048.0) AS BIGINT),
+                   CAST(FLOOR(CAST(start_off + n_tokens - 1 AS DOUBLE) / 2048.0) AS BIGINT))) AS shard_id
+          FROM pref
+        )
+        SELECT shard_id, doc_id,
+               CAST(GREATEST(shard_id * 2048, start_off) - start_off AS BIGINT) AS tok_start,
+               CAST(LEAST((shard_id + 1) * 2048, start_off + n_tokens) - start_off AS BIGINT) AS tok_end
+        FROM spans
+        ORDER BY shard_id, doc_id"""))
   )
 }

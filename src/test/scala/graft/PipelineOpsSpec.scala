@@ -124,6 +124,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("shard spans break documents so every non-last shard holds exactly the budget") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val budget = 512L
+    val spans = Shards.packSpans(docs, budget)
+      .as[(Long, Long, Long, Long)].collect()
+    // spans reassemble each doc exactly: per-doc span lengths sum to its
+    // token count and tile [0, n_tokens) without gaps or overlaps
+    val toks = docs.select(col("doc_id"),
+        size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    spans.groupBy(_._2).foreach { case (doc, ss) =>
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.head._3 === 0L, s"doc $doc first span")
+      assert(sorted.last._4 === toks(doc), s"doc $doc last span")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 === a._4, s"doc $doc contiguous")
+        case _ =>
+      }
+    }
+    // every shard except the last holds exactly `budget` tokens
+    val perShard = spans.groupBy(_._1).view
+      .mapValues(_.map(s => s._4 - s._3).sum).toMap
+    val last = perShard.keys.max
+    perShard.foreach { case (sid, tot) =>
+      if (sid != last) assert(tot === budget, s"shard $sid")
+      else assert(tot > 0 && tot <= budget, s"last shard $sid")
+    }
+  }
+
   test("shard writer lays out one file per shard and round-trips exactly") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val out = "target/test_shards"
