@@ -40,7 +40,11 @@ object EtlMain {
     val tPlan = System.nanoTime()
     ReferenceHypercube.writeCsv(cube, outDir, singleFile)
     val tDone = System.nanoTime()
-    println(f"plan: ${(tPlan - t0) / 1e9}%.3f s  execute+write: ${(tDone - tPlan) / 1e9}%.3f s")
+    // "plan+stats", not "plan": fromFolder's packed-key branch RUNS the
+    // dim-statistics aggregate (a real Spark job over the dims) before
+    // returning, so the first bucket is planning plus that job — calling
+    // it bare "plan" would misattribute execution work to the planner
+    println(f"plan+stats: ${(tPlan - t0) / 1e9}%.3f s  execute+write: ${(tDone - tPlan) / 1e9}%.3f s")
     spark.stop()
   }
 }

@@ -44,6 +44,9 @@ object RefScale {
       i += 1
     }
     cw.close()
+    // PrintWriter swallows IOExceptions — without this check a full disk
+    // yields a silently truncated fixture that benchmarks "fine" forever
+    if (cw.checkError()) throw new java.io.IOException(s"failed writing $dir/clients.csv")
 
     val kw = new PrintWriter(new BufferedOutputStream(new FileOutputStream(s"$dir/contracts.csv"), 1 << 20))
     kw.println("id,id_client,nature,start,end")
@@ -53,6 +56,7 @@ object RefScale {
       i += 1
     }
     kw.close()
+    if (kw.checkError()) throw new java.io.IOException(s"failed writing $dir/contracts.csv")
 
     val bw = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(s"$dir/invoices.bin"), 1 << 20))
     i = 1
@@ -70,16 +74,34 @@ object RefScale {
 
   def main(args: Array[String]): Unit = {
     val dir = "target/refscale"
-    if (!Files.exists(Paths.get(s"$dir/invoices.bin"))) {
+    // size-gated, not existence-gated: a crash mid-write leaves a
+    // truncated invoices.bin that a bare exists() would silently accept
+    // and benchmark (rows_per_sec computed against the full NInvoices)
+    val binPath = Paths.get(s"$dir/invoices.bin")
+    val expectedBytes = NInvoices.toLong * 16L
+    if (!Files.exists(binPath) || Files.size(binPath) != expectedBytes) {
       println("generating reference-scale dataset (~950 MB)...")
       val t0 = System.nanoTime()
       generate(dir)
       println(f"generated in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      require(Files.size(binPath) == expectedBytes,
+        s"invoices.bin is ${Files.size(binPath)} bytes, expected $expectedBytes")
     }
     val spark = GraftSession.local("graft-refscale")
     def time[A](label: String)(f: => A): A = {
       val t = System.nanoTime(); val r = f
       println(f"[stage] $label: ${(System.nanoTime() - t) / 1e9}%.1f s"); r
+    }
+    // plan audit: print the AQE-final physical plan of one executed run.
+    // FIRST, so explain mode skips the diagnostic scan stage below — its
+    // purpose is just the plan, not a ~1 GB scan job
+    if (sys.env.contains("SPARK_GRAFT_REFSCALE_EXPLAIN")) {
+      val df = ReferenceHypercube.fromFolder(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      // after execution the AdaptiveSparkPlan holds the final plan
+      println(df.queryExecution.executedPlan.toString)
+      spark.stop()
+      return
     }
     // stage isolation: how much of the budget is the binary scan alone?
     time("scan+decode only (noop)") {
@@ -101,21 +123,17 @@ object RefScale {
       def noop(df: org.apache.spark.sql.DataFrame): Unit =
         df.write.format("noop").mode("overwrite").save()
       time("scan+join+project")(noop(joined))
-      time("...+repartition")(noop(joined.repartition(dims: _*)))
+      // NOTE: this shuffles the GENERIC 5-dim keys; the full run at this
+      // data size takes the packedPlan branch, which repartitions on
+      // (packed g, time) longs — so this line bounds the unpacked
+      // shuffle's cost, it does not decompose the packed run exactly
+      time("...+repartition (generic dims; full run packs keys)")(
+        noop(joined.repartition(dims: _*)))
       val cube = ReferenceHypercube.fromFolder(spark, dir)
       time("...+chained aggs+sort (full, noop)")(noop(cube))
       time("full incl. CSV write")(
         ReferenceHypercube.writeCsv(ReferenceHypercube.fromFolder(spark, dir),
           s"$dir/out", singleFile = false))
-      spark.stop()
-      return
-    }
-    // plan audit: print the AQE-final physical plan of one executed run
-    if (sys.env.contains("SPARK_GRAFT_REFSCALE_EXPLAIN")) {
-      val df = ReferenceHypercube.fromFolder(spark, dir)
-      df.write.format("noop").mode("overwrite").save()
-      // after execution the AdaptiveSparkPlan holds the final plan
-      println(df.queryExecution.executedPlan.toString)
       spark.stop()
       return
     }

@@ -33,7 +33,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class MinHashSignature(child: Expression, k: Int)
     extends UnaryExpression {
 
+  // bounds checked HERE, not only in the Column helper: a directly
+  // constructed expression with k > MaxK would otherwise pass analysis
+  // and fail per-row inside every task with an index error
   require(k > 0, s"signature needs at least one slot, got $k")
+  require(k <= MinHashSignature.MaxK,
+    s"at most ${MinHashSignature.MaxK} signature slots, got $k")
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {

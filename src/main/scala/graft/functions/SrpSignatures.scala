@@ -45,6 +45,11 @@ case class SrpSignatures(child: Expression, tables: Int, bits: Int, dim: Int)
   @transient private lazy val planes: Array[Double] =
     SrpSignatures.planes(tables, bits, dim)
 
+  // Null-element contract: same as [[VectorDot]] — null ARRAYS propagate
+  // null (nullSafeEval/nullSafeCodeGen), null ELEMENTS are not supported;
+  // embedding columns are non-null by contract, and both this and the
+  // composed per-plane form read elements primitively, so their outputs
+  // stay bit-identical on every supported input.
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = math.min(dim, v.numElements())

@@ -84,6 +84,25 @@ class SignatureExprSpec extends AnyFunSuite {
     native.foreach { case (id, s) => assert(s === composed(id), s"vec $id") }
   }
 
+  test("srp_signatures stays bit-identical to the composed form even on null elements") {
+    import graft.functions.SrpSignatures.srp_signatures
+    import graft.operators.Similarity
+    import spark.implicits._
+    // Null ELEMENTS are outside the documented contract (embeddings are
+    // non-null), but the two forms must still agree rather than silently
+    // diverge — both read elements primitively (null slot reads as 0.0
+    // in unsafe layouts), so candidate buckets stay consistent.
+    val rows = Seq((1L, Seq[java.lang.Double](1.0, null, 3.0) ++
+      Seq.fill(61)(java.lang.Double.valueOf(0.5))))
+    val df = rows.toDF("vec_id", "emb")
+    val native = df.select(srp_signatures(col("emb"), 4, 6, 64).as("s"))
+      .collect().head.getSeq[Int](0)
+    val composed = df.select(
+        array((0 until 4).map(t => Similarity.srpSignature(col("emb"), t, 6, 64)): _*).as("s"))
+      .collect().head.getSeq[Int](0)
+    assert(native === composed)
+  }
+
   test("full signature pipeline participates in whole-stage codegen") {
     // table-backed input: a local literal would constant-fold into a
     // LocalTableScan and bypass codegen entirely. This asserts the whole
