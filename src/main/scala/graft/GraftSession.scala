@@ -21,6 +21,8 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // native expressions as SQL functions (minhash_signature, …)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       // Size-GATED broadcast policy (not a hint): dims up to 64 MB — e.g.
       // the reference-scale 1.6 M-row denormalized contract dim — replicate

@@ -103,6 +103,43 @@ class SignatureExprSpec extends AnyFunSuite {
     assert(native === composed)
   }
 
+  test("native expressions are registered as SQL functions via GraftExtensions") {
+    // SQL-only consumers must get the same expressions the Column API
+    // builds — shape args are literals, results bit-match the Column path
+    sources.Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+      .createOrReplaceTempView("sqldocs")
+    val viaSql = spark.sql("""
+      SELECT doc_id,
+             minhash_signature(ngram_xxhash64(split(lower(trim(text)), ' '), 3), 8) AS mh,
+             simhash64(ngram_xxhash64(split(lower(trim(text)), ' '), 3)) AS sh,
+             bottomk_ngram_md5(split(lower(trim(text)), ' '), 3, 4).fingerprint AS fp,
+             repetition_stats(split(lower(trim(text)), ' ')).n_tokens AS nt
+      FROM sqldocs ORDER BY doc_id""").collect()
+    val toks = split(lower(trim(col("text"))), " ")
+    val viaCols = sources.Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+      .select(col("doc_id"),
+        minhash_signature(operators.TextAnalysis.shingleHashArray(toks, 3), 8).as("mh"),
+        simhash64(operators.TextAnalysis.shingleHashArray(toks, 3)).as("sh"),
+        graft.functions.BottomKNgramMd5.bottomk_ngram_md5(toks, 3, 4)
+          .getField("fingerprint").as("fp"),
+        graft.functions.RepetitionStats.repetition_stats(toks)
+          .getField("n_tokens").as("nt"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.length === 50)
+    viaSql.zip(viaCols).foreach { case (a, b) =>
+      assert(a.getSeq[Long](1) === b.getSeq[Long](1))
+      assert(a.getLong(2) === b.getLong(2))
+      assert(a.getString(3) === b.getString(3))
+      assert(a.getLong(4) === b.getLong(4))
+    }
+    // shape args must be literals — non-literal k fails with a clear error
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(array(1L), CAST(doc_id AS INT)) FROM sqldocs").collect()
+    }
+    assert(err.getMessage.contains("integer literal") ||
+      Option(err.getCause).exists(_.getMessage.contains("integer literal")))
+  }
+
   test("full signature pipeline participates in whole-stage codegen") {
     // table-backed input: a local literal would constant-fold into a
     // LocalTableScan and bypass codegen entirely. This asserts the whole
