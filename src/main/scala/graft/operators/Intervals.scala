@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Query
+import graft.sources.Tables
+
+/** Interval-overlap join — the temporal generalization of the q30
+  * point-in-range join: find all pairs of intervals (same partition key)
+  * that overlap, without ever forming an inequality cross product.
+  *
+  * Grid bucketization (the standard spatial/temporal join technique,
+  * e.g. DeWitt et al.'s partition-based spatial merge): tile the time
+  * axis into fixed cells, replicate each interval into every cell it
+  * touches (`sequence(s div W, e div W)` — replication factor is
+  * ⌈len/W⌉+1, bounded when W is chosen near the typical interval
+  * length), then pairs can only overlap if they share a cell, so the
+  * candidate join is a plain EQUI-join on (key, cell) — shuffle-
+  * partitionable at any scale.
+  *
+  * De-duplication without a `distinct`: a pair sharing k cells would
+  * surface k times, so each candidate is kept only in the cell where
+  * the overlap STARTS (`cell == greatest(a.s, b.s) div W`) — every
+  * overlapping pair is emitted exactly once, and the dedup is a free
+  * map-side filter instead of a second shuffle.
+  *
+  * Cell indices use integer `div` arithmetic end-to-end: epoch-nano
+  * magnitudes (~1.7e18) exceed a double's 2^53 integer range, so a
+  * float formulation would mis-bin.
+  */
+object Intervals {
+
+  /** All overlapping pairs of `iv` (columns: id, key, s, e — closed
+    * intervals, s <= e) within the same `key`: (key, id_a, id_b) with
+    * id_a < id_b, each pair exactly once. `cellWidth` tiles the axis;
+    * correctness does not depend on it, only replication factor does. */
+  def overlapSelfJoin(iv: DataFrame, cellWidth: Long): DataFrame = {
+    require(cellWidth > 0, s"cellWidth must be positive: $cellWidth")
+    val cells = iv.withColumn("cell",
+      explode(sequence(expr(s"s div ${cellWidth}L"), expr(s"e div ${cellWidth}L"))))
+    val a = cells.alias("a")
+    val b = cells.alias("b")
+    a.join(b,
+        col("a.key") === col("b.key") && col("a.cell") === col("b.cell") &&
+        col("a.id") < col("b.id") &&
+        col("a.s") <= col("b.e") && col("b.s") <= col("a.e") &&
+        col("a.cell") === expr(s"greatest(a.s, b.s) div ${cellWidth}L"))
+      .select(col("a.key").as("key"), col("a.id").as("id_a"), col("b.id").as("id_b"))
+  }
+
+  val queries: Seq[Query] = Seq(
+    Query(
+      "q49_interval_join",
+      "Interval-overlap self-join over per-user 1-hour event windows via grid " +
+        "bucketization: intervals replicate into the hour cells they touch, " +
+        "candidates form on a (user, cell) EQUI-join (never an inequality " +
+        "cross product), and each pair is kept only in the cell where the " +
+        "overlap starts — exactly-once without a distinct. Integer `div` " +
+        "cell math throughout (epoch nanos exceed double's 2^53). Oracle: " +
+        "DuckDB's native inequality join.",
+      (s, dir) => {
+        val hourNs = 3600L * 1000000000L
+        val iv = Tables.events(s, dir).select(
+          col("event_id").as("id"), col("user_id").as("key"),
+          col("ts").as("s"), (col("ts") + hourNs).as("e"))
+        overlapSelfJoin(iv, cellWidth = hourNs)
+          .select(col("key").as("user_id"), col("id_a").as("event_a"),
+            col("id_b").as("event_b"))
+          .orderBy("user_id", "event_a", "event_b")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, epoch_ns(ts) AS s, epoch_ns(ts) + 3600000000000 AS e
+          FROM events
+        )
+        SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+         AND a.s <= b.e AND b.s <= a.e
+        ORDER BY a.user_id, event_a, event_b"""))
+  )
+}

@@ -44,6 +44,36 @@ object Sampling {
       .when(hashBucket(key) < lit(hexThreshold(train + valid)), "valid")
       .otherwise("test")
 
+  /** First 8 hex chars of md5(key) as an integer — uniform over [0, 2^32),
+    * the numeric twin of [[hashBucket]] for priority arithmetic. */
+  def hashU32(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Deterministic weighted sampling without replacement, `k` rows per
+    * `group`: sequential Poisson / priority sampling (Ohlsson 1998;
+    * Duffield–Lund–Thorup 2007) with the uniform drawn from md5(key)
+    * instead of an RNG — content-stable across runs, engines, and
+    * partitionings, like [[deterministicSample]].
+    *
+    * Priority = u32(key) / weight: higher-weight rows draw smaller
+    * priorities and the k smallest per group win. Both operands convert
+    * exactly to double and IEEE division is exactly rounded, so the
+    * priority — and therefore the selected set — is bit-identical in any
+    * IEEE engine (the DuckDB oracle evaluates the same expression).
+    *
+    * Selection reuses [[Skew.groupQuota]]'s salted tournament, so a hot
+    * group spreads over `nSalts` tasks instead of one whole-group
+    * window partition. Rows with non-positive weight are excluded (a
+    * zero weight would make the priority infinite — semantically "never
+    * sample", so dropping them is the correct limit). */
+  def weightedSample(df: DataFrame, group: Column, key: Column,
+      weight: Column, k: Int, nSalts: Int = 8): DataFrame =
+    Skew.groupQuota(
+      df.filter(weight > 0)
+        .withColumn("__pri", hashU32(key).cast("double") / weight),
+      group, Seq(col("__pri"), key), k, nSalts)
+      .drop("__pri")
+
   val queries: Seq[Query] = Seq(
     Query(
       "q35_split",
@@ -91,5 +121,32 @@ object Sampling {
         FROM documents
         GROUP BY 1, 2
         ORDER BY split, source"""))
+    ,
+    Query(
+      "q47_weighted_sample",
+      "Deterministic weighted sampling, 5 docs per source weighted by " +
+        "n_chars: sequential Poisson / priority sampling with the uniform " +
+        "drawn from md5(doc_id) — content-stable across runs, engines, and " +
+        "partitionings. Priority u32/weight is IEEE-exact in both engines, " +
+        "and selection runs the q43 salted tournament so a hot source never " +
+        "funnels through one window task. Oracle: the same priority ranked " +
+        "by one naive window in DuckDB.",
+      (s, dir) =>
+        weightedSample(Tables.documents(s, dir).select("source", "doc_id", "n_chars"),
+            col("source"), col("doc_id"), col("n_chars"), k = 5)
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            col("rk").cast("int").as("rk"))
+          .orderBy("source", "doc_id"),
+      Some("""
+        WITH ranked AS (
+          SELECT source, doc_id, n_chars,
+                 CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) / n_chars,
+                            doc_id) AS INT) AS rk
+          FROM documents WHERE n_chars > 0)
+        SELECT source, doc_id, n_chars, rk
+        FROM ranked WHERE rk <= 5
+        ORDER BY source, doc_id"""))
   )
 }

@@ -55,7 +55,64 @@ object Vocab {
       .agg(count(lit(1)).as("n_tokens"),
         count(when(col("__in").isNull, 1)).as("n_oov"))
 
+  /** Top-`k` distinctive terms per document, TF-IDF family: rank by
+    * (tf DESC, df ASC, term ASC) — term frequency up, document frequency
+    * down — emitting the integer (tf, df) pair so a consumer applies any
+    * idf variant downstream. Keeping the ranking integer-only (instead
+    * of emitting tf·ln(N/df)) is what makes the result engine-exact: the
+    * ORDER itself is identical under every monotone idf, and no
+    * transcendental ever reaches the output.
+    *
+    * Shape: one (doc, term)-keyed count, one term-keyed count off its
+    * result (exchanges carry counts, never text bodies), a term-keyed
+    * equi-join, then a per-doc window — safe at scale because a
+    * document's distinct-term set is bounded by the document itself,
+    * so no group ever exceeds one doc's vocabulary. */
+  def tfidfTerms(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+  }
+
   val queries: Seq[Query] = Seq(
+    Query(
+      "q48_tfidf_terms",
+      "Top-3 distinctive terms per document (TF-IDF family, integer-exact): " +
+        "rank by (tf DESC, df ASC, term ASC) and emit (tf, df) so any idf " +
+        "variant applies downstream — the order is invariant under every " +
+        "monotone idf and no float reaches the output. One (doc,term) count, " +
+        "one term count, a term-keyed equi-join, and a per-doc window whose " +
+        "groups are bounded by a single document's vocabulary.",
+      (s, dir) =>
+        tfidfTerms(Tables.documents(s, dir), k = 3)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rk"))
+          .orderBy("doc_id", "rk"),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        ), ranked AS (
+          SELECT t.doc_id, t.term, t.tf, d.df,
+                 CAST(row_number() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS INT) AS rk
+          FROM tf t JOIN dfreq d USING (term))
+        SELECT doc_id, term, tf, df, rk
+        FROM ranked WHERE rk <= 3
+        ORDER BY doc_id, rk"""))
+    ,
     Query(
       "q42_oov_score",
       "Out-of-vocabulary scoring: top-16 document-frequency vocabulary from " +

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Intervals, Profiling, Sampling, Vocab}
+
+/** Round-4 extension operators: histogram, interval-overlap join,
+  * weighted sampling, TF-IDF terms — each checked against a naive
+  * single-machine formulation on data built to hit its edges. */
+class ProfilingIntervalsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("histogram matches a brute-force binning, clamps max into the last bin") {
+    import spark.implicits._
+    val xs = Seq(0.0, 1.0, 2.5, 5.0, 9.99, 10.0) // 10.0 = max must land in bin 4, not 5
+    val df = xs.zipWithIndex.map { case (x, i) => (s"g${i % 2}", x) }.toDF("g", "x")
+    val got = Profiling.histogram(df, col("g"), col("x"), nBins = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val lo = xs.min; val width = (xs.max - xs.min) / 5
+    val expect = xs.zipWithIndex
+      .map { case (x, i) => (s"g${i % 2}", math.min(((x - lo) / width).toInt, 4)) }
+      .groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }.toSet
+    assert(got === expect)
+    assert(got.exists { case (_, bin, _) => bin == 4 }) // the clamp actually fired
+  }
+
+  test("histogram of a constant column is one bin holding every row") {
+    import spark.implicits._
+    val df = Seq.fill(7)(("g", 3.14)).toDF("g", "x")
+    val got = Profiling.histogram(df, col("g"), col("x"), nBins = 8)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("g", 0, 7L)))
+  }
+
+  test("overlapSelfJoin matches the brute-force inequality join on varied-length intervals") {
+    import spark.implicits._
+    // deterministic pseudo-random intervals, lengths 0..5x the cell width —
+    // multi-cell replication and the dedup-at-overlap-start rule both fire
+    val cell = 100L
+    val iv = (1 to 300).map { i =>
+      val s = (i * 2654435761L) % 2000
+      val len = (i * 40503L) % (5 * cell)
+      (i.toLong, (i % 7).toLong, s, s + len)
+    }.toDF("id", "key", "s", "e")
+    val got = Intervals.overlapSelfJoin(iv, cellWidth = cell)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = iv.alias("a"); val b = iv.alias("b")
+    val brute = a.join(b,
+        col("a.key") === col("b.key") && col("a.id") < col("b.id") &&
+        col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+      .select(col("a.key"), col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty)
+    assert(got === brute) // exactly once each: set equality + no dups pre-set
+    val n = Intervals.overlapSelfJoin(iv, cellWidth = cell).count()
+    assert(n === brute.size) // no pair emitted twice
+  }
+
+  test("weightedSample selects the naive priority-window winners") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (s"src${i % 3}", i.toLong, (i % 50) + 1))
+      .toDF("source", "doc_id", "w")
+    val got = Sampling.weightedSample(df, col("source"), col("doc_id"), col("w"), k = 4)
+      .select("source", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy((Sampling.hashU32(col("doc_id")).cast("double") / col("w")).asc, col("doc_id").asc)
+    val naive = df.filter(col("w") > 0).withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 4)
+      .select("source", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === naive)
+    assert(got.size === 12)
+  }
+
+  test("weightedSample drops non-positive weights and favors heavy rows") {
+    import spark.implicits._
+    // one heavy row (w=1e6) among 200 light ones (w=1): the heavy row's
+    // expected priority is ~1e6 smaller, so it must be selected
+    val df = ((1 to 200).map(i => ("s", i.toLong, 1L)) :+ (("s", 999L, 1000000L)) :+ (("s", 1000L, 0L)))
+      .toDF("source", "doc_id", "w")
+    val picked = Sampling.weightedSample(df, col("source"), col("doc_id"), col("w"), k = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(picked.contains(999L))
+    assert(!picked.contains(1000L)) // zero weight = never sampled
+  }
+
+  test("tfidfTerms ranks by (tf desc, df asc, term asc) with exact counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana banana cherry cherry date"),
+      (3L, "apple date date date")).toDF("doc_id", "text")
+    val got = Vocab.tfidfTerms(docs, k = 2)
+      .select("doc_id", "term", "tf", "df", "rk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toSet
+    // df: apple 2, banana 2, cherry 2, date 2
+    val expect = Set(
+      (1L, "apple", 2L, 2L, 1), (1L, "banana", 1L, 2L, 2),
+      (2L, "banana", 2L, 2L, 1), (2L, "cherry", 2L, 2L, 2),
+      (3L, "date", 3L, 2L, 1), (3L, "apple", 1L, 2L, 2))
+    assert(got === expect)
+  }
+}
