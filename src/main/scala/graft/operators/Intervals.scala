@@ -21,15 +21,23 @@ import graft.sources.Tables
   *
   * De-duplication without a `distinct`: a pair sharing k cells would
   * surface k times, so each candidate is kept only in the cell where
-  * the overlap STARTS (`cell == greatest(a.s, b.s) div W`) — every
-  * overlapping pair is emitted exactly once, and the dedup is a free
-  * map-side filter instead of a second shuffle.
+  * the overlap STARTS (`cell == floorDiv(greatest(a.s, b.s), W)`) —
+  * every overlapping pair is emitted exactly once, and the dedup is a
+  * free map-side filter instead of a second shuffle.
   *
-  * Cell indices use integer `div` arithmetic end-to-end: epoch-nano
+  * Cell indices use integer floor-division end-to-end: epoch-nano
   * magnitudes (~1.7e18) exceed a double's 2^53 integer range, so a
-  * float formulation would mis-bin.
+  * float formulation would mis-bin; and plain `div` truncates toward
+  * zero, which would mis-bin pre-epoch (negative) coordinates.
   */
 object Intervals {
+
+  /** Floor division as a SQL fragment: `div` truncates toward zero, which
+    * mis-bins NEGATIVE coordinates (-1 div 10 = 0, but cell -1 is meant);
+    * subtracting the non-negative `pmod` first makes the quotient exact
+    * floor division on the whole long range. */
+  private def floorDiv(x: String, w: Long): String =
+    s"(($x - pmod($x, ${w}L)) div ${w}L)"
 
   /** All overlapping pairs of `iv` (columns: id, key, s, e — closed
     * intervals, s <= e) within the same `key`: (key, id_a, id_b) with
@@ -38,14 +46,14 @@ object Intervals {
   def overlapSelfJoin(iv: DataFrame, cellWidth: Long): DataFrame = {
     require(cellWidth > 0, s"cellWidth must be positive: $cellWidth")
     val cells = iv.withColumn("cell",
-      explode(sequence(expr(s"s div ${cellWidth}L"), expr(s"e div ${cellWidth}L"))))
+      explode(sequence(expr(floorDiv("s", cellWidth)), expr(floorDiv("e", cellWidth)))))
     val a = cells.alias("a")
     val b = cells.alias("b")
     a.join(b,
         col("a.key") === col("b.key") && col("a.cell") === col("b.cell") &&
         col("a.id") < col("b.id") &&
         col("a.s") <= col("b.e") && col("b.s") <= col("a.e") &&
-        col("a.cell") === expr(s"greatest(a.s, b.s) div ${cellWidth}L"))
+        col("a.cell") === expr(floorDiv("greatest(a.s, b.s)", cellWidth)))
       .select(col("a.key").as("key"), col("a.id").as("id_a"), col("b.id").as("id_b"))
   }
 

@@ -57,6 +57,27 @@ class ProfilingIntervalsSpec extends AnyFunSuite {
     assert(n === brute.size) // no pair emitted twice
   }
 
+  test("overlapSelfJoin bins negative (pre-epoch) coordinates correctly") {
+    import spark.implicits._
+    // straddle zero: truncate-toward-zero div would collapse cells -1 and
+    // 0 and both manufacture and drop pairs around the origin
+    val iv = (1 to 200).map { i =>
+      val s = (i * 7919L) % 1000 - 500
+      (i.toLong, (i % 3).toLong, s, s + (i % 250))
+    }.toDF("id", "key", "s", "e")
+    val got = Intervals.overlapSelfJoin(iv, cellWidth = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = iv.alias("a"); val b = iv.alias("b")
+    val brute = a.join(b,
+        col("a.key") === col("b.key") && col("a.id") < col("b.id") &&
+        col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+      .select(col("a.key"), col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty)
+    assert(got === brute)
+    assert(Intervals.overlapSelfJoin(iv, cellWidth = 100L).count() === brute.size)
+  }
+
   test("weightedSample selects the naive priority-window winners") {
     import spark.implicits._
     val df = (1 to 500).map(i => (s"src${i % 3}", i.toLong, (i % 50) + 1))
