@@ -37,7 +37,7 @@ object Bench {
     "q42_oov_score", "q43_group_quota", "q44_mixture_manifest",
     "q45_pack_spans", "q46_histogram", "q47_weighted_sample",
     "q48_tfidf_terms", "q49_interval_join", "q50_bloom_semi",
-    "q51_bucketed_join")
+    "q51_bucketed_join", "q52_frequent_tokens", "q53_heavy_hitters")
 
   /** `build` is by-name and runs AFTER the cache clear: queries that
     * persist (and eagerly materialize) intermediate frames — e.g. q17's

@@ -80,5 +80,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "repetition_stats(tokens)")
         RepetitionStats(args.head)
       }))
+    // aggregate function: the analyzer wraps a bare AggregateFunction in
+    // an AggregateExpression itself, same as built-in registry entries
+    ext.injectFunction((FunctionIdentifier("frequent_items"),
+      info("frequent_items", "frequent_items(item, k) - Misra-Gries top items as array<struct<item,count>>"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "frequent_items(item, k)")
+        FrequentItemsSketch(args.head, intArg("frequent_items", "k", args(1)))
+      }))
   }
 }

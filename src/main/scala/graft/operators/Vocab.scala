@@ -145,5 +145,56 @@ object Vocab {
         WHERE t.doc_id % 97 <> 0
         GROUP BY t.doc_id
         ORDER BY t.doc_id"""))
+    ,
+    Query(
+      "q52_frequent_tokens",
+      "Misra-Gries frequent-items sketch over the corpus token stream " +
+        "(native TypedImperativeAggregate, 32 counters): O(k) state per " +
+        "partial aggregate regardless of vocabulary size — the exact twin " +
+        "(q53) shuffles every distinct token, this shuffles 32 counters per " +
+        "map partition. Emits the full summary, count-descending (counts " +
+        "are lower bounds within n/33 of truth; every token above that " +
+        "threshold is guaranteed present). No oracle (sketch counts are " +
+        "partitioning-sensitive); the coverage guarantee vs the exact twin " +
+        "is ScalaTest-proved.",
+      (s, dir) => {
+        val sketch = Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+          .agg(graft.functions.FrequentItemsSketch
+            .frequentItems(col("token"), 32).as("fi"))
+        sketch.select(posexplode(col("fi"))) // cols: pos, col
+          .select((col("pos") + 1).cast("int").as("rk"),
+            col("col.item").as("token"), col("col.count").as("count_lb"))
+          .orderBy("rk")
+      },
+      None),
+
+    Query(
+      "q53_heavy_hitters",
+      "Exact heavy hitters: tokens with frequency > n/33 of the corpus " +
+        "token stream — the oracle-checked exact twin of the q52 sketch. " +
+        "One token-keyed count aggregate (exchanges carry counts, never " +
+        "text), a one-row total broadcast back as a literal, and a filter; " +
+        "at 100 TB the aggregate is the vocabulary-sized shuffle the q52 " +
+        "sketch exists to avoid.",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        val counts = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+        counts.crossJoin(broadcast(toks.agg(count(lit(1)).as("__n"))))
+          .filter(col("freq") * 33 > col("__n"))
+          .select(col("token"), col("freq"))
+          .orderBy(col("freq").desc, col("token"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+          FROM documents
+        ), tot AS (SELECT COUNT(*) AS n FROM toks)
+        SELECT token, COUNT(*) AS freq
+        FROM toks, tot
+        GROUP BY token, tot.n
+        HAVING COUNT(*) * 33 > tot.n
+        ORDER BY freq DESC, token"""))
   )
 }
