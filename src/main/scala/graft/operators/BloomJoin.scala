@@ -45,10 +45,24 @@ object BloomJoin {
 
   /** `fact LEFT SEMI JOIN dim ON factKey = dimKey`, pre-filtered by a
     * bloom filter of the dim keys pushed to the fact scan. Exact: the
-    * residual semi-join removes bloom false positives. */
+    * residual semi-join removes bloom false positives.
+    *
+    * The two keys must have the SAME data type — enforced, because the
+    * exactness argument needs it: `xxhash64` hashes the raw
+    * representation (an int 1 and a long 1L hash differently), while the
+    * residual equi-join COERCES its sides, so mismatched key types would
+    * turn bloom misses into silent false NEGATIVES — dropped matching
+    * rows — instead of an error. Callers with mixed-width keys cast at
+    * the call site, which makes the coercion explicit on both paths. */
   def bloomSemiJoin(fact: DataFrame, factKey: Column, dim: DataFrame,
       dimKey: Column, expectedItems: Long = 1000000L,
       numBits: Long = 8388608L): DataFrame = {
+    val factType = fact.select(factKey).schema.head.dataType
+    val dimType = dim.select(dimKey).schema.head.dataType
+    require(factType == dimType,
+      s"bloomSemiJoin keys must share one data type (xxhash64 is " +
+        s"representation-sensitive, the residual join coerces): " +
+        s"fact=$factType dim=$dimType — cast both keys explicitly")
     val bloom = buildBloom(dim, dimKey, expectedItems, numBits)
     val might = shim.column(BloomFilterMightContain(
       Literal(bloom, BinaryType), shim.expression(xxhash64(factKey))))

@@ -181,7 +181,10 @@ object Vocab {
         val toks = Tables.documents(s, dir)
           .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
         val counts = toks.groupBy("token").agg(count(lit(1)).as("freq"))
-        counts.crossJoin(broadcast(toks.agg(count(lit(1)).as("__n"))))
+        // total from the aggregated counts, NOT a second toks.agg pass:
+        // the branches would share no exchange, so the full tokenize +
+        // explode scan would run twice
+        counts.crossJoin(broadcast(counts.agg(sum("freq").as("__n"))))
           .filter(col("freq") * 33 > col("__n"))
           .select(col("token"), col("freq"))
           .orderBy(col("freq").desc, col("token"))

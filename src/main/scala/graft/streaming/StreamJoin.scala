@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Watermarked stream-stream self-join — the streaming twin of the q49
   * batch interval-overlap join: correlate each event with the SAME
-  * user's events that start within `window` after it, as both sides
-  * arrive incrementally.
+  * user's events within `window` of it, as both sides arrive
+  * incrementally.
   *
   * Structured Streaming executes this with a symmetric-hash-join whose
   * buffered state is BOUNDED by the watermark plus the time-range join
@@ -25,11 +25,15 @@ object StreamJoin {
 
   /** Pairs (user_id, event_a, event_b) of same-user events within
     * `window` of each other (|Δts| <= window), event_a < event_b —
-    * exactly the q49 batch overlap pairs for equal-length intervals.
-    * The range is two-sided on purpose: it both matches the batch
-    * semantics and gives the state store an eviction bound for EACH
-    * side. Works on batch and streaming inputs; on streams, both
-    * sides must carry the `delay` watermark for state eviction. */
+    * the q49 batch overlap-pair semantics for equal-length intervals,
+    * evaluated in the MICROSECOND domain (Spark timestamps): a pair
+    * whose nano delta straddles the window boundary within one µs can
+    * classify differently than q49's integer-nano math, so parity with
+    * q49 is exact only for µs-aligned timestamps. The range is
+    * two-sided on purpose: it both matches the batch semantics and
+    * gives the state store an eviction bound for EACH side. Works on
+    * batch and streaming inputs; on streams, both sides must carry the
+    * `delay` watermark for state eviction. */
   def correlate(left: DataFrame, right: DataFrame,
       window: String = "1 hour", delay: String = "10 seconds"): DataFrame = {
     val a = left

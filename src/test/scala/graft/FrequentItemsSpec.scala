@@ -14,8 +14,9 @@ class FrequentItemsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
-  /** Zipf-ish item stream: item j appears ~N/j times. */
-  private def zipf(n: Int): Seq[String] =
+  /** Geometric item stream: item j appears ~N/2^j times, so only the
+    * first few items clear the n/(k+1) heavy-hitter threshold. */
+  private def skewed(n: Int): Seq[String] =
     (1 to n).map(i => s"item${java.lang.Long.numberOfTrailingZeros(i) + 1}")
 
   private def sketchOf(items: Seq[String], k: Int, parts: Int): Map[String, Long] = {
@@ -28,7 +29,7 @@ class FrequentItemsSpec extends AnyFunSuite {
   }
 
   test("every item above n/(k+1) survives, counts are bounded lower bounds") {
-    val items = zipf(20000)
+    val items = skewed(20000)
     val n = items.size
     val k = 8
     val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
