@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+import graft.Query
+import graft.sources.Tables
+
+/** Event-stream analytics over the semi-structured `events` table:
+  * typed JSON extraction, pivoted cohort matrices, and time-series
+  * gap-filling — the shapes an events warehouse runs daily.
+  *
+  * Scale notes per operator are on each catalog entry; the common
+  * thread is that every one stays an (at most) one-shuffle aggregate:
+  * JSON parsing is per-row map work, the pivot is a single hash
+  * aggregate with conditional partials (never one-query-per-column),
+  * and gap-filling generates missing rows from per-key SPANS (two
+  * small aggregates + an explode), not from a calendar cross join.
+  */
+object Events {
+
+  private val propsSchema = StructType(Seq(StructField("k", IntegerType)))
+
+  /** Per-day index of an epoch-nano timestamp, integer floor math
+    * (ts >= 0 here; epoch nanos exceed double's 2^53, so no float). */
+  private def dayOf(c: String): org.apache.spark.sql.Column =
+    expr(s"$c div 86400000000000L")
+
+  /** (user_id, day, n_events) for EVERY day in each user's active span,
+    * gap days included with n_events = 0. */
+  def gapFilledDailyCounts(events: DataFrame): DataFrame = {
+    val byDay = events
+      .select(col("user_id"), dayOf("ts").as("day"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_events"))
+    val spans = byDay.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    spans.join(byDay, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
+  val queries: Seq[Query] = Seq(
+    Query(
+      "q54_json_extract",
+      "Typed JSON extraction from the events.props column (from_json with an " +
+        "explicit schema — parsed once per row into a typed struct, no " +
+        "per-field re-parse) feeding one event-type-keyed aggregate. " +
+        "Map-only until the 5-group exchange; integer-exact stats, so the " +
+        "DuckDB json_extract oracle matches bit-for-bit.",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            from_json(col("props"), propsSchema).getField("k").cast("long").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+            min("k").as("min_k"), max("k").as("max_k"))
+          .orderBy("event_type"),
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+               CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    Query(
+      "q55_pivot",
+      "Pivoted cohort matrix: event counts per (user_id % 10 cohort) x " +
+        "event_type, with the pivot column set passed EXPLICITLY — Spark " +
+        "then plans ONE hash aggregate with five conditional partials (the " +
+        "implicit form runs a distinct-values job first; a per-column " +
+        "subquery would be five scans). Missing combinations coalesce to 0 " +
+        "to match the conditional-count oracle.",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = Tables.events(s, dir)
+          .groupBy((col("user_id") % 10).as("cohort"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        p.select(col("cohort") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy("cohort")
+      },
+      Some("""
+        SELECT user_id % 10 AS cohort,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        FROM events
+        GROUP BY 1
+        ORDER BY cohort""")),
+
+    Query(
+      "q56_gapfill",
+      "Time-series gap-fill: per-(user, day) event counts for EVERY day in " +
+        "each user's active span, zeros included — generated from per-user " +
+        "span aggregates (min/max day + sequence explode), never a calendar " +
+        "cross join, so the generated row count is bounded by actual spans. " +
+        "Day indices are integer floor divisions of epoch nanos (2^53-safe). " +
+        "One (user, day) aggregate, one small span aggregate off it, one " +
+        "left equi-join.",
+      (s, dir) =>
+        gapFilledDailyCounts(Tables.events(s, dir))
+          .orderBy("user_id", "day"),
+      Some("""
+        WITH by_day AS (
+          SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2
+        ), spans AS (
+          SELECT user_id, unnest(generate_series(MIN(day), MAX(day))) AS day
+          FROM by_day GROUP BY user_id
+        )
+        SELECT s.user_id, s.day, CAST(COALESCE(b.n_events, 0) AS BIGINT) AS n_events
+        FROM spans s LEFT JOIN by_day b USING (user_id, day)
+        ORDER BY user_id, day"""))
+  )
+}

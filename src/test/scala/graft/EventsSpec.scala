@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Events
+
+/** Events-table analytics: gap-fill completeness and pivot zero-fill. */
+class EventsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("gapFilledDailyCounts fills every gap day with zero, spans are per-user") {
+    import spark.implicits._
+    val day = 86400000000000L
+    // user 1: events on days 10, 10, 13 -> span 10..13 with 11,12 as gaps
+    // user 2: one event on day 5 -> single-day span, no gaps
+    val events = Seq(
+      (1L, 100L, 10 * day + 5L), (1L, 101L, 10 * day + 99L), (1L, 102L, 13 * day),
+      (2L, 200L, 5 * day + 42L))
+      .toDF("user_id", "event_id", "ts")
+    val got = Events.gapFilledDailyCounts(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = Set(
+      (1L, 10L, 2L), (1L, 11L, 0L), (1L, 12L, 0L), (1L, 13L, 1L),
+      (2L, 5L, 1L))
+    assert(got === expect)
+  }
+
+  test("q56 output is dense: every user's day range is complete") {
+    val rows = SparkEntry.queries("q56_gapfill")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (u, rs) =>
+      val days = rs.map(_._2)
+      assert(days.length === (days.max - days.min + 1).toInt,
+        s"user $u has holes in the gap-filled range")
+    }
+    assert(rows.exists(_._3 == 0L), "expected at least one zero-filled gap day")
+    assert(rows.map(_._3).sum === spark.read
+      .parquet(s"$sf/events.parquet").count(), "gap-fill must preserve event totals")
+  }
+
+  test("pivot coalesces missing (cohort, type) combinations to zero") {
+    import spark.implicits._
+    val events = Seq(
+      (0L, "click"), (0L, "click"), (1L, "view"))
+      .toDF("user_id", "event_type")
+    val types = Seq("click", "view", "purchase")
+    val p = events.groupBy((col("user_id") % 10).as("cohort"))
+      .pivot("event_type", types).agg(count(lit(1)))
+    val got = p.select(col("cohort") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("cohort")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((0L, 2L, 0L, 0L), (1L, 0L, 1L, 0L)))
+  }
+}
