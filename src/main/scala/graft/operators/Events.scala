@@ -118,5 +118,82 @@ object Events {
         SELECT s.user_id, s.day, CAST(COALESCE(b.n_events, 0) AS BIGINT) AS n_events
         FROM spans s LEFT JOIN by_day b USING (user_id, day)
         ORDER BY user_id, day"""))
+    ,
+    Query(
+      "q57_funnel",
+      "Ordered conversion funnel view -> click -> purchase: per-user minimum " +
+        "timestamp of each stage STRICTLY AFTER the previous stage's " +
+        "completion (three stage-filtered min aggregates chained by user-" +
+        "keyed equi-joins — never a per-user event-sequence sort). Emits " +
+        "users-per-stage; integer-nano timestamps end to end.",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, Seq("user_id")).filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id")).filter(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        val stages = Seq(("1_view", v), ("2_click_after_view", c),
+          ("3_purchase_after_click", p))
+        stages.map { case (name, df) =>
+          df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+        }.reduce(_ union _).orderBy("stage")
+      },
+      Some("""
+        WITH v AS (
+          SELECT user_id, MIN(epoch_ns(ts)) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1
+        ), c AS (
+          SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t2
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.t1
+          GROUP BY 1
+        ), p AS (
+          SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t3
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t2
+          GROUP BY 1
+        )
+        SELECT stage, n_users FROM (
+          SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+          UNION ALL
+          SELECT '2_click_after_view', COUNT(*) FROM c
+          UNION ALL
+          SELECT '3_purchase_after_click', COUNT(*) FROM p)
+        ORDER BY stage""")),
+
+    Query(
+      "q58_retention",
+      "Weekly cohort retention: users grouped by the week of their FIRST " +
+        "event; for each (cohort week, week offset) count the distinct " +
+        "users active that week. Two aggregates — first-touch per user, " +
+        "distinct (user, week) activity — and one user-keyed equi-join; " +
+        "week indices are integer floor divisions of epoch nanos.",
+      (s, dir) => {
+        val weekNs = 7L * 86400000000000L
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), expr(s"ts div ${weekNs}L").as("week"))
+        val firstTouch = ev.groupBy("user_id").agg(min("week").as("cohort"))
+        val active = ev.distinct()
+        active.join(firstTouch, Seq("user_id"))
+          .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort", "week_offset")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_ns(ts) // 604800000000000 AS week FROM events
+        ), first_touch AS (
+          SELECT user_id, MIN(week) AS cohort FROM ev GROUP BY 1
+        ), active AS (
+          SELECT DISTINCT user_id, week FROM ev
+        )
+        SELECT f.cohort, a.week - f.cohort AS week_offset, COUNT(*) AS n_users
+        FROM active a JOIN first_touch f USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY cohort, week_offset"""))
   )
 }

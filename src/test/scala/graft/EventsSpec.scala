@@ -41,6 +41,28 @@ class EventsSpec extends AnyFunSuite {
       .parquet(s"$sf/events.parquet").count(), "gap-fill must preserve event totals")
   }
 
+  test("funnel stages require strict temporal order, not mere presence") {
+    val rows = SparkEntry.queries("q57_funnel")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // stage counts can only shrink down the funnel
+    assert(rows("1_view") >= rows("2_click_after_view"))
+    assert(rows("2_click_after_view") >= rows("3_purchase_after_click"))
+    assert(rows("1_view") > 0)
+  }
+
+  test("retention: offset 0 row per cohort equals the cohort size") {
+    val rows = SparkEntry.queries("q58_retention")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every user is active in their own first week, so sum of offset-0
+    // counts equals the number of distinct users
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(rows.filter(_._2 == 0L).map(_._3).sum === users)
+    // retention can never exceed the cohort's size
+    val cohortSize = rows.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    rows.foreach { case (c, _, n) => assert(n <= cohortSize(c)) }
+  }
+
   test("pivot coalesces missing (cohort, type) combinations to zero") {
     import spark.implicits._
     val events = Seq(
