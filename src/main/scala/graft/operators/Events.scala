@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.Query
 import graft.sources.Tables
@@ -20,7 +20,10 @@ import graft.sources.Tables
   */
 object Events {
 
-  private val propsSchema = StructType(Seq(StructField("k", IntegerType)))
+  // k typed LONG to match the oracle's BIGINT cast exactly: an IntegerType
+  // schema would NULL any k outside Int32 range on the Spark side only
+  // (PERMISSIVE parse), silently breaking bit-for-bit oracle parity
+  private val propsSchema = StructType(Seq(StructField("k", LongType)))
 
   /** Per-day index of an epoch-nano timestamp, integer floor math
     * (ts >= 0 here; epoch nanos exceed double's 2^53, so no float). */
@@ -30,10 +33,16 @@ object Events {
   /** (user_id, day, n_events) for EVERY day in each user's active span,
     * gap days included with n_events = 0. */
   def gapFilledDailyCounts(events: DataFrame): DataFrame = {
+    // eager persist (the codebase's barrier pattern, see Dedup): byDay
+    // feeds BOTH the span derivation and the join's right side, and the
+    // self-referencing aliases defeat exchange reuse — uncached, the
+    // full per-(user, day) scan+shuffle aggregate runs twice
     val byDay = events
       .select(col("user_id"), dayOf("ts").as("day"))
       .groupBy("user_id", "day")
       .agg(count(lit(1)).as("n_events"))
+      .persist()
+    byDay.count()
     val spans = byDay.groupBy("user_id")
       .agg(min("day").as("d0"), max("day").as("d1"))
       .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
@@ -53,7 +62,7 @@ object Events {
       (s, dir) =>
         Tables.events(s, dir)
           .select(col("event_type"),
-            from_json(col("props"), propsSchema).getField("k").cast("long").as("k"))
+            from_json(col("props"), propsSchema).getField("k").as("k"))
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
             min("k").as("min_k"), max("k").as("max_k"))
@@ -128,11 +137,17 @@ object Events {
         "users-per-stage; integer-nano timestamps end to end.",
       (s, dir) => {
         val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+        // each stage frame feeds BOTH the next stage's join and its own
+        // count branch; eager persists (tiny per-user frames) pin the
+        // events scans at one per stage instead of re-deriving the whole
+        // prefix of the funnel under every union branch
         val v = ev.filter(col("event_type") === "view")
-          .groupBy("user_id").agg(min("ts").as("t1"))
+          .groupBy("user_id").agg(min("ts").as("t1")).persist()
+        v.count()
         val c = ev.filter(col("event_type") === "click")
           .join(v, Seq("user_id")).filter(col("ts") > col("t1"))
-          .groupBy("user_id").agg(min("ts").as("t2"))
+          .groupBy("user_id").agg(min("ts").as("t2")).persist()
+        c.count()
         val p = ev.filter(col("event_type") === "purchase")
           .join(c, Seq("user_id")).filter(col("ts") > col("t2"))
           .groupBy("user_id").agg(min("ts").as("t3"))
