@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Query
+import graft.sources.Tables
+
+/** Corpus snapshot diff — the incremental-ingest accounting step: given
+  * yesterday's and today's crawls, classify every document as added,
+  * removed, changed, or unchanged, WITHOUT ever comparing bodies across
+  * the shuffle.
+  *
+  * Shape: each side reduces to (doc_id, sha256(text)) in a map-side
+  * projection — 40 bytes per doc — then ONE doc_id-keyed full-outer
+  * equi-join and a 4-group count. At 100 TB the exchange carries
+  * digests, never text; the join is the only shuffle and it is exactly
+  * as wide as the doc-id space. The same digest-join shape backs exact
+  * dedup (q16); this is its two-snapshot generalization.
+  */
+object SnapshotDiff {
+
+  /** Per-status document counts between two (doc_id, text) snapshots. */
+  def diffCounts(before: DataFrame, after: DataFrame): DataFrame = {
+    def digests(df: DataFrame, name: String): DataFrame =
+      df.select(col("doc_id"), sha2(col("text"), 256).as(name))
+    val status: Column =
+      when(col("d_before").isNull, "added")
+        .when(col("d_after").isNull, "removed")
+        .when(col("d_before") =!= col("d_after"), "changed")
+        .otherwise("unchanged")
+    digests(before, "d_before")
+      .join(digests(after, "d_after"), Seq("doc_id"), "full_outer")
+      .groupBy(status.as("status"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  val queries: Seq[Query] = Seq(
+    Query(
+      "q59_snapshot_diff",
+      "Corpus snapshot diff: docs present only before -> removed, only " +
+        "after -> added, digest mismatch -> changed. Snapshots are carved " +
+        "deterministically from the documents table (before drops doc_id%7=0, " +
+        "after drops doc_id%5=0 and rewrites doc_id%11=0 bodies), so every " +
+        "status bucket is exercised. Map-side SHA-256 projections reduce " +
+        "each side to 40-byte digest rows before the single full-outer " +
+        "equi-join — bodies never cross the exchange.",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val before = docs.filter(col("doc_id") % 7 =!= 0)
+        val after = docs.filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+        diffCounts(before, after).orderBy("status")
+      },
+      Some("""
+        WITH before_s AS (
+          SELECT doc_id, sha256(text) AS d_before FROM documents WHERE doc_id % 7 <> 0
+        ), after_s AS (
+          SELECT doc_id,
+                 sha256(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS d_after
+          FROM documents WHERE doc_id % 5 <> 0
+        )
+        SELECT CASE WHEN d_before IS NULL THEN 'added'
+                    WHEN d_after IS NULL THEN 'removed'
+                    WHEN d_before <> d_after THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               COUNT(*) AS n_docs
+        FROM before_s FULL OUTER JOIN after_s USING (doc_id)
+        GROUP BY 1
+        ORDER BY status"""))
+  )
+}
