@@ -5,7 +5,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, ReferenceHypercube, TextAnalysis}
+import graft.operators.{Dedup, Intervals, Profiling, ReferenceHypercube, Sampling, TextAnalysis}
 
 /** Property-based tests (SURVEY.md §5.4): engine invariants over random
   * generated datasets. ScalaCheck generators drive the data; the sweep
@@ -114,6 +114,69 @@ class PropertySpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(trueJac.nonEmpty)
       assert(trueJac.subsetOf(found))
+    }
+  }
+
+  test("histogram conserves row count and never bins outside [0, nBins) (random data)") {
+    import spark.implicits._
+    (1L to 5L).foreach { run =>
+      val n = sample(Gen.choose(20, 400), run)
+      val nBins = sample(Gen.choose(1, 24), run + 50)
+      val seed = mix(run + 77)
+      val df = (1 to n).map(i =>
+        (s"g${bounded(seed + i, 0, 2)}", bounded(seed * 7 + i, -5000, 5000) / 37.0))
+        .toDF("g", "x")
+      val bins = Profiling.histogram(df, col("g"), col("x"), nBins)
+        .collect().map(r => (r.getInt(1), r.getLong(2)))
+      assert(bins.map(_._2).sum === n.toLong)
+      assert(bins.forall { case (b, _) => b >= 0 && b < nBins })
+    }
+  }
+
+  test("weightedSample emits min(k, group size) rows per group, all from the group (random data)") {
+    import spark.implicits._
+    (1L to 5L).foreach { run =>
+      val n = sample(Gen.choose(10, 300), run)
+      val k = sample(Gen.choose(1, 12), run + 9)
+      val seed = mix(run + 13)
+      val df = (1 to n).map(i =>
+        (s"s${bounded(seed + i, 0, 3)}", i.toLong, bounded(seed * 3 + i, 1, 99).toLong))
+        .toDF("source", "doc_id", "w")
+      val got = Sampling.weightedSample(df, col("source"), col("doc_id"), col("w"), k)
+        .select("source", "doc_id")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val groupSizes = df.groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bySource = got.groupBy(_._1)
+      groupSizes.foreach { case (s, sz) =>
+        assert(bySource.getOrElse(s, Array.empty).length === math.min(k.toLong, sz).toInt)
+      }
+      // sampled ids really belong to their group
+      val membership = df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got.forall(membership.contains))
+    }
+  }
+
+  test("overlapSelfJoin is exact for random intervals at random cell widths") {
+    import spark.implicits._
+    (1L to 4L).foreach { run =>
+      val n = sample(Gen.choose(20, 150), run)
+      val cell = sample(Gen.choose(7L, 500L), run + 3)
+      val seed = mix(run + 41)
+      val iv = (1 to n).map { i =>
+        val s = bounded(seed + i, -2000, 2000).toLong
+        (i.toLong, bounded(seed * 5 + i, 0, 4).toLong, s, s + bounded(seed * 9 + i, 0, 900))
+      }.toDF("id", "key", "s", "e")
+      val got = Intervals.overlapSelfJoin(iv, cell)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val a = iv.alias("a"); val b = iv.alias("b")
+      val brute = a.join(b,
+          col("a.key") === col("b.key") && col("a.id") < col("b.id") &&
+          col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+        .select(col("a.key"), col("a.id"), col("b.id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got.toSet === brute)
+      assert(got.length === brute.size) // exactly-once, no multi-cell dups
     }
   }
 }
