@@ -155,8 +155,12 @@ object RefScale {
     val secs = times(2)
     val json = f"""{"metric":"refscale_end_to_end","value":$secs%.3f,"unit":"sec","runs":[${times.map(t => f"$t%.3f").mkString(",")}],"rows":$NInvoices,"rows_per_sec":${(NInvoices / secs).toLong},"baseline_sec":11.5,"baseline_rows_per_sec":11800000,"loadavg_start":$loadStart,"loadavg_end":${Bench.loadavgJson()}}"""
     Files.writeString(Paths.get("target/refscale_bench.json"), json + "\n")
-    // tracked copy at the repo root so the result survives target/ cleans
-    Files.writeString(Paths.get("REFSCALE_BENCH.json"), json + "\n")
+    // The tracked root copy is OPT-IN: an unconditional write here once
+    // let a contention-skewed experiment (median 28.6 s at loadavg 14.7)
+    // silently replace the repo's steady-state claim via a broad git add.
+    // Promote a run explicitly after checking its loadavg telemetry.
+    if (sys.env.contains("SPARK_GRAFT_REFSCALE_TRACK"))
+      Files.writeString(Paths.get("REFSCALE_BENCH.json"), json + "\n")
     spark.stop()
     println(json)
   }

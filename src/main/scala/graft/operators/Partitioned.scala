@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -25,10 +23,7 @@ import graft.sources.Tables
   * asserted on the executed plan in ScalaTest, not assumed.
   */
 object Partitioned {
-
-  private def md5hex(s: String): String =
-    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+  import Bucketed.md5hex
 
   /** Idempotently materialize `dir/name.parquet` as a table partitioned
     * by `partCol`; returns the table name. */

@@ -20,17 +20,29 @@ import graft.sources.Tables
   */
 object SnapshotDiff {
 
-  /** Per-status document counts between two (doc_id, text) snapshots. */
+  /** Per-status document counts between two (doc_id, text) snapshots.
+    *
+    * `doc_id` must be unique within each snapshot (the usual crawl-key
+    * contract); duplicate ids would fan out in the full-outer join and
+    * inflate every status bucket — dedup upstream (q16) first.
+    *
+    * Row PRESENCE travels as an explicit flag, not as digest nullity: a
+    * document whose text is NULL still exists, and keying the CASE on
+    * `sha2(NULL) IS NULL` would misclassify it as absent (a NULL-text
+    * doc present only in `before` would count "added" instead of
+    * "removed"). NULL texts compare via null-safe equality: two NULL
+    * texts are "unchanged", NULL vs non-NULL is "changed". */
   def diffCounts(before: DataFrame, after: DataFrame): DataFrame = {
-    def digests(df: DataFrame, name: String): DataFrame =
-      df.select(col("doc_id"), sha2(col("text"), 256).as(name))
+    def digests(df: DataFrame, name: String, flag: String): DataFrame =
+      df.select(col("doc_id"), sha2(col("text"), 256).as(name),
+        lit(true).as(flag))
     val status: Column =
-      when(col("d_before").isNull, "added")
-        .when(col("d_after").isNull, "removed")
-        .when(col("d_before") =!= col("d_after"), "changed")
-        .otherwise("unchanged")
-    digests(before, "d_before")
-      .join(digests(after, "d_after"), Seq("doc_id"), "full_outer")
+      when(col("in_before").isNull, "added")
+        .when(col("in_after").isNull, "removed")
+        .when(col("d_before") <=> col("d_after"), "unchanged")
+        .otherwise("changed")
+    digests(before, "d_before", "in_before")
+      .join(digests(after, "d_after", "in_after"), Seq("doc_id"), "full_outer")
       .groupBy(status.as("status"))
       .agg(count(lit(1)).as("n_docs"))
   }
@@ -56,16 +68,18 @@ object SnapshotDiff {
       },
       Some("""
         WITH before_s AS (
-          SELECT doc_id, sha256(text) AS d_before FROM documents WHERE doc_id % 7 <> 0
+          SELECT doc_id, sha256(text) AS d_before, TRUE AS in_before
+          FROM documents WHERE doc_id % 7 <> 0
         ), after_s AS (
           SELECT doc_id,
-                 sha256(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS d_after
+                 sha256(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS d_after,
+                 TRUE AS in_after
           FROM documents WHERE doc_id % 5 <> 0
         )
-        SELECT CASE WHEN d_before IS NULL THEN 'added'
-                    WHEN d_after IS NULL THEN 'removed'
-                    WHEN d_before <> d_after THEN 'changed'
-                    ELSE 'unchanged' END AS status,
+        SELECT CASE WHEN in_before IS NULL THEN 'added'
+                    WHEN in_after IS NULL THEN 'removed'
+                    WHEN d_before IS NOT DISTINCT FROM d_after THEN 'unchanged'
+                    ELSE 'changed' END AS status,
                COUNT(*) AS n_docs
         FROM before_s FULL OUTER JOIN after_s USING (doc_id)
         GROUP BY 1

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.SnapshotDiff
+import graft.sources.Tables
 
 /** Snapshot classification semantics on handcrafted snapshots. */
 class SnapshotDiffSpec extends AnyFunSuite {
@@ -26,6 +27,17 @@ class SnapshotDiffSpec extends AnyFunSuite {
       "changed" -> 1L, "unchanged" -> 2L))
   }
 
+  test("NULL text means present-with-null, never absent") {
+    import spark.implicits._
+    val before = Seq((1L, Some("x")), (2L, None), (3L, None))
+      .toDF("doc_id", "text")
+    val after = Seq((2L, None), (3L, Some("filled")))
+      .toDF("doc_id", "text") // 1 removed; 2 unchanged (both NULL); 3 changed
+    val got = SnapshotDiff.diffCounts(before, after)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === Map("removed" -> 1L, "unchanged" -> 1L, "changed" -> 1L))
+  }
+
   test("identical snapshots are all unchanged; disjoint are all added+removed") {
     import spark.implicits._
     val a = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
@@ -43,7 +55,7 @@ class SnapshotDiffSpec extends AnyFunSuite {
     val got = SparkEntry.queries("q59_snapshot_diff")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got.keySet === Set("added", "removed", "changed", "unchanged"))
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val docs = Tables.documents(spark, sf)
     val nBefore = docs.filter(col("doc_id") % 7 =!= 0).count()
     val nAfter = docs.filter(col("doc_id") % 5 =!= 0).count()
     assert(got("removed") + got("changed") + got("unchanged") === nBefore)
