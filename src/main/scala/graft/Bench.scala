@@ -39,7 +39,8 @@ object Bench {
     "q48_tfidf_terms", "q49_interval_join", "q50_bloom_semi",
     "q51_bucketed_join", "q52_frequent_tokens", "q53_heavy_hitters",
     "q54_json_extract", "q55_pivot", "q56_gapfill", "q57_funnel",
-    "q58_retention", "q59_snapshot_diff", "q60_partition_pruning")
+    "q58_retention", "q59_snapshot_diff", "q60_partition_pruning",
+    "q61_asof_forward")
 
   /** `build` is by-name and runs AFTER the cache clear: queries that
     * persist (and eagerly materialize) intermediate frames — e.g. q17's

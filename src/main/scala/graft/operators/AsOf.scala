@@ -68,6 +68,16 @@ object AsOf {
         rightCols.map(c => col("__r").getField(c).as(c)) ++ leftCols.map(col): _*)
   }
 
+  /** Forward as-of join: each left row picks up the EARLIEST right row
+    * at-or-after its timestamp (the "next scheduled event" direction) —
+    * implemented by time negation over [[asOfJoin]], so the two
+    * directions share one audited code path. The negated column is only
+    * an internal sort key; the caller's `ts` values come back intact. */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String, ts: String): DataFrame = {
+    def flip(df: DataFrame) = df.withColumn(ts, -col(ts))
+    flip(asOfJoin(flip(left), flip(right), key, ts))
+  }
+
   val queries: Seq[Query] = Seq(
     Query(
       "q26_asof_join",
@@ -100,6 +110,34 @@ object AsOf {
         SELECT e.event_id, e.user_id, c.cp_id
         FROM ev e ASOF JOIN cp c
           ON e.user_id = c.user_id AND e.ts >= c.ts
+        ORDER BY e.event_id"""))
+    ,
+    Query(
+      "q61_asof_forward",
+      "FORWARD as-of join — each event picks up its user's next checkpoint " +
+        "at-or-after its timestamp (deadline/next-scheduled-event semantics), " +
+        "by time negation over the q26 backward join so both directions share " +
+        "one audited code path. Oracle: DuckDB native ASOF with the <= " +
+        "inequality.",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("user_id", "ts", "event_id")
+        val cp = ev.filter(col("event_id") % 20 === 0)
+          .groupBy(col("user_id"), col("ts").as("ts"))
+          .agg(max("event_id").as("cp_id"))
+          .select(col("user_id"), col("ts"), col("cp_id"))
+        asOfJoinForward(ev, cp, key = "user_id", ts = "ts")
+          .select(col("event_id"), col("user_id"), col("cp_id"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, epoch_ns(ts) AS ts, event_id FROM events),
+        cp AS (
+          SELECT user_id, ts, MAX(event_id) AS cp_id
+          FROM ev WHERE event_id % 20 = 0
+          GROUP BY user_id, ts)
+        SELECT e.event_id, e.user_id, c.cp_id
+        FROM ev e ASOF JOIN cp c
+          ON e.user_id = c.user_id AND e.ts <= c.ts
         ORDER BY e.event_id"""))
   )
 }

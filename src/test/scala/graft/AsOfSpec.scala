@@ -61,4 +61,20 @@ class AsOfSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("payload"))
   }
+
+  test("asOfJoinForward picks the earliest right row at-or-after each left ts") {
+    val left = Seq((1L, 3L, "a"), (1L, 5L, "b"), (1L, 9L, "c"), (2L, 1L, "d"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq((1L, 5L, 50L), (1L, 8L, 80L), (2L, 0L, 0L))
+      .toDF("user_id", "ts", "r")
+    val out = AsOf.asOfJoinForward(left, right, "user_id", "ts")
+      .collect().map(r => (r.getAs[String]("tag"), r.getAs[Long]("r"))).toSet
+    // a(3)->r@5; b(5)->r@5 (at-or-after includes equality); c(9) has no
+    // later right row -> dropped; d(1) has only an EARLIER right row -> dropped
+    assert(out === Set(("a", 50L), ("b", 50L)))
+    // round-trip: the caller's ts values come back un-negated
+    val ts = AsOf.asOfJoinForward(left, right, "user_id", "ts")
+      .select("ts").collect().map(_.getLong(0)).toSet
+    assert(ts === Set(3L, 5L))
+  }
 }
