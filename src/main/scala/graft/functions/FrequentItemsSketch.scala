@@ -78,13 +78,19 @@ case class FrequentItemsSketch(
         buf.update(item.clone(), 1L)
       case None =>
         // Misra–Gries decrement step: charge the unseen item against
-        // every counter; zeros vacate their slots
-        val dead = mutable.ArrayBuffer.empty[UTF8String]
-        buf.keysIterator.foreach { key =>
+        // every counter; zeros vacate their slots. Iterate a key
+        // SNAPSHOT: mutating (even non-structurally) while walking the
+        // live iterator only happens to be safe under today's HashMap
+        // internals — the copy decouples us from that implementation
+        // detail, and the buffer is at most k (≤4096) keys.
+        val keys = buf.keys.toArray
+        var i = 0
+        while (i < keys.length) {
+          val key = keys(i)
           val c = buf(key) - 1
-          if (c == 0) dead += key else buf.update(key, c)
+          if (c == 0) buf.remove(key) else buf.update(key, c)
+          i += 1
         }
-        dead.foreach(buf.remove)
     }
     buf
   }
@@ -100,12 +106,15 @@ case class FrequentItemsSketch(
       val counts = b1.values.toArray
       java.util.Arrays.sort(counts)
       val cut = counts(counts.length - (k + 1)) // (k+1)-largest
-      val dead = mutable.ArrayBuffer.empty[UTF8String]
-      b1.keysIterator.foreach { key =>
+      // key snapshot, same rationale as in update()
+      val keys = b1.keys.toArray
+      var i = 0
+      while (i < keys.length) {
+        val key = keys(i)
         val c = b1(key) - cut
-        if (c <= 0) dead += key else b1.update(key, c)
+        if (c <= 0) b1.remove(key) else b1.update(key, c)
+        i += 1
       }
-      dead.foreach(b1.remove)
     }
     b1
   }

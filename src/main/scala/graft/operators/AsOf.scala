@@ -72,8 +72,22 @@ object AsOf {
     * at-or-after its timestamp (the "next scheduled event" direction) —
     * implemented by time negation over [[asOfJoin]], so the two
     * directions share one audited code path. The negated column is only
-    * an internal sort key; the caller's `ts` values come back intact. */
+    * an internal sort key; the caller's `ts` values come back intact.
+    *
+    * NUMERIC `ts` only: the negation trick needs `-ts` to be
+    * order-reversing, which holds for numeric columns but does not even
+    * analyze for TimestampType (which the backward [[asOfJoin]] itself
+    * accepts). Checked eagerly so callers get an actionable error, not a
+    * raw analyzer failure; a timestamp caller converts to epoch
+    * micros/nanos first (this codebase reads event time as epoch-nano
+    * longs throughout — see [[graft.sources.Tables.events]]). */
   def asOfJoinForward(left: DataFrame, right: DataFrame, key: String, ts: String): DataFrame = {
+    Seq("left" -> left, "right" -> right).foreach { case (side, df) =>
+      val t = df.schema(ts).dataType
+      require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"asOfJoinForward needs a numeric $side.$ts to negate (got ${t.simpleString}); " +
+          "convert timestamps to epoch numbers first")
+    }
     def flip(df: DataFrame) = df.withColumn(ts, -col(ts))
     flip(asOfJoin(flip(left), flip(right), key, ts))
   }

@@ -32,10 +32,16 @@ object Curation {
     // is `split(norm, " ")` by definition, so scoring, hashing and
     // shingling below are bit-identical to the standalone operators.
     // This is the corpus working set an engine would checkpoint at 100 TB.
+    // Explicit MEMORY_AND_DISK (the Dataset default, pinned here as a
+    // contract): under memory pressure evicted blocks SPILL to disk and
+    // are re-read, never silently recomputed — three downstream
+    // consumers re-deriving the normalize/tokenize pass is exactly the
+    // variance this persist exists to prevent. Single-computation is
+    // asserted by accumulator in ScalaTest (PipelineOpsSpec).
     val w = Tables.rebalanced(docs)
       .select(col("doc_id"), col("lang"), TextAnalysis.norm(col("text")).as("nrm"))
       .withColumn("toks", split(col("nrm"), " "))
-      .persist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     w.count() // barrier: three consumers below race the cache otherwise
     val lq = TextAnalysis.langQualityNormed(w.select(col("doc_id"),
         col("lang").as("lang_label"), col("nrm").as("n"), col("toks").as("t")))

@@ -25,13 +25,21 @@ object Events {
   // (PERMISSIVE parse), silently breaking bit-for-bit oracle parity
   private val propsSchema = StructType(Seq(StructField("k", LongType)))
 
-  /** Per-day index of an epoch-nano timestamp, integer floor math
-    * (ts >= 0 here; epoch nanos exceed double's 2^53, so no float). */
+  /** Per-day index of an epoch-nano timestamp — [[Intervals.floorDiv]]
+    * integer floor math, negative-safe for pre-epoch timestamps (plain
+    * `div` truncates toward zero and would mis-bin day -1 as day 0;
+    * epoch nanos also exceed double's 2^53, so no float formulation). */
   private def dayOf(c: String): org.apache.spark.sql.Column =
-    expr(s"$c div 86400000000000L")
+    expr(Intervals.floorDiv(c, 86400000000000L))
 
   /** (user_id, day, n_events) for EVERY day in each user's active span,
-    * gap days included with n_events = 0. */
+    * gap days included with n_events = 0.
+    *
+    * Cache contract (as in Dedup.jaccardJoin/Similarity.knnLsh): `byDay`
+    * stays persisted for the session — the returned frame reads it
+    * lazily, so this operator cannot unpersist it itself; batch drivers
+    * running many queries in one session `spark.catalog.clearCache()`
+    * between them (Bench and Verify both do). */
   def gapFilledDailyCounts(events: DataFrame): DataFrame = {
     // eager persist (the codebase's barrier pattern, see Dedup): byDay
     // feeds BOTH the span derivation and the join's right side, and the
@@ -140,7 +148,10 @@ object Events {
         // each stage frame feeds BOTH the next stage's join and its own
         // count branch; eager persists (tiny per-user frames) pin the
         // events scans at one per stage instead of re-deriving the whole
-        // prefix of the funnel under every union branch
+        // prefix of the funnel under every union branch. Cache contract
+        // as in gapFilledDailyCounts: the returned union reads v/c
+        // lazily, so they stay persisted until the batch driver's
+        // clearCache() between queries (Bench and Verify both do)
         val v = ev.filter(col("event_type") === "view")
           .groupBy("user_id").agg(min("ts").as("t1")).persist()
         v.count()
@@ -190,7 +201,7 @@ object Events {
       (s, dir) => {
         val weekNs = 7L * 86400000000000L
         val ev = Tables.events(s, dir)
-          .select(col("user_id"), expr(s"ts div ${weekNs}L").as("week"))
+          .select(col("user_id"), expr(Intervals.floorDiv("ts", weekNs)).as("week"))
         val firstTouch = ev.groupBy("user_id").agg(min("week").as("cohort"))
         val active = ev.distinct()
         active.join(firstTouch, Seq("user_id"))

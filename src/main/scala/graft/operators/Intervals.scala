@@ -35,8 +35,10 @@ object Intervals {
   /** Floor division as a SQL fragment: `div` truncates toward zero, which
     * mis-bins NEGATIVE coordinates (-1 div 10 = 0, but cell -1 is meant);
     * subtracting the non-negative `pmod` first makes the quotient exact
-    * floor division on the whole long range. */
-  private def floorDiv(x: String, w: Long): String =
+    * floor division on the whole long range. Shared across the operator
+    * families that bin time axes (here and [[Events]]) so the engine has
+    * ONE negative-safe cell-math convention. */
+  private[operators] def floorDiv(x: String, w: Long): String =
     s"(($x - pmod($x, ${w}L)) div ${w}L)"
 
   /** All overlapping pairs of `iv` (columns: id, key, s, e — closed

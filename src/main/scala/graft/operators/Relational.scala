@@ -415,17 +415,37 @@ object Relational {
 
     Query(
       "q12_approx_distinct",
-      "M4 scale variant of A5/A6: HLL++ approx_count_distinct — one pass, no Expand, " +
-        "constant memory per group; the opt-in sketch for 100 TB multi-distinct. " +
-        "No oracle (sketch estimates are engine-specific); bounds checked in ScalaTest.",
-      (s, dir) =>
-        Tables.lineitem(s, dir)
+      "M4 scale variant of A5/A6: HLL++ approx_count_distinct (rsd=0.01) — one " +
+        "pass, no Expand, constant memory per group; the opt-in sketch for 100 TB " +
+        "multi-distinct. SELF-VALIDATING: the entry joins the sketch against the " +
+        "exact distinct twin (q6's plan) and emits per-group relative errors plus " +
+        "a within_3sigma flag computed in-plan — the q52⊇q53 pattern, so every " +
+        "run of the query is its own exactness check (asserted in ScalaTest; at " +
+        "100 TB a consumer drops the exact branch and keeps the sketch alone). " +
+        "No oracle: the estimates themselves are engine-specific.",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val approx = li
           .groupBy("l_returnflag")
           .agg(
             approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
             approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
             count(lit(1)).as("n"))
-          .orderBy("l_returnflag")),
+        val exact = li
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_orderkey")).as("exact_orders"),
+            countDistinct(col("l_partkey")).as("exact_parts"))
+        def relErr(ap: String, ex: String) =
+          abs(col(ap) - col(ex)).cast("double") / col(ex).cast("double")
+        approx.join(exact, Seq("l_returnflag"))
+          .withColumn("err_orders", relErr("approx_orders", "exact_orders"))
+          .withColumn("err_parts", relErr("approx_parts", "exact_parts"))
+          // HLL++ at rsd 0.01: 3σ = 3% — the published error band
+          .withColumn("within_3sigma",
+            col("err_orders") <= 0.03 && col("err_parts") <= 0.03)
+          .orderBy("l_returnflag")
+      }),
 
     Query(
       "q13_sessionize",

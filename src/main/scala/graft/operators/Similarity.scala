@@ -183,34 +183,49 @@ object Similarity {
     * (q20): LSH buckets by random projection, IVF buckets by data-driven
     * proximity.
     *
-    * Centroids: `centroids` seed vectors chosen by smallest
-    * xxhash64(vec_id) — a deterministic hash-order sample whose size is
-    * FIXED independent of corpus size (a production IVF pins C ≈ √n or a
+    * Centroids: seeded by the `centroids` smallest-xxhash64(vec_id)
+    * vectors — a deterministic hash-order sample whose size is FIXED
+    * independent of corpus size (a production IVF pins C ≈ √n or a
     * constant; round 3's every-64th-vec_id stride made C grow O(n) and
     * the assignment O(n²)) — then tightened by `lloydIters` deterministic
-    * k-means steps (decimal-domain member means, see [[lloydStep]]).
+    * k-means steps (decimal-domain member means, see [[lloydStep]]) over
+    * a bounded TRAINING SAMPLE of 8·C hash-order vectors, not the corpus.
+    * Training the coarse quantizer on a sample is what production IVF
+    * builds do (the quantizer only needs the density shape, and 8 points
+    * per centroid bounds its variance); it also cuts the corpus-sized
+    * assignment passes from lloydIters+1 to exactly ONE — the final
+    * inverted-list assignment (round 4 paid a full-corpus pass per Lloyd
+    * step plus the final assignment, 2× the corpus work at lloydIters=1).
     *
     * Scale shape: every centroid frame is ≤ C rows — broadcast
-    * everywhere; index build cost is O(n·C) cosine evaluations per
-    * assignment/Lloyd pass with C bounded, all map-side, plus one
-    * vec-keyed exchange per pass; the probe step shuffles the corpus ONCE
-    * keyed on cluster id — on a real deployment that partitioning is
-    * written out bucketed-by-cluster, making every later query's probe a
+    * everywhere; Lloyd runs on the 8·C-row sample (constant work at any
+    * corpus size); index build cost is O(n·C) cosine evaluations for the
+    * single corpus assignment pass, all map-side, plus one vec-keyed
+    * exchange; the probe step shuffles the corpus ONCE keyed on cluster
+    * id — on a real deployment that partitioning is written out
+    * bucketed-by-cluster, making every later query's probe a
     * partition-pruned read touching nProbe/C of the data. Never a cross
     * product against the corpus; each corpus vector lives in exactly one
     * list, so no candidate dedup is needed. */
   def knnIvf(emb: DataFrame, nQueries: Int, k: Int,
       centroids: Int = 256, nProbe: Int = 8, lloydIters: Int = 1): DataFrame = {
     val e = prepared(emb)
-    val seeds = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(centroids)
+    // bounded training set; its smallest-hash prefix IS the seed set (the
+    // same hash order), so seeding is unchanged from the full-corpus form
+    val train = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(centroids * 8)
+      .persist()
+    val seeds = train.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(centroids)
       .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
-    val cent = (1 to lloydIters).foldLeft(seeds)((c, _) => lloydStep(e, c))
+    val cent = (1 to lloydIters).foldLeft(seeds)((c, _) => lloydStep(train, c))
     // eager barrier: the C-row centroid frame feeds two broadcasts
-    // (assignment + probes) whose lineage is lloydIters corpus passes —
+    // (assignment + probes) whose lineage is lloydIters sample passes —
     // unpersisted, AQE races both sides and the Lloyd pipeline runs
     // twice. Same session-scoped cache contract as jaccardJoin/knnLsh:
     // batch drivers clearCache() between queries
     cent.persist().count()
+    // the training sample is consumed entirely by the materialized
+    // centroid frame — release it before the corpus-sized stages run
+    train.unpersist()
     val assigned = assignToCentroids(e, cent)
     // nProbe nearest centroids per query
     val q = e.filter(col("vec_id") < nQueries)
@@ -315,12 +330,13 @@ object Similarity {
       "q29_knn_ivf",
       "Approximate top-5 neighbors via IVF-flat (C=256 hash-sampled seed " +
         "centroids — bounded regardless of corpus size — tightened by one " +
-        "deterministic Lloyd step, nProbe=8): corpus coarse-quantized to " +
-        "inverted lists, queries probe their nearest lists only, exact cosine " +
-        "re-ranks candidates. The data-driven-bucketing counterpart of q20's " +
-        "LSH; at scale the cluster-keyed layout is written bucketed so probes " +
-        "are partition-pruned reads. Recall vs q19 measured in ScalaTest. " +
-        "No oracle: approximate by design.",
+        "deterministic Lloyd step over a bounded 8·C training sample, " +
+        "nProbe=8): corpus coarse-quantized to inverted lists in ONE " +
+        "assignment pass, queries probe their nearest lists only, exact " +
+        "cosine re-ranks candidates. The data-driven-bucketing counterpart " +
+        "of q20's LSH; at scale the cluster-keyed layout is written bucketed " +
+        "so probes are partition-pruned reads. Recall vs q19 measured in " +
+        "ScalaTest. No oracle: approximate by design.",
       (s, dir) => knnIvf(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
 
     Query(

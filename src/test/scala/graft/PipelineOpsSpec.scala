@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Decontamination, DupClusters, Shards, Vocab}
+import graft.operators.{Curation, Decontamination, DupClusters, Shards, Vocab}
 import graft.sources.Tables
 
 /** Round-4 pipeline operators: decontamination, duplicate clustering
@@ -84,6 +84,24 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("connected components: duplicate/reversed edges and self-pairs are harmless") {
     ccCheck(Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (3L, 4L)).filter(e => e._1 != e._2))
+  }
+
+  // ---- q34 curation working set ----
+
+  test("curation's shared corpus pass computes exactly once (persist holds)") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    // instrument the input with a row-counting nondeterministic filter:
+    // nondeterminism pins it in place (no pushdown/duplication), so the
+    // accumulator counts how many times the corpus physically streamed
+    // through the curation pipeline's shared normalize/tokenize pass
+    val acc = spark.sparkContext.longAccumulator("curation-docs-read")
+    val tick = udf { (_: Long) => { acc.add(1L); true } }.asNondeterministic()
+    val out = Curation.curated(docs.filter(tick(col("doc_id")))).collect()
+    assert(out.length === 1)
+    assert(acc.value === n,
+      s"corpus streamed ${acc.value} rows for $n docs — the persisted working " +
+        "set was recomputed instead of served from cache")
   }
 
   // ---- q41 shard packing ----

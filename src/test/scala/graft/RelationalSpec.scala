@@ -21,18 +21,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("q12 approx distinct is within 5% of exact") {
-    import org.apache.spark.sql.functions._
-    val approx = SparkEntry.queries("q12_approx_distinct")(spark, sf)
-      .select("l_returnflag", "approx_orders").collect()
+  test("q12 approx distinct is self-validating: every group within its 3-sigma band") {
+    val rows = SparkEntry.queries("q12_approx_distinct")(spark, sf)
+      .select("l_returnflag", "err_orders", "err_parts", "within_3sigma").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3),
+        s"${r.getString(0)}: err_orders=${r.getDouble(1)} err_parts=${r.getDouble(2)} exceed 3%")
+    }
+    // the in-plan exact branch agrees with the standalone exact operator q6
+    val fromQ12 = SparkEntry.queries("q12_approx_distinct")(spark, sf)
+      .select("l_returnflag", "exact_orders").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = SparkEntry.queries("q6_distinct")(spark, sf)
+    val fromQ6 = SparkEntry.queries("q6_distinct")(spark, sf)
       .select("l_returnflag", "d_orders").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, ex) =>
-      val ap = approx(k)
-      assert(math.abs(ap - ex).toDouble / ex < 0.05, s"$k: approx $ap vs exact $ex")
-    }
+    assert(fromQ12 === fromQ6)
   }
 
   test("q31 exact percentiles never sort a whole group in one task") {
