@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, StructType}
 
 import graft.Query
 import graft.sources.{FixedWidthBinary, Tables}
@@ -410,8 +410,67 @@ object Relational {
       "q11_hypercube_ref",
       "End-to-end reference parity: the full hypercube pipeline (S1–S4, J1–J2, A1–A6, " +
         "P3, O1) over the reference's own data-sample; golden-checked in ScalaTest " +
-        "against FIXTURES.md (34,271 groups / Σninvoices 58,176 / Σconsumption 58,294,383).",
+        "against FIXTURES.md (34,271 groups / Σninvoices 58,176 / Σconsumption 58,294,383). " +
+        "The binary fact file is not DuckDB-readable, so the DIFFERENTIAL twin of this " +
+        "check runs as q63_hypercube_ref_csv over the CSV form of the same fact.",
       (s, _) => ReferenceHypercube.fromFolder(s, "/root/reference/data-sample")),
+
+    Query(
+      "q63_hypercube_ref_csv",
+      "Full differential reference parity: the same hypercube pipeline as q11, but " +
+        "over the reference's CSV twin of the invoice fact (data-sample/invoices.csv " +
+        "— the very input the reference's own PostgreSQL differential check used, " +
+        "README.md:80; the .bin adds a 576-record stale prefix the CSV lacks, " +
+        "FIXTURES.md). Amounts are read as exact decimals on both engines, so every " +
+        "group's sum is bit-stable under any partitioning and the WHOLE 34k-group " +
+        "result row-hash-compares against DuckDB — upgrading reference parity from " +
+        "golden-total checks to a per-row differential.",
+      (s, _) => {
+        val folder = "/root/reference/data-sample"
+        // schema-first like the other reference scans; amount as exact
+        // DECIMAL (the CSV carries full-precision decimal strings — both
+        // engines parse the string exactly, no float round-trip)
+        val invoiceCsvSchema = StructType(Seq(
+          StructField("id", IntegerType, nullable = false),
+          StructField("id_contract", IntegerType, nullable = false),
+          StructField("time", IntegerType, nullable = false),
+          StructField("amount", DecimalType(20, 10), nullable = false),
+          StructField("consumption", IntegerType, nullable = false)))
+        val inv = s.read.option("header", "true").schema(invoiceCsvSchema)
+          .csv(s"$folder/invoices.csv")
+          .select(col("id_contract").as("contract"), col("time"),
+            col("amount"), col("consumption"))
+        ReferenceHypercube.hypercube(
+          ReferenceHypercube.clients(s, s"$folder/clients.csv"),
+          ReferenceHypercube.contracts(s, s"$folder/contracts.csv"),
+          inv, ReferenceHypercube.ReferenceExact, broadcastDim = true)
+          // decimal-exact sum rendered as double for engine-portable hashing
+          .withColumn("amount", col("amount").cast("double"))
+      },
+      Some("""
+        WITH i AS (
+          SELECT * FROM read_csv('/root/reference/data-sample/invoices.csv', header=true,
+            columns={'id':'INTEGER','id_contract':'INTEGER','time':'INTEGER',
+                     'amount':'DECIMAL(20,10)','consumption':'INTEGER'})
+        ), k AS (
+          SELECT * FROM read_csv('/root/reference/data-sample/contracts.csv', header=true,
+            columns={'id':'INTEGER','id_client':'INTEGER','nature':'INTEGER',
+                     'start':'INTEGER','end':'INTEGER'})
+        ), c AS (
+          SELECT * FROM read_csv('/root/reference/data-sample/clients.csv', header=true,
+            columns={'id':'INTEGER','type':'INTEGER','geo':'INTEGER','misc':'INTEGER'})
+        )
+        SELECT c.geo, c.type, c.misc, k.nature, i."time",
+               CAST(SUM(i.consumption) AS BIGINT) AS consumption,
+               CAST(SUM(i.amount) AS DOUBLE) AS amount,
+               COUNT(DISTINCT k.id_client) AS nclients,
+               COUNT(DISTINCT i.id_contract) AS ncontrats,
+               COUNT(*) AS ninvoices
+        FROM i
+        JOIN k ON k.id = i.id_contract
+        JOIN c ON c.id = k.id_client
+        GROUP BY 1, 2, 3, 4, 5
+        ORDER BY 1, 2, 3, 4, 5""")),
 
     Query(
       "q12_approx_distinct",

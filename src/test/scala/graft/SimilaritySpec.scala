@@ -141,4 +141,13 @@ class SimilaritySpec extends AnyFunSuite {
       assert(fp(i.toLong) === fp(i.toLong + 5000))
     }
   }
+
+  test("q62 SQL front door equals the Column-API q19 row for row") {
+    val sql = SparkEntry.queries("q62_sql_frontdoor")(spark, sf)
+    val api = SparkEntry.queries("q19_knn_brute")(spark, sf)
+    assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty)
+    // the SQL text really went through the extension registration: the
+    // plan must contain the native VectorDot expression, not a UDF
+    assert(sql.queryExecution.optimizedPlan.toString.contains("vector_dot"))
+  }
 }
