@@ -72,11 +72,14 @@ object RefScale {
     bw.close()
   }
 
-  def main(args: Array[String]): Unit = {
-    val dir = "target/refscale"
-    // size-gated, not existence-gated: a crash mid-write leaves a
-    // truncated invoices.bin that a bare exists() would silently accept
-    // and benchmark (rows_per_sec computed against the full NInvoices)
+  private[graft] def invoiceRows: Int = NInvoices
+
+  /** Size-gated fixture materialization, not existence-gated: a crash
+    * mid-write leaves a truncated invoices.bin that a bare exists()
+    * would silently accept and benchmark (rows_per_sec computed against
+    * the full NInvoices). Shared by the single-point main and the
+    * thread-sweep main. */
+  private[graft] def ensure(dir: String): Unit = {
     val binPath = Paths.get(s"$dir/invoices.bin")
     val expectedBytes = NInvoices.toLong * 16L
     if (!Files.exists(binPath) || Files.size(binPath) != expectedBytes) {
@@ -87,6 +90,11 @@ object RefScale {
       require(Files.size(binPath) == expectedBytes,
         s"invoices.bin is ${Files.size(binPath)} bytes, expected $expectedBytes")
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = "target/refscale"
+    ensure(dir)
     val spark = GraftSession.local("graft-refscale")
     def time[A](label: String)(f: => A): A = {
       val t = System.nanoTime(); val r = f
