@@ -40,7 +40,8 @@ object Bench {
     "q51_bucketed_join", "q52_frequent_tokens", "q53_heavy_hitters",
     "q54_json_extract", "q55_pivot", "q56_gapfill", "q57_funnel",
     "q58_retention", "q59_snapshot_diff", "q60_partition_pruning",
-    "q61_asof_forward", "q62_sql_frontdoor", "q63_hypercube_ref_csv")
+    "q61_asof_forward", "q62_sql_frontdoor", "q63_hypercube_ref_csv",
+    "q64_span_dedup")
 
   /** `build` is by-name and runs AFTER the cache clear: queries that
     * persist (and eagerly materialize) intermediate frames — e.g. q17's

@@ -266,6 +266,62 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---- substring-level exact dedup (Lee et al. 2022 family) ----
+
+  /** Maximal token spans duplicated ACROSS documents — substring-level
+    * exact dedup, the third member of the dedup family next to
+    * document-level exact (q16) and near-dup (q17/q28). This is the
+    * operation "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al., ACL 2022 — public literature) runs with a
+    * suffix array over the whole corpus; a suffix array is inherently
+    * single-address-space, so the engine uses the Spark-shaped
+    * equivalent: one rolling 64-bit hash per n-token window (the same
+    * fused per-row [[TextAnalysis.shingleHashArray]] expression the
+    * near-dup pipelines use — map-only, no shuffle), a window-hash
+    * aggregate to find hashes seen in more than one document, and a
+    * per-doc gaps-and-islands merge of the surviving windows into
+    * maximal spans (the q13 sessionize shape).
+    *
+    * Scale shape: the exploded window frame is one 16-byte (pos, hash)
+    * row per token — linear in corpus size; the duplicate-hash aggregate
+    * exchanges 8-byte keys with min/max partials combined map-side
+    * (min≠max replaces a COUNT(DISTINCT doc) — no Expand, no distinct
+    * shuffle); only DUPLICATED windows reach the island merge, whose
+    * one doc-keyed shuffle carries spans, not text. Never corpus×corpus.
+    *
+    * Like q28, "same hash" stands in for "same n-gram" (a cross-doc
+    * collision has p≈2^-64 per pair and the DuckDB string-keyed oracle
+    * would catch it). Output: (doc_id, start_pos, end_pos, n_windows) —
+    * 1-based inclusive token positions of each maximal duplicated span. */
+  def spanDedup(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.tokensFast(col("text"))
+    val w = Tables.rebalanced(docs)
+      .filter(size(toks) >= n)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.shingleHashArray(toks, n)).as(Seq("pos", "h")))
+    val dup = w.groupBy("h")
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .select("h")
+    val marked = w.join(dup, Seq("h"))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos")) // 1-based
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    marked
+      // windows [pos, pos+n-1] overlap (or touch) the running span iff
+      // pos <= previous pos + n - 1; positions are strictly increasing
+      // within a doc, so the previous window's end IS the running max end
+      .withColumn("new_span",
+        when(col("pos") > lag(col("pos"), 1, Long.MinValue / 2).over(byDoc) + (n - 1), 1L)
+          .otherwise(0L))
+      .withColumn("span", sum("new_span").over(byDoc))
+      .groupBy("doc_id", "span")
+      .agg(min("pos").as("start_pos"), (max("pos") + (n - 1)).cast("long").as("end_pos"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "start_pos", "end_pos", "n_windows")
+      .orderBy("doc_id", "start_pos")
+  }
+
   // ---- SimHash (Charikar 2002) ----
 
   /** 64-bit SimHash over the 3-gram shingle set: bit j of the fingerprint
@@ -401,6 +457,43 @@ object Dedup {
         JOIN sz zb ON zb.doc_id = doc_b
         WHERE CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) >= 0.7
         ORDER BY doc_a, doc_b""")),
+
+    Query(
+      "q64_span_dedup",
+      "Substring-level exact dedup (Lee et al. 2022 family): maximal 20-token " +
+        "spans duplicated across documents, via per-row rolling window hashes " +
+        "(fused expression, no shuffle) -> min!=max duplicate-hash aggregate " +
+        "(no COUNT DISTINCT, no Expand) -> per-doc gaps-and-islands span merge. " +
+        "The suffix-array method's Spark-shaped equivalent; linear shuffle " +
+        "volume at any corpus size. Oracle: DuckDB over the gram STRINGS, so a " +
+        "hash collision on the Spark side would surface as a mismatch.",
+      (s, dir) => spanDedup(Tables.documents(s, dir), n = 20),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+          FROM documents
+        ), g AS (
+          SELECT doc_id, i AS pos, array_to_string(ws[i:i+19], ' ') AS gram
+          FROM d, LATERAL (SELECT unnest(range(1, len(ws) - 18)) AS i)
+          WHERE len(ws) >= 20
+        ), dup AS (
+          SELECT gram FROM g GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)
+        ), m AS (
+          SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)
+        ), flagged AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos > COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos), -1000000) + 19
+                      THEN 1 ELSE 0 END AS new_span
+          FROM m
+        ), isl AS (
+          SELECT doc_id, pos,
+                 SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span
+          FROM flagged
+        )
+        SELECT doc_id, MIN(pos) AS start_pos, MAX(pos) + 19 AS end_pos, COUNT(*) AS n_windows
+        FROM isl
+        GROUP BY doc_id, span
+        ORDER BY doc_id, start_pos""")),
 
     Query(
       "q22_simhash",

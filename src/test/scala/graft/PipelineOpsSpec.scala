@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Curation, Decontamination, DupClusters, Shards, Vocab}
+import graft.operators.{Curation, Decontamination, Dedup, DupClusters, Shards, Vocab}
 import graft.sources.Tables
 
 /** Round-4 pipeline operators: decontamination, duplicate clustering
@@ -84,6 +84,30 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("connected components: duplicate/reversed edges and self-pairs are harmless") {
     ccCheck(Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (3L, 4L)).filter(e => e._1 != e._2))
+  }
+
+  // ---- q64 substring-level span dedup ----
+
+  test("span dedup finds exact boundaries of a planted cross-doc duplicate run") {
+    val shared = (1 to 20).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 $shared a5 a6"), // shared occupies tokens 5..24
+      (2L, s"b1 $shared b2 b3 b4 b5"),    // shared occupies tokens 2..21
+      (3L, (1 to 30).map(i => s"solo$i").mkString(" "))) // no cross-doc dup
+      .toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, n = 20)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 5L, 24L, 1L), (2L, 2L, 21L, 1L)))
+  }
+
+  test("span dedup merges overlapping duplicated windows into one maximal span") {
+    val shared = (1 to 21).map(i => s"dup$i").mkString(" ") // 21 tokens: 2 windows
+    val docs = Seq((1L, shared), (2L, s"x $shared"))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, n = 20)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // both windows of each doc are duplicated and overlap -> ONE span each
+    assert(got === Seq((1L, 1L, 21L, 2L), (2L, 2L, 22L, 2L)))
   }
 
   // ---- q34 curation working set ----
