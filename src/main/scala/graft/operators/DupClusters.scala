@@ -38,7 +38,15 @@ import graft.sources.Tables
   */
 object DupClusters {
 
-  private def star(edges: DataFrame, large: Boolean): DataFrame = {
+  /** One star-contraction step. `canonical = false` skips the final
+    * (small, large) re-orientation + distinct: both stars derive their
+    * OWN undirected incidence and take min aggregates, so duplicate or
+    * arbitrarily-oriented edges in the input change nothing (min is
+    * idempotent) — only the round's LAST star needs the canonical
+    * distinct set, because that is what the convergence check compares.
+    * Skipping it on the intermediate large-star saves one full edge-set
+    * shuffle per round. */
+  private def star(edges: DataFrame, large: Boolean, canonical: Boolean): DataFrame = {
     // undirected incidence: each edge seen from both endpoints
     val bi = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
@@ -51,11 +59,12 @@ object DupClusters {
       .filter(if (large) col("v") > col("u") else col("v") <= col("u"))
       .join(mins, Seq("u"))
       .select(col("v").as("u"), col("m").as("v"))
-    val out = if (large) relinked else relinked.union(mins.select(col("u"), col("m").as("v")))
-    out.filter(col("u") =!= col("v"))
-      // canonical (small, large) orientation so convergence is testable
-      // as set equality of canonical pairs
-      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+    val out = (if (large) relinked else relinked.union(mins.select(col("u"), col("m").as("v"))))
+      .filter(col("u") =!= col("v"))
+    if (!canonical) out
+    // canonical (small, large) orientation so convergence is testable
+    // as set equality of canonical pairs
+    else out.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
   }
 
@@ -80,7 +89,8 @@ object DupClusters {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = star(star(edges, large = true), large = false)
+      val next = star(star(edges, large = true, canonical = false),
+          large = false, canonical = true)
         .localCheckpoint(false)
       val nextCount = next.count()
       // star preserves node sets and only shrinks toward the minimum, so
