@@ -117,7 +117,11 @@ object DupClusters {
         "each two node-keyed equi-shuffles; per-round localCheckpoint truncates " +
         "lineage). Every paired doc maps to its component's minimum id — " +
         "transitive closure of near-duplication, which pairwise joins cannot " +
-        "express. Oracle: DuckDB recursive-CTE reachability over the same pairs.",
+        "express. connectedComponents(pairs) is the public seam: a pipeline " +
+        "that already holds a pair frame (q28's output, q27's, an ingest " +
+        "log's) runs clustering without re-deriving candidates; this entry " +
+        "self-contains the q28 build so the oracle covers the composition. " +
+        "Oracle: DuckDB recursive-CTE reachability over the same pairs.",
       (s, dir) => {
         val pairs = Dedup.jaccardJoin(Tables.documents(s, dir), n = 3, tau = 0.7)
           .select(col("doc_a").as("u"), col("doc_b").as("v"))

@@ -30,6 +30,17 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(cube.count() === 34271L)
   }
 
+  test("CSV-twin hypercube (q63) conserves the CSV fact count and its invariants") {
+    // the CSV lacks the bin's 576-record stale prefix, so totals differ
+    // from the bin goldens by exactly that prefix's contribution; the
+    // conservation and per-group FD invariants hold identically
+    val csv = SparkEntry.queries("q63_hypercube_ref_csv")(spark, "unused").cache()
+    assert(csv.agg(sum("ninvoices")).head().getLong(0) === 57600L)
+    assert(csv.filter(col("nclients") > col("ncontrats") ||
+      col("ncontrats") > col("ninvoices")).isEmpty)
+    csv.unpersist()
+  }
+
   test("hypercube: measure totals match the goldens") {
     val r = cube.agg(
       sum("ninvoices").as("ni"),
