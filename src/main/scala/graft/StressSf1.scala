@@ -70,7 +70,11 @@ object StressSf1 {
       "q28_jaccard_join" -> (d => Dedup.jaccardJoin(d, n = 3, tau = 0.7)),
       "q40_dup_clusters" -> (d => DupClusters.connectedComponents(
         Dedup.jaccardJoin(d, n = 3, tau = 0.7)
-          .select(col("doc_a").as("u"), col("doc_b").as("v")))))
+          .select(col("doc_a").as("u"), col("doc_b").as("v")))),
+      // span rows replicate per copy family (cross-family grams can't
+      // collide — every token differs), so sf1_rows = 10 x sf0.1_rows
+      // exactly, same linearity contract as the set-based detectors
+      "q64_span_dedup" -> (d => Dedup.spanDedup(d, n = 20)))
 
     val loadStart = Bench.loadavgJson()
     val results = pipelines.map { case (name, build) =>
