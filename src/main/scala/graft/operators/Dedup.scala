@@ -352,7 +352,16 @@ object Dedup {
     * band the 64-bit fingerprint into 4×16-bit chunks — by pigeonhole any
     * pair within Hamming 3 agrees on at least one whole chunk, so an
     * equi-join on (chunk index, chunk value) finds ALL such pairs without
-    * an all-pairs product; `bit_count(xor)` verifies the exact distance. */
+    * an all-pairs product; `bit_count(xor)` verifies the exact distance.
+    *
+    * Chunk-width tuning at scale: RANDOM chunk collisions contribute
+    * ~N²/2^16 expected candidate pairs per chunk (measured harmless at
+    * the 10× stress tier, STRESS_SF1.json), so a corpus orders of
+    * magnitude larger keeps candidates linear by widening the signature
+    * (128-bit SimHash → 4×32-bit chunks at the same radius) or by
+    * requiring agreement on a chunk PAIR (the multi-index trick from the
+    * Manku et al. 2007 web-dedup paper) — both change only the banding
+    * arithmetic below, not the pipeline shape. */
   def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-chunk banding only guarantees recall up to Hamming 3")
     val fp = simhash64(docs)
