@@ -110,6 +110,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got === Seq((1L, 1L, 21L, 2L), (2L, 2L, 22L, 2L)))
   }
 
+  test("span dedup matches a brute-force reference on random corpora") {
+    // brute force: hash every n-gram STRING, mark cross-doc duplicated
+    // window positions, merge overlapping [p, p+n-1] intervals
+    def brute(docs: Seq[(Long, String)], n: Int): Seq[(Long, Long, Long, Long)] = {
+      val grams = docs.flatMap { case (id, text) =>
+        val ws = text.trim.toLowerCase.split("\\s+").toSeq
+        (0 to ws.length - n).map(i => (id, i + 1, ws.slice(i, i + n).mkString(" ")))
+      }
+      val dup = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size > 1).keySet
+      docs.flatMap { case (id, _) =>
+        val ps = grams.filter(g => g._1 == id && dup(g._3)).map(_._2).sorted
+        val spans = ps.foldLeft(List.empty[(Int, Int, Int)]) {
+          case ((s, e, c) :: rest, p) if p <= e => (s, p + n - 1, c + 1) :: rest
+          case (acc, p) => (p, p + n - 1, 1) :: acc
+        }.reverse
+        spans.map { case (s, e, c) => (id, s.toLong, e.toLong, c.toLong) }
+      }.sortBy(t => (t._1, t._2))
+    }
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val n = 4
+      // small vocab forces plenty of genuine cross-doc n-gram repeats,
+      // including touching-but-not-overlapping windows
+      val docs = (1L to 12L).map(id =>
+        id -> (1 to 10 + rnd.nextInt(20)).map(_ => s"w${rnd.nextInt(6)}").mkString(" "))
+      val got = Dedup.spanDedup(docs.toDF("doc_id", "text"), n)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got === brute(docs, n))
+    }
+  }
+
   // ---- q34 curation working set ----
 
   test("curation's shared corpus pass computes exactly once (persist holds)") {
