@@ -288,6 +288,11 @@ object Dedup {
     * (min≠max replaces a COUNT(DISTINCT doc) — no Expand, no distinct
     * shuffle); only DUPLICATED windows reach the island merge, whose
     * one doc-keyed shuffle carries spans, not text. Never corpus×corpus.
+    * The window frame is derived twice (once under the duplicate-hash
+    * aggregate, once as the join probe side) — deliberately recomputed
+    * map work rather than a persisted corpus×tokens frame, the same
+    * two-scan stance as [[nearDuplicates]]: at 100 TB you re-stream a
+    * map-only pass, you don't cache it.
     *
     * Like q28, "same hash" stands in for "same n-gram" (a cross-doc
     * collision has p≈2^-64 per pair and the DuckDB string-keyed oracle
