@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Query
+import graft.sources.Tables
+
+/** Physical data layout — the two write-side levers that decide how much
+  * of a 100 TB table a query actually READS, completing the layout
+  * family next to bucketing (X43, shuffle-free joins) and Hive
+  * partitioning (X52, directory pruning):
+  *
+  *   - '''Z-order clustering''': sort by an interleaved-bit (Morton) key
+  *     over TWO filter columns, so each output file covers a small
+  *     square-ish box of the 2-D key space instead of a thin full-width
+  *     stripe. Parquet min/max footer stats then skip most files for
+  *     predicates on EITHER dimension — the multi-dimensional
+  *     generalization of sort-based data skipping that 1-D sorting
+  *     cannot give (a partkey-sorted file spans ALL suppkeys, so any
+  *     suppkey-only predicate reads every file).
+  *   - '''Small-file compaction''': bin the accumulated output of an
+  *     incremental writer (thousands of KB-size files — each a task's
+  *     worth of some past micro-batch) into target-size files, restoring
+  *     scan efficiency (open/seek cost, row-group size, split planning)
+  *     without changing a single row.
+  *
+  * Both are write-once/read-many: materialization is idempotent per
+  * (dataset, layout) — one write amortized over every subsequent pruned
+  * scan, the [[Bucketed]]/[[Partitioned]] economics.
+  */
+object Layout {
+  import Bucketed.md5hex
+
+  /** 2-D Morton (Z-order) key: quantize each dimension to 16 bits
+    * against its [lo, hi] bounds, then interleave the bits (a-bits odd,
+    * b-bits even). All shift amounts are literals, so the whole key is
+    * one whole-stage-codegen'd expression tree — no UDF, no shuffle;
+    * the bounds come from a one-row aggregate broadcast back into the
+    * projection (the histogram/q46 two-pass shape), never a driver
+    * round-trip. A degenerate dimension (hi == lo) quantizes to 0 and
+    * drops out of the ordering. */
+  def morton16(a: Column, alo: Column, ahi: Column,
+      b: Column, blo: Column, bhi: Column): Column = {
+    def quant(x: Column, lo: Column, hi: Column): Column =
+      when(hi <= lo, lit(0L)).otherwise(
+        least(lit(65535L),
+          floor((x - lo).cast("double") / (hi - lo + 1).cast("double")
+            * 65536.0).cast("long")))
+    val qa = quant(a, alo, ahi)
+    val qb = quant(b, blo, bhi)
+    (0 until 16).map { i =>
+      shiftleft(shiftright(qa, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(qb, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Idempotently materialize lineitem Z-order-clustered on
+    * (l_partkey, l_suppkey) into `nFiles` files; returns the path.
+    * `repartitionByRange` on the Morton key samples its distribution, so
+    * files are balanced even under key skew; the within-partition sort
+    * makes every file a contiguous Morton interval, which is what turns
+    * parquet footer min/max into a 2-D bounding box per file. */
+  def zorderedLineitem(spark: SparkSession, dir: String,
+      nFiles: Int = 24): String = synchronized {
+    val out = s"target/zorder/graft_lineitem_z${md5hex(s"$dir/$nFiles").take(8)}"
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(out, "_SUCCESS"))) {
+      val li = Tables.lineitem(spark, dir)
+      val bounds = li.agg(
+        min("l_partkey").as("__plo"), max("l_partkey").as("__phi"),
+        min("l_suppkey").as("__slo"), max("l_suppkey").as("__shi"))
+      li.crossJoin(broadcast(bounds))
+        .withColumn("z", morton16(
+          col("l_partkey"), col("__plo"), col("__phi"),
+          col("l_suppkey"), col("__slo"), col("__shi")))
+        .drop("__plo", "__phi", "__slo", "__shi")
+        .repartitionByRange(nFiles, col("z"))
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
+  /** Box-predicate scan over the Z-ordered layout: per-part row counts
+    * and decimal-exact quantity totals inside a 2-D key box. On the
+    * clustered layout the parquet reader's min/max stats skip every
+    * file/row-group whose Morton box misses the predicate box — the
+    * scan cost tracks the box AREA, not the table size. */
+  def zorderBoxScan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(zorderedLineitem(spark, dir))
+      .filter(col("l_partkey").between(20, 59) &&
+        col("l_suppkey").between(2, 5))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+
+  /** Idempotently scatter `dir/documents.parquet` into `nSmall` files —
+    * the accumulated state of an incremental writer — then compact it to
+    * `ceil(total_bytes / targetBytes)` files computed from the ACTUAL
+    * scattered size (a file listing, no data read). The compacting write
+    * range-partitions and sorts by `doc_id`, so compaction also restores
+    * key clustering (and thus doc_id data skipping) that the incremental
+    * writer destroyed — rows are untouched, which the oracle checks
+    * row-for-row. Returns (scatteredPath, compactedPath). */
+  def compactedDocs(spark: SparkSession, dir: String, nSmall: Int = 64,
+      targetBytes: Long = 1L << 20): (String, String) = synchronized {
+    val id = md5hex(s"$dir/$nSmall/$targetBytes").take(8)
+    val scattered = s"target/compact/graft_docs_small_$id"
+    val compacted = s"target/compact/graft_docs_big_$id"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(scattered).getFileSystem(conf)
+    if (!fs.exists(new Path(scattered, "_SUCCESS"))) {
+      Tables.documents(spark, dir).repartition(nSmall)
+        .write.mode("overwrite").parquet(scattered)
+    }
+    if (!fs.exists(new Path(compacted, "_SUCCESS"))) {
+      val totalBytes = fs.listStatus(new Path(scattered))
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+      val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+      spark.read.parquet(scattered)
+        .repartitionByRange(nOut, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(compacted)
+    }
+    (scattered, compacted)
+  }
+
+  val queries: Seq[Query] = Seq(
+    Query(
+      "q66_zorder_scan",
+      "Z-order-clustered layout + 2-D box scan: lineitem written once " +
+        "sorted by a 16-bit-interleaved Morton key over (l_partkey, " +
+        "l_suppkey) — a pure literal-shift codegen expression, bounds from " +
+        "a broadcast one-row aggregate — so each file covers a square-ish " +
+        "2-D box and parquet min/max stats skip files for predicates on " +
+        "EITHER dimension (1-D sorting can only serve one). The box scan " +
+        "then reads ~box-area, not table-size. Oracle: the same box " +
+        "aggregate over the plain table — the layout must change nothing.",
+      (s, dir) => zorderBoxScan(s, dir).orderBy("l_partkey"),
+      Some("""
+        SELECT l_partkey, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_partkey BETWEEN 20 AND 59 AND l_suppkey BETWEEN 2 AND 5
+        GROUP BY 1
+        ORDER BY l_partkey"""))
+    ,
+    Query(
+      "q67_compact_files",
+      "Small-file compaction: documents scattered once into 64 task-size " +
+        "files (an incremental writer's accumulated state), then binned to " +
+        "ceil(actual_bytes / 1 MiB) files sized from a pure file LISTING — " +
+        "no data read to plan the rewrite. The compacting write range-" +
+        "partitions + sorts by doc_id, restoring the key clustering the " +
+        "incremental writer destroyed. Oracle: the compacted table read " +
+        "back row-for-row against the source — compaction must be " +
+        "content-invisible; ScalaTest asserts the file-count arithmetic.",
+      (s, dir) => {
+        val (_, compacted) = compactedDocs(s, dir)
+        s.read.parquet(compacted)
+          .select("doc_id", "lang", "source", "n_chars", "text")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, lang, source, n_chars, text
+        FROM documents
+        ORDER BY doc_id"""))
+  )
+}

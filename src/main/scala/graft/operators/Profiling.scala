@@ -42,6 +42,41 @@ object Profiling {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Robust per-group outlier accounting via median/MAD — the
+    * data-cleaning pass that survives the outliers it is hunting (mean/
+    * stddev z-scores are dragged by the very tail they should flag; the
+    * median and the median absolute deviation have a 50% breakdown
+    * point). Input follows the [[Relational.exactPercentiles]] contract:
+    * a frame with the group column and the measure as `x`.
+    *
+    * Two exact-median rounds, each the scale-safe bucketed two-pass rank
+    * (q31) — no per-group single-task window anywhere: (1) per-group
+    * median of `x`; (2) per-group median of `|x - med|`, computed after a
+    * BROADCAST of the tiny per-group median frame (G rows); then one
+    * final map-side-combining aggregate counts rows with
+    * `|x - med| > k * MAD`. Four corpus scans total, each reducing
+    * map-side; all joins broadcast. The flag arithmetic (abs/sub/mul/
+    * compare on doubles) is IEEE-identical in Spark and DuckDB, and the
+    * median interpolation bit-matches quantile_cont, so the oracle checks
+    * the exact outlier COUNT, not a tolerance band. */
+  def robustOutliers(base0: DataFrame, grp: String, k: Double): DataFrame = {
+    val base = base0.filter(col("x").isNotNull)
+    val med = Relational.exactPercentiles(base, grp, Seq(0.5 -> "med"))
+      .select(col(grp), col("med"))
+    val dev = base.join(broadcast(med), Seq(grp))
+      .select(col(grp), abs(col("x") - col("med")).as("x"))
+    val mad = Relational.exactPercentiles(dev, grp, Seq(0.5 -> "mad"))
+      .select(col(grp), col("mad"))
+    base.join(broadcast(med.join(mad, Seq(grp))), Seq(grp))
+      .groupBy(grp)
+      .agg(
+        // med/mad are group-constant carried columns; max() re-exposes them
+        max("med").as("med"), max("mad").as("mad"),
+        count(when(abs(col("x") - col("med")) > lit(k) * col("mad"),
+          lit(1))).as("n_outliers"),
+        count(lit(1)).as("n"))
+  }
+
   val queries: Seq[Query] = Seq(
     Query(
       "q46_histogram",
@@ -68,5 +103,39 @@ object Profiling {
         FROM lineitem, b
         GROUP BY 1, 2
         ORDER BY l_returnflag, bin"""))
+    ,
+    Query(
+      "q69_robust_outliers",
+      "Median/MAD robust outlier accounting over the heavy-tailed event " +
+        "value, per event type (k=3): the data-cleaning pass that survives " +
+        "its own outliers (50% breakdown point vs mean/stddev's zero — the " +
+        "tail would drag a z-score's own yardstick). Two exact-median " +
+        "rounds, each the scale-safe bucketed two-pass rank of q31 — no " +
+        "per-group single-task sort — with the tiny per-group stat frames " +
+        "broadcast back; one final map-side-combining count. Exact-count " +
+        "oracle: median interpolation bit-matches quantile_cont and the " +
+        "flag arithmetic is IEEE-identical, so no tolerance band is needed.",
+      (s, dir) => robustOutliers(
+        Tables.events(s, dir)
+          .select(col("event_type"), col("value").cast("double").as("x")),
+        "event_type", k = 3.0)
+        .orderBy("event_type"),
+      Some("""
+        WITH base AS (
+          SELECT event_type, CAST(value AS DOUBLE) AS x
+          FROM events WHERE value IS NOT NULL
+        ), med AS (
+          SELECT event_type, quantile_cont(x, 0.5) AS med
+          FROM base GROUP BY 1
+        ), mad AS (
+          SELECT b.event_type, quantile_cont(abs(b.x - m.med), 0.5) AS mad
+          FROM base b JOIN med m USING (event_type) GROUP BY 1
+        )
+        SELECT b.event_type, MAX(m.med) AS med, MAX(d.mad) AS mad,
+               COUNT(*) FILTER (WHERE abs(b.x - m.med) > 3.0 * d.mad) AS n_outliers,
+               COUNT(*) AS n
+        FROM base b JOIN med m USING (event_type) JOIN mad d USING (event_type)
+        GROUP BY 1
+        ORDER BY event_type"""))
   )
 }

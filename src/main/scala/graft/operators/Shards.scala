@@ -144,6 +144,41 @@ object Shards {
     finally handle.unpersist() // the write is the one action; no leak
   }
 
+  /** Overlapping fixed-token chunk windows — the retrieval/context-window
+    * layout next to the training-shard layouts above: each document is cut
+    * into `window`-token chunks starting every `stride` tokens (so
+    * consecutive chunks share `window - stride` tokens of overlap, and no
+    * token is lost at a chunk boundary). Output is (doc_id, chunk_idx,
+    * n_tokens, chunk) with the final chunk truncated at the document end.
+    *
+    * Scale shape: pure map-side — tokenize, build the window list with
+    * `transform(sequence(...))`, `posexplode`. No shuffle, no state, no
+    * per-doc sort; chunking 100 TB is one embarrassingly-parallel pass
+    * whose scan reads only (doc_id, text). Chunk starts are `0, stride,
+    * 2*stride, ...` strictly below the token count, so every document —
+    * including one shorter than a window — emits at least one chunk, and
+    * chunk count is 1 + floor((n-1)/stride) (exact in double: token
+    * counts are far below 2^53). */
+  def chunkOverlap(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window > 0, s"window must be positive: $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window]: stride=$stride window=$window")
+    // split-based tokens (not tokensFast), the docOffsets convention: an
+    // empty doc is [""] — one token, one (empty) chunk — in both engines
+    val toks = TextAnalysis.tokens(col("text"))
+    val nChunks =
+      (floor((size(toks) - 1).cast("double") / stride) + 1).cast("int")
+    docs
+      .select(col("doc_id"), toks.as("w"), nChunks.as("nc"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nc") - 1), i => {
+          val win = slice(col("w"), i * stride + 1, lit(window))
+          struct(size(win).as("n_tokens"), array_join(win, " ").as("chunk"))
+        })))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        col("col.n_tokens").as("n_tokens"), col("col.chunk").as("chunk"))
+  }
+
   /** Per-shard manifest: document count, token total, id span. */
   def shardManifest(docs: DataFrame, budget: Long): DataFrame =
     packShards(docs, budget)
@@ -216,5 +251,33 @@ object Shards {
                CAST(LEAST((shard_id + 1) * 2048, start_off + n_tokens) - start_off AS BIGINT) AS tok_end
         FROM spans
         ORDER BY shard_id, doc_id"""))
+    ,
+    Query(
+      "q65_chunk_overlap",
+      "Overlapping token-window chunking (64-token windows every 48 " +
+        "tokens): the retrieval/context-window layout — each doc cut into " +
+        "fixed-token chunks with 16 tokens of overlap so boundary context " +
+        "is never lost. Pure map-side (tokenize -> transform(sequence) -> " +
+        "posexplode): no shuffle, no per-doc sort, scan reads only " +
+        "(doc_id, text); chunking 100 TB is one embarrassingly-parallel " +
+        "pass. The oracle re-derives every chunk STRING from DuckDB list " +
+        "slicing, so window arithmetic and token parity are both checked.",
+      (s, dir) =>
+        chunkOverlap(Tables.documents(s, dir), window = 64, stride = 48)
+          .orderBy("doc_id", "chunk_idx"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM documents
+        ), c AS (
+          SELECT doc_id, w,
+                 unnest(generate_series(0, CAST(FLOOR(CAST(len(w) - 1 AS DOUBLE) / 48.0) AS BIGINT))) AS chunk_idx
+          FROM t
+        )
+        SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+               CAST(len(w[chunk_idx*48 + 1 : chunk_idx*48 + 64]) AS INT) AS n_tokens,
+               array_to_string(w[chunk_idx*48 + 1 : chunk_idx*48 + 64], ' ') AS chunk
+        FROM c
+        ORDER BY doc_id, chunk_idx"""))
   )
 }

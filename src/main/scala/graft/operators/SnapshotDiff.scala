@@ -47,6 +47,34 @@ object SnapshotDiff {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** CDC log compaction — collapse an append-only change log to the
+    * latest record per key: the "current state" materialization every
+    * incremental pipeline runs over its upsert stream before joining it
+    * with anything else. Versions are ordered by (ts, tiebreak); the
+    * tiebreak column must make the ordering total (a unique event id),
+    * or "latest" would be nondeterministic under equal timestamps.
+    *
+    * Shape: ONE `max_by(struct(payload...), struct(ts, tiebreak))`
+    * aggregate — a map-side-combining reduction that keeps a single
+    * struct per key per partition, so the shuffle carries one row per
+    * DISTINCT key per map task regardless of how many versions the log
+    * holds. The window formulation (`row_number() over (partition by
+    * key order by ts desc) = 1` — what the SQL oracle runs) would
+    * instead shuffle EVERY version and sort each key's history in one
+    * task: the q31 single-task pathology, fatal on a 100 TB log where
+    * hot keys hold millions of versions. */
+  def latestByKey(log: DataFrame, key: Seq[String], ts: String,
+      tiebreak: String, payload: Seq[String]): DataFrame = {
+    val ord = struct(col(ts), col(tiebreak))
+    val out = (ts +: tiebreak +: payload).distinct
+    log.groupBy(key.map(col): _*)
+      .agg(max_by(struct(out.map(col): _*), ord).as("last"),
+        count(lit(1)).as("n_versions"))
+      .select(key.map(col) ++
+        out.map(c => col(s"last.$c").as(s"last_$c")) :+
+        col("n_versions"): _*)
+  }
+
   val queries: Seq[Query] = Seq(
     Query(
       "q59_snapshot_diff",
@@ -84,5 +112,47 @@ object SnapshotDiff {
         FROM before_s FULL OUTER JOIN after_s USING (doc_id)
         GROUP BY 1
         ORDER BY status"""))
+    ,
+    Query(
+      "q68_cdc_latest",
+      "CDC log compaction to current state: latest event per user by " +
+        "(ts, event_id), via ONE map-side-combining max_by(struct) " +
+        "aggregate — the shuffle carries one candidate row per distinct " +
+        "key per map task, NOT the full version history. The oracle runs " +
+        "the textbook row_number()-window formulation — the very shape " +
+        "the operator avoids (it would single-task-sort each hot key's " +
+        "millions of versions at 100 TB) — proving the reduction computes " +
+        "identical 'latest' semantics, deterministic under the " +
+        "(ts, event_id) total order.",
+      (s, dir) =>
+        // the log's nano ts is truncated to MICROS for the catalog entry
+        // only, because the DuckDB oracle reads the nanos parquet at µs
+        // precision — both engines must order versions over the SAME
+        // timestamp domain or a same-µs pair could elect different
+        // winners (the event_id tiebreak then settles same-µs pairs
+        // identically on both sides); floorDiv is the negative-safe
+        // shared cell-math convention (Intervals)
+        latestByKey(
+          Tables.events(s, dir).withColumn("ts",
+            expr(graft.operators.Intervals.floorDiv("ts", 1000L))),
+          key = Seq("user_id"), ts = "ts", tiebreak = "event_id",
+          payload = Seq("event_type", "value"))
+          .orderBy("user_id"),
+      Some("""
+        SELECT user_id,
+               epoch_us(ts) AS last_ts,
+               event_id AS last_event_id,
+               event_type AS last_event_type,
+               value AS last_value,
+               n_versions
+        FROM (
+          SELECT *,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n_versions,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        )
+        WHERE rn = 1
+        ORDER BY user_id"""))
   )
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Layout
+import graft.sources.Tables
+
+/** Physical-layout operators: the Z-order claim is about per-FILE key
+  * geometry (square-ish 2-D boxes instead of full-width stripes), so the
+  * spec measures the written files' min/max boxes directly — the same
+  * statistics parquet footer pruning consults — rather than trusting the
+  * sort. Compaction is about file arithmetic + content invisibility. */
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private val nFiles = 24
+
+  test("z-order files cover 2-D boxes, not full-width stripes") {
+    val path = Layout.zorderedLineitem(spark, sf, nFiles)
+    val boxes = spark.read.parquet(path)
+      .select(input_file_name().as("f"), col("l_partkey"), col("l_suppkey"))
+      .groupBy("f")
+      .agg(min("l_partkey").as("plo"), max("l_partkey").as("phi"),
+        min("l_suppkey").as("slo"), max("l_suppkey").as("shi"))
+      .collect()
+    assert(boxes.length === nFiles)
+    val (pmin, pmax, smin, smax) = {
+      val b = Tables.lineitem(spark, sf)
+        .agg(min("l_partkey"), max("l_partkey"),
+          min("l_suppkey"), max("l_suppkey")).head()
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    }
+    val pSpan = (pmax - pmin + 1).toDouble
+    val sSpan = (smax - smin + 1).toDouble
+    val fracs = boxes.map { r => // columns: f, plo, phi, slo, shi
+      ((r.getLong(2) - r.getLong(1) + 1) / pSpan,
+        (r.getLong(4) - r.getLong(3) + 1) / sSpan)
+    }
+    // A 1-D sort on either key makes the OTHER key's fraction ~1.0 in
+    // every file; Morton interleaving must bound BOTH dimensions for
+    // most files (quadrant-straddling Morton intervals may blow up a
+    // few boxes — that is inherent to the curve, hence the 70% bar).
+    val balanced = fracs.count { case (pf, sfr) => pf <= 0.6 && sfr <= 0.6 }
+    assert(balanced >= (nFiles * 0.7).toInt,
+      s"only $balanced/$nFiles files have both dims <= 0.6: ${fracs.mkString(", ")}")
+    // and the typical box AREA must track 1/nFiles, not 1.0
+    val areas = fracs.map { case (pf, sfr) => pf * sfr }.sorted
+    val median = areas(areas.length / 2)
+    assert(median <= 6.0 / nFiles, s"median box area $median")
+  }
+
+  test("z-order box scan equals the same scan over the plain table") {
+    val got = Layout.zorderBoxScan(spark, sf).orderBy("l_partkey").collect()
+    val plain = Tables.lineitem(spark, sf)
+      .filter(col("l_partkey").between(20, 59) &&
+        col("l_suppkey").between(2, 5))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("l_partkey").collect()
+    assert(got.map(_.toString).toSeq === plain.map(_.toString).toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("compaction bins to ceil(bytes/target) files and is content-invisible") {
+    val target = 64L << 10 // small target so sf0.001 still yields several bins
+    val (scattered, compacted) =
+      Layout.compactedDocs(spark, sf, nSmall = 64, targetBytes = target)
+    val fs = new Path(scattered)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(dir: String) = fs.listStatus(new Path(dir))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    assert(parquetFiles(scattered).length === 64)
+    val totalBytes = parquetFiles(scattered).map(_.getLen).sum
+    val expectFiles = math.max(1L, (totalBytes + target - 1) / target).toInt
+    assert(parquetFiles(compacted).length === expectFiles)
+    assert(expectFiles > 1 && expectFiles < 64) // the rewrite actually binned
+    val before = spark.read.parquet(scattered)
+      .orderBy("doc_id").collect().map(_.toString)
+    val after = spark.read.parquet(compacted)
+      .select(spark.read.parquet(scattered).columns.toIndexedSeq.map(col): _*)
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(after.toSeq === before.toSeq)
+  }
+}

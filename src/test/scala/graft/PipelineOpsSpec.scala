@@ -282,4 +282,118 @@ class PipelineOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect()
     assert(out === Array((10L, 6L, 3L))) // d, d, x are OOV occurrences
   }
+
+  // ---- q65 overlapping chunking ----
+
+  test("chunking matches the per-doc brute force window-for-window") {
+    val (w, s) = (64, 48)
+    val got = Shards.chunkOverlap(Tables.documents(spark, sf), w, s)
+      .select("doc_id", "chunk_idx", "n_tokens", "chunk")
+      .as[(Long, Int, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    assert(docs.nonEmpty)
+    docs.foreach { case (id, text) =>
+      val toks = text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+      val expect = (0 until (1 + (toks.length - 1) / s)).map { i =>
+        val win = toks.slice(i * s, math.min(i * s + w, toks.length))
+        (id, i, win.length, win.mkString(" "))
+      }
+      assert(got(id).toSeq === expect, s"doc $id")
+    }
+  }
+
+  test("chunking: a doc shorter than one window emits exactly itself") {
+    val df = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val out = Shards.chunkOverlap(df, window = 64, stride = 48)
+      .as[(Long, Int, Int, String)].collect()
+    assert(out === Array((1L, 0, 3, "alpha beta gamma")))
+  }
+
+  test("chunking strides reconstruct the document with no token lost") {
+    // concatenating each chunk's first `stride` tokens (all of the last
+    // chunk) must reproduce the normalized document exactly
+    val (w, s) = (8, 5)
+    val df = Seq((7L, (1 to 23).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = Shards.chunkOverlap(df, w, s)
+      .orderBy("chunk_idx").select("chunk").as[String].collect()
+    val rebuilt = chunks.init.map(_.split(" ", -1).take(s).mkString(" ")) :+
+      chunks.last
+    assert(rebuilt.mkString(" ") === (1 to 23).map(i => s"t$i").mkString(" "))
+  }
+
+  // ---- q68 CDC latest-per-key ----
+
+  test("CDC latest-per-key matches the collected brute force") {
+    val got = graft.operators.SnapshotDiff.latestByKey(
+        Tables.events(spark, sf), key = Seq("user_id"), ts = "ts",
+        tiebreak = "event_id", payload = Seq("event_type", "value"))
+      .select("user_id", "last_ts", "last_event_id", "last_event_type",
+        "last_value", "n_versions")
+      .as[(Long, Long, Long, String, Double, Long)].collect().sortBy(_._1)
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+      .as[(Long, Long, Long, String, Double)].collect()
+    val expect = ev.groupBy(_._1).toArray.sortBy(_._1).map { case (u, rows) =>
+      val (_, ts, id, tpe, v) = rows.maxBy(r => (r._2, r._3))
+      (u, ts, id, tpe, v, rows.length.toLong)
+    }
+    assert(got === expect)
+    assert(got.map(_._6).sum === ev.length.toLong) // every version accounted
+  }
+
+  test("CDC latest-per-key tiebreak makes equal timestamps deterministic") {
+    val df = Seq(
+      (1L, 100L, 10L, "a", 1.0), (1L, 100L, 11L, "b", 2.0),
+      (2L, 50L, 5L, "c", 3.0), (2L, 40L, 99L, "d", 4.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = graft.operators.SnapshotDiff.latestByKey(df,
+        Seq("user_id"), "ts", "event_id", Seq("event_type", "value"))
+      .orderBy("user_id")
+      .select("user_id", "last_event_id", "last_event_type", "n_versions")
+      .as[(Long, Long, String, Long)].collect()
+    // user 1: equal ts -> higher event_id wins; user 2: higher ts wins
+    // even against a higher event_id
+    assert(out === Array((1L, 11L, "b", 2L), (2L, 5L, "c", 2L)))
+  }
+
+  // ---- q69 robust outliers ----
+
+  test("median/MAD outlier counts match the collected brute force bit-for-bit") {
+    val got = graft.operators.Profiling.robustOutliers(
+        Tables.events(spark, sf)
+          .select(col("event_type"), col("value").cast("double").as("x")),
+        "event_type", k = 3.0)
+      .select("event_type", "med", "mad", "n_outliers", "n")
+      .as[(String, Double, Double, Long, Long)].collect().sortBy(_._1)
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), col("value").cast("double"))
+      .as[(String, Double)].collect()
+    // the exactPercentiles interpolation: lo*(1-f) + hi*f at pos p*(n-1)
+    def median(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val pos = 0.5 * (s.length - 1).toDouble
+      val f = pos - math.floor(pos)
+      s(math.floor(pos).toInt) * (1.0 - f) + s(math.ceil(pos).toInt) * f
+    }
+    val expect = rows.groupBy(_._1).toArray.sortBy(_._1).map { case (g, rs) =>
+      val xs = rs.map(_._2)
+      val med = median(xs)
+      val mad = median(xs.map(x => math.abs(x - med)))
+      (g, med, mad, xs.count(x => math.abs(x - med) > 3.0 * mad).toLong,
+        xs.length.toLong)
+    }
+    assert(got === expect)
+    assert(got.exists(_._4 > 0)) // the threshold actually fires somewhere
+  }
+
+  test("robust outliers: a planted extreme value is flagged, the bulk is not") {
+    val df = ((1 to 99).map(i => ("g", (i % 10).toDouble)) :+ ("g", 1e9))
+      .toDF("grp", "x")
+    val out = graft.operators.Profiling.robustOutliers(df, "grp", k = 3.0)
+      .select("n_outliers", "n").as[(Long, Long)].head()
+    assert(out === ((1L, 100L)))
+  }
 }
