@@ -61,12 +61,24 @@ object Profiling {
     * the exact outlier COUNT, not a tolerance band. */
   def robustOutliers(base0: DataFrame, grp: String, k: Double): DataFrame = {
     val base = base0.filter(col("x").isNotNull)
+    // each round's G-row stat frame is referenced by SEVERAL subplans of
+    // the next round (its stats aggregate, its bucketing, its straddling-
+    // bucket value counts); the eager persist guarantees one execution
+    // per round regardless of exchange-reuse luck, at bytes-size pin cost
+    // (G rows). Measured NOTE: wall time at tiny SF is dominated by the
+    // ~25 sequential AQE stages two chained rank rounds cost, not by
+    // data — the per-stage driver latency amortizes away at real scale,
+    // which is the trade the scale-safe bucketed rank (q31) makes
+    // deliberately. Batch drivers clearCache() between queries (the q57
+    // contract).
     val med = Relational.exactPercentiles(base, grp, Seq(0.5 -> "med"))
-      .select(col(grp), col("med"))
+      .select(col(grp), col("med")).persist()
+    med.count()
     val dev = base.join(broadcast(med), Seq(grp))
       .select(col(grp), abs(col("x") - col("med")).as("x"))
     val mad = Relational.exactPercentiles(dev, grp, Seq(0.5 -> "mad"))
-      .select(col(grp), col("mad"))
+      .select(col(grp), col("mad")).persist()
+    mad.count()
     base.join(broadcast(med.join(mad, Seq(grp))), Seq(grp))
       .groupBy(grp)
       .agg(
