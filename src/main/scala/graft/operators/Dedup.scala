@@ -266,6 +266,78 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental-ingest near-dedup: every (corpus, batch) pair with
+    * exact n-gram Jaccard >= tau — the CROSS-corpus form of
+    * [[jaccardJoin]], the gate an ingest pipeline runs so a new crawl
+    * drop does not re-add near-duplicates of documents the corpus
+    * already holds (within-batch duplicates are q28's job; the two
+    * compose into the full ingest gate).
+    *
+    * Same lossless prefix-filter theorem, one twist: the document
+    * frequencies that order each prefix are computed over the UNION of
+    * the two sides, because the theorem needs both prefixes drawn from
+    * ONE global token order — per-side frequencies would order the same
+    * token differently on each side and break the shared-prefix
+    * guarantee. Candidates are then a plain prefix-hash EQUI-join of the
+    * corpus side against the batch side: no self-join, no a<b dance, and
+    * the join is naturally asymmetric — at scale the batch side is a
+    * day's drop (small), so AQE broadcasts it while the corpus side
+    * streams. Sides are kept distinct end-to-end (tagged union, side-
+    * aware verify joins), so overlapping doc-id spaces cannot cross-
+    * contaminate. Verification intersects full sorted hash sets for
+    * candidates only, exactly as q28.
+    *
+    * Cache contract as [[jaccardJoin]]: the tagged per-doc hash-set
+    * frame is the operator's working set and stays persisted; batch
+    * drivers clearCache() between queries. */
+  def crossJaccardMatches(corpus0: DataFrame, batch0: DataFrame,
+      n: Int, tau: Double): DataFrame = {
+    def prep(docs: DataFrame, side: String) = Tables.rebalanced(docs)
+      .filter(size(TextAnalysis.tokensFast(col("text"))) >= n)
+      .select(lit(side).as("side"), col("doc_id"), array_sort(array_distinct(
+        TextAnalysis.shingleHashArray(TextAnalysis.tokensFast(col("text")), n))).as("hs"))
+    val base = prep(corpus0, "c").unionByName(prep(batch0, "b")).persist()
+    base.count() // barrier: df pass, prefix pass, and both verify sides
+    val u = tau / (1.0 + tau)
+    val withSz = base.select(col("side"), col("doc_id"), col("hs"),
+      size(col("hs")).as("sz"))
+    val dfreq = withSz.select(explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    val ordered = withSz
+      .select(col("side"), col("doc_id"), col("sz"), explode(col("hs")).as("h"))
+      .join(dfreq, Seq("h"))
+      .groupBy("side", "doc_id", "sz")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+    // same epsilon-guarded prefix length as jaccardJoinOnHashes: fp
+    // rounding may only LENGTHEN a prefix, never shorten it
+    val prefixLen = (col("sz") - ceil(col("sz") * u - 1e-9) + 1).cast("int")
+    val pref = ordered.select(col("side"), col("doc_id"), col("sz"),
+      explode(slice(col("ord.h"), lit(1), prefixLen)).as("h"))
+    val cand = pref.filter(col("side") === "c")
+      .select(col("h"), col("doc_id").as("corpus_doc"), col("sz").as("na"))
+      .join(pref.filter(col("side") === "b")
+        .select(col("h"), col("doc_id").as("batch_doc"), col("sz").as("nb")), Seq("h"))
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        greatest(col("na"), col("nb")) * tau - 1e-9)
+      .select("corpus_doc", "batch_doc")
+      .dropDuplicates("corpus_doc", "batch_doc")
+      .persist()
+    cand.count()
+    cand
+      .join(base.filter(col("side") === "c")
+        .select(col("doc_id").as("corpus_doc"), col("hs").as("sa")), Seq("corpus_doc"))
+      .join(base.filter(col("side") === "b")
+        .select(col("doc_id").as("batch_doc"), col("hs").as("sb")), Seq("batch_doc"))
+      .select(col("corpus_doc"), col("batch_doc"),
+        size(array_intersect(col("sa"), col("sb"))).as("i"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
+      .select(col("corpus_doc"), col("batch_doc"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= tau)
+      .orderBy("corpus_doc", "batch_doc")
+  }
+
   // ---- substring-level exact dedup (Lee et al. 2022 family) ----
 
   /** Maximal token spans duplicated ACROSS documents — substring-level
@@ -515,6 +587,45 @@ object Dedup {
         "4×16-bit chunk banding guarantees full recall at this radius via an " +
         "equi-join; bit_count(xor) verifies. No oracle (xxhash64 is " +
         "Spark-specific); cross-checked against the MinHash pairs in ScalaTest.",
-      (s, dir) => simhashNearDups(Tables.documents(s, dir), maxDist = 3))
-  )
+      (s, dir) => simhashNearDups(Tables.documents(s, dir), maxDist = 3)),
+
+    Query(
+      "q70_cross_dedup",
+      "Incremental-ingest near-dedup: exact n-gram Jaccard >= 0.7 matches " +
+        "of an incoming batch (doc_id%3=0) AGAINST the existing corpus " +
+        "(doc_id%3<>0) — the gate that keeps a new crawl drop from " +
+        "re-adding near-duplicates the corpus already holds. Lossless " +
+        "prefix filtering with union-wide frequencies (both prefixes must " +
+        "share ONE global token order); candidates are a plain prefix-hash " +
+        "equi-join of corpus against batch — asymmetric by nature, so at " +
+        "scale the day's small batch side broadcasts while the corpus " +
+        "streams. Brute-force cross-Jaccard oracle over the gram strings.",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        crossJaccardMatches(
+          docs.filter(col("doc_id") % 3 =!= 0),
+          docs.filter(col("doc_id") % 3 === 0),
+          n = 3, tau = 0.7)
+      },
+      Some("""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+                                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+          FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+                FROM documents)
+        ), sz AS (
+          SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS corpus_doc, b.doc_id AS batch_doc, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s
+          WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0
+          GROUP BY 1, 2
+        )
+        SELECT corpus_doc, batch_doc,
+               CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sz za ON za.doc_id = corpus_doc
+        JOIN sz zb ON zb.doc_id = batch_doc
+        WHERE CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) >= 0.7
+        ORDER BY corpus_doc, batch_doc""")))
 }

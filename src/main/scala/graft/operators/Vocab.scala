@@ -82,6 +82,56 @@ object Vocab {
       .filter(col("rk") <= k)
   }
 
+  /** Collocation mining: adjacent-token bigrams scored by the PMI
+    * association ratio p(ab) / (p(a)·p(b)) — bigrams whose parts
+    * co-occur far above chance ("new york"-style units; the classic
+    * corpus-analysis signal for tokenizer/vocab design and boilerplate
+    * discovery). Emits the top `k` bigrams with count >= `minCount` as
+    * (bigram, c_ab, ratio).
+    *
+    * The score is the monotone exp-transform of PMI, deliberately NOT
+    * the log: ratio uses only IEEE mul/div (bit-identical across
+    * engines when the expression tree matches, which the oracle's SQL
+    * mirrors operation-for-operation), while ln() is libm-dependent and
+    * not reproducible to the last ulp across engines. Rank order is
+    * identical either way.
+    *
+    * Scale shape: bigram emission is map-only (zip_with over the token
+    * array — no self-join of token positions); both count aggregates
+    * combine map-side; the two corpus totals are one-row aggregates
+    * broadcast back (q46's bounds pattern — no driver round-trip); the
+    * unigram attach joins DISTINCT bigrams (not occurrences) against
+    * DISTINCT tokens, so the exchange is vocabulary-sized regardless of
+    * corpus size; the ordered limit plans as TakeOrderedAndProject
+    * (per-partition top-k), never a global sort. */
+  def pmiBigrams(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
+    val w = TextAnalysis.tokens(col("text"))
+    val bigrams = docs
+      .filter(size(w) >= 2) // guard: slice length would be 0 on 1-token docs
+      .select(explode(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    val unigrams = docs.select(explode(w).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c_tok"))
+    val nUni = unigrams.agg(sum("c_tok").as("n_uni"))
+    val bg = bigrams.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val nBg = bigrams.agg(count(lit(1)).as("n_bg"))
+    bg
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(unigrams.select(col("token").as("w1"), col("c_tok").as("c_a")), Seq("w1"))
+      .join(unigrams.select(col("token").as("w2"), col("c_tok").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBg))
+      // the oracle mirrors this exact association order — keep in sync
+      .select(col("bigram"), col("c_ab"),
+        ((col("c_ab").cast("double") / col("n_bg").cast("double")) /
+          ((col("c_a").cast("double") / col("n_uni").cast("double")) *
+            (col("c_b").cast("double") / col("n_uni").cast("double")))).as("ratio"))
+      .orderBy(col("ratio").desc, col("bigram").asc)
+      .limit(k)
+  }
+
   val queries: Seq[Query] = Seq(
     Query(
       "q48_tfidf_terms",
@@ -199,5 +249,43 @@ object Vocab {
         GROUP BY token, tot.n
         HAVING COUNT(*) * 33 > tot.n
         ORDER BY freq DESC, token"""))
+    ,
+    Query(
+      "q71_pmi_bigrams",
+      "Collocation mining: top-100 adjacent-token bigrams (count >= 5) by " +
+        "the PMI association ratio p(ab)/(p(a)p(b)) — the corpus-analysis " +
+        "signal for multi-word units and boilerplate. Map-only zip_with " +
+        "bigram emission (no position self-join), map-side-combining " +
+        "counts, one-row totals broadcast back, a vocabulary-sized " +
+        "distinct-key join, and a TakeOrdered top-k — no global sort. The " +
+        "ratio (monotone exp of PMI) uses only IEEE mul/div mirrored " +
+        "operation-for-operation in the oracle, so ranks AND values " +
+        "compare exactly — ln() would be libm-dependent.",
+      (s, dir) =>
+        pmiBigrams(Tables.documents(s, dir), minCount = 5L, k = 100),
+      Some("""
+        WITH t AS (
+          SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM documents
+        ), big AS (
+          SELECT w[i] || ' ' || w[i+1] AS bigram
+          FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i) r
+          WHERE len(w) >= 2
+        ), uc AS (
+          SELECT token, COUNT(*) AS c_tok
+          FROM (SELECT unnest(w) AS token FROM t) GROUP BY 1
+        ), nu AS (SELECT CAST(SUM(c_tok) AS BIGINT) AS n_uni FROM uc),
+           bc AS (SELECT bigram, COUNT(*) AS c_ab FROM big GROUP BY 1 HAVING COUNT(*) >= 5),
+           nb AS (SELECT COUNT(*) AS n_bg FROM big)
+        SELECT bigram, c_ab,
+               (CAST(c_ab AS DOUBLE) / CAST(n_bg AS DOUBLE)) /
+               ((CAST(ua.c_tok AS DOUBLE) / CAST(n_uni AS DOUBLE)) *
+                (CAST(ub.c_tok AS DOUBLE) / CAST(n_uni AS DOUBLE))) AS ratio
+        FROM bc
+        JOIN uc ua ON ua.token = string_split(bigram, ' ')[1]
+        JOIN uc ub ON ub.token = string_split(bigram, ' ')[2]
+        CROSS JOIN nu CROSS JOIN nb
+        ORDER BY ratio DESC, bigram
+        LIMIT 100"""))
   )
 }

@@ -359,6 +359,58 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out === Array((1L, 11L, "b", 2L), (2L, 5L, "c", 2L)))
   }
 
+  // ---- q70 cross-corpus dedup ----
+
+  test("cross dedup equals the within-union jaccard join restricted to cross pairs") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val got = Dedup.crossJaccardMatches(corpus, batch, n = 3, tau = 0.7)
+      .as[(Long, Long, Double)].collect()
+      .map { case (c, b, j) => (math.min(c, b), math.max(c, b), j) }.toSet
+    val all = Dedup.jaccardJoin(docs, n = 3, tau = 0.7)
+      .as[(Long, Long, Double)].collect()
+    val expect = all.filter { case (a, b, _) =>
+      (a % 3 == 0) != (b % 3 == 0) // exactly one side is a batch doc
+    }.map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }.toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
+  test("cross dedup keeps overlapping doc-id spaces apart") {
+    // same doc_id on both sides must still pair corpus-vs-batch by CONTENT
+    val corpus = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val batch = Seq((1L, "a b c d e f g h"), (2L, "x y z w v u t s"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossJaccardMatches(corpus, batch, n = 3, tau = 0.7)
+      .as[(Long, Long, Double)].collect()
+    assert(out === Array((1L, 1L, 1.0)))
+  }
+
+  // ---- q71 PMI bigrams ----
+
+  test("PMI bigram ratios match the collected brute force") {
+    val got = Vocab.pmiBigrams(Tables.documents(spark, sf), minCount = 2L, k = 50)
+      .as[(String, Long, Double)].collect()
+    val toks = Tables.documents(spark, sf).select("text").as[String].collect()
+      .map(_.trim.toLowerCase.replaceAll("\\s+", " ").split(" ", -1))
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nUni = uni.values.sum
+    val bigs = toks.filter(_.length >= 2)
+      .flatMap(ws => ws.init.zip(ws.tail).map { case (a, b) => s"$a $b" })
+    val nBg = bigs.length.toLong
+    val expect = bigs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .filter(_._2 >= 2L)
+      .map { case (bg, cab) =>
+        val Array(a, b) = bg.split(" ")
+        val ratio = (cab.toDouble / nBg.toDouble) /
+          ((uni(a).toDouble / nUni.toDouble) * (uni(b).toDouble / nUni.toDouble))
+        (bg, cab, ratio)
+      }.toSeq.sortBy { case (bg, _, r) => (-r, bg) }.take(50)
+    assert(got.toSeq === expect)
+    assert(got.length === 50)
+  }
+
   // ---- q69 robust outliers ----
 
   test("median/MAD outlier counts match the collected brute force bit-for-bit") {

@@ -145,6 +145,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming CDC latest-per-key converges to the batch q68 aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.CdcStream
+    import graft.streaming.CdcStream.Version
+    // 40 versions over 6 keys, shuffled order, with a same-ts tiebreak
+    // pair and a late (out-of-order) old version for key 0
+    val versions = ((0 until 36).map { i =>
+      Version(i % 6L, 1000L + (i / 6) * 10, 100L + i, s"t${i % 4}", i.toDouble)
+    } ++ Seq(
+      Version(0L, 1050L, 900L, "tie_lo", 1.0),
+      Version(0L, 1050L, 901L, "tie_hi", 2.0),
+      Version(0L, 10L, 999L, "ancient", 3.0),
+      Version(5L, 1050L, 902L, "solo", 4.0))).toVector
+    val stream = MemoryStream[Version]
+    val query = CdcStream.latestPerKey(stream.toDS())
+      .writeStream.format("memory").queryName("cdc_stream")
+      .outputMode("update").start()
+    try {
+      val (first, second) = versions.splitAt(20)
+      stream.addData(first)
+      query.processAllAvailable()
+      stream.addData(second)
+      query.processAllAvailable()
+      // update-mode memory sink appends each trigger's refreshed rows;
+      // the final state per key is the row with the highest n_versions
+      val streamed = spark.table("cdc_stream").as[CdcStream.Current].collect()
+        .groupBy(_.user_id).map(_._2.maxBy(_.n_versions)).toSeq.sortBy(_.user_id)
+      val batchTyped = CdcStream.latestPerKey(versions.toDS())
+        .collect().toSeq.sortBy(_.user_id)
+      val batchAgg = graft.operators.SnapshotDiff.latestByKey(
+          versions.toDF(), key = Seq("user_id"), ts = "ts",
+          tiebreak = "event_id", payload = Seq("event_type", "value"))
+        .select("user_id", "last_ts", "last_event_id", "last_event_type",
+          "last_value", "n_versions")
+        .as[CdcStream.Current].collect().toSeq.sortBy(_.user_id)
+      assert(streamed === batchTyped)
+      assert(streamed === batchAgg)
+      // the same-ts pair resolved by the tiebreak, not arrival order
+      assert(streamed.find(_.user_id == 0L).get.last_event_type === "tie_hi")
+    } finally query.stop()
+  }
+
   test("batch dedup survivor is the deterministic earliest-ts row") {
     import spark.implicits._
     // same content, doc 20 arrives EARLIER than doc 10; survivor must be
