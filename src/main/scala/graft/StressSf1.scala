@@ -38,7 +38,11 @@ import graft.sources.Tables
 object StressSf1 {
 
   private val Copies = 10
-  private val IdStride = 10000000L
+  // divisible by 3 so q70's doc_id%3 corpus/batch split lands identically
+  // in every copy family — each family then reproduces the base split and
+  // the cross-match count stays exactly 10x (a stride ≡ 1 mod 3 would
+  // rotate the split per family and break the linearity contract)
+  private val IdStride = 9999999L
 
   private def buildCorpus(spark: org.apache.spark.sql.SparkSession,
       base: DataFrame, path: String): Unit = {
@@ -59,7 +63,8 @@ object StressSf1 {
     val spark = GraftSession.local("graft-stress-sf1")
     val sfDir = "/root/testdata/sf0.1"
     val base = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val stressPath = "target/stress_sf1/documents.parquet"
+    // stride-keyed: a stride change must invalidate the cached corpus
+    val stressPath = s"target/stress_sf1_s$IdStride/documents.parquet"
     if (!Files.exists(Paths.get(stressPath, "_SUCCESS")))
       buildCorpus(spark, base, stressPath)
     val stress = spark.read.parquet(stressPath)
@@ -74,7 +79,15 @@ object StressSf1 {
       // span rows replicate per copy family (cross-family grams can't
       // collide — every token differs), so sf1_rows = 10 x sf0.1_rows
       // exactly, same linearity contract as the set-based detectors
-      "q64_span_dedup" -> (d => Dedup.spanDedup(d, n = 20)))
+      "q64_span_dedup" -> (d => Dedup.spanDedup(d, n = 20)),
+      // cross-corpus: same %3 split per family (IdStride % 3 == 0), so
+      // matches replicate per family -> rows exactly 10x
+      "q70_cross_dedup" -> (d => Dedup.crossJaccardMatches(
+        d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 3 === 0),
+        n = 3, tau = 0.7)),
+      // map-only explode: token counts are family-invariant (the ~k
+      // suffix never adds tokens), so chunk rows are exactly 10x
+      "q65_chunk_overlap" -> (d => operators.Shards.chunkOverlap(d, 64, 48)))
 
     val loadStart = Bench.loadavgJson()
     val results = pipelines.map { case (name, build) =>

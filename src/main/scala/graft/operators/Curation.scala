@@ -72,6 +72,27 @@ object Curation {
         sum(col("n_tokens").cast("long")).as("n_tokens_kept"))
   }
 
+  /** Per-group quantile gate — keep rows whose measure clears their OWN
+    * group's p-quantile (per-language length floors, per-source quality
+    * cuts): absolute thresholds are wrong across heterogeneous groups
+    * (a p10 length cut for English is not a p10 cut for Chinese), so
+    * the threshold must be computed per group, exactly, at scale.
+    *
+    * Shape: one [[Relational.exactPercentiles]] round (the scale-safe
+    * bucketed two-pass rank — no per-group sort) produces the G-row
+    * threshold frame, broadcast back into a map-side filter. The corpus
+    * itself never shuffles: threshold computation touches only
+    * map-side-combined histograms, and the gate is a scan + broadcast
+    * semi-structure — the 100 TB shape for any "top (1-p) of each
+    * group" cut. Input contract as exactPercentiles: group col + measure
+    * as `x`. */
+  def quantileFilter(base: DataFrame, grp: String, p: Double): DataFrame = {
+    val thr = Relational.exactPercentiles(base, grp, Seq(p -> "thr"))
+      .select(col(grp), col("thr"))
+    base.join(broadcast(thr), Seq(grp))
+      .filter(col("x").cast("double") >= col("thr"))
+  }
+
   val queries: Seq[Query] = Seq(
     Query(
       "q34_curation",
@@ -136,5 +157,32 @@ object Curation {
         FROM surv s
         JOIN adm a ON a.doc_id = s.doc_id
         WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)"""))
+    ,
+    Query(
+      "q73_quantile_gate",
+      "Per-language length gate: keep documents whose char count clears " +
+        "their OWN language's p25 — thresholds computed per group because " +
+        "absolute cuts are wrong across heterogeneous groups (an English " +
+        "length floor is not a Chinese one). One scale-safe exact-" +
+        "percentile round (bucketed two-pass rank, no per-group sort) " +
+        "builds the G-row threshold frame, broadcast into a map-side " +
+        "filter — the corpus never shuffles. Interpolated threshold " +
+        "bit-matches quantile_cont, so the >= gate admits identical rows " +
+        "in both engines.",
+      (s, dir) => quantileFilter(
+        Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("n_chars").cast("double").as("x")),
+        "lang", p = 0.25)
+        .select(col("doc_id"), col("lang"), col("x").cast("long").as("n_chars"))
+        .orderBy("doc_id"),
+      Some("""
+        WITH thr AS (
+          SELECT lang, quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS t
+          FROM documents GROUP BY 1
+        )
+        SELECT doc_id, lang, n_chars
+        FROM documents JOIN thr USING (lang)
+        WHERE CAST(n_chars AS DOUBLE) >= t
+        ORDER BY doc_id"""))
   )
 }

@@ -109,6 +109,30 @@ object DupClusters {
       .union(roots)
   }
 
+  /** Survivor election — the step AFTER clustering that turns the
+    * transitive-closure clusters into an actionable dedup decision:
+    * per cluster, elect one canonical document (highest `score`, ties
+    * to the SMALLEST doc_id — deterministic under any partitioning)
+    * and emit every clustered doc with its verdict. `clusters` is
+    * [[connectedComponents]] output (doc_id, cluster_id); `stats` maps
+    * doc_id -> score (longest-doc-wins when score = length, the common
+    * production policy). Unclustered docs never enter the frame — they
+    * are implicitly kept.
+    *
+    * Shape: one cluster-keyed `max_by(struct)` aggregate (map-side
+    * combining — one candidate per cluster per map task) and one
+    * cluster-keyed equi-join back; both exchanges carry (id, id, score)
+    * rows, never documents. */
+  def keepList(clusters: DataFrame, stats: DataFrame): DataFrame = {
+    val canon = clusters.join(stats, Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(max_by(col("doc_id"), struct(col("score"), -col("doc_id")))
+        .as("canonical_doc"))
+    clusters.join(canon, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("canonical_doc"),
+        (col("doc_id") === col("canonical_doc")).as("keep"))
+  }
+
   val queries: Seq[Query] = Seq(
     Query(
       "q40_dup_clusters",
@@ -157,6 +181,65 @@ object DupClusters {
         )
         SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
         FROM reach GROUP BY u
+        ORDER BY doc_id"""))
+    ,
+    Query(
+      "q72_dedup_keep",
+      "Survivor election over the near-dup clusters: per cluster keep the " +
+        "LONGEST document (ties to the smallest doc_id — fully " +
+        "deterministic), emit every clustered doc with its keep/drop " +
+        "verdict — the actionable output a dedup pipeline materializes. " +
+        "One cluster-keyed max_by(struct) aggregate + one join back; " +
+        "exchanges carry ids and scores, never text. Composes q28 pairs " +
+        "-> q40 components -> election end-to-end under one oracle " +
+        "(recursive-CTE closure + window election in DuckDB).",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.jaccardJoin(docs, n = 3, tau = 0.7)
+          .select(col("doc_a").as("u"), col("doc_b").as("v"))
+        keepList(connectedComponents(pairs),
+          docs.select(col("doc_id"), col("n_chars").as("score")))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH RECURSIVE sh AS (
+          SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+                                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+          FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+                FROM documents)
+        ), sz AS (
+          SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), edges AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sz za ON za.doc_id = doc_a
+          JOIN sz zb ON zb.doc_id = doc_b
+          WHERE CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) >= 0.7
+        ), bi AS (
+          SELECT doc_a AS u, doc_b AS v FROM edges
+          UNION
+          SELECT doc_b AS u, doc_a AS v FROM edges
+        ), reach(u, v) AS (
+          SELECT u, v FROM bi
+          UNION
+          SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u WHERE b.v <> r.u
+        ), comp AS (
+          SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+          FROM reach GROUP BY u
+        ), elect AS (
+          SELECT c.doc_id, c.cluster_id,
+                 ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                    ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+          FROM comp c JOIN documents d USING (doc_id)
+        ), canon AS (
+          SELECT cluster_id, doc_id AS canonical_doc FROM elect WHERE rn = 1
+        )
+        SELECT e.doc_id, e.cluster_id, canon.canonical_doc,
+               e.doc_id = canon.canonical_doc AS keep
+        FROM elect e JOIN canon USING (cluster_id)
         ORDER BY doc_id"""))
   )
 }

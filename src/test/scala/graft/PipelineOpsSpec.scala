@@ -387,6 +387,61 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out === Array((1L, 1L, 1.0)))
   }
 
+  // ---- q72 survivor election ----
+
+  test("keep list elects the longest doc per cluster, ties to smallest id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    // cluster 1: doc 2 longest; cluster 10: tie on score -> doc 10 wins
+    val stats = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 4L))
+      .toDF("doc_id", "score")
+    val out = DupClusters.keepList(clusters, stats)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out === Array(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
+      (10L, 10L, 10L, true), (11L, 10L, 10L, false)))
+  }
+
+  test("keep list marks exactly one survivor per cluster on real clusters") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.jaccardJoin(docs, n = 3, tau = 0.7)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val out = DupClusters.keepList(
+        DupClusters.connectedComponents(pairs),
+        docs.select(col("doc_id"), col("n_chars").as("score")))
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (cid, rows) =>
+      assert(rows.count(_._4) === 1, s"cluster $cid")
+      val canon = rows.head._3
+      assert(rows.forall(_._3 == canon))
+      assert(rows.exists(_._1 == canon)) // canonical is a member
+    }
+  }
+
+  // ---- q73 quantile gate ----
+
+  test("quantile gate matches the brute-force per-group threshold filter") {
+    val base = Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"), col("n_chars").cast("double").as("x"))
+    val got = graft.operators.Curation.quantileFilter(base, "lang", p = 0.25)
+      .select("doc_id").as[Long].collect().sorted
+    val rows = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars").as[(Long, String, Long)].collect()
+    def thr(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val pos = 0.25 * (s.length - 1).toDouble
+      val f = pos - math.floor(pos)
+      s(math.floor(pos).toInt) * (1.0 - f) + s(math.ceil(pos).toInt) * f
+    }
+    val ts = rows.groupBy(_._2).view.mapValues(rs => thr(rs.map(_._3.toDouble))).toMap
+    val expect = rows.filter { case (_, l, n) => n.toDouble >= ts(l) }
+      .map(_._1).sorted
+    assert(got === expect)
+    assert(got.length < rows.length && got.nonEmpty) // the gate binds
+  }
+
   // ---- q71 PMI bigrams ----
 
   test("PMI bigram ratios match the collected brute force") {
