@@ -296,6 +296,144 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  // ---- product quantization (PQ/ADC) ----
+
+  /** Squared L2 distance between two equal-length arrays — built-ins
+    * only (zip_with fold), fully codegen'd. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Per-subspace PQ codebooks over L2-NORMALIZED vectors: (sub, cid,
+    * c_sv) with `m` subspaces of `subdim` dims and `k` centroids each.
+    *
+    * Training follows the IVF playbook exactly (bounded work at any
+    * corpus size): an 8·k hash-order sample, seed centroids = the k
+    * smallest-hash sample rows' sub-slices, one deterministic Lloyd
+    * step per subspace with decimal-domain member means. A cluster that
+    * loses every member keeps its SEED centroid (coalesce on the left
+    * join) — the codebook always holds exactly m·k entries, so the
+    * encoder's argmin never meets a hole. */
+  def pqCodebooks(e: DataFrame, m: Int, subdim: Int, k: Int): DataFrame = {
+    val train = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k * 8)
+      .select(col("vec_id"), col("u"))
+      .persist()
+    train.count()
+    val subv = train.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("u"), s * subdim + 1, lit(subdim)))).as(Seq("sub", "sv")))
+    val seeds = train.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      .withColumn("cid", row_number().over(
+        Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))) - 1)
+      .select(col("cid"), posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("u"), s * subdim + 1, lit(subdim)))).as(Seq("sub", "c_sv")))
+      .persist()
+    seeds.count()
+    // one Lloyd step per subspace, all subspaces in one plan: assign each
+    // sample sub-vector to its nearest seed, then decimal-exact member
+    // means (the lloydStep reassembly pattern)
+    val assigned = subv.join(broadcast(seeds), Seq("sub"))
+      .select(col("sub"), col("vec_id"), col("sv"),
+        col("cid"), l2sq(col("sv"), col("c_sv")).as("d"))
+      .groupBy("sub", "vec_id")
+      .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"),
+        first(col("sv")).as("sv"))
+    val refined = assigned
+      .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy("sub", "cid", "pos")
+      .agg((sum(col("v").cast(DecimalType(38, 18))).cast("double") /
+        count(lit(1)).cast("double")).as("mv"))
+      .groupBy("sub", "cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+        t => t("mv")).as("r_sv"))
+    val out = seeds.join(refined, Seq("sub", "cid"), "left")
+      .select(col("sub"), col("cid"),
+        coalesce(col("r_sv"), col("c_sv")).as("c_sv"))
+      .persist()
+    out.count() // barrier: consumed by the one-row map AND the ADC luts
+    Seq(train, seeds).foreach(_.unpersist())
+    out
+  }
+
+  /** PQ-compressed approximate kNN with asymmetric-distance (ADC) scan
+    * and exact re-rank — the memory-bound ANN decomposition next to LSH
+    * (q20, random planes) and IVF (q29, coarse partition): each corpus
+    * vector is stored as m code BYTES (64 d × 8 B → m B, a 64× memory
+    * cut at m=8), distances are looked up, never recomputed.
+    *
+    * Plan shape, all broadcast-sided:
+    *   1. codebooks ([[pqCodebooks]]; bounded training, m·k rows);
+    *   2. encode: the m·k codebook rows collapse into ONE map row
+    *     (key = sub·k + cid) broadcast into a per-row argmin over
+    *     nested higher-order functions — the corpus pass is map-only,
+    *     no shuffle, emitting (vec_id, codes: array<int>);
+    *   3. ADC: each query precomputes its m·k partial-distance lookup
+    *     table (query × codebook broadcast join, grouped to one MAP row
+    *     per query); the corpus-codes scan then scores a (query, row)
+    *     pair with m map lookups — independent of subdim, the whole
+    *     point of ADC;
+    *   4. top-`candidates` by ADC per query (window over the scored
+    *     scan), then exact cosine re-ranks the candidates only — the
+    *     production recall repair, touching `candidates` full vectors
+    *     per query instead of the corpus.
+    *
+    * On unit vectors ||q−x||² = 2−2·cos(q,x), so the ADC ordering
+    * approximates the cosine ordering and the re-rank recovers it
+    * exactly within the candidate set (recall gated in ScalaTest
+    * against q19's oracle-checked brute force). Deterministic end to
+    * end: hash-order training, decimal means, (distance, id) tie
+    * breaks. */
+  def knnPq(emb: DataFrame, nQueries: Int, k: Int, m: Int = 8,
+      kCent: Int = 16, candidates: Int = 64): DataFrame = {
+    val e0 = prepared(emb).filter(col("nrm") > 0)
+    val e = e0.select(col("vec_id"), col("emb"), col("nrm"),
+      transform(col("emb"), x => x / col("nrm")).as("u"))
+    val d = 64 // embeddings table contract; require-checked on the sample
+    require(d % m == 0, s"dim $d not divisible by $m subspaces")
+    val subdim = d / m
+    val cb = pqCodebooks(e, m, subdim, kCent)
+    val cbMap = cb.groupBy().agg(map_from_entries(collect_list(
+      struct((col("sub") * kCent + col("cid")).as("key"), col("c_sv").as("val"))))
+      .as("cbm"))
+    val zero = struct(lit(Double.MaxValue).as("bd"), lit(-1).as("bc"))
+    val codes = e.crossJoin(broadcast(cbMap))
+      .select(col("vec_id"), col("u"),
+        transform(sequence(lit(0), lit(m - 1)), s => {
+          val sv = slice(col("u"), s * subdim + 1, lit(subdim))
+          aggregate(sequence(lit(0), lit(kCent - 1)), zero, (acc, c) => {
+            val dist = l2sq(sv, element_at(col("cbm"), s * kCent + c))
+            when(dist < acc("bd"), struct(dist.as("bd"), c.as("bc")))
+              .otherwise(acc)
+          })("bc")
+        }).as("codes"))
+    val luts = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("u").as("q_u"))
+      .crossJoin(broadcast(cb))
+      .groupBy("query_id")
+      .agg(map_from_entries(collect_list(struct(
+        (col("sub") * kCent + col("cid")).as("key"),
+        l2sq(slice(col("q_u"), col("sub") * subdim + 1, lit(subdim)),
+          col("c_sv")).as("val")))).as("lut"))
+    val scored = codes.join(broadcast(luts), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+          (c, s) => element_at(col("lut"), s * kCent + c)),
+          lit(0.0), (acc, v) => acc + v).as("adc"))
+    val wCand = Window.partitionBy("query_id").orderBy(asc("adc"), asc("neighbor_id"))
+    val cand = scored.withColumn("cr", row_number().over(wCand))
+      .filter(col("cr") <= candidates)
+      .select("query_id", "neighbor_id")
+    // exact re-rank of the candidate lists only
+    val q = e0.select(col("vec_id").as("query_id"),
+      col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    topK(cand
+      .join(broadcast(q), Seq("query_id"))
+      .join(e0.select(col("vec_id").as("neighbor_id"), col("emb"), col("nrm")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("score")), k)
+  }
+
   val queries: Seq[Query] = Seq(
 
     Query(
@@ -338,6 +476,19 @@ object Similarity {
         "so probes are partition-pruned reads. Recall vs q19 measured in " +
         "ScalaTest. No oracle: approximate by design.",
       (s, dir) => knnIvf(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
+
+    Query(
+      "q74_knn_pq",
+      "Approximate top-5 neighbors via product quantization (m=8 " +
+        "subspaces x 16 centroids, bounded hash-order training, one " +
+        "decimal-exact Lloyd step per subspace): each corpus vector " +
+        "stored as 8 code bytes (64x memory cut), the ADC scan scores a " +
+        "pair with 8 map lookups from the query's precomputed partial-" +
+        "distance table, exact cosine re-ranks the top-64 candidates " +
+        "only. The memory-bound ANN decomposition next to q20 (LSH) and " +
+        "q29 (IVF); recall vs q19 gated in ScalaTest. No oracle: " +
+        "approximate by design.",
+      (s, dir) => knnPq(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
 
     Query(
       "q21_embed_neardup",
