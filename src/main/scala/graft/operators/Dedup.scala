@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.Query
@@ -230,33 +230,52 @@ object Dedup {
     jaccardJoinOnHashes(base, tau)
   }
 
+  /** Frequency-ordered prefix tokens of a `(carry..., doc_id, hs, sz)`
+    * frame: (carry..., doc_id, sz, h) with one row per prefix hash. The
+    * ONE home of the losslessness-critical prefix arithmetic, shared by
+    * the self-join (q28) and cross-corpus (q70) forms:
+    *
+    *   - document frequencies over the WHOLE input frame order the
+    *     prefixes (rarest first — fewest candidates), and both q70 sides
+    *     flow through one call, so both draw from one global order (the
+    *     prefix-filter theorem's precondition);
+    *   - epsilon inside the ceil: if u·sz lands a hair ABOVE an integer
+    *     in fp, a bare ceil overshoots the true ceiling and shortens the
+    *     prefix by one — which would break losslessness; the epsilon can
+    *     only ever lengthen the prefix (more candidates, never a miss).
+    */
+  private def prefixTokens(withSz: DataFrame, tau: Double,
+      carry: Seq[String]): DataFrame = {
+    val u = tau / (1.0 + tau)
+    val keys = carry ++ Seq("doc_id", "sz")
+    val dfreq = withSz.select(explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    val ordered = withSz
+      .select(keys.map(col) :+ explode(col("hs")).as("h"): _*)
+      .join(dfreq, Seq("h"))
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+    val prefixLen = (col("sz") - ceil(col("sz") * u - 1e-9) + 1).cast("int")
+    ordered.select(
+      keys.map(col) :+ explode(slice(col("ord.h"), lit(1), prefixLen)).as("h"): _*)
+  }
+
+  /** Size prune necessary for J >= tau, relaxed by an epsilon so fp
+    * rounding of tau*max can only ever KEEP a pair, never drop one. */
+  private def sizePrune(na: Column, nb: Column, tau: Double): Column =
+    least(na, nb).cast("double") >= greatest(na, nb) * tau - 1e-9
+
   /** The prefix-filter join of [[jaccardJoin]] over a prepared `(doc_id,
     * hs)` frame — `hs` the doc's sorted distinct 64-bit shingle hashes,
     * already persisted by the caller (so a pipeline that owns a shared
     * tokenization pass, q34, skips this operator's own corpus scan). */
   def jaccardJoinOnHashes(base: DataFrame, tau: Double): DataFrame = {
-    val u = tau / (1.0 + tau)
     val withSz = base.select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
-    val dfreq = withSz.select(explode(col("hs")).as("h"))
-      .groupBy("h").agg(count(lit(1)).as("df"))
-    val ordered = withSz.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
-      .join(dfreq, Seq("h"))
-      .groupBy("doc_id", "sz")
-      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
-    // epsilon inside the ceil: if u*sz lands a hair ABOVE an integer in
-    // fp, a bare ceil overshoots the true ceiling and shortens the
-    // prefix by one — which would break losslessness; the epsilon can
-    // only ever lengthen the prefix (more candidates, never a miss)
-    val prefixLen = (col("sz") - ceil(col("sz") * u - 1e-9) + 1).cast("int")
-    val pref = ordered.select(col("doc_id"), col("sz"),
-      explode(slice(col("ord.h"), lit(1), prefixLen)).as("h"))
+    val pref = prefixTokens(withSz, tau, carry = Nil)
     val cand = pairsWithinBuckets(pref, Seq("h"), Seq("doc_id", "sz"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sz").as("na"), col("b.sz").as("nb"))
-      // length pruning, relaxed by an epsilon so fp rounding of tau*max
-      // can only ever keep a pair, never drop one
-      .filter(least(col("na"), col("nb")).cast("double") >=
-        greatest(col("na"), col("nb")) * tau - 1e-9)
+      .filter(sizePrune(col("na"), col("nb"), tau))
       .dropDuplicates("doc_a", "doc_b")
       .persist()
     cand.count()
@@ -298,27 +317,17 @@ object Dedup {
         TextAnalysis.shingleHashArray(TextAnalysis.tokensFast(col("text")), n))).as("hs"))
     val base = prep(corpus0, "c").unionByName(prep(batch0, "b")).persist()
     base.count() // barrier: df pass, prefix pass, and both verify sides
-    val u = tau / (1.0 + tau)
     val withSz = base.select(col("side"), col("doc_id"), col("hs"),
       size(col("hs")).as("sz"))
-    val dfreq = withSz.select(explode(col("hs")).as("h"))
-      .groupBy("h").agg(count(lit(1)).as("df"))
-    val ordered = withSz
-      .select(col("side"), col("doc_id"), col("sz"), explode(col("hs")).as("h"))
-      .join(dfreq, Seq("h"))
-      .groupBy("side", "doc_id", "sz")
-      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
-    // same epsilon-guarded prefix length as jaccardJoinOnHashes: fp
-    // rounding may only LENGTHEN a prefix, never shorten it
-    val prefixLen = (col("sz") - ceil(col("sz") * u - 1e-9) + 1).cast("int")
-    val pref = ordered.select(col("side"), col("doc_id"), col("sz"),
-      explode(slice(col("ord.h"), lit(1), prefixLen)).as("h"))
+    // ONE prefixTokens call over the tagged union — both sides draw
+    // their prefixes from the same union-wide frequency order, the
+    // precondition the operator scaladoc calls out
+    val pref = prefixTokens(withSz, tau, carry = Seq("side"))
     val cand = pref.filter(col("side") === "c")
       .select(col("h"), col("doc_id").as("corpus_doc"), col("sz").as("na"))
       .join(pref.filter(col("side") === "b")
         .select(col("h"), col("doc_id").as("batch_doc"), col("sz").as("nb")), Seq("h"))
-      .filter(least(col("na"), col("nb")).cast("double") >=
-        greatest(col("na"), col("nb")) * tau - 1e-9)
+      .filter(sizePrune(col("na"), col("nb"), tau))
       .select("corpus_doc", "batch_doc")
       .dropDuplicates("corpus_doc", "batch_doc")
       .persist()

@@ -122,11 +122,21 @@ object DupClusters {
     * Shape: one cluster-keyed `max_by(struct)` aggregate (map-side
     * combining — one candidate per cluster per map task) and one
     * cluster-keyed equi-join back; both exchanges carry (id, id, score)
-    * rows, never documents. */
+    * rows, never documents.
+    *
+    * Robust to a PARTIAL stats frame (a lagging or filtered score
+    * table): the stats attach is a left join with missing scores
+    * ranked below every real one (-inf), so an unscored doc can still
+    * be elected — by smallest id — when its whole cluster lacks scores,
+    * and a cluster is never silently dropped from the verdict list
+    * (an inner join here would erase score-less clusters entirely,
+    * and every member would then sail through dedup as "unclustered"). */
   def keepList(clusters: DataFrame, stats: DataFrame): DataFrame = {
-    val canon = clusters.join(stats, Seq("doc_id"))
+    val canon = clusters.join(stats, Seq("doc_id"), "left")
       .groupBy("cluster_id")
-      .agg(max_by(col("doc_id"), struct(col("score"), -col("doc_id")))
+      .agg(max_by(col("doc_id"),
+        struct(coalesce(col("score").cast("double"),
+          lit(Double.NegativeInfinity)).as("s"), (-col("doc_id")).as("t")))
         .as("canonical_doc"))
     clusters.join(canon, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("canonical_doc"),

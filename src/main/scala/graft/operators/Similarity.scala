@@ -384,12 +384,16 @@ object Similarity {
     * end: hash-order training, decimal means, (distance, id) tie
     * breaks. */
   def knnPq(emb: DataFrame, nQueries: Int, k: Int, m: Int = 8,
-      kCent: Int = 16, candidates: Int = 64): DataFrame = {
-    val e0 = prepared(emb).filter(col("nrm") > 0)
-    val e = e0.select(col("vec_id"), col("emb"), col("nrm"),
-      transform(col("emb"), x => x / col("nrm")).as("u"))
-    val d = 64 // embeddings table contract; require-checked on the sample
+      kCent: Int = 16, candidates: Int = 64, d: Int = 64): DataFrame = {
     require(d % m == 0, s"dim $d not divisible by $m subspaces")
+    val e0 = prepared(emb).filter(col("nrm") > 0)
+    // in-plan dimension guard: a wrong-width vector would otherwise
+    // slice to empty upper subspaces and silently collapse their codes
+    // to centroid 0 — fail loudly per row instead (one int compare)
+    val dimOk = assert_true(size(col("emb")) === lit(d),
+      lit(s"knnPq expects $d-dim embeddings"))
+    val e = e0.select(col("vec_id"), col("emb"), col("nrm"),
+      when(dimOk.isNull, transform(col("emb"), x => x / col("nrm"))).as("u"))
     val subdim = d / m
     val cb = pqCodebooks(e, m, subdim, kCent)
     val cbMap = cb.groupBy().agg(map_from_entries(collect_list(

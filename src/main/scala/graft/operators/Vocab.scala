@@ -114,9 +114,12 @@ object Vocab {
     val unigrams = docs.select(explode(w).as("token"))
       .groupBy("token").agg(count(lit(1)).as("c_tok"))
     val nUni = unigrams.agg(sum("c_tok").as("n_uni"))
-    val bg = bigrams.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
-      .filter(col("c_ab") >= minCount)
-    val nBg = bigrams.agg(count(lit(1)).as("n_bg"))
+    // n_bg sums the PRE-filter counts (the nUni derivation, same reason):
+    // a separate bigrams.count() would re-run the full tokenize+explode
+    // corpus scan just for the total
+    val bgCounts = bigrams.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+    val bg = bgCounts.filter(col("c_ab") >= minCount)
+    val nBg = bgCounts.agg(sum("c_ab").as("n_bg"))
     bg
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .withColumn("w2", split(col("bigram"), " ").getItem(1))

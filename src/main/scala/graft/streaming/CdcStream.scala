@@ -20,9 +20,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * dedup, in front).
   *
   * State never expires (`NoTimeout`): "current state" semantically has
-  * no horizon. A deployment whose keyspace churns (e.g. session-scoped
-  * keys) would pass an event-time timeout instead, trading completeness
-  * for bounded state — the knob is the `timeout` parameter.
+  * no horizon, and the operator pins that choice rather than exposing a
+  * timeout knob — honouring a timeout means MORE than passing the enum
+  * (the update function must arm `state.setTimeoutTimestamp` per key and
+  * handle `state.hasTimedOut` by REMOVING state instead of re-emitting
+  * it), so a churning-keyspace variant is a deliberate second operator,
+  * not a parameter default away.
   *
   * The SAME code path executes on a batch Dataset (Spark runs
   * `mapGroupsWithState` over batch groups with empty initial state), so
@@ -58,9 +61,9 @@ object CdcStream {
   }
 
   /** Current state per key over a (batch or streaming) version log. */
-  def latestPerKey(log: Dataset[Version],
-      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[Current] = {
+  def latestPerKey(log: Dataset[Version]): Dataset[Current] = {
     import log.sparkSession.implicits._
-    log.groupByKey(_.user_id).mapGroupsWithState(timeout)(update)
+    log.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
   }
 }
