@@ -179,4 +179,59 @@ class PropertySpec extends AnyFunSuite {
       assert(got.length === brute.size) // exactly-once, no multi-cell dups
     }
   }
+
+  test("chunking reconstructs every random document exactly at random window/stride") {
+    import spark.implicits._
+    (1L to 8L).foreach { run =>
+      val seed = mix(run)
+      val w = bounded(seed, 2, 40)
+      val s = bounded(seed + 1, 1, w) // stride in [1, window]
+      val docs = (1 to bounded(seed + 2, 1, 12)).map { i =>
+        val n = bounded(seed + 3 * i, 1, 120)
+        (i.toLong, (1 to n).map(t => s"w${mix(seed + i * 131 + t) % 50}").mkString(" "))
+      }
+      val got = graft.operators.Shards.chunkOverlap(docs.toDF("doc_id", "text"), w, s)
+        .as[(Long, Int, Int, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val chunks = got(id)
+        // count, boundaries, and content all from first principles
+        assert(chunks.length === 1 + (toks.length - 1) / s, s"run $run doc $id")
+        chunks.foreach { case (_, i, n, c) =>
+          val win = toks.slice(i * s, math.min(i * s + w, toks.length))
+          assert(n === win.length && c === win.mkString(" "), s"run $run doc $id chunk $i")
+        }
+        // stride-prefix concatenation reproduces the document exactly
+        val rebuilt = chunks.init.map(_._4.split(" ", -1).take(s)).flatten ++
+          chunks.last._4.split(" ", -1)
+        assert(rebuilt.toSeq === toks.toSeq, s"run $run doc $id rebuild")
+      }
+    }
+  }
+
+  test("CDC latest-per-key equals the brute force for random version logs") {
+    import spark.implicits._
+    (1L to 8L).foreach { run =>
+      val seed = mix(run)
+      val nKeys = bounded(seed, 1, 8)
+      val log = (1 to bounded(seed + 1, 1, 120)).map { i =>
+        (bounded(seed + 2 * i, 1, nKeys).toLong,
+          bounded(seed + 3 * i, 0, 20).toLong, // coarse ts: many ties
+          i.toLong, s"t${i % 3}", i.toDouble)
+      }
+      val got = graft.operators.SnapshotDiff.latestByKey(
+          log.toDF("user_id", "ts", "event_id", "event_type", "value"),
+          key = Seq("user_id"), ts = "ts", tiebreak = "event_id",
+          payload = Seq("event_type", "value"))
+        .select("user_id", "last_ts", "last_event_id", "last_event_type",
+          "last_value", "n_versions")
+        .as[(Long, Long, Long, String, Double, Long)].collect().sortBy(_._1)
+      val expect = log.groupBy(_._1).toArray.sortBy(_._1).map { case (u, rs) =>
+        val (_, ts, id, tpe, v) = rs.maxBy(r => (r._2, r._3))
+        (u, ts, id, tpe, v, rs.length.toLong)
+      }
+      assert(got === expect, s"run $run")
+    }
+  }
 }
