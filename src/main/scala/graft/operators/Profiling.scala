@@ -89,6 +89,44 @@ object Profiling {
         count(lit(1)).as("n"))
   }
 
+  /** Histogram drift between two cohorts of the same measure — the
+    * distribution-monitoring pass that catches a silent upstream change
+    * (a source re-crawl, a schema default, a unit flip) before it
+    * poisons training data: per group, the scaled L1 distance between
+    * the cohorts' equi-width histograms over SHARED global bounds.
+    *
+    * The metric is `Σ_bins |nA·TB − nB·TA|` (TA/TB the group's cohort
+    * totals) — the L1 share distance scaled by TA·TB, kept in INTEGER
+    * arithmetic end to end. Deliberately not shares: a double
+    * Σ|nA/TA − nB/TB| varies in low-order bits with Spark's aggregation
+    * order AND ties-rounds differently across engines if forced through
+    * decimal; the integer form is exact, deterministic, order-free, and
+    * monotone-equivalent for thresholding. Zero iff the cohorts'
+    * histograms are proportionally identical.
+    *
+    * Shape: one-row global bounds broadcast (the q46 two-pass pattern),
+    * one map-side-combining (group, cohort, bin) count, two tiny
+    * aggregates over the ≤ G·2·B count rows. The corpus is scanned
+    * once and never shuffled — only counts cross an exchange. */
+  def histogramDrift(df: DataFrame, group: Column, cohort: Column,
+      x: Column, nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be positive: $nBins")
+    val bounds = df.agg(min(x).as("__lo"), max(x).as("__hi"))
+    val width = (col("__hi") - col("__lo")) / nBins
+    val bin = when(col("__hi") === col("__lo"), 0)
+      .otherwise(least(floor((x - col("__lo")) / width).cast("int"), lit(nBins - 1)))
+    val counts = df.crossJoin(broadcast(bounds))
+      .groupBy(group.as("g"), bin.as("bin"))
+      .agg(count(when(cohort === 0, 1)).as("na"),
+        count(when(cohort === 1, 1)).as("nb"))
+    val totals = counts.groupBy("g")
+      .agg(sum("na").as("ta"), sum("nb").as("tb"))
+    counts.join(totals, Seq("g"))
+      .groupBy("g")
+      .agg(sum(abs(col("na") * col("tb") - col("nb") * col("ta"))).as("drift_scaled"),
+        max("ta").as("n_a"), max("tb").as("n_b"))
+  }
+
   val queries: Seq[Query] = Seq(
     Query(
       "q46_histogram",
@@ -147,6 +185,48 @@ object Profiling {
                COUNT(*) FILTER (WHERE abs(b.x - m.med) > 3.0 * d.mad) AS n_outliers,
                COUNT(*) AS n
         FROM base b JOIN med m USING (event_type) JOIN mad d USING (event_type)
+        GROUP BY 1
+        ORDER BY event_type"""))
+    ,
+    Query(
+      "q75_histogram_drift",
+      "Distribution drift per event type between the even/odd event-id " +
+        "cohorts of the value measure: scaled L1 distance " +
+        "sum|nA*TB - nB*TA| over 16 shared-bounds equi-width bins — " +
+        "INTEGER arithmetic end to end, so the metric is exact, " +
+        "aggregation-order-free, and engine-identical (a double share " +
+        "sum would wobble in the last bits with partial-agg order). One " +
+        "corpus scan, one broadcast bounds row, count-only exchanges — " +
+        "the monitoring pass that catches a silent upstream distribution " +
+        "change before it poisons training data.",
+      (s, dir) => histogramDrift(
+        Tables.events(s, dir),
+        group = col("event_type"), cohort = pmod(col("event_id"), lit(2)),
+        x = col("value"), nBins = 16)
+        .select(col("g").as("event_type"), col("drift_scaled"),
+          col("n_a"), col("n_b"))
+        .orderBy("event_type"),
+      Some("""
+        WITH b AS (
+          SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+        ), binned AS (
+          SELECT event_type,
+                 CASE WHEN hi = lo THEN 0
+                      ELSE LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 16)) AS INT), 15)
+                 END AS bin,
+                 COUNT(*) FILTER (WHERE event_id % 2 = 0) AS na,
+                 COUNT(*) FILTER (WHERE event_id % 2 = 1) AS nb
+          FROM events, b
+          GROUP BY 1, 2
+        ), tot AS (
+          SELECT event_type, CAST(SUM(na) AS BIGINT) AS ta,
+                 CAST(SUM(nb) AS BIGINT) AS tb
+          FROM binned GROUP BY 1
+        )
+        SELECT event_type,
+               CAST(SUM(ABS(na * tb - nb * ta)) AS BIGINT) AS drift_scaled,
+               MAX(ta) AS n_a, MAX(tb) AS n_b
+        FROM binned JOIN tot USING (event_type)
         GROUP BY 1
         ORDER BY event_type"""))
   )

@@ -106,6 +106,25 @@ class ProfilingIntervalsSpec extends AnyFunSuite {
     assert(!picked.contains(1000L)) // zero weight = never sampled
   }
 
+  test("histogram drift is zero for proportionally identical cohorts, positive for a shift") {
+    import spark.implicits._
+    // cohort 0 and cohort 1 identical -> every bin has na == nb (ta == tb)
+    val same = (0 until 100).flatMap(i =>
+      Seq(("g", 0, (i % 10).toDouble), ("g", 1, (i % 10).toDouble)))
+      .toDF("grp", "c", "x")
+    val zero = Profiling.histogramDrift(same, col("grp"), col("c"), col("x"), 16)
+      .select("drift_scaled").as[Long].head()
+    assert(zero === 0L)
+    // cohort 1 collapsed onto the top value -> mass moved across bins
+    val shifted = ((0 until 100).map(i => ("g", 0, (i % 10).toDouble)) ++
+      (0 until 100).map(_ => ("g", 1, 9.0)))
+      .toDF("grp", "c", "x")
+    val drift = Profiling.histogramDrift(shifted, col("grp"), col("c"), col("x"), 16)
+      .select("drift_scaled").as[Long].head()
+    // exact: 9 bins each lose 10*100, the top bin gains |10*100 - 100*100|
+    assert(drift === 9L * 10 * 100 + (100L * 100 - 10L * 100))
+  }
+
   test("tfidfTerms ranks by (tf desc, df asc, term asc) with exact counts") {
     import spark.implicits._
     val docs = Seq(
