@@ -97,15 +97,23 @@ object Bench {
       }
       name -> times
     }
-    val qs = results.map { case (k, ts) => s""""$k":${median(ts)}""" }.mkString("{", ",", "}")
-    // full raw run lists + load averages: medians alone can't prove a
-    // number was (or wasn't) taken under host contention
+    // stdout line is COMPACT (4-decimal medians, no raw runs): the
+    // driver records only a bounded stdout tail, and the round-5 full
+    // line overflowed it — 32 of 66 queries parsed. Full-precision
+    // medians + raw run lists + load averages go to the tracked file,
+    // where medians alone can't prove a number was (or wasn't) taken
+    // under host contention.
+    def fmt(d: Double): String = BigDecimal(d)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qsFull = results.map { case (k, ts) => s""""$k":${median(ts)}""" }.mkString("{", ",", "}")
+    val qsShort = results.map { case (k, ts) => s""""$k":${fmt(median(ts))}""" }.mkString("{", ",", "}")
     val runs = results.map { case (k, ts) => s""""$k":[${ts.mkString(",")}]""" }.mkString("{", ",", "}")
     val total = results.map(r => median(r._2)).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"loadavg_start":$loadStart,"loadavg_end":${loadavgJson()}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir","runs":$runs,"loadavg_start":$loadStart,"loadavg_end":${loadavgJson()}}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()
-    println(json) // last line of stdout
+    // last line of stdout; detail_file points the reader at the full artifact
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir","detail_file":"$outPath"}""")
   }
 }

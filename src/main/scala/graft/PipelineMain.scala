@@ -51,15 +51,18 @@ object PipelineMain {
     val t0 = System.nanoTime()
 
     val docs = Tables.documents(spark, sfDir)
-    val total = docs.count()
 
-    // 1. exact dedup: deterministic smallest-id survivor per digest
-    val exact = docs
+    // 1. exact dedup: deterministic smallest-id survivor per digest. The
+    // summary's input count rides in the SAME aggregate (sum of per-digest
+    // group sizes) — no separate corpus scan just to count the input.
+    val exactAgg = docs
       .withColumn("__h", sha2(TextAnalysis.norm(col("text")), 256))
-      .groupBy("__h").agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
-    val afterExact = docs.join(exact, Seq("doc_id")).persist()
+      .groupBy("__h").agg(min("doc_id").as("doc_id"), count(lit(1)).as("__n"))
+      .persist()
+    val afterExact = docs.join(exactAgg.select("doc_id"), Seq("doc_id")).persist()
     val nExact = afterExact.count()
+    val total = exactAgg.agg(sum("__n")).head().getLong(0)
+    exactAgg.unpersist()
 
     // 2. near-dup clusters + election: drop every non-canonical member
     val pairs = Dedup.jaccardJoin(afterExact, n = 3, tau = 0.7)

@@ -33,6 +33,24 @@ import graft.sources.Tables
 object Layout {
   import Bucketed.md5hex
 
+  /** Content fingerprint of a source table's files: sorted
+    * (name, length, mtime) triples hashed — a pure LISTING, no data
+    * read. Folded into every materialization cache key so a source that
+    * changes under the same path invalidates the layout instead of
+    * silently serving stale data against a fresh oracle scan. */
+  private def contentKey(spark: SparkSession, table: String): String = {
+    val p = new Path(table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts =
+      if (!fs.exists(p)) Seq(s"missing:$table")
+      else if (fs.getFileStatus(p).isFile) {
+        val st = fs.getFileStatus(p)
+        Seq(s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      } else fs.listStatus(p).toSeq.sortBy(_.getPath.getName)
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+    md5hex(parts.mkString("|"))
+  }
+
   /** 2-D Morton (Z-order) key: quantize each dimension to 16 bits
     * against its [lo, hi] bounds, then interleave the bits (a-bits odd,
     * b-bits even). All shift amounts are literals, so the whole key is
@@ -43,10 +61,16 @@ object Layout {
     * drops out of the ordering. */
   def morton16(a: Column, alo: Column, ahi: Column,
       b: Column, blo: Column, bhi: Column): Column = {
+    // span is (hi - lo), NOT (hi - lo + 1): the +1 form assumed
+    // integer-valued keys — on a double dimension with span < ~1 the +1
+    // dominated and collapsed most values into a handful of codes,
+    // silently degrading clustering. With the true span, x == hi maps to
+    // 65536 and the least() clamps it into the top cell; a degenerate
+    // dimension (hi <= lo) quantizes to 0 and drops out of the ordering.
     def quant(x: Column, lo: Column, hi: Column): Column =
       when(hi <= lo, lit(0L)).otherwise(
         least(lit(65535L),
-          floor((x - lo).cast("double") / (hi - lo + 1).cast("double")
+          floor((x - lo).cast("double") / (hi - lo).cast("double")
             * 65536.0).cast("long")))
     val qa = quant(a, alo, ahi)
     val qb = quant(b, blo, bhi)
@@ -64,7 +88,8 @@ object Layout {
     * parquet footer min/max into a 2-D bounding box per file. */
   def zorderedLineitem(spark: SparkSession, dir: String,
       nFiles: Int = 24): String = synchronized {
-    val out = s"target/zorder/graft_lineitem_z${md5hex(s"$dir/$nFiles").take(8)}"
+    val out = "target/zorder/graft_lineitem_z" +
+      md5hex(s"$dir/$nFiles/${contentKey(spark, s"$dir/lineitem.parquet")}").take(8)
     val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(out, "_SUCCESS"))) {
       val li = Tables.lineitem(spark, dir)
@@ -107,7 +132,8 @@ object Layout {
     * row-for-row. Returns (scatteredPath, compactedPath). */
   def compactedDocs(spark: SparkSession, dir: String, nSmall: Int = 64,
       targetBytes: Long = 1L << 20): (String, String) = synchronized {
-    val id = md5hex(s"$dir/$nSmall/$targetBytes").take(8)
+    val id = md5hex(
+      s"$dir/$nSmall/$targetBytes/${contentKey(spark, s"$dir/documents.parquet")}").take(8)
     val scattered = s"target/compact/graft_docs_small_$id"
     val compacted = s"target/compact/graft_docs_big_$id"
     val conf = spark.sparkContext.hadoopConfiguration

@@ -146,9 +146,12 @@ object Profiling {
           SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem
         )
         SELECT l_returnflag,
-               CASE WHEN hi = lo THEN 0
+               -- outer CAST pins the result type to INT32: DuckDB 1.0's
+               -- LEAST promotes to BIGINT, so without it the bin dtype
+               -- (not its values) depends on the harness DuckDB version
+               CAST(CASE WHEN hi = lo THEN 0
                     ELSE LEAST(CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 16)) AS INT), 15)
-               END AS bin,
+               END AS INT) AS bin,
                COUNT(*) AS n
         FROM lineitem, b
         GROUP BY 1, 2

@@ -68,14 +68,25 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** Deterministic rank + cut: row_number over (score desc, id asc). */
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "score")
+  /** Deterministic per-query rank + cut on (score desc, id asc) via the
+    * q43 two-level salted tournament ([[Skew.groupTopK]]) — NEVER a bare
+    * `Window.partitionBy("query_id")` over the scored frame: for the
+    * brute/ADC paths that frame is |Q|×corpus rows, and a bare window
+    * funnels each query's whole corpus-sized partition through one task.
+    * The tournament ranks per (query, salt) first (a query's rows spread
+    * over nSalts tasks), then ranks the ≤ nSalts·k survivors — bounded
+    * input independent of corpus size; exact by the tournament property
+    * (a group's true top k is contained in the union of its per-salt
+    * top k), and (score, neighbor_id) totally orders each query's rows
+    * so the result is the naive window's, bit for bit. Guarded in
+    * SimilaritySpec by a plan assertion: every bare query_id window in
+    * the ANN plans must sit above the survivor filter. */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    Skew.groupTopK(scored, col("query_id"),
+        Seq(col("score").desc, col("neighbor_id").asc),
+        Seq(col("score"), col("neighbor_id")), n = k, nSalts = 8)
+      .select(col("query_id"), col("neighbor_id"), col("rk").as("rank"), col("score"))
       .orderBy("query_id", "rank")
-  }
 
   // ---- sign-random-projection LSH ----
 
@@ -423,9 +434,13 @@ object Similarity {
         aggregate(zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
           (c, s) => element_at(col("lut"), s * kCent + c)),
           lit(0.0), (acc, v) => acc + v).as("adc"))
-    val wCand = Window.partitionBy("query_id").orderBy(asc("adc"), asc("neighbor_id"))
-    val cand = scored.withColumn("cr", row_number().over(wCand))
-      .filter(col("cr") <= candidates)
+    // ADC candidate cut through the salted tournament, as [[topK]]: the
+    // scored frame is |Q|×corpus rows — the one frame in this operator
+    // that must never meet a bare per-query window (this cut is the
+    // memory-bound SCAN, the whole point of PQ)
+    val cand = Skew.groupTopK(scored, col("query_id"),
+        Seq(col("adc").asc, col("neighbor_id").asc),
+        Seq(col("adc"), col("neighbor_id")), n = candidates, nSalts = 8)
       .select("query_id", "neighbor_id")
     // exact re-rank of the candidate lists only
     val q = e0.select(col("vec_id").as("query_id"),

@@ -100,13 +100,31 @@ object Skew {
     * the order keys: rows tied on every key would land on ONE salt and
     * re-concentrate a hot group onto a single stage-1 task. */
   def groupQuota(df: DataFrame, group: Column, orderKeys: Seq[Column],
-      n: Int, nSalts: Int): DataFrame = {
+      n: Int, nSalts: Int): DataFrame =
+    groupTopK(df, group, orderKeys.map(_.asc), orderKeys, n, nSalts)
+
+  /** The [[groupQuota]] tournament with caller-directed sort order:
+    * `sort` are the window sort columns (may carry `.desc`/`.asc` —
+    * e.g. score-descending top-k), `saltKeys` the underlying VALUE
+    * columns the deterministic salt hashes (a sort-order wrapper is
+    * not hashable, hence the split). Same exactness argument and the
+    * same HARD total-order precondition as [[groupQuota]]; `sort` and
+    * `saltKeys` must name the same keys or salting loses uniformity.
+    *
+    * This is the shared per-group top-k primitive: the ANN family's
+    * final neighbor cut and q74's ADC candidate cut route through it
+    * so no corpus-sized frame ever meets a bare single-task
+    * `Window.partitionBy(group)` (the stage-2 window here IS bare, but
+    * its input is the ≤ nSalts·n survivors per group — bounded
+    * regardless of group size). */
+  def groupTopK(df: DataFrame, group: Column, sort: Seq[Column],
+      saltKeys: Seq[Column], n: Int, nSalts: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // salt from the order keys: deterministic (same row → same salt on
     // every run and retry), uniform when the keys are unique per row
-    val salted = df.withColumn("__salt", pmod(hash(orderKeys: _*), lit(nSalts)))
-    val perSalt = Window.partitionBy(group, col("__salt")).orderBy(orderKeys.map(_.asc): _*)
-    val finals = Window.partitionBy(group).orderBy(orderKeys.map(_.asc): _*)
+    val salted = df.withColumn("__salt", pmod(hash(saltKeys: _*), lit(nSalts)))
+    val perSalt = Window.partitionBy(group, col("__salt")).orderBy(sort: _*)
+    val finals = Window.partitionBy(group).orderBy(sort: _*)
     salted
       .withColumn("__r1", row_number().over(perSalt))
       .filter(col("__r1") <= n)

@@ -148,8 +148,12 @@ object SnapshotDiff {
         FROM (
           SELECT *,
                  COUNT(*) OVER (PARTITION BY user_id) AS n_versions,
+                 -- order on the MICROSECOND domain explicitly (epoch_us),
+                 -- matching the Spark side's truncation: on a DuckDB with
+                 -- native TIMESTAMP_NS (>= 1.1) raw-ts ordering could
+                 -- elect a different winner for a same-microsecond pair
                  ROW_NUMBER() OVER (PARTITION BY user_id
-                                    ORDER BY ts DESC, event_id DESC) AS rn
+                                    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
           FROM events
         )
         WHERE rn = 1

@@ -186,4 +186,31 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     assert(run() === run())
   }
+
+  test("plan guard: no corpus-sized frame meets a bare query_id window (salted tournament)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window => LWindow}
+    val emb = Tables.embeddings(spark, sf)
+    // every ANN path's per-query cut must be the two-level tournament:
+    // a window partitioned on query_id ALONE is legal only as stage 2,
+    // i.e. above the per-(query, salt) survivor filter (__r1 <= n) —
+    // that input is <= nSalts*k rows per query regardless of corpus size
+    def assertTournament(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val bare = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.forall(_.references.forall(_.name == "query_id")) => w
+      }
+      assert(bare.nonEmpty, s"$tag: expected a survivor-rank window")
+      bare.foreach { w =>
+        val survivorGated = w.child.collectFirst {
+          case f: Filter if f.condition.references.exists(_.name == "__r1") => f
+        }.nonEmpty
+        assert(survivorGated,
+          s"$tag: bare query_id window not fed by the per-salt survivor filter:\n$w")
+      }
+    }
+    assertTournament(Similarity.knnBrute(emb, 10, 5), "knnBrute")
+    assertTournament(Similarity.knnLsh(emb, 10, 5), "knnLsh")
+    assertTournament(Similarity.knnIvf(emb, 10, 5, centroids = 32), "knnIvf")
+    assertTournament(Similarity.knnPq(emb, 10, 5), "knnPq")
+  }
 }
