@@ -44,7 +44,8 @@ object Bench {
     "q64_span_dedup", "q65_chunk_overlap", "q66_zorder_scan",
     "q67_compact_files", "q68_cdc_latest", "q69_robust_outliers",
     "q70_cross_dedup", "q71_pmi_bigrams", "q72_dedup_keep",
-    "q73_quantile_gate", "q74_knn_pq", "q75_histogram_drift")
+    "q73_quantile_gate", "q74_knn_pq", "q75_histogram_drift",
+    "q76_pipeline")
 
   /** `build` is by-name and runs AFTER the cache clear: queries that
     * persist (and eagerly materialize) intermediate frames — e.g. q17's

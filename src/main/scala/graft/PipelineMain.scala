@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, DupClusters, Shards, TextAnalysis}
+import graft.operators.{Shards, TextAnalysis, TrainingPipeline}
 import graft.sources.Tables
 
 /** End-to-end training-data pipeline CLI — the library's operators run
@@ -65,22 +65,15 @@ object PipelineMain {
     exactAgg.unpersist()
 
     // 2. near-dup clusters + election: drop every non-canonical member
-    val pairs = Dedup.jaccardJoin(afterExact, n = 3, tau = 0.7)
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
-    val dropped = DupClusters.keepList(
-        DupClusters.connectedComponents(pairs),
-        afterExact.select(col("doc_id"), col("n_chars").as("score")))
-      .filter(!col("keep")).select("doc_id")
-    val afterNear = afterExact.join(dropped, Seq("doc_id"), "left_anti").persist()
+    // (shared stage code with the oracle-gated q76 catalog entry)
+    val afterNear = afterExact
+      .join(TrainingPipeline.nearDupDropped(afterExact), Seq("doc_id"), "left_anti")
+      .persist()
     val nNear = afterNear.count()
     afterExact.unpersist()
 
-    // 3. per-language length gate at p10
-    val kept = Curation.quantileFilter(
-        afterNear.select(col("lang"), col("doc_id"), col("n_chars").cast("double").as("x")),
-        "lang", p = 0.10)
-      .select("doc_id")
-    val corpus = afterNear.join(kept, Seq("doc_id")).persist()
+    // 3. per-language length gate at p10 (q76 stage 3)
+    val corpus = TrainingPipeline.lengthGated(afterNear, p = 0.10).persist()
     val nKept = corpus.count()
     afterNear.unpersist()
 

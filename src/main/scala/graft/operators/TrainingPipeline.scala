@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Query
+import graft.sources.Tables
+
+/** The composed training-data pipeline as a CATALOG operator — the same
+  * stage chain [[graft.PipelineMain]] ships as a CLI (exact dedup →
+  * near-dup cluster election → per-language length gate → token-budget
+  * shard manifest), verified end to end under ONE DuckDB oracle the way
+  * q34 oracles its curation composition. Each stage is an
+  * already-verified operator (q16 / q28→q40→q72 / q73 / q41); this
+  * entry closes the remaining gap: the COMPOSITION itself — stage
+  * ordering, which frame each threshold is computed over, survivor
+  * semantics across stages — is what the oracle here pins down.
+  *
+  * Scale shape is the union of its parts (each argued in its own
+  * operator's scaladoc): one digest-keyed exchange, the prefix-filter
+  * join's bounded shuffles, O(log² n) CC rounds on id pairs, a G-row
+  * broadcast threshold, and the shard prefix sum's range exchange. The
+  * corpus-sized frames between stages are persisted (session cache
+  * contract as jaccardJoin: batch drivers clearCache() between
+  * queries) because three stages consume the exact-dedup survivors. */
+object TrainingPipeline {
+
+  /** Survivor ids of exact content-hash dedup: smallest doc_id per
+    * normalized SHA-256 digest (q16's contract). */
+  def exactSurvivors(docs: DataFrame): DataFrame =
+    docs.withColumn("__h", sha2(TextAnalysis.norm(col("text")), 256))
+      .groupBy("__h").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+
+  /** Ids DROPPED by near-dup cluster election: exact prefix-filter
+    * Jaccard pairs (q28) → connected components (q40) → keep the
+    * longest member per cluster, ties to the smallest id (q72). */
+  def nearDupDropped(docs: DataFrame): DataFrame =
+    DupClusters.keepList(
+        DupClusters.connectedComponents(
+          Dedup.jaccardJoin(docs, n = 3, tau = 0.7)
+            .select(col("doc_a").as("u"), col("doc_b").as("v"))),
+        docs.select(col("doc_id"), col("n_chars").as("score")))
+      .filter(!col("keep")).select("doc_id")
+
+  /** Per-language length gate: keep docs whose n_chars clears their OWN
+    * language's p-quantile, computed over `docs` itself (q73's per-group
+    * exact threshold, broadcast into a map-side filter). */
+  def lengthGated(docs: DataFrame, p: Double): DataFrame =
+    docs.join(
+      Curation.quantileFilter(
+          docs.select(col("lang"), col("doc_id"), col("n_chars").cast("double").as("x")),
+          "lang", p)
+        .select("doc_id"),
+      Seq("doc_id"))
+
+  /** The released corpus: exact dedup → near-dup election → p10 length
+    * gate, in that order — each stage's threshold/cluster set computed
+    * over its INPUT stage's survivors, which is exactly the ordering
+    * ambiguity the composed oracle exists to pin down. */
+  def curatedCorpus(docs0: DataFrame, p: Double = 0.10): DataFrame = {
+    val docs = docs0
+    val afterExact = docs.join(exactSurvivors(docs), Seq("doc_id")).persist()
+    val afterNear = afterExact
+      .join(nearDupDropped(afterExact), Seq("doc_id"), "left_anti").persist()
+    lengthGated(afterNear, p)
+  }
+
+  val queries: Seq[Query] = Seq(
+    Query(
+      "q76_pipeline",
+      "The composed training-data pipeline under ONE oracle: exact " +
+        "content-hash dedup -> near-dup cluster election (prefix-filter " +
+        "pairs -> connected components -> longest-doc survivor) -> " +
+        "per-language p10 length gate -> 2048-token shard manifest. " +
+        "Every stage is a verified catalog operator (q16/q28/q40/q72/" +
+        "q73/q41); this entry verifies the COMPOSITION the PipelineMain " +
+        "CLI ships — stage order, threshold domains, survivor semantics " +
+        "— against a single DuckDB twin of the whole chain.",
+      (s, dir) =>
+        Shards.shardManifest(curatedCorpus(Tables.documents(s, dir)), budget = 2048L)
+          .orderBy("shard_id"),
+      Some("""
+        WITH RECURSIVE nrm AS (
+          SELECT doc_id, lang, n_chars,
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS n
+          FROM documents
+        ), surv AS (
+          SELECT MIN(doc_id) AS doc_id FROM nrm GROUP BY sha256(n)
+        ), sh AS (
+          SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+                                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+          FROM (SELECT doc_id, string_split(n, ' ') AS ws FROM nrm
+                WHERE doc_id IN (SELECT doc_id FROM surv))
+        ), sz AS (
+          SELECT doc_id, COUNT(*) AS cnt FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), edges AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sz za ON za.doc_id = doc_a
+          JOIN sz zb ON zb.doc_id = doc_b
+          WHERE CAST(i AS DOUBLE) / CAST(za.cnt + zb.cnt - i AS DOUBLE) >= 0.7
+        ), bi AS (
+          SELECT doc_a AS u, doc_b AS v FROM edges
+          UNION
+          SELECT doc_b AS u, doc_a AS v FROM edges
+        ), reach(u, v) AS (
+          SELECT u, v FROM bi
+          UNION
+          SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u WHERE b.v <> r.u
+        ), comp AS (
+          SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+          FROM reach GROUP BY u
+        ), elect AS (
+          SELECT c.doc_id, c.cluster_id,
+                 ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                    ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+          FROM comp c JOIN nrm d USING (doc_id)
+        ), after_near AS (
+          SELECT doc_id FROM surv
+          WHERE doc_id NOT IN (SELECT doc_id FROM elect WHERE rn > 1)
+        ), thr AS (
+          SELECT d.lang, quantile_cont(CAST(d.n_chars AS DOUBLE), 0.10) AS t
+          FROM nrm d JOIN after_near USING (doc_id)
+          GROUP BY d.lang
+        ), corpus AS (
+          SELECT d.doc_id, d.n
+          FROM nrm d JOIN after_near USING (doc_id) JOIN thr USING (lang)
+          WHERE CAST(d.n_chars AS DOUBLE) >= thr.t
+        ), tok AS (
+          SELECT doc_id, CAST(len(string_split(n, ' ')) AS BIGINT) AS n_tokens
+          FROM corpus
+        ), pref AS (
+          SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS start_off
+          FROM tok
+        )
+        SELECT CAST(FLOOR(CAST(start_off AS DOUBLE) / 2048.0) AS BIGINT) AS shard_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM pref
+        GROUP BY 1
+        ORDER BY shard_id"""))
+  )
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TrainingPipeline
+import graft.sources.Tables
+
+/** q76 — the composed training-data pipeline. The DuckDB oracle pins the
+  * full composition at sf0.01; these tests pin each stage's SEMANTIC
+  * contract on a planted corpus where the expected output is derivable
+  * by hand, plus set-algebra invariants on real data. */
+class TrainingPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  /** Planted corpus: (1,2) exact dups after normalization (min id 1
+    * survives); (3,4) near-dups at 3-shingle Jaccard 10/11 ≈ 0.91 ≥ 0.7
+    * (4 is longer, so the election keeps 4 and drops 3); 5 unrelated. */
+  private def planted = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog today", "en", 49L),
+    (2L, "  the   quick brown fox jumps over the lazy dog today ", "en", 55L),
+    (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu", "en", 66L),
+    (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu", "en", 69L),
+    (5L, "completely different content with no overlapping shingles at all whatsoever", "en", 76L)
+  ).toDF("doc_id", "text", "lang", "n_chars")
+
+  test("exact stage keeps the smallest id per normalized digest") {
+    val ids = TrainingPipeline.exactSurvivors(planted)
+      .as[Long].collect().sorted
+    assert(ids === Array(1L, 3L, 4L, 5L))
+  }
+
+  test("near-dup stage drops the shorter member of a planted pair") {
+    val survivors = planted.filter(col("doc_id") =!= 2)
+    val dropped = TrainingPipeline.nearDupDropped(survivors)
+      .as[Long].collect().sorted
+    assert(dropped === Array(3L))
+  }
+
+  test("composed pipeline on the planted corpus (p=0 gate keeps all)") {
+    val out = TrainingPipeline.curatedCorpus(planted, p = 0.0)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out === Array(1L, 4L, 5L))
+  }
+
+  test("length gate drops exactly the sub-p10 docs of each language") {
+    // lengths 101..110 in one lang: quantile_cont(0.10) = 101.9, so the
+    // gate (x >= thr) drops exactly the length-101 doc
+    val docs = (1 to 10).map(i =>
+        (i.toLong, s"doc number $i", "en", 100L + i))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val kept = TrainingPipeline.lengthGated(docs, p = 0.10)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === (2L to 10L).toArray)
+  }
+
+  test("stage set-algebra on sf0.001: monotone shrink, curated ⊆ survivors") {
+    val docs = Tables.documents(spark, sf)
+    val n0 = docs.count()
+    val exact = docs.join(
+      TrainingPipeline.exactSurvivors(docs), Seq("doc_id")).persist()
+    val n1 = exact.count()
+    val near = exact.join(
+      TrainingPipeline.nearDupDropped(exact), Seq("doc_id"), "left_anti").persist()
+    val n2 = near.count()
+    val curated = TrainingPipeline.curatedCorpus(docs, p = 0.10)
+    val n3 = curated.count()
+    assert(n0 >= n1 && n1 >= n2 && n2 >= n3 && n3 > 0)
+    // curated ids are a subset of the near-dup survivors
+    assert(curated.select("doc_id")
+      .join(near.select("doc_id"), Seq("doc_id"), "left_anti").count() === 0)
+    exact.unpersist(); near.unpersist()
+    spark.sharedState.cacheManager.clearCache()
+  }
+}
