@@ -81,7 +81,7 @@ object Similarity {
     * so the result is the naive window's, bit for bit. Guarded in
     * SimilaritySpec by a plan assertion: every bare query_id window in
     * the ANN plans must sit above the survivor filter. */
-  private def topK(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def topK(scored: DataFrame, k: Int): DataFrame =
     Skew.groupTopK(scored, col("query_id"),
         Seq(col("score").desc, col("neighbor_id").asc),
         Seq(col("score"), col("neighbor_id")), n = k, nSalts = 8)
@@ -147,7 +147,7 @@ object Similarity {
   /** Corpus × centroid cosine scores. The centroid side is ALWAYS a
     * bounded broadcast (≤ `centroids` rows), so this nested loop is
     * O(n·C) with C fixed — never corpus × corpus. */
-  private def centScores(side: DataFrame, cent: DataFrame): DataFrame =
+  private[operators] def centScores(side: DataFrame, cent: DataFrame): DataFrame =
     side.join(broadcast(cent), lit(true))
       .withColumn("cs", cosine(col("emb"), col("nrm"), col("c_emb"), col("c_nrm")))
 
@@ -157,7 +157,7 @@ object Similarity {
     * formulation would sort and shuffle. Ties (two centroids at identical
     * cosine) break deterministically to the higher cent_id via the struct
     * ordering. Output: (vec_id, emb, nrm, cluster). */
-  private def assignToCentroids(e: DataFrame, cent: DataFrame): DataFrame =
+  private[operators] def assignToCentroids(e: DataFrame, cent: DataFrame): DataFrame =
     centScores(e, cent)
       .groupBy("vec_id")
       .agg(max_by(struct(col("emb"), col("nrm"), col("cent_id")),
@@ -218,9 +218,17 @@ object Similarity {
     * partition-pruned read touching nProbe/C of the data. Never a cross
     * product against the corpus; each corpus vector lives in exactly one
     * list, so no candidate dedup is needed. */
-  def knnIvf(emb: DataFrame, nQueries: Int, k: Int,
-      centroids: Int = 256, nProbe: Int = 8, lloydIters: Int = 1): DataFrame = {
-    val e = prepared(emb)
+  /** The IVF coarse quantizer: `centroids` hash-order seeds tightened by
+    * `lloydIters` deterministic k-means steps over a bounded 8·C
+    * hash-order training sample (see [[knnIvf]]'s scaladoc for why the
+    * sample bounds training at any corpus size). Returned frame is
+    * PERSISTED and eagerly materialized (the eager barrier keeps AQE
+    * from racing the Lloyd pipeline into both consuming broadcasts);
+    * same session-scoped cache contract as jaccardJoin/knnLsh — batch
+    * drivers clearCache() between queries, and the index builder
+    * ([[AnnIndex.ivfIndex]]) unpersists after its one-shot write. */
+  private[operators] def ivfCentroids(e: DataFrame, centroids: Int,
+      lloydIters: Int): DataFrame = {
     // bounded training set; its smallest-hash prefix IS the seed set (the
     // same hash order), so seeding is unchanged from the full-corpus form
     val train = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(centroids * 8)
@@ -228,28 +236,40 @@ object Similarity {
     val seeds = train.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(centroids)
       .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
     val cent = (1 to lloydIters).foldLeft(seeds)((c, _) => lloydStep(train, c))
-    // eager barrier: the C-row centroid frame feeds two broadcasts
-    // (assignment + probes) whose lineage is lloydIters sample passes —
-    // unpersisted, AQE races both sides and the Lloyd pipeline runs
-    // twice. Same session-scoped cache contract as jaccardJoin/knnLsh:
-    // batch drivers clearCache() between queries
     cent.persist().count()
     // the training sample is consumed entirely by the materialized
     // centroid frame — release it before the corpus-sized stages run
     train.unpersist()
-    val assigned = assignToCentroids(e, cent)
-    // nProbe nearest centroids per query
-    val q = e.filter(col("vec_id") < nQueries)
+    cent
+  }
+
+  /** The probe-side of IVF: rank each query's centroids, keep `nProbe`,
+    * equi-join the inverted lists on cluster id, exact cosine, top-k.
+    * `lists` carries (vec_id, emb, nrm, cluster) — either freshly
+    * assigned ([[knnIvf]]) or read back from the persisted index
+    * ([[AnnIndex.knnIvfIndexed]], where the cluster-partitioned layout
+    * turns this join into a partition-pruned read). The probe window is
+    * bare but bounded: each query's frame is exactly C centroid rows. */
+  private[operators] def ivfProbe(lists: DataFrame, cent: DataFrame,
+      q: DataFrame, nProbe: Int, k: Int): DataFrame = {
     val wProbe = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("cent_id"))
     val probes = centScores(q, cent)
       .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"), col("cent_id").as("cluster"))
-    val scored = assigned.join(broadcast(probes), Seq("cluster"))
+    val scored = lists.join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("score"))
     topK(scored, k)
+  }
+
+  def knnIvf(emb: DataFrame, nQueries: Int, k: Int,
+      centroids: Int = 256, nProbe: Int = 8, lloydIters: Int = 1): DataFrame = {
+    val e = prepared(emb)
+    val cent = ivfCentroids(e, centroids, lloydIters)
+    val assigned = assignToCentroids(e, cent)
+    ivfProbe(assigned, cent, e.filter(col("vec_id") < nQueries), nProbe, k)
   }
 
   /** Deterministic near-duplicate benchmark corpus: every vector plus a
@@ -311,7 +331,7 @@ object Similarity {
 
   /** Squared L2 distance between two equal-length arrays — built-ins
     * only (zip_with fold), fully codegen'd. */
-  private def l2sq(a: Column, b: Column): Column =
+  private[operators] def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
@@ -394,24 +414,30 @@ object Similarity {
     * against q19's oracle-checked brute force). Deterministic end to
     * end: hash-order training, decimal means, (distance, id) tie
     * breaks. */
-  def knnPq(emb: DataFrame, nQueries: Int, k: Int, m: Int = 8,
-      kCent: Int = 16, candidates: Int = 64, d: Int = 64): DataFrame = {
-    require(d % m == 0, s"dim $d not divisible by $m subspaces")
+  /** Zero-norm-filtered, L2-normalized (`u`) embedding frame — the PQ
+    * working domain, with the in-plan dimension guard: a wrong-width
+    * vector would otherwise slice to empty upper subspaces and silently
+    * collapse their codes to centroid 0 — fail loudly per row instead
+    * (one int compare). */
+  private[operators] def pqPrepared(emb: DataFrame, d: Int): DataFrame = {
     val e0 = prepared(emb).filter(col("nrm") > 0)
-    // in-plan dimension guard: a wrong-width vector would otherwise
-    // slice to empty upper subspaces and silently collapse their codes
-    // to centroid 0 — fail loudly per row instead (one int compare)
     val dimOk = assert_true(size(col("emb")) === lit(d),
       lit(s"knnPq expects $d-dim embeddings"))
-    val e = e0.select(col("vec_id"), col("emb"), col("nrm"),
+    e0.select(col("vec_id"), col("emb"), col("nrm"),
       when(dimOk.isNull, transform(col("emb"), x => x / col("nrm"))).as("u"))
-    val subdim = d / m
-    val cb = pqCodebooks(e, m, subdim, kCent)
+  }
+
+  /** Map-only PQ encode: the m·k codebook rows collapse into ONE map row
+    * (key = sub·k + cid) broadcast into a per-row argmin over nested
+    * higher-order functions — the corpus pass is map-only, no shuffle,
+    * emitting (vec_id, codes: array<int>). */
+  private[operators] def pqEncode(e: DataFrame, cb: DataFrame, m: Int,
+      subdim: Int, kCent: Int): DataFrame = {
     val cbMap = cb.groupBy().agg(map_from_entries(collect_list(
       struct((col("sub") * kCent + col("cid")).as("key"), col("c_sv").as("val"))))
       .as("cbm"))
     val zero = struct(lit(Double.MaxValue).as("bd"), lit(-1).as("bc"))
-    val codes = e.crossJoin(broadcast(cbMap))
+    e.crossJoin(broadcast(cbMap))
       .select(col("vec_id"), col("u"),
         transform(sequence(lit(0), lit(m - 1)), s => {
           val sv = slice(col("u"), s * subdim + 1, lit(subdim))
@@ -421,7 +447,19 @@ object Similarity {
               .otherwise(acc)
           })("bc")
         }).as("codes"))
-    val luts = e.filter(col("vec_id") < nQueries)
+  }
+
+  /** The ADC query side: per-query m·k partial-distance lookup tables,
+    * the lookup-only scan over `codes`, the salted-tournament candidate
+    * cut, and the exact cosine re-rank of candidates only. `codes` is
+    * (vec_id, codes) — freshly encoded ([[knnPq]]) or read back from the
+    * persisted index ([[AnnIndex.knnPqIndexed]]); `eq` carries the query
+    * vectors (normalized `u` for the LUTs, raw for the re-rank) and
+    * `eAll` the full corpus vectors the re-rank touches candidates-only. */
+  private[operators] def pqAdcSearch(codes: DataFrame, cb: DataFrame,
+      eq: DataFrame, eAll: DataFrame, k: Int, m: Int, subdim: Int,
+      kCent: Int, candidates: Int): DataFrame = {
+    val luts = eq
       .select(col("vec_id").as("query_id"), col("u").as("q_u"))
       .crossJoin(broadcast(cb))
       .groupBy("query_id")
@@ -443,14 +481,24 @@ object Similarity {
         Seq(col("adc"), col("neighbor_id")), n = candidates, nSalts = 8)
       .select("query_id", "neighbor_id")
     // exact re-rank of the candidate lists only
-    val q = e0.select(col("vec_id").as("query_id"),
+    val q = eq.select(col("vec_id").as("query_id"),
       col("emb").as("q_emb"), col("nrm").as("q_nrm"))
     topK(cand
       .join(broadcast(q), Seq("query_id"))
-      .join(e0.select(col("vec_id").as("neighbor_id"), col("emb"), col("nrm")),
+      .join(eAll.select(col("vec_id").as("neighbor_id"), col("emb"), col("nrm")),
         Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("score")), k)
+  }
+
+  def knnPq(emb: DataFrame, nQueries: Int, k: Int, m: Int = 8,
+      kCent: Int = 16, candidates: Int = 64, d: Int = 64): DataFrame = {
+    require(d % m == 0, s"dim $d not divisible by $m subspaces")
+    val e = pqPrepared(emb, d)
+    val subdim = d / m
+    val cb = pqCodebooks(e, m, subdim, kCent)
+    pqAdcSearch(pqEncode(e, cb, m, subdim, kCent), cb,
+      e.filter(col("vec_id") < nQueries), e, k, m, subdim, kCent, candidates)
   }
 
   val queries: Seq[Query] = Seq(

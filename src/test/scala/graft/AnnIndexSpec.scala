@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AnnIndex, Similarity}
+import graft.sources.Tables
+
+/** q77/q78 — persisted ANN indexes. The contract: (1) the indexed query
+  * returns BIT-IDENTICAL rows to its build-per-batch twin (training is
+  * deterministic, the persisted frames are the twin's in-flight
+  * frames); (2) the build is idempotent — a second invocation reuses
+  * the materialized index untouched; (3) the indexed plan reads the
+  * index, with no training/encode stages (structurally impossible: the
+  * query path never references them — asserted here by the plan's leaf
+  * scans). */
+class AnnIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  /** Root paths of every file-source leaf in the optimized plan.
+    * `LogicalRelation.toString` omits the location in Spark 4, so the
+    * path must come from the underlying HadoopFsRelation. */
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      case _ => Nil
+    }
+
+  /** (path, length, mtime) of every file under an index root. */
+  private def fileStates(root: String): Seq[(String, Long, Long)] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val buf = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    while (it.hasNext) {
+      val st = it.next()
+      buf += ((st.getPath.toString, st.getLen, st.getModificationTime))
+    }
+    buf.sortBy(_._1).toSeq
+  }
+
+  test("IVF: indexed search is bit-identical to the build-per-batch twin") {
+    val fresh = rows(Similarity.knnIvf(
+      Tables.embeddings(spark, sf), nQueries = 10, k = 5))
+    spark.sharedState.cacheManager.clearCache()
+    val indexed = rows(AnnIndex.knnIvfIndexed(spark, sf, nQueries = 10, k = 5))
+    assert(indexed === fresh)
+  }
+
+  test("IVF: second build invocation reuses the index untouched") {
+    val idx = AnnIndex.ivfIndex(spark, sf)
+    val before = fileStates(idx)
+    assert(before.nonEmpty)
+    val idx2 = AnnIndex.ivfIndex(spark, sf)
+    assert(idx2 === idx)
+    assert(fileStates(idx) === before)
+  }
+
+  test("IVF: indexed plan scans the persisted lists, not a fresh assignment") {
+    val df = AnnIndex.knnIvfIndexed(spark, sf, nQueries = 10, k = 5)
+    val leaves = scanPaths(df)
+    assert(leaves.exists(_.contains("graft_ivf_")),
+      s"expected an index scan among leaves:\n${leaves.mkString("\n")}")
+    // no aggregate anywhere in the plan: training (Lloyd means) and
+    // assignment (max_by) are both aggregates, and the pure query path
+    // has none — probes and top-k are windows/joins only
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.isEmpty, s"indexed IVF plan must not train/assign:\n${aggs.mkString("\n")}")
+  }
+
+  test("PQ: indexed search is bit-identical to the build-per-batch twin") {
+    val fresh = rows(Similarity.knnPq(
+      Tables.embeddings(spark, sf), nQueries = 10, k = 5))
+    spark.sharedState.cacheManager.clearCache()
+    val indexed = rows(AnnIndex.knnPqIndexed(spark, sf, nQueries = 10, k = 5))
+    assert(indexed === fresh)
+  }
+
+  test("PQ: second build invocation reuses the index untouched") {
+    val idx = AnnIndex.pqIndex(spark, sf)
+    val before = fileStates(idx)
+    assert(before.nonEmpty)
+    val idx2 = AnnIndex.pqIndex(spark, sf)
+    assert(idx2 === idx)
+    assert(fileStates(idx) === before)
+  }
+
+  test("PQ: indexed plan scans persisted codes; only the bounded LUT aggregate remains") {
+    val df = AnnIndex.knnPqIndexed(spark, sf, nQueries = 10, k = 5)
+    val leaves = scanPaths(df)
+    assert(leaves.exists(_.contains("graft_pq_")),
+      s"expected an index scan among leaves:\n${leaves.mkString("\n")}")
+    // the only aggregates a pure PQ query needs are the per-query LUT
+    // builds (grouped on query_id, bounded by |Q| x m*k); training means
+    // (grouped on sub/cid) and the codebook map collapse must be gone
+    val badAggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if !a.groupingExpressions.exists(_.references.exists(_.name == "query_id")) => a
+    }
+    assert(badAggs.isEmpty,
+      s"indexed PQ plan must not train/encode:\n${badAggs.mkString("\n")}")
+  }
+}
