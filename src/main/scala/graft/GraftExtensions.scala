@@ -1,11 +1,14 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{Decimal, DecimalType, DoubleType, IntegerType, StringType}
 
 import graft.functions._
+import graft.operators.{Curation, Dedup, Profiling}
 
 /** `SparkSessionExtensions` wiring: registers the engine's native
   * Catalyst expressions as SQL functions, so `spark.sql("SELECT
@@ -27,6 +30,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       lit.value.asInstanceOf[Int]
     case other => throw new IllegalArgumentException(
       s"$fn: $which must be an integer literal, got $other")
+  }
+
+  private def strArg(fn: String, which: String, e: Expression): String = e match {
+    case lit: Literal if lit.dataType == StringType && lit.value != null =>
+      lit.value.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $which must be a string literal, got $other")
+  }
+
+  /** Fraction arguments arrive as whatever literal the SQL text parses
+    * to — `0.25` is DECIMAL under ANSI, `0.25D` is DOUBLE — so accept
+    * both rather than forcing callers to remember the suffix. */
+  private def doubleArg(fn: String, which: String, e: Expression): Double = e match {
+    case lit: Literal if lit.value != null => lit.dataType match {
+      case DoubleType => lit.value.asInstanceOf[Double]
+      case _: DecimalType => lit.value.asInstanceOf[Decimal].toDouble
+      case IntegerType => lit.value.asInstanceOf[Int].toDouble
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $which must be a numeric literal, got $lit")
+    }
+    case other => throw new IllegalArgumentException(
+      s"$fn: $which must be a numeric literal, got $other")
   }
 
   private def info(name: String, usage: String): ExpressionInfo =
@@ -80,6 +105,55 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "repetition_stats(tokens)")
         RepetitionStats(args.head)
       }))
+    // ---- operator-level TABLE functions ------------------------------
+    // The flagship curation operators as SQL table-valued functions, so
+    // a spark-sql-only consumer can run the curation path — not just the
+    // scalar primitives above. Each builder instantiates the SAME
+    // DataFrame pipeline the Column-API catalog entry uses (no SQL
+    // re-implementation to drift out of sync) and returns its raw
+    // logical plan; the outer analysis resolves it in place, so every
+    // scale property (broadcast thresholds, map-side combines, the
+    // bucketed percentile rank) carries over verbatim. View-name
+    // arguments resolve against the session catalog at analysis time.
+
+    ext.injectTableFunction((FunctionIdentifier("graft_dedup_keep"),
+      info("graft_dedup_keep",
+        "graft_dedup_keep(view) - exact-dedup keep list over a documents view: lowest doc_id per normalized SHA-256 content hash, with copy counts"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_dedup_keep(view)")
+        val t = SparkSession.active.table(strArg("graft_dedup_keep", "view", args.head))
+        Dedup.exactKeepList(t).queryExecution.logical: LogicalPlan
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_quantile_gate"),
+      info("graft_quantile_gate",
+        "graft_quantile_gate(view, groupCol, measureExpr, p) - rows of `view` whose measure clears their own group's exact p-quantile (scale-safe bucketed rank, broadcast thresholds)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "graft_quantile_gate(view, groupCol, measureExpr, p)")
+        val t = SparkSession.active.table(strArg("graft_quantile_gate", "view", args.head))
+        val grp = strArg("graft_quantile_gate", "groupCol", args(1))
+        val x = strArg("graft_quantile_gate", "measureExpr", args(2))
+        val p = doubleArg("graft_quantile_gate", "p", args(3))
+        // `x`/`thr` are the gate's internal working columns (the
+        // quantileFilter input contract) — dropped so the function
+        // returns exactly the view's own columns, gated
+        Curation.quantileFilter(t.withColumn("x", expr(x).cast("double")), grp, p)
+          .drop("x", "thr").queryExecution.logical: LogicalPlan
+      }))
+    ext.injectTableFunction((FunctionIdentifier("graft_histogram_drift"),
+      info("graft_histogram_drift",
+        "graft_histogram_drift(view, groupExpr, cohortExpr, measureExpr, bins) - per-group scaled-L1 drift between cohort 0/1 equi-width histograms over shared global bounds (integer-exact)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "graft_histogram_drift(view, groupExpr, cohortExpr, measureExpr, bins)")
+        val t = SparkSession.active.table(strArg("graft_histogram_drift", "view", args.head))
+        Profiling.histogramDrift(t,
+          expr(strArg("graft_histogram_drift", "groupExpr", args(1))),
+          expr(strArg("graft_histogram_drift", "cohortExpr", args(2))),
+          expr(strArg("graft_histogram_drift", "measureExpr", args(3))),
+          intArg("graft_histogram_drift", "bins", args(4)))
+          .queryExecution.logical: LogicalPlan
+      }))
+
     // aggregate function: the analyzer wraps a bare AggregateFunction in
     // an AggregateExpression itself, same as built-in registry entries
     ext.injectFunction((FunctionIdentifier("frequent_items"),

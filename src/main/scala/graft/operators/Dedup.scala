@@ -244,7 +244,7 @@ object Dedup {
     *     prefix by one — which would break losslessness; the epsilon can
     *     only ever lengthen the prefix (more candidates, never a miss).
     */
-  private def prefixTokens(withSz: DataFrame, tau: Double,
+  private[graft] def prefixTokens(withSz: DataFrame, tau: Double,
       carry: Seq[String]): DataFrame = {
     val u = tau / (1.0 + tau)
     val keys = carry ++ Seq("doc_id", "sz")
@@ -262,7 +262,7 @@ object Dedup {
 
   /** Size prune necessary for J >= tau, relaxed by an epsilon so fp
     * rounding of tau*max can only ever KEEP a pair, never drop one. */
-  private def sizePrune(na: Column, nb: Column, tau: Double): Column =
+  private[graft] def sizePrune(na: Column, nb: Column, tau: Double): Column =
     least(na, nb).cast("double") >= greatest(na, nb) * tau - 1e-9
 
   /** The prefix-filter join of [[jaccardJoin]] over a prepared `(doc_id,
@@ -469,6 +469,18 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The q16 exact-dedup keep list as a reusable frame: lowest doc_id
+    * per normalized SHA-256 content hash, with copy counts. Shared by
+    * the catalog entry and the `graft_dedup_keep` SQL table function
+    * ([[graft.GraftExtensions]]) so both surfaces carry the identical
+    * digest-keyed contract. */
+  def exactKeepList(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), sha2(norm(col("text")), 256).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "content_hash", "n_copies")
+
   val queries: Seq[Query] = Seq(
 
     Query(
@@ -479,11 +491,7 @@ object Dedup {
         "count. On this corpus every doc is unique — the operator's value is " +
         "the contract, verified exactly by the oracle.",
       (s, dir) =>
-        Tables.documents(s, dir)
-          .select(col("doc_id"), sha2(norm(col("text")), 256).as("content_hash"))
-          .groupBy("content_hash")
-          .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
-          .select("doc_id", "content_hash", "n_copies")
+        exactKeepList(Tables.documents(s, dir))
           .orderBy("doc_id"),
       Some("""
         SELECT MIN(doc_id) AS doc_id, content_hash, COUNT(*) AS n_copies

@@ -47,6 +47,34 @@ object SqlFrontDoor {
       WHERE rn <= $k
       ORDER BY query_id, rank""")
 
+  /** The curation path as PURE SQL text over the operator-level table
+    * functions [[graft.GraftExtensions]] injects (`graft_dedup_keep`,
+    * `graft_quantile_gate`, `graft_histogram_drift`): exact-dedup keep
+    * list ∩ per-language p-quantile length gate, restricted to languages
+    * whose even/odd doc-id cohorts show scaled-L1 length drift below
+    * half its maximum, accounted per language. Every FROM-clause function resolves to
+    * the SAME DataFrame pipeline its Column-API catalog entry runs
+    * (q16 / q73 / q75) — the TVFs splice those logical plans into this
+    * query, so the broadcast thresholds, bucketed percentile rank, and
+    * integer-exact drift metric are identical in both surfaces. */
+  def curationSql(spark: org.apache.spark.sql.SparkSession, view: String,
+      p: Double, bins: Int): DataFrame =
+    spark.sql(s"""
+      WITH kept AS (
+        SELECT g.doc_id, g.lang, g.n_chars
+        FROM graft_quantile_gate('$view', 'lang', 'n_chars', ${p}D) g
+        JOIN graft_dedup_keep('$view') k ON k.doc_id = g.doc_id
+      ),
+      stable AS (
+        SELECT g AS lang
+        FROM graft_histogram_drift('$view', 'lang', 'doc_id % 2', 'n_chars', $bins)
+        WHERE drift_scaled < n_a * n_b
+      )
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars_kept
+      FROM kept JOIN stable USING (lang)
+      GROUP BY lang
+      ORDER BY lang""")
+
   val queries: Seq[Query] = Seq(
     Query(
       "q62_sql_frontdoor",
@@ -72,5 +100,57 @@ object SqlFrontDoor {
               FROM s)
         WHERE rn <= 5
         ORDER BY query_id, rank"""))
+    ,
+    Query(
+      "q79_sql_curation",
+      "SQL front door, operator level: the curation path (q16 exact-dedup " +
+        "keep list -> q73 per-language p25 length gate -> q75 drift-stable " +
+        "language filter -> per-language accounting) as PURE spark.sql text " +
+        "over injected TABLE-VALUED functions (graft_dedup_keep / " +
+        "graft_quantile_gate / graft_histogram_drift). Each TVF splices the " +
+        "Column-API operator's own logical plan into the query, so the SQL " +
+        "surface inherits the operators' scale shapes verbatim. One DuckDB " +
+        "oracle recomputes the whole composition from the base table.",
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("graft_docs")
+        curationSql(s, "graft_docs", p = 0.25, bins = 16)
+      },
+      Some("""
+        WITH thr AS (
+          SELECT lang, quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS t
+          FROM documents GROUP BY 1
+        ), keep AS (
+          SELECT MIN(doc_id) AS doc_id
+          FROM (SELECT doc_id,
+                       sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+                FROM documents)
+          GROUP BY h
+        ), b AS (
+          SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents
+        ), binned AS (
+          SELECT lang,
+                 CASE WHEN hi = lo THEN 0
+                      ELSE LEAST(CAST(FLOOR((n_chars - lo) / ((hi - lo) / 16)) AS INT), 15)
+                 END AS bin,
+                 COUNT(*) FILTER (WHERE doc_id % 2 = 0) AS na,
+                 COUNT(*) FILTER (WHERE doc_id % 2 = 1) AS nb
+          FROM documents, b GROUP BY 1, 2
+        ), tot AS (
+          SELECT lang, SUM(na) AS ta, SUM(nb) AS tb FROM binned GROUP BY 1
+        ), stable AS (
+          SELECT lang
+          FROM (SELECT bn.lang, SUM(ABS(bn.na * t.tb - bn.nb * t.ta)) AS ds,
+                       MAX(t.ta) AS ta, MAX(t.tb) AS tb
+                FROM binned bn JOIN tot t USING (lang) GROUP BY 1)
+          WHERE ds < ta * tb
+        )
+        SELECT d.lang, COUNT(*) AS n_docs, CAST(SUM(d.n_chars) AS BIGINT) AS n_chars_kept
+        FROM documents d
+        JOIN keep USING (doc_id)
+        JOIN thr USING (lang)
+        JOIN stable USING (lang)
+        WHERE CAST(d.n_chars AS DOUBLE) >= t
+        GROUP BY d.lang
+        ORDER BY d.lang"""))
   )
 }

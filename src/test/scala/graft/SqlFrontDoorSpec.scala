@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, Dedup, Profiling}
+import graft.sources.Tables
+
+/** q79 — the operator-level SQL front door. The contract mirrors q62's:
+  * every injected table-valued function must return row-for-row the
+  * SAME frame its Column-API operator computes (it splices that very
+  * logical plan, so anything else is a wiring bug), and the composed
+  * curation SQL must run end to end over a registered view. The
+  * value-level parity against DuckDB is the q79 oracle's job. */
+class SqlFrontDoorSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs: DataFrame = Tables.documents(spark, sf)
+
+  private def registered(): Unit =
+    docs.createOrReplaceTempView("graft_docs")
+
+  private def sorted(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  test("graft_dedup_keep TVF equals Dedup.exactKeepList row for row") {
+    registered()
+    val viaSql = spark.sql("SELECT * FROM graft_dedup_keep('graft_docs')")
+    assert(sorted(viaSql) === sorted(Dedup.exactKeepList(docs)))
+  }
+
+  test("graft_quantile_gate TVF equals Curation.quantileFilter row for row") {
+    registered()
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_quantile_gate('graft_docs', 'lang', 'n_chars', 0.25D)")
+    val viaApi = Curation.quantileFilter(
+        docs.withColumn("x", col("n_chars").cast("double")), "lang", p = 0.25)
+      .drop("x", "thr")
+    assert(viaSql.columns.toSeq === viaApi.columns.toSeq)
+    assert(sorted(viaSql) === sorted(viaApi))
+    // the decimal-literal spelling must gate identically (doubleArg
+    // accepts both, so callers need not remember the D suffix)
+    val viaDec = spark.sql(
+      "SELECT * FROM graft_quantile_gate('graft_docs', 'lang', 'n_chars', 0.25)")
+    assert(sorted(viaDec) === sorted(viaApi))
+  }
+
+  test("graft_histogram_drift TVF equals Profiling.histogramDrift row for row") {
+    registered()
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_histogram_drift('graft_docs', 'lang', 'doc_id % 2', 'n_chars', 16)")
+    val viaApi = Profiling.histogramDrift(
+      docs, col("lang"), col("doc_id") % 2, col("n_chars"), nBins = 16)
+    assert(sorted(viaSql) === sorted(viaApi))
+  }
+
+  test("q79 composed curation SQL runs over the view and accounts per language") {
+    val out = SparkEntry.queries("q79_sql_curation")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // per-language rows, each with positive counts
+    assert(out.map(_.getString(0)).distinct.length === out.length)
+    assert(out.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0))
+  }
+}
