@@ -35,29 +35,31 @@ object Events {
   /** (user_id, day, n_events) for EVERY day in each user's active span,
     * gap days included with n_events = 0.
     *
-    * Cache contract (as in Dedup.jaccardJoin/Similarity.knnLsh): `byDay`
-    * stays persisted for the session — the returned frame reads it
-    * lazily, so this operator cannot unpersist it itself; batch drivers
-    * running many queries in one session `spark.catalog.clearCache()`
-    * between them (Bench and Verify both do). */
-  def gapFilledDailyCounts(events: DataFrame): DataFrame = {
-    // eager persist (the codebase's barrier pattern, see Dedup): byDay
-    // feeds BOTH the span derivation and the join's right side, and the
-    // self-referencing aliases defeat exchange reuse — uncached, the
-    // full per-(user, day) scan+shuffle aggregate runs twice
-    val byDay = events
+    * Shape (round-6 restructure — was a persisted per-(user, day) frame
+    * self-joined against its own exploded spans): two chained
+    * aggregates, no join, no persist. The (user, day) counts collapse
+    * map-side; a second user-keyed aggregate collects each user's
+    * active days into an in-row map plus the span bounds, and the gap
+    * fill is a per-row `sequence`/`transform` lookup — the join the old
+    * form shuffled both sides for becomes an `element_at` against the
+    * row's own map. Per-user in-row state is bounded by the user's span
+    * in DAYS (an epoch-to-now span is ~20k entries), so the collected
+    * map cannot blow up a row at any corpus scale; the exploded output
+    * is identical row-for-row to the join form. */
+  def gapFilledDailyCounts(events: DataFrame): DataFrame =
+    events
       .select(col("user_id"), dayOf("ts").as("day"))
       .groupBy("user_id", "day")
       .agg(count(lit(1)).as("n_events"))
-      .persist()
-    byDay.count()
-    val spans = byDay.groupBy("user_id")
-      .agg(min("day").as("d0"), max("day").as("d1"))
-      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
-    spans.join(byDay, Seq("user_id", "day"), "left")
-      .select(col("user_id"), col("day"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"))
-  }
+      .groupBy("user_id")
+      .agg(map_from_entries(collect_list(struct(col("day"), col("n_events"))))
+          .as("m"),
+        min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(transform(sequence(col("d0"), col("d1")), d =>
+          struct(d.as("day"),
+            coalesce(element_at(col("m"), d), lit(0L)).as("n_events")))).as("e"))
+      .select(col("user_id"), col("e.day").as("day"), col("e.n_events").as("n_events"))
 
   val queries: Seq[Query] = Seq(
     Query(
@@ -119,8 +121,9 @@ object Events {
         "span aggregates (min/max day + sequence explode), never a calendar " +
         "cross join, so the generated row count is bounded by actual spans. " +
         "Day indices are integer floor divisions of epoch nanos (2^53-safe). " +
-        "One (user, day) aggregate, one small span aggregate off it, one " +
-        "left equi-join.",
+        "Two chained aggregates, no join: each user's active-day counts " +
+        "collect into an in-row map (bounded by span days) and gap days " +
+        "fill via a per-row sequence/element_at lookup.",
       (s, dir) =>
         gapFilledDailyCounts(Tables.events(s, dir))
           .orderBy("user_id", "day"),
@@ -149,7 +152,7 @@ object Events {
         // count branch; eager persists (tiny per-user frames) pin the
         // events scans at one per stage instead of re-deriving the whole
         // prefix of the funnel under every union branch. Cache contract
-        // as in gapFilledDailyCounts: the returned union reads v/c
+        // as in Dedup.jaccardJoin: the returned union reads v/c
         // lazily, so they stay persisted until the batch driver's
         // clearCache() between queries (Bench and Verify both do)
         val v = ev.filter(col("event_type") === "view")
