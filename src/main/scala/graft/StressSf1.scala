@@ -87,7 +87,20 @@ object StressSf1 {
         n = 3, tau = 0.7)),
       // map-only explode: token counts are family-invariant (the ~k
       // suffix never adds tokens), so chunk rows are exactly 10x
-      "q65_chunk_overlap" -> (d => operators.Shards.chunkOverlap(d, 64, 48)))
+      "q65_chunk_overlap" -> (d => operators.Shards.chunkOverlap(d, 64, 48)),
+      // the streaming gate's one-sided prefix filter (probe = FULL hash
+      // set) trades candidate volume for statelessness — this is the
+      // check that the trade stays LINEAR at 10x: same %3 split per
+      // family, so matches are exactly 10x, like q70; index build +
+      // probe both inside the timed window
+      "ingest_gate_batch" -> (d => {
+        val idx = streaming.IngestGateStream.buildIndex(
+          d.filter(col("doc_id") % 3 =!= 0), n = 3, tau = 0.7)
+        streaming.IngestGateStream.matches(idx,
+          d.filter(col("doc_id") % 3 === 0)
+            .withColumn("ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))),
+          n = 3, tau = 0.7, "ts")
+      }))
 
     val loadStart = Bench.loadavgJson()
     val results = pipelines.map { case (name, build) =>
