@@ -60,9 +60,18 @@ object TrainingPipeline {
     * ambiguity the composed oracle exists to pin down. */
   def curatedCorpus(docs0: DataFrame, p: Double = 0.10): DataFrame = {
     val docs = docs0
+    // eager barriers (the codebase's persist pattern, see Dedup): each
+    // survivor frame feeds multiple downstream consumers (the near-dup
+    // chain reads afterExact for pairs AND as the anti-join's left side;
+    // the gate's two percentile passes plus its join all read
+    // afterNear). Left lazy, AQE launches those consumers' map stages
+    // concurrently and each races to populate the cache — re-deriving
+    // the whole upstream chain (prefix join, CC rounds) per consumer.
     val afterExact = docs.join(exactSurvivors(docs), Seq("doc_id")).persist()
+    afterExact.count()
     val afterNear = afterExact
       .join(nearDupDropped(afterExact), Seq("doc_id"), "left_anti").persist()
+    afterNear.count()
     lengthGated(afterNear, p)
   }
 
