@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -65,39 +65,59 @@ object Shards {
       .select("doc_id", "n_tokens", "shard_id"), handle)
   }
 
+  /** The general two-pass distributed prefix sum: every input row gains
+    * `start_off` = the EXCLUSIVE running total of `weight` over the
+    * global `orderCols` order. This is the scale-safe scan documented in
+    * the object scaladoc — range-partition on the order key, pin the
+    * partition id, per-partition totals (P rows) get their exclusive
+    * prefix via a trivially-small window, broadcast the offsets back,
+    * window-scan WITHIN each range partition. Parallelism equals the
+    * partition count at any data size; the result is identical at any
+    * partition count because range partitions are contiguous in key
+    * order.
+    *
+    * Cache contract: the returned handle (second element) is the
+    * persisted range-partitioned frame — the result reads it twice
+    * (offsets + scan) and the partition ids must agree between the two
+    * reads; batch drivers `clearCache()` between queries (the
+    * jaccardJoin contract), action-shaped callers unpersist it
+    * themselves ([[writeShards]]). */
+  def prefixOffsets(rows: DataFrame, orderCols: Seq[Column],
+      weight: Column): (DataFrame, DataFrame) = {
+    val parts = rows.sparkSession.sparkContext.defaultParallelism
+    val ranged = rows.withColumn("__w", weight.cast("long"))
+      .repartitionByRange(parts, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    ranged.count()
+    val offsets = ranged.groupBy("__pid")
+      .agg(sum("__w").as("__ptotal"))
+      .withColumn("__poffset",
+        coalesce(sum("__ptotal").over(
+          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__poffset")
+    val local = Window.partitionBy("__pid").orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = ranged
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn("start_off",
+        col("__poffset") + sum("__w").over(local) - col("__w"))
+      .drop("__pid", "__w", "__poffset")
+    (out, ranged)
+  }
+
   /** (doc_id, n_tokens, start_off) — each document's global starting
-    * token offset in `doc_id` order, via the two-pass prefix sum.
+    * token offset in `doc_id` order, via [[prefixOffsets]].
     * Returns the persisted internal frame as the second element. */
   def docOffsets(docs: DataFrame): (DataFrame, DataFrame) = {
-    val spark = docs.sparkSession
-    val parts = spark.sparkContext.defaultParallelism
     // split-based tokens, not tokensFast: an empty/whitespace doc counts
     // 1 (the [""] split) in both Spark and the SQL string_split twin —
     // with tokensFast it would count 0 here and 1 in SQL, shifting every
     // downstream shard boundary by one token
     val toks = docs.select(col("doc_id"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
-    // pid must be identical in both passes below, so the ranged frame is
-    // persisted and materialized once (same cache contract as q28's
-    // jaccardJoin: batch drivers clearCache() between queries)
-    val ranged = toks.repartitionByRange(parts, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .persist()
-    ranged.count()
-    val offsets = ranged.groupBy("pid")
-      .agg(sum("n_tokens").as("ptotal"))
-      .withColumn("poffset",
-        coalesce(sum("ptotal").over(
-          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("pid", "poffset")
-    val local = Window.partitionBy("pid").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val out = ranged
-      .join(broadcast(offsets), Seq("pid"))
-      .withColumn("start_off",
-        col("poffset") + sum("n_tokens").over(local) - col("n_tokens"))
-      .select("doc_id", "n_tokens", "start_off")
-    (out, ranged)
+    val (out, handle) = prefixOffsets(toks, Seq(col("doc_id")), col("n_tokens"))
+    (out.select("doc_id", "n_tokens", "start_off"), handle)
   }
 
   /** Shard spans WITH document breaking — the semantics an actual

@@ -227,7 +227,7 @@ object Similarity {
     * same session-scoped cache contract as jaccardJoin/knnLsh — batch
     * drivers clearCache() between queries, and the index builder
     * ([[AnnIndex.ivfIndex]]) unpersists after its one-shot write. */
-  private[operators] def ivfCentroids(e: DataFrame, centroids: Int,
+  private[graft] def ivfCentroids(e: DataFrame, centroids: Int,
       lloydIters: Int): DataFrame = {
     // bounded training set; its smallest-hash prefix IS the seed set (the
     // same hash order), so seeding is unchanged from the full-corpus form

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{SemanticDedup, Similarity}
+import graft.sources.Tables
+
+/** q80 SemDeDup: planted-twin recall, a full differential against an
+  * independent plain-Scala reimplementation, and determinism. */
+class SemanticDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private val offset = 100000L
+  private val tau = 0.95
+  private val nCent = 16
+
+  private def corpus = Similarity
+    .plantedDupCorpus(Tables.embeddings(spark, sf), offset)
+    .withColumnRenamed("emb", "embedding")
+
+  test("planted twins share a component and exactly one member per component survives") {
+    val out = SemanticDedup.semanticDedup(corpus, tau, nCent).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val comp = out.map(t => t._1 -> t._2).toMap
+    val nOrig = out.map(_._1).count(_ < offset) max out.map(_._1).count(_ >= offset)
+    val planted = comp.keys.filter(_ < offset).toSeq
+    assert(planted.nonEmpty, "no planted originals were clustered at all")
+    // recall floor: a twin can straddle a cluster boundary (the SemDeDup
+    // trade), but nearly all land together
+    val together = planted.count(id => comp.get(id + offset).contains(comp(id)))
+    assert(together.toDouble / planted.size >= 0.9,
+      s"only $together/${planted.size} planted twins share a component")
+    // election: exactly one keeper per component, and it IS the canonical
+    out.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.count(_._4) === 1, s"component $c keeper count")
+      val keeper = members.find(_._4).get
+      assert(members.forall(_._3 == keeper._1), s"component $c canonical mismatch")
+    }
+    assert(nOrig > 0)
+  }
+
+  test("matches an independent plain-Scala reimplementation on the same centroids") {
+    val e = Similarity.prepared(corpus)
+    // ivfCentroids is deterministic, so this equals the frame
+    // semanticDedup derives internally
+    val cent = Similarity.ivfCentroids(e, nCent, lloydIters = 1)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val vecs = e.collect().map(r => (r.getLong(0),
+      r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    // nearest centroid, ties to the HIGHER cent_id (the max_by struct order)
+    val assign = vecs.map { case (id, v, n) =>
+      val best = cent.map { case (cid, cv, cn) => (dot(v, cv) / (n * cn), cid) }.max
+      id -> best._2
+    }.toMap
+    val byId = vecs.map(t => t._1 -> t).toMap
+    val centCos = vecs.map { case (id, v, n) =>
+      val (_, cv, cn) = cent.find(_._1 == assign(id)).get
+      id -> dot(v, cv) / (n * cn)
+    }.toMap
+    // within-cluster pairs at cosine >= tau, then union-find
+    val ids = vecs.map(_._1).sorted
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    var nPairs = 0
+    for (a <- ids; b <- ids if a < b && assign(a) == assign(b)) {
+      val (_, va, na) = byId(a); val (_, vb, nb) = byId(b)
+      if (dot(va, vb) / (na * nb) >= tau) {
+        nPairs += 1
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+    }
+    assert(nPairs > 0, "differential fixture produced no pairs")
+    val byComp = ids.filter(i => find(i) != i || ids.exists(j => j != i && find(j) == find(i)))
+      .groupBy(find)
+    val expected = byComp.toSeq.flatMap { case (c, members) =>
+      // keepList: max_by(doc_id, (score, -doc_id)), score = -centCos
+      // == minimize (centCos, doc_id)
+      val canonical = members.minBy(m => (centCos(m), m))
+      members.map(m => (m, c, canonical, m == canonical))
+    }.toSet
+    val got = SemanticDedup.semanticDedup(corpus, tau, nCent).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(got === expected)
+  }
+
+  test("two runs return identical verdicts") {
+    def run() = SemanticDedup.semanticDedup(corpus, tau, nCent)
+      .collect().map(_.toSeq).toSeq
+    assert(run() === run())
+  }
+}
