@@ -61,4 +61,59 @@ class SnapshotDiffSpec extends AnyFunSuite {
     assert(got("removed") + got("changed") + got("unchanged") === nBefore)
     assert(got("added") + got("changed") + got("unchanged") === nAfter)
   }
+
+  test("refreshAgg: update pair cancels, full deletion drops group, insert births group") {
+    import spark.implicits._
+    val keys = Seq("k")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Seq("sum_v" -> col("v").cast("decimal(18,2)"))
+    // state from base rows: a={10,20}, b={5}, c={7}
+    val base = Seq(("a", 10.0), ("a", 20.0), ("b", 5.0), ("c", 7.0))
+      .toDF("k", "v")
+    val state = SnapshotDiff.signedState(base, lit("I"), keys, m(base))
+    // delta: update a(10->11) as D+I; delete ALL of b; insert new group d
+    val delta = Seq(
+      ("a", 10.0, "D"), ("a", 11.0, "I"),
+      ("b", 5.0, "D"),
+      ("d", 3.0, "I"), ("d", 4.0, "I"))
+      .toDF("k", "v", "op")
+    val got = SnapshotDiff
+      .refreshAgg(state, delta, col("op"), keys, m(delta))
+      .select(col("k"), col("n_rows"), col("sum_v").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got === Set(("a", 2L, 31.0), ("c", 1L, 7.0), ("d", 2L, 7.0)))
+  }
+
+  test("refreshAgg heals a group born and fully deleted within one batch") {
+    import spark.implicits._
+    val state = SnapshotDiff.signedState(
+      Seq(("a", 2.0)).toDF("k", "v"), lit("I"), Seq("k"),
+      Seq("sum_v" -> col("v").cast("decimal(18,2)")))
+    val delta = Seq(("z", 9.0, "I"), ("z", 9.0, "D"))
+      .toDF("k", "v", "op")
+    val got = SnapshotDiff.refreshAgg(state, delta, col("op"), Seq("k"),
+        Seq("sum_v" -> col("v").cast("decimal(18,2)")))
+      .collect().map(_.getString(0)).toSet
+    assert(got === Set("a"))
+  }
+
+  test("q82 state+delta equals full recompute (differential on sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q82_incr_refresh")(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val eff = li.filter(col("l_orderkey") % 10 =!= 0 &&
+        col("l_orderkey") % 7 =!= 0)
+      .unionByName(li.filter(col("l_orderkey") % 10 === 0))
+    val want = SnapshotDiff.signedState(eff, lit("I"),
+        Seq("l_returnflag", "l_linestatus"),
+        Seq("sum_qty" -> col("l_quantity").cast("decimal(18,2)"),
+          "sum_price" -> col("l_extendedprice").cast("decimal(18,2)")))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+        col("sum_qty").cast("double").as("sum_qty"),
+        col("sum_price").cast("double").as("sum_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+    assert(got.collect().toSeq === want.collect().toSeq)
+    assert(got.count() > 0)
+  }
 }
