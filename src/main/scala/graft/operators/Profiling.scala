@@ -127,6 +127,58 @@ object Profiling {
         max("ta").as("n_a"), max("tb").as("n_b"))
   }
 
+  /** One-scan, all-columns data-card profile: (col_name, n_rows,
+    * n_null, n_distinct, min_v, max_v, sum_v) — the summary table a
+    * corpus drop publishes before any job trusts it. `numeric` columns
+    * get min/max/sum (sum in DECIMAL(18,2), the catalog's exactness
+    * contract); `other` columns are counted only (their min/max/sum are
+    * NULL — string collation and timestamp rendering are not
+    * engine-portable, counts are).
+    *
+    * Scale shape: the naive formulation is either m separate
+    * `SELECT COUNT(DISTINCT c) FROM t` scans or ONE aggregate with m
+    * distinct aggregates — which Catalyst plans as an Expand that
+    * shuffles m copies of every raw row. This instead unpivots map-side
+    * (explode of an m-struct array — m× rows inside the task, never on
+    * the wire) and aggregates twice: stage 1 groups by (col, value), so
+    * map-side combine caps the exchange at Σ_c distinct(c) partial rows
+    * carrying (count, min, max, sum); stage 2 folds the value groups to
+    * one row per column — n_null is the null value-group's count,
+    * n_distinct is the number of non-null value groups (the exact
+    * multi-column distinct, FD-shared like the hypercube's rewrite).
+    * Distinct values are keyed by their STRING image, which is
+    * injective per column: Spark renders doubles at shortest-round-trip
+    * precision, so distinct doubles never collide.
+    *
+    * The per-value min/max/sum partials in stage 1 are exact (min/max
+    * trivially; sum is a decimal times an integer count via repeated
+    * addition), so the two-stage fold equals the direct aggregate. */
+  def profileColumns(df: DataFrame, numeric: Seq[String],
+      other: Seq[String]): DataFrame = {
+    val entries =
+      numeric.map(c => struct(lit(c).as("col_name"),
+        col(c).cast("double").as("num_v"),
+        col(c).cast("decimal(18,2)").as("num_dec"),
+        col(c).cast("string").as("str_v"))) ++
+      other.map(c => struct(lit(c).as("col_name"),
+        lit(null).cast("double").as("num_v"),
+        lit(null).cast("decimal(18,2)").as("num_dec"),
+        col(c).cast("string").as("str_v")))
+    val stacked = df.select(explode(array(entries: _*)).as("s"))
+      .select(col("s.col_name"), col("s.num_v"), col("s.num_dec"),
+        col("s.str_v"))
+    val perValue = stacked.groupBy("col_name", "str_v")
+      .agg(count(lit(1)).as("cnt"), min("num_v").as("mn"),
+        max("num_v").as("mx"), sum("num_dec").as("sm"))
+    perValue.groupBy("col_name")
+      .agg(sum("cnt").as("n_rows"),
+        sum(when(col("str_v").isNull, col("cnt")).otherwise(lit(0L)))
+          .as("n_null"),
+        count(when(col("str_v").isNotNull, lit(1))).as("n_distinct"),
+        min("mn").as("min_v"), max("mx").as("max_v"),
+        sum("sm").cast("double").as("sum_v"))
+  }
+
   val queries: Seq[Query] = Seq(
     Query(
       "q46_histogram",
@@ -232,5 +284,70 @@ object Profiling {
         FROM binned JOIN tot USING (event_type)
         GROUP BY 1
         ORDER BY event_type"""))
+    ,
+    Query(
+      "q83_profile_columns",
+      "All-columns data-card profile of lineitem in ONE scan: per-column " +
+        "rows/nulls/exact-distinct plus min/max/decimal-exact sum for " +
+        "the numeric columns — map-side unpivot into a (col, value) " +
+        "double aggregate, so the exchange carries at most one partial " +
+        "row per distinct value per column (never m copies of the raw " +
+        "rows, which is what an m-way COUNT(DISTINCT) Expand would " +
+        "ship). The oracle recomputes every column's stats as separate " +
+        "direct aggregates — proving the shared-scan fold exact.",
+      (s, dir) => profileColumns(
+        Tables.lineitem(s, dir),
+        numeric = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+          "l_discount", "l_tax"),
+        other = Seq("l_returnflag", "l_linestatus", "l_shipdate"))
+        .orderBy("col_name"),
+      Some("""
+        SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(l_orderkey) AS n_null,
+               COUNT(DISTINCT l_orderkey) AS n_distinct,
+               CAST(MIN(l_orderkey) AS DOUBLE) AS min_v,
+               CAST(MAX(l_orderkey) AS DOUBLE) AS max_v,
+               CAST(SUM(CAST(l_orderkey AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+               COUNT(DISTINCT l_quantity),
+               CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE),
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+               COUNT(DISTINCT l_extendedprice),
+               CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE),
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+               COUNT(DISTINCT l_discount),
+               CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE),
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', COUNT(*), COUNT(*) - COUNT(l_tax),
+               COUNT(DISTINCT l_tax),
+               CAST(MIN(l_tax) AS DOUBLE), CAST(MAX(l_tax) AS DOUBLE),
+               CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+               COUNT(DISTINCT l_returnflag),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_linestatus', COUNT(*), COUNT(*) - COUNT(l_linestatus),
+               COUNT(DISTINCT l_linestatus),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
+               COUNT(DISTINCT l_shipdate),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM lineitem
+        ORDER BY col_name"""))
   )
 }

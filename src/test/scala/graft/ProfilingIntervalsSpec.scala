@@ -142,4 +142,45 @@ class ProfilingIntervalsSpec extends AnyFunSuite {
       (3L, "date", 3L, 2L, 1), (3L, "apple", 1L, 2L, 2))
     assert(got === expect)
   }
+
+  test("profileColumns: nulls, duplicates, and an all-null column fold exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1.0), Some("a"), Option.empty[Double]),
+      (Some(1.0), Some("a"), Option.empty[Double]),
+      (Some(2.5), None, Option.empty[Double]),
+      (None, Some("b"), Option.empty[Double]))
+      .toDF("x", "s", "dead")
+    val got = Profiling.profileColumns(df, numeric = Seq("x", "dead"),
+        other = Seq("s"))
+      .collect().map(r => r.getString(0) -> (
+        r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)), Option(r.get(5)), Option(r.get(6)))).toMap
+    assert(got("x") === ((4L, 1L, 2L, Some(1.0), Some(2.5), Some(4.5))))
+    assert(got("dead") === ((4L, 4L, 0L, None, None, None)))
+    assert(got("s") === ((4L, 1L, 2L, None, None, None)))
+  }
+
+  test("profileColumns plans no Expand: the unpivot aggregate, not the m-way distinct") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.ExpandExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val out = Profiling.profileColumns(
+      graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001"),
+      numeric = Seq("l_quantity", "l_extendedprice"),
+      other = Seq("l_returnflag"))
+    out.collect()
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val expanded = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Seq.empty
+      }
+      p +: (p.children ++ expanded).flatMap(allNodes)
+    }
+    val expands = allNodes(out.queryExecution.executedPlan)
+      .collect { case e: ExpandExec => e }
+    assert(expands.isEmpty,
+      "profile plan contains Expand — the m-way distinct shape it must avoid")
+  }
 }
