@@ -89,16 +89,35 @@ object Bench {
       s"unknown bench queries: ${unknown.mkString(", ")} (catalog: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
     val queries = selected.map(n => n -> SparkEntry.queries(n))
     val loadStart = loadavgJson()
-    // Warm-up: one full pass (never timed).
-    queries.foreach { case (_, fn) => runOnce(spark)(fn(spark, sfDir)) }
-
-    val results = queries.map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        runOnce(spark)(fn(spark, sfDir))
-        (System.nanoTime() - t0) / 1e9
+    // Fault isolation (round-6 fix): one broken query must cost one row,
+    // not the artifact. Round 6's q13 AnalysisException during warm-up
+    // aborted the whole 76-query run and left BENCH_r06.json with rc=1
+    // and no numbers. Warm-up and timed runs are wrapped per query; a
+    // failure records an error row and the run continues.
+    def attempt(name: String, fn: (org.apache.spark.sql.SparkSession, String) => DataFrame): Option[String] =
+      try { runOnce(spark)(fn(spark, sfDir)); None }
+      catch { case e: Throwable =>
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}"
+        System.err.println(s"[bench] $name failed: $msg")
+        Some(msg)
       }
-      name -> times
+    // Warm-up: one full pass (never timed); remember failures so the
+    // timed phase doesn't pay 3 more exceptions per broken query.
+    val warmupErr: Map[String, String] =
+      queries.flatMap { case (n, fn) => attempt(n, fn).map(n -> _) }.toMap
+
+    val results: Seq[(String, Either[String, Seq[Double]])] = queries.map {
+      case (name, _) if warmupErr.contains(name) => name -> Left(warmupErr(name))
+      case (name, fn) =>
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val err = attempt(name, fn)
+          err.toLeft((System.nanoTime() - t0) / 1e9)
+        }
+        runs.collectFirst { case Left(e) => e } match {
+          case Some(e) => name -> Left(e)
+          case None    => name -> Right(runs.collect { case Right(t) => t })
+        }
     }
     // stdout line is COMPACT (4-decimal medians, no raw runs): the
     // driver records only a bounded stdout tail, and the round-5 full
@@ -108,15 +127,29 @@ object Bench {
     // under host contention.
     def fmt(d: Double): String = BigDecimal(d)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qsFull = results.map { case (k, ts) => s""""$k":${median(ts)}""" }.mkString("{", ",", "}")
-    val qsShort = results.map { case (k, ts) => s""""$k":${fmt(median(ts))}""" }.mkString("{", ",", "}")
-    val runs = results.map { case (k, ts) => s""""$k":[${ts.mkString(",")}]""" }.mkString("{", ",", "}")
-    val total = results.map(r => median(r._2)).sum
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    // A failed query appears in "queries" as {"err":"..."} (never a
+    // number) so per-query status is visible in-place, and its name is
+    // repeated in "errors" so "every value in queries is a second" stays
+    // true for readers that skip non-number values.
+    def qJson(k: String, v: Either[String, Seq[Double]], full: Boolean): String = v match {
+      case Left(e)   => s""""$k":{"err":"${esc(e)}"}"""
+      case Right(ts) => s""""$k":${if (full) median(ts).toString else fmt(median(ts))}"""
+    }
+    val qsFull = results.map { case (k, v) => qJson(k, v, full = true) }.mkString("{", ",", "}")
+    val qsShort = results.map { case (k, v) => qJson(k, v, full = false) }.mkString("{", ",", "}")
+    val runs = results.collect { case (k, Right(ts)) => s""""$k":[${ts.mkString(",")}]""" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(e)) => s""""$k":"${esc(e)}"""" }.mkString("{", ",", "}")
+    val nErr = results.count(_._2.isLeft)
+    val total = results.collect { case (_, Right(ts)) => median(ts) }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir","runs":$runs,"loadavg_start":$loadStart,"loadavg_end":${loadavgJson()}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errs,"sf":"$sfDir","runs":$runs,"loadavg_start":$loadStart,"loadavg_end":${loadavgJson()}}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()
     // last line of stdout; detail_file points the reader at the full artifact
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir","detail_file":"$outPath"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort,"errors":$errs,"error_count":$nErr,"sf":"$sfDir","detail_file":"$outPath"}""")
   }
 }

@@ -53,15 +53,18 @@ object PipelineMain {
     val docs = Tables.documents(spark, sfDir)
 
     // 1. exact dedup: deterministic smallest-id survivor per digest. The
-    // summary's input count rides in the SAME aggregate (sum of per-digest
-    // group sizes) — no separate corpus scan just to count the input.
+    // summary's input count AND survivor count ride in ONE aggregate over
+    // the digest groups (sum of group sizes = input docs; group count =
+    // survivors, since the min-doc_id join keeps exactly one row per
+    // group) — no separate corpus scan, and no extra count() job over
+    // the joined frame.
     val exactAgg = docs
       .withColumn("__h", sha2(TextAnalysis.norm(col("text")), 256))
       .groupBy("__h").agg(min("doc_id").as("doc_id"), count(lit(1)).as("__n"))
       .persist()
     val afterExact = docs.join(exactAgg.select("doc_id"), Seq("doc_id")).persist()
-    val nExact = afterExact.count()
-    val total = exactAgg.agg(sum("__n")).head().getLong(0)
+    val exactStats = exactAgg.agg(count(lit(1)), sum("__n")).head()
+    val (nExact, total) = (exactStats.getLong(0), exactStats.getLong(1))
     exactAgg.unpersist()
 
     // 2. near-dup clusters + election: drop every non-canonical member

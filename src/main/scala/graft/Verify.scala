@@ -14,11 +14,23 @@ object Verify {
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     only.foreach(o => o.diff(selected.keySet).foreach(n =>
       System.err.println(s"[verify] unknown query requested: $n")))
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // Round-6 lesson: a swallowed failure left NO row in the
+        // driver's CORRECTNESS json — indistinguishable from "not
+        // implemented". Leave a per-query `_ERROR` marker (the output
+        // dir exists but holds no parquet → the driver's read fails →
+        // it records `err`, not an omission) and aggregate to
+        // failed.json for the next round's judge.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+        val d = new java.io.File(s"$outDir/$name")
+        d.mkdirs()
+        d.listFiles().foreach(f => if (f.isFile) f.delete()) // stale partial output
+        Files.writeString(Paths.get(s"$outDir/$name/_ERROR"), failed(name))
       }
       // several operators persist barrier frames (q17/q28 candidates,
       // q20 buckets); drop them once the query's output is written so 28
@@ -40,6 +52,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failedJson = failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failed.json"), failedJson)
     spark.stop()
   }
 }

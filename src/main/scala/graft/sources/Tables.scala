@@ -64,23 +64,48 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's reader
-    * rejects unless `spark.sql.legacy.parquet.nanosAsLong=true`; with it,
-    * `ts` reads as epoch nanoseconds (LongType) — exact, and cheaper to
-    * compare/lag than timestamps anyway. The conf is set at session
-    * construction (Bench/Verify/EtlMain/SparkTestSession via
-    * [[graft.GraftSession]]), not mutated here: a loader silently
-    * flipping session state would race under concurrent use. */
+  /** Events with `ts` NORMALIZED to epoch-nanosecond LongType — the one
+    * type every downstream operator (sessionize, range/interval/as-of
+    * joins, gap-fill, retention, CDC dedup) does integer arithmetic on.
+    * Exact, and cheaper to compare/lag than timestamps anyway.
+    *
+    * The driver has regenerated `events.parquet` with different physical
+    * types across rounds (INT64 TIMESTAMP(NANOS) through round 5;
+    * `timestamp[us]` → TIMESTAMP_NTZ since round 6), so the loader
+    * adapts on the RESULTING Catalyst type, not on session confs:
+    *   - LongType: already epoch nanos (the nanos file read under
+    *     `spark.sql.legacy.parquet.nanosAsLong=true`, which
+    *     [[graft.GraftSession]] still sets so a nanos regeneration keeps
+    *     loading) — pass through.
+    *   - TIMESTAMP / TIMESTAMP_NTZ: `unix_micros(cast(ts as timestamp))
+    *     * 1000L`. The NTZ→TIMESTAMP cast interprets the wall-clock
+    *     datetime in the session timezone; GraftSession pins
+    *     `spark.sql.session.timeZone=UTC`, so the micros value is the
+    *     file's verbatim — the cast is made EXPLICIT (not left to
+    *     unix_micros' implicit coercion) and the UTC assumption checked
+    *     below so a non-UTC session fails loudly instead of silently
+    *     shifting every timestamp.
+    * Both are cheap codegen'd projections over the scan — pruning and
+    * pushdown on the other columns are unaffected. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // A session built without GraftSession would otherwise die inside the
-    // parquet reader with an opaque nanos-timestamp error — turn the
-    // contract violation into an actionable message instead.
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet carries INT64 TIMESTAMP(NANOS): build the session via " +
-        "graft.GraftSession (or set spark.sql.legacy.parquet.nanosAsLong=true " +
-        "at session construction) before reading it")
-    load(spark, dir, "events")
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampType | TimestampNTZType =>
+        require(
+          spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events.ts is a timestamp column; converting it to epoch nanos " +
+            "requires spark.sql.session.timeZone=UTC (build the session via " +
+            s"graft.GraftSession) — got ${spark.conf.get("spark.sql.session.timeZone")}")
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case other => throw new IllegalStateException(
+        s"events.parquet ts column loaded as unsupported type $other " +
+          s"(expected LongType epoch-nanos, TIMESTAMP, or TIMESTAMP_NTZ) — " +
+          s"the driver likely regenerated /root/testdata with a new physical " +
+          s"type; teach Tables.events to normalize it")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

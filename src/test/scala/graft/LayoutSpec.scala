@@ -85,4 +85,59 @@ class LayoutSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(_.toString)
     assert(after.toSeq === before.toSeq)
   }
+
+  test("morton16 spreads fractional-span (span < 1) double dimensions") {
+    // The old quantizer used span (hi - lo + 1); on a double dimension
+    // with true span < 1 the +1 dominated and collapsed nearly all
+    // values into a handful of codes. Pin the fix: 1000 evenly-spaced
+    // doubles in [0, 0.5) must spread across ~1000 distinct Morton
+    // codes, and quantization must use the full 16-bit range (top cell
+    // reached), not just the bottom sliver.
+    import spark.implicits._
+    val n = 1000
+    val df = (0 until n).map(i => (i * 0.0005, i * 0.0005)).toDF("a", "b")
+    val bounds = df.agg(
+      min("a").as("alo"), max("a").as("ahi"),
+      min("b").as("blo"), max("b").as("bhi"))
+    val z = df.crossJoin(broadcast(bounds))
+      .select(Layout.morton16(
+        col("a"), col("alo"), col("ahi"),
+        col("b"), col("blo"), col("bhi")).as("z"))
+    val distinct = z.distinct().count()
+    assert(distinct >= n * 9 / 10,
+      s"only $distinct distinct Morton codes for $n distinct fractional keys " +
+        "— the quantizer is collapsing a span-<1 dimension")
+    // max interleaved code for qa==qb==65535 is 0xFFFFFFFF; reaching
+    // >= the code for quantized cell 60000 proves the range isn't
+    // squashed into the low cells.
+    val zmax = z.agg(max("z")).head().getLong(0)
+    assert(zmax > (3L << 30),
+      s"max Morton code $zmax stuck in the low range — quantizer not using full 16 bits")
+  }
+
+  test("z-order layout rebuilds (new path) when the source table mutates") {
+    // The _SUCCESS reuse gate keys on a CONTENT fingerprint
+    // (name+len+mtime of the source files), not just the dir string: a
+    // regenerated/overwritten source must produce a different layout
+    // path and fresh files, never silently serve the stale clustering.
+    val base = s"target/layout_mutation_${System.nanoTime()}"
+    val srcDir = new Path(base)
+    val fs = srcDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeSource(rows: Int): Unit =
+      Tables.lineitem(spark, sf).limit(rows)
+        .write.mode("overwrite").parquet(s"$base/lineitem.parquet")
+    writeSource(2000)
+    val first = Layout.zorderedLineitem(spark, base, nFiles = 4)
+    assert(fs.exists(new Path(first, "_SUCCESS")))
+    // unchanged source → exact reuse (same path, no rewrite)
+    assert(Layout.zorderedLineitem(spark, base, nFiles = 4) === first)
+    writeSource(3000) // mutate the source in place (same dir string)
+    val second = Layout.zorderedLineitem(spark, base, nFiles = 4)
+    assert(second !== first,
+      "mutated source reused the stale z-order layout — contentKey is not " +
+        "part of the _SUCCESS cache key")
+    assert(spark.read.parquet(second).count() === 3000)
+    fs.delete(srcDir, true)
+    Seq(first, second).foreach(p => fs.delete(new Path(p), true))
+  }
 }
