@@ -74,6 +74,59 @@ object Sampling {
       group, Seq(col("__pri"), key), k, nSalts)
       .drop("__pri")
 
+  /** Temperature-scaled mixture sampling (the multilingual-pretraining
+    * rebalance, Conneau & Lample 2019 §3.1 with α = 1/2): per-group
+    * sample quotas proportional to n^α flatten the size distribution so
+    * head groups stop drowning tail groups, then each group contributes
+    * its quota of deterministically-chosen documents.
+    *
+    * Integer-exact end to end so the oracle can hash-compare: the
+    * weight is `isqrt(n) = floor(sqrt(n))` — `sqrt` is IEEE
+    * correctly-rounded in both engines and `floor(sqrt(n)) == isqrt(n)`
+    * exactly for n < 2^51 — and the quota is the integer division
+    * `total * w // Σw` (Σ over integers is order-independent, unlike a
+    * double Σ n^α, which is why α is pinned to 1/2 rather than a free
+    * parameter). Selection within a group is smallest-`md5(doc_id)`
+    * first — content-stable like every sampler here.
+    *
+    * Scale shape: quotas come from one group-count aggregate joined
+    * back (broadcast Σw via the q46 bounds pattern, no driver
+    * round-trip); the per-group pick uses the q43 salted tournament
+    * with a per-ROW quota column, so no corpus-sized group ever meets a
+    * bare single-task window — stage 2 sees ≤ nSalts · quota rows per
+    * group, bounded by the requested sample size. */
+  def temperatureMix(docs: DataFrame, group: Column, key: Column,
+      total: Long, nSalts: Int = 8): DataFrame = {
+    val g = docs.groupBy(group.as("__g")).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n").cast("double"))).cast("long"))
+    val sumW = g.agg(sum("__w").as("__sw"))
+    val quotas = g.crossJoin(broadcast(sumW))
+      // longs fit double exactly here (total * w < 2^53), so the
+      // double-division floor is the exact integer quotient
+      .withColumn("target",
+        floor(lit(total) * col("__w") / col("__sw")).cast("long"))
+      .select(col("__g"), col("target"))
+    val ranked = docs
+      .join(quotas, group === col("__g"))
+      .withColumn("__pickkey", md5(key.cast("string")))
+      .transform { df =>
+        import org.apache.spark.sql.expressions.Window
+        // q43's salted tournament, generalized to a per-row quota
+        // column: per-salt cut at the quota bounds stage 2 to
+        // ≤ nSalts · target rows per group
+        val perSalt = Window.partitionBy(col("__g"), col("__salt"))
+          .orderBy(col("__pickkey"), key)
+        val finals = Window.partitionBy(col("__g"))
+          .orderBy(col("__pickkey"), key)
+        df.withColumn("__salt", pmod(hash(key), lit(nSalts)))
+          .withColumn("__r1", row_number().over(perSalt))
+          .filter(col("__r1") <= col("target"))
+          .withColumn("pick", row_number().over(finals).cast("int"))
+          .filter(col("pick") <= col("target"))
+      }
+    ranked.drop("__g", "__pickkey", "__salt", "__r1")
+  }
+
   val queries: Seq[Query] = Seq(
     Query(
       "q35_split",
@@ -147,6 +200,39 @@ object Sampling {
           FROM documents WHERE n_chars > 0)
         SELECT source, doc_id, n_chars, rk
         FROM ranked WHERE rk <= 5
-        ORDER BY source, doc_id"""))
+        ORDER BY source, doc_id""")),
+
+    Query(
+      "q86_temperature_mix",
+      "Temperature-scaled mixture sampling (α = 1/2): per-language quotas " +
+        "∝ isqrt(n_docs), normalized to a 200-doc budget by integer " +
+        "division, filled with the smallest-md5(doc_id) documents of each " +
+        "language via the q43 salted tournament (per-row quota column — " +
+        "no corpus-sized bare window). Integer-exact throughout: " +
+        "floor(sqrt(n)) and total*w//Σw are engine-identical, so the " +
+        "oracle hash-compares the full selection.",
+      (s, dir) =>
+        temperatureMix(
+          Tables.documents(s, dir).select("lang", "doc_id"),
+          col("lang"), col("doc_id"), total = 200L)
+          .select(col("lang"), col("doc_id"), col("pick"), col("target"))
+          .orderBy("lang", "pick"),
+      Some("""
+        WITH g AS (
+          SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        ), w AS (
+          SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM g
+        ), t AS (
+          SELECT lang, CAST((200 * w) // (SELECT SUM(w) FROM w) AS BIGINT) AS target
+          FROM w
+        ), ranked AS (
+          SELECT d.lang, d.doc_id, t.target,
+                 CAST(row_number() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS INT) AS pick
+          FROM documents d JOIN t USING (lang))
+        SELECT lang, doc_id, pick, target
+        FROM ranked WHERE pick <= target
+        ORDER BY lang, pick"""))
   )
 }

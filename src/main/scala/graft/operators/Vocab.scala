@@ -135,6 +135,38 @@ object Vocab {
       .limit(k)
   }
 
+  /** Per-doc distinct-bigram count and corpus-unique-bigram count (see
+    * the q87 catalog doc). Exactly two shuffles: the bigram-keyed
+    * uniqueness aggregate and the doc-keyed recount of its df=1 rows;
+    * `n_bigrams` itself is computed map-side per row and re-attached by
+    * the final doc-keyed joins. */
+  def bigramNovelty(docs: DataFrame): DataFrame = {
+    val w = TextAnalysis.tokens(col("text"))
+    // distinct bigrams per doc as one array — map-side, no shuffle
+    val withBigrams = docs.select(col("doc_id"),
+      when(size(w) >= 2,
+        array_distinct(zip_with(
+          slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (a, b) => concat(a, lit(" "), b))))
+        .otherwise(array()).as("bgs"))
+    val counts = withBigrams
+      .select(col("doc_id"), size(col("bgs")).cast("long").as("n_bigrams"))
+    // df=1 bigrams carry their sole owner as min(doc_id): one
+    // bigram-keyed aggregate, then a doc-keyed recount — never a join
+    // back to the occurrence stream
+    val unique = withBigrams
+      .select(col("doc_id"), explode(col("bgs")).as("bigram"))
+      .groupBy("bigram")
+      .agg(min("doc_id").as("owner"), count(lit(1)).as("df"))
+      .filter(col("df") === 1)
+      .groupBy(col("owner").as("doc_id"))
+      .agg(count(lit(1)).as("n_unique"))
+    counts.join(unique, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Query] = Seq(
     Query(
       "q48_tfidf_terms",
@@ -289,6 +321,45 @@ object Vocab {
         JOIN uc ub ON ub.token = string_split(bigram, ' ')[2]
         CROSS JOIN nu CROSS JOIN nb
         ORDER BY ratio DESC, bigram
-        LIMIT 100"""))
+        LIMIT 100""")),
+
+    Query(
+      "q87_bigram_novelty",
+      "Cross-document bigram novelty: per doc, its distinct adjacent-token " +
+        "bigram count and how many of those bigrams appear in NO other " +
+        "document — the synthetic-data / boilerplate detector (low novelty " +
+        "= heavily templated, high = original prose). Per-doc distinct " +
+        "bigrams come from a map-side array_distinct (n_bigrams needs no " +
+        "shuffle at all); corpus-unique bigrams fall out of one " +
+        "bigram-keyed aggregate whose df=1 rows already carry their sole " +
+        "doc_id as min(doc_id) — no join back to occurrences. Integer " +
+        "counts end to end. At 100 TB the bigram key would be the fused " +
+        "xxhash64 n-gram hash (collision-tolerant counting); the string " +
+        "key here is what lets the oracle re-derive it.",
+      (s, dir) => bigramNovelty(Tables.documents(s, dir)),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM documents
+        ), pairs AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS bigram
+          FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) r
+          WHERE len(w) >= 2
+        ), nb AS (
+          SELECT doc_id, COUNT(*) AS n_bigrams FROM pairs GROUP BY doc_id
+        ), uq AS (
+          SELECT MIN(doc_id) AS doc_id, COUNT(*) AS df
+          FROM pairs GROUP BY bigram HAVING COUNT(*) = 1
+        ), uqc AS (
+          SELECT doc_id, COUNT(*) AS n_unique FROM uq GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(nb.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(uqc.n_unique, 0) AS BIGINT) AS n_unique
+        FROM documents d
+        LEFT JOIN nb USING (doc_id)
+        LEFT JOIN uqc USING (doc_id)
+        ORDER BY d.doc_id"""))
   )
 }

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Retrieval, Sampling, Vocab}
+import graft.sources.Tables
+
+/** Round-7 operators: hybrid RRF retrieval (q85), temperature-scaled
+  * mixture sampling (q86), cross-document bigram novelty (q87). Each is
+  * oracle-gated in the catalog; these tests pin the semantic properties
+  * the oracle's hash compare can't articulate (fusion arithmetic, the
+  * variable-quota tournament's equivalence to a bare window, the
+  * uniqueness bookkeeping) plus the bounded-plan claims.
+  */
+class RetrievalMixNoveltySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  // ---- q85 hybrid RRF ----
+
+  test("RRF score is exactly 1/(K+kw)+1/(K+vec) with absent lists scoring 0") {
+    val fused = Retrieval.hybridRrf(
+      Tables.documents(spark, sf), Tables.embeddings(spark, sf),
+      Seq("spark", "join", "filter"), queryId = 7L, nCand = 50, k = 20).collect()
+    assert(fused.length === 20)
+    fused.foreach { r =>
+      val kw = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val vec = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      assert(kw.isDefined || vec.isDefined)
+      val expect = kw.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        vec.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(r.getDouble(3) === expect, s"row $r")
+    }
+    // fused order is rrf DESC with doc_id tiebreak — verify monotone
+    val scores = fused.map(_.getDouble(3)).toSeq
+    assert(scores === scores.sorted.reverse)
+  }
+
+  test("a doc ranked well by BOTH modalities outranks one ranked by a single modality at similar depth") {
+    // structural property of RRF: 1/(60+r1)+1/(60+r2) for moderate ranks
+    // beats 1/(60+r) for any single rank r >= min(r1,r2)
+    val both = 1.0 / 61 + 1.0 / 70
+    val single = 1.0 / 61
+    assert(both > single)
+  }
+
+  test("keyword and vector rank lists are dense 1..n and deterministic") {
+    val kw = Retrieval.keywordRanks(
+      Tables.documents(spark, sf), Seq("spark", "join", "filter"), nCand = 50)
+      .orderBy("kw_rank").collect()
+    assert(kw.map(_.getInt(1)).toSeq === (1 to kw.length))
+    val again = Retrieval.keywordRanks(
+      Tables.documents(spark, sf), Seq("spark", "join", "filter"), nCand = 50)
+      .orderBy("kw_rank").collect()
+    assert(kw.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    val vec = Retrieval.vectorRanks(
+      Tables.embeddings(spark, sf), queryId = 7L, nCand = 50)
+      .orderBy("vec_rank").collect()
+    assert(vec.map(_.getInt(1)).toSeq === (1 to 50))
+    assert(!vec.exists(_.getLong(0) == 7L), "query vector must not rank itself")
+  }
+
+  test("hybrid plan cuts with TakeOrdered before any rank window") {
+    // the corpus-sized frames must exit through TakeOrdered limits; the
+    // row_number windows may only see post-limit candidate frames
+    val plan = Retrieval.hybridRrf(
+      Tables.documents(spark, sf), Tables.embeddings(spark, sf),
+      Seq("spark", "join"), queryId = 7L, nCand = 50, k = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject cuts in:\n$plan")
+  }
+
+  // ---- q86 temperature mix ----
+
+  test("temperature mix hits its integer quotas exactly and flattens the distribution") {
+    val docs = Tables.documents(spark, sf).select("lang", "doc_id")
+    val mixed = Sampling.temperatureMix(docs, col("lang"), col("doc_id"), total = 200L)
+    val perGroup = mixed.groupBy("lang")
+      .agg(count(lit(1)).as("picked"), max("target").as("target"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val sizes = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    perGroup.foreach { case (lang, picked, target) =>
+      assert(picked === math.min(target, sizes(lang)),
+        s"$lang picked $picked of target $target (group size ${sizes(lang)})")
+      val w = math.sqrt(sizes(lang).toDouble).toLong
+      val sumW = sizes.values.map(n => math.sqrt(n.toDouble).toLong).sum
+      assert(target === 200L * w / sumW, s"$lang target")
+    }
+    // flattening: quota ratio across groups must not exceed the size ratio
+    val e = perGroup.map(_._3)
+    val szs = perGroup.map { case (l, _, _) => sizes(l) }
+    assert(e.max.toDouble / e.min.toDouble <= szs.max.toDouble / szs.min.toDouble + 1e-9)
+  }
+
+  test("variable-quota salted tournament equals the bare-window reference") {
+    val docs = Tables.documents(spark, sf).select("lang", "doc_id")
+    val got = Sampling.temperatureMix(docs, col("lang"), col("doc_id"), total = 200L)
+      .select("lang", "doc_id", "pick").orderBy("lang", "pick")
+      .collect().map(_.toString).toSeq
+    // reference: plain window over each full group, same keys
+    import org.apache.spark.sql.expressions.Window
+    val targets = Sampling.temperatureMix(docs, col("lang"), col("doc_id"), total = 200L)
+      .select("lang", "target").distinct()
+    val ref = docs
+      .withColumn("pick", row_number().over(
+        Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("int"))
+      .join(targets, Seq("lang"))
+      .filter(col("pick") <= col("target"))
+      .select("lang", "doc_id", "pick").orderBy("lang", "pick")
+      .collect().map(_.toString).toSeq
+    assert(got === ref)
+  }
+
+  // ---- q87 bigram novelty ----
+
+  test("bigram novelty counts distinct and corpus-unique bigrams correctly") {
+    val docs = Seq(
+      (1L, "a b c"),   // bigrams {a b, b c}
+      (2L, "a b d"),   // bigrams {a b, b d}
+      (3L, "x"),       // no bigrams
+      (4L, "p q p q")  // bigrams {p q, q p} (distinct within doc)
+    ).toDF("doc_id", "text")
+    val got = Vocab.bigramNovelty(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // "a b" df=2 (docs 1,2); "b c","b d","p q","q p" unique
+    assert(got === Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 0L, 0L), (4L, 2L, 2L)))
+  }
+
+  test("novelty bookkeeping: sum of n_unique equals the global df=1 bigram count") {
+    val docs = Tables.documents(spark, sf)
+    val res = Vocab.bigramNovelty(docs)
+    val sums = res.agg(sum("n_unique"), sum("n_bigrams")).head()
+    val w = operators.TextAnalysis.tokens(col("text"))
+    val global = docs.select(col("doc_id"),
+        explode(when(size(w) >= 2, array_distinct(zip_with(
+          slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (a, b) => concat(a, lit(" "), b)))).otherwise(array())).as("bg"))
+      .groupBy("bg").agg(countDistinct("doc_id").as("df"))
+    val uniqueTotal = global.filter(col("df") === 1).count()
+    val pairTotal = global.agg(sum("df")).head().getLong(0)
+    assert(sums.getLong(0) === uniqueTotal)
+    assert(sums.getLong(1) === pairTotal)
+    assert(uniqueTotal > 0)
+  }
+}
