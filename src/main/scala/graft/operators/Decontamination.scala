@@ -51,6 +51,37 @@ object Decontamination {
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
   }
 
+  /** Pairwise source-overlap matrix: for every pair of `source` values,
+    * how many distinct word `n`-grams the two sources share — the
+    * corpus-level mirror of [[contaminationCounts]]'s per-doc check,
+    * used to rank which source pairs need a dedup/decontamination pass
+    * between them (mirror-site detection, scraped-twice feeds).
+    *
+    * Shape: one (source, gram)-distinct aggregate, then a gram-keyed
+    * `collect_set(source)` whose size is bounded by the SOURCE COUNT
+    * (an enumerable dimension — tens to thousands — never corpus-
+    * scale), and a map-side ordered-pair explode of each set (≤ C(S,2)
+    * rows per gram). No gram-keyed self-join: the set form touches each
+    * gram once where the join form would square the hot grams'
+    * posting lists. Gram STRINGS keep the oracle re-derivable; at
+    * 100 TB the key becomes the fused xxhash64 chain like q39. */
+  def sourceOverlap(docs: DataFrame, n: Int): DataFrame = {
+    val grams = TextAnalysis.shingleArray(
+      TextAnalysis.tokens(col("text")), n)
+    val srcGrams = docs
+      .select(col("source"), explode(array_distinct(grams)).as("gram"))
+      .distinct()
+    srcGrams
+      .groupBy("gram").agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(flatten(transform(col("srcs"), (a, i) =>
+        transform(slice(col("srcs"), i + lit(2), size(col("srcs"))),
+          b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Seq[Query] = Seq(
     Query(
       "q39_decontaminate",
@@ -88,6 +119,33 @@ object Decontamination {
         SELECT d.doc_id, CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated
         FROM documents d LEFT JOIN hits h USING (doc_id)
         WHERE d.doc_id % 97 <> 0
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    Query(
+      "q88_source_overlap",
+      "Pairwise source-overlap matrix: distinct shared 3-gram counts for " +
+        "every source pair — which feeds need a cross-dedup pass between " +
+        "them. One (source, gram)-distinct aggregate, a gram-keyed " +
+        "collect_set bounded by the source count, and a map-side " +
+        "ordered-pair explode (≤ C(S,2) rows per gram) — no gram-keyed " +
+        "self-join squaring hot grams' posting lists. Integer counts; the " +
+        "oracle takes the self-join formulation over the same distinct " +
+        "(source, gram) pairs, proving the set form equivalent.",
+      (s, dir) => sourceOverlap(Tables.documents(s, dir), n = 3),
+      Some("""
+        WITH toks AS (
+          SELECT source, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT source,
+                 unnest(list_transform(range(1, len(ws) - 1),
+                                       i -> array_to_string(ws[i:i+2], ' '))) AS gram
+          FROM toks
+          WHERE len(ws) >= 3
+        )
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        FROM sh a JOIN sh b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2
+        ORDER BY 1, 2"""))
   )
 }

@@ -131,6 +131,39 @@ class RetrievalMixNoveltySpec extends AnyFunSuite {
     assert(got === Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 0L, 0L), (4L, 2L, 2L)))
   }
 
+  // ---- q88 source overlap ----
+
+  test("source overlap counts shared distinct n-grams per ordered pair") {
+    val docs = Seq(
+      (1L, "the quick brown fox", "a"),
+      (2L, "the quick brown dog", "b"),  // shares "the quick brown" with a
+      (3L, "the quick brown fox", "c"),  // shares both fox-grams with a, brown-gram with b
+      (4L, "entirely different words here", "d")
+    ).toDF("doc_id", "text", "source")
+    val got = operators.Decontamination.sourceOverlap(docs, n = 3).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // grams: a={tqb, qbf}, b={tqb, qbd}, c={tqb, qbf}, d={edw, dwh}
+    assert(got === Map(("a", "b") -> 1L, ("a", "c") -> 2L, ("b", "c") -> 1L))
+  }
+
+  test("source overlap set form equals the self-join formulation") {
+    val docs = Tables.documents(spark, sf)
+    val got = operators.Decontamination.sourceOverlap(docs, n = 3)
+      .collect().map(_.toString).toSeq
+    val w = operators.TextAnalysis.tokens(col("text"))
+    val sh = docs.select(col("source"),
+        explode(array_distinct(operators.TextAnalysis.shingleArray(w, 3))).as("gram"))
+      .distinct()
+    val ref = sh.as("a").join(sh.as("b"),
+        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("src_a", "src_b")
+      .collect().map(_.toString).toSeq
+    assert(got === ref)
+    assert(got.nonEmpty)
+  }
+
   test("novelty bookkeeping: sum of n_unique equals the global df=1 bigram count") {
     val docs = Tables.documents(spark, sf)
     val res = Vocab.bigramNovelty(docs)
