@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types.{Decimal, DecimalType, DoubleType, IntegerType, StringType}
 
 import graft.functions._
-import graft.operators.{Curation, Dedup, Profiling}
+import graft.operators.{Curation, Dedup, Profiling, Retrieval}
 
 /** `SparkSessionExtensions` wiring: registers the engine's native
   * Catalyst expressions as SQL functions, so `spark.sql("SELECT
@@ -151,6 +151,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           expr(strArg("graft_histogram_drift", "cohortExpr", args(2))),
           expr(strArg("graft_histogram_drift", "measureExpr", args(3))),
           intArg("graft_histogram_drift", "bins", args(4)))
+          .queryExecution.logical: LogicalPlan
+      }))
+
+    ext.injectTableFunction((FunctionIdentifier("graft_search"),
+      info("graft_search",
+        "graft_search(docsView, embView, termsCsv, queryId, nCand, k) - hybrid " +
+          "keyword+vector retrieval: top-nCand keyword candidates (summed tf) " +
+          "and top-nCand exact-cosine candidates fused by reciprocal rank " +
+          "fusion 1/(60+rank), top-k overall"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          "graft_search(docsView, embView, termsCsv, queryId, nCand, k)")
+        val docs = SparkSession.active.table(strArg("graft_search", "docsView", args.head))
+        val emb = SparkSession.active.table(strArg("graft_search", "embView", args(1)))
+        val terms = strArg("graft_search", "termsCsv", args(2))
+          .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        Retrieval.hybridRrf(docs, emb, terms,
+          queryId = intArg("graft_search", "queryId", args(3)).toLong,
+          nCand = intArg("graft_search", "nCand", args(4)),
+          k = intArg("graft_search", "k", args(5)))
           .queryExecution.logical: LogicalPlan
       }))
 

@@ -151,6 +151,60 @@ object SqlFrontDoor {
         JOIN stable USING (lang)
         WHERE CAST(d.n_chars AS DOUBLE) >= t
         GROUP BY d.lang
-        ORDER BY d.lang"""))
+        ORDER BY d.lang""")),
+
+    Query(
+      "q89_sql_search",
+      "SQL front door for hybrid retrieval: `SELECT * FROM graft_search(" +
+        "docs, emb, 'data,model', 11, 40, 15)` — the q85 RRF operator as an " +
+        "injected table-valued function over registered views, so a " +
+        "spark-sql-only consumer runs keyword+vector fusion with one FROM " +
+        "clause. The TVF splices the Column-API operator's own logical plan " +
+        "(bounded TakeOrdered cuts, broadcast query vector) into the query; " +
+        "different terms/query than q85, so the oracle is an independent " +
+        "recomputation, not a copy of q85's rows.",
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("graft_docs")
+        Tables.embeddings(s, dir).createOrReplaceTempView("graft_embeddings")
+        s.sql("SELECT * FROM graft_search('graft_docs', 'graft_embeddings', " +
+          "'data,model', 11, 40, 15)")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+          FROM documents
+        ), kw AS (
+          SELECT doc_id, COUNT(*) AS score
+          FROM toks WHERE term IN ('data', 'model')
+          GROUP BY doc_id
+          ORDER BY score DESC, doc_id
+          LIMIT 40
+        ), kwr AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS kw_rank
+          FROM kw
+        ), e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), n AS (
+          SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+        ), vs AS (
+          SELECT c.vec_id,
+                 list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS score
+          FROM n q JOIN n c ON q.vec_id = 11 AND c.vec_id != 11
+          ORDER BY score DESC, c.vec_id
+          LIMIT 40
+        ), vr AS (
+          SELECT vec_id,
+                 CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS INT) AS vec_rank
+          FROM vs
+        )
+        SELECT COALESCE(k.doc_id, v.vec_id) AS doc_id,
+               k.kw_rank, v.vec_rank,
+               COALESCE(1.0::DOUBLE / (60 + k.kw_rank), 0.0::DOUBLE) +
+               COALESCE(1.0::DOUBLE / (60 + v.vec_rank), 0.0::DOUBLE) AS rrf
+        FROM kwr k FULL OUTER JOIN vr v ON k.doc_id = v.vec_id
+        ORDER BY rrf DESC, doc_id
+        LIMIT 15"""))
   )
 }

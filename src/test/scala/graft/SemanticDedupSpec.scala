@@ -92,8 +92,12 @@ class SemanticDedupSpec extends AnyFunSuite {
   }
 
   test("two runs return identical verdicts") {
+    // verdicts keyed by vec_id — sorted before comparing, because the
+    // raw collect() order reflects shuffle block FETCH order, which is
+    // timing-dependent and not part of the determinism claim (observed
+    // flaking under load: identical row sets, different interleaving)
     def run() = SemanticDedup.semanticDedup(corpus, tau, nCent)
-      .collect().map(_.toSeq).toSeq
-    assert(run() === run())
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(run().toSeq === run().toSeq)
   }
 }

@@ -63,4 +63,18 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(out.map(_.getString(0)).distinct.length === out.length)
     assert(out.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0))
   }
+
+  test("graft_search TVF equals Retrieval.hybridRrf bit for bit") {
+    registered()
+    Tables.embeddings(spark, sf).createOrReplaceTempView("graft_embeddings")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_search('graft_docs', 'graft_embeddings', 'data,model', 11, 40, 15)")
+      .collect().map(_.toString).toSeq
+    val viaApi = operators.Retrieval.hybridRrf(
+      docs, Tables.embeddings(spark, sf),
+      Seq("data", "model"), queryId = 11L, nCand = 40, k = 15)
+      .collect().map(_.toString).toSeq
+    assert(viaSql === viaApi)
+    assert(viaSql.length === 15)
+  }
 }
