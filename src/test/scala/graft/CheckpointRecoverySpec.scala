@@ -75,4 +75,48 @@ class CheckpointRecoverySpec extends AnyFunSuite {
       assert(got.contains((2L, 3000 * sec, 3000 * sec, 1L)))
     } finally q2.stop()
   }
+
+  test("windowed trending-term counts survive a stop/restart from checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    // window [10:00,10:10): "alpha" appears on both sides of the restart
+    // — a state reset would finalize the window at the post-restart
+    // partial count instead of the merged 3
+    val firstHalf = Seq((ts(1), "alpha alpha beta"))
+    val secondHalf = Seq(
+      (ts(5), "alpha gamma"),
+      (ts(45), "flush"))  // watermark driver: closes the first window
+
+    val ckpt = Files.createTempDirectory("graft-trend-ckpt-").toString
+    val outDir = Files.createTempDirectory("graft-trend-out-").toString
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+
+    def startQuery() =
+      graft.streaming.TrendingStream.termCounts(
+          stream.toDF().toDF("ts", "text"), "ts", "text", "10 minutes", "5 minutes")
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    val q1 = startQuery()
+    try {
+      stream.addData(firstHalf)
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = startQuery()
+    try {
+      stream.addData(secondHalf)
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .select("term", "n")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got("alpha") === 3L,
+        s"window partials were not restored across the restart: $got")
+      assert(got("beta") === 1L)
+      assert(got("gamma") === 1L)
+    } finally q2.stop()
+  }
 }
