@@ -49,7 +49,7 @@ object Bench {
     "q79_sql_curation", "q80_semantic_dedup", "q81_train_order",
     "q82_incr_refresh", "q83_profile_columns", "q84_index_search",
     "q85_hybrid_rrf", "q86_temperature_mix", "q87_bigram_novelty",
-    "q88_source_overlap", "q89_sql_search")
+    "q88_source_overlap", "q89_sql_search", "q90_label_centroid")
 
   /** `build` is by-name and runs AFTER the cache clear: queries that
     * persist (and eagerly materialize) intermediate frames — e.g. q17's

@@ -501,6 +501,26 @@ object Similarity {
       e.filter(col("vec_id") < nQueries), e, k, m, subdim, kCent, candidates)
   }
 
+  /** Per-(label, dimension) exact component sums + counts — see the q90
+    * catalog doc. The decimal domain makes the sum bit-reproducible
+    * under ANY partial-aggregation order (the q63 money-sum argument
+    * applied to vector components); consumers divide sum/n for the
+    * centroid, exactly like [[lloydStep]] does internally. */
+  def labelCentroidSums(emb: DataFrame): DataFrame =
+    emb.select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      // the sum STAYS decimal in the output: decimal→double conversion
+      // is not correctly rounded in every engine (DuckDB divides an
+      // int128 by 10^18 in floating point — two roundings), so casting
+      // back would reintroduce last-ulp divergence the decimal domain
+      // exists to remove. double→decimal(38,18) on the way IN is safe:
+      // no double can tie at digit 19 (a tie would need a value
+      // odd/(2·10^18), which is not a binary fraction), so the rounding
+      // mode never fires differently across engines.
+      .agg(sum(col("v").cast(DecimalType(38, 18))).as("sum_v"),
+        count(lit(1)).as("n"))
+
   val queries: Seq[Query] = Seq(
 
     Query(
@@ -594,6 +614,47 @@ object Similarity {
                list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
         FROM n a JOIN n b ON a.vec_id < b.vec_id
         WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9
-        ORDER BY vec_a, vec_b"""))
+        ORDER BY vec_a, vec_b""")),
+
+    Query(
+      "q90_label_centroid",
+      "Per-label centroid component sums — the distributed mean-pooling / " +
+        "class-prototype primitive (lloydStep's aggregation shape surfaced " +
+        "as its own operator): posexplode to (label, dim, value), one " +
+        "map-side-combining aggregate in the DECIMAL(38,18) domain — exact " +
+        "and ORDER-INDEPENDENT where a double sum would vary with partial- " +
+        "aggregation order — emitting (sum, count) per component so the " +
+        "consumer divides. The catalog entry accumulates in fixed-point " +
+        "nano-units — floor(v * 1e9) per COMPONENT, then an integer sum — " +
+        "because cross-engine decimal parity breaks twice otherwise: " +
+        "double→decimal casts round different representations (Spark " +
+        "rounds the shortest decimal string, DuckDB the true binary " +
+        "value — digits 17-18 diverge), and decimal→double back-casts " +
+        "are not correctly rounded everywhere. The per-element double " +
+        "multiply and floor are IEEE-identical in both engines, and the " +
+        "LONG sum is order-independent — zero boundary risk at any " +
+        "scale. Output bounded by |labels| x dim regardless of corpus " +
+        "size.",
+      (s, dir) =>
+        Tables.embeddings(s, dir)
+          .select(col("label"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+          .groupBy("label", "pos")
+          .agg(sum(floor(col("v") * lit(1e9)).cast("long")).as("sum_v_nano"),
+            count(lit(1)).as("n"))
+          .orderBy("label", "pos"),
+      Some("""
+        WITH comp AS (
+          SELECT label, CAST(i - 1 AS INT) AS pos,
+                 CAST(FLOOR(v[i] * 1e9) AS BIGINT) AS c
+          FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+               LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) r
+        )
+        SELECT label, pos,
+               CAST(SUM(c) AS BIGINT) AS sum_v_nano,
+               COUNT(*) AS n
+        FROM comp
+        GROUP BY label, pos
+        ORDER BY label, pos"""))
   )
 }

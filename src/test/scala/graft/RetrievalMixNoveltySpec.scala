@@ -164,6 +164,33 @@ class RetrievalMixNoveltySpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  // ---- q90 label centroid sums ----
+
+  test("label centroid sums equal an exact BigDecimal reference per component") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = operators.Similarity.labelCentroidSums(emb).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getDecimal(2), r.getLong(3)))).toMap
+    val raw = emb.select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val ref = raw.flatMap { case (l, v) =>
+      v.zipWithIndex.map { case (x, i) =>
+        // Spark's double→decimal cast goes through the SHORTEST decimal
+        // string (BigDecimal.valueOf / Double.toString), NOT the exact
+        // binary expansion — mirror that, or digits 17-18 diverge
+        ((l, i), java.math.BigDecimal.valueOf(x.toDouble)
+          .setScale(18, java.math.RoundingMode.HALF_UP)) }
+    }.groupBy(_._1).map { case (k, xs) =>
+      k -> (xs.map(_._2).reduce(_ add _), xs.length.toLong) }
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (k, (sum, n)) =>
+      val (rSum, rN) = ref(k)
+      assert(n === rN, s"count at $k")
+      assert(sum.compareTo(rSum) === 0,
+        s"component sum at $k: got $sum expected $rSum")
+    }
+  }
+
   test("novelty bookkeeping: sum of n_unique equals the global df=1 bigram count") {
     val docs = Tables.documents(spark, sf)
     val res = Vocab.bigramNovelty(docs)
