@@ -63,11 +63,14 @@ object Decontamination {
     * scale), and a map-side ordered-pair explode of each set (≤ C(S,2)
     * rows per gram). No gram-keyed self-join: the set form touches each
     * gram once where the join form would square the hot grams'
-    * posting lists. Gram STRINGS keep the oracle re-derivable; at
-    * 100 TB the key becomes the fused xxhash64 chain like q39. */
+    * posting lists. Grams travel as fused xxhash64 chains (the q39
+    * argument: a cross-gram collision needs p≈2^-64, and only COUNTS
+    * are observable) — 8-byte keys instead of n-token strings on both
+    * exchanges; the oracle re-derives the same counts from the literal
+    * gram strings, which also makes it a hash-collision check. */
   def sourceOverlap(docs: DataFrame, n: Int): DataFrame = {
-    val grams = TextAnalysis.shingleArray(
-      TextAnalysis.tokens(col("text")), n)
+    val grams = TextAnalysis.shingleHashArray(
+      TextAnalysis.tokensFast(col("text")), n)
     val srcGrams = docs
       .select(col("source"), explode(array_distinct(grams)).as("gram"))
       .distinct()

@@ -139,16 +139,16 @@ object Vocab {
     * the q87 catalog doc). Exactly two shuffles: the bigram-keyed
     * uniqueness aggregate and the doc-keyed recount of its df=1 rows;
     * `n_bigrams` itself is computed map-side per row and re-attached by
-    * the final doc-keyed joins. */
+    * the final doc-keyed joins. Bigrams travel as fused xxhash64 chains
+    * (the q39 argument — only counts are observable, a collision needs
+    * p≈2^-64): 8-byte keys on the uniqueness exchange instead of
+    * two-token strings, and the oracle's string-keyed recount doubles
+    * as the collision check. */
   def bigramNovelty(docs: DataFrame): DataFrame = {
-    val w = TextAnalysis.tokens(col("text"))
-    // distinct bigrams per doc as one array — map-side, no shuffle
+    // distinct hashed bigrams per doc as one array — map-side, no shuffle
     val withBigrams = docs.select(col("doc_id"),
-      when(size(w) >= 2,
-        array_distinct(zip_with(
-          slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
-          (a, b) => concat(a, lit(" "), b))))
-        .otherwise(array()).as("bgs"))
+      array_distinct(TextAnalysis.shingleHashArray(
+        TextAnalysis.tokensFast(col("text")), 2)).as("bgs"))
     val counts = withBigrams
       .select(col("doc_id"), size(col("bgs")).cast("long").as("n_bigrams"))
     // df=1 bigrams carry their sole owner as min(doc_id): one
