@@ -96,9 +96,13 @@ object Bench {
     // aborted the whole 76-query run and left BENCH_r06.json with rc=1
     // and no numbers. Warm-up and timed runs are wrapped per query; a
     // failure records an error row and the run continues.
+    // NonFatal only: an OutOfMemoryError/StackOverflowError poisons the
+    // JVM — recording it as one err row and timing the remaining queries
+    // in that JVM would write corrupted numbers as if valid; let fatal
+    // errors abort (the driver records rc != 0, which is honest)
     def attempt(name: String, fn: (org.apache.spark.sql.SparkSession, String) => DataFrame): Option[String] =
       try { runOnce(spark)(fn(spark, sfDir)); None }
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}"
         System.err.println(s"[bench] $name failed: $msg")
         Some(msg)

@@ -65,7 +65,6 @@ object PipelineMain {
     val afterExact = docs.join(exactAgg.select("doc_id"), Seq("doc_id")).persist()
     val exactStats = exactAgg.agg(count(lit(1)), sum("__n")).head()
     val (nExact, total) = (exactStats.getLong(0), exactStats.getLong(1))
-    exactAgg.unpersist()
 
     // 2. near-dup clusters + election: drop every non-canonical member
     // (shared stage code with the oracle-gated q76 catalog entry)
@@ -73,6 +72,11 @@ object PipelineMain {
       .join(TrainingPipeline.nearDupDropped(afterExact), Seq("doc_id"), "left_anti")
       .persist()
     val nNear = afterNear.count()
+    // exactAgg's cache must survive until afterNear.count() above has
+    // materialized afterExact — releasing it right after the stats
+    // aggregate would recompute the full-corpus digest groupBy when the
+    // join first runs (the exact double-scan stage 1 exists to avoid)
+    exactAgg.unpersist()
     afterExact.unpersist()
 
     // 3. per-language length gate at p10 (q76 stage 3)

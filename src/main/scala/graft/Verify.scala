@@ -18,19 +18,27 @@ object Verify {
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         // Round-6 lesson: a swallowed failure left NO row in the
         // driver's CORRECTNESS json — indistinguishable from "not
         // implemented". Leave a per-query `_ERROR` marker (the output
         // dir exists but holds no parquet → the driver's read fails →
         // it records `err`, not an omission) and aggregate to
-        // failed.json for the next round's judge.
+        // failed.json for the next round's judge. NonFatal: a poisoned
+        // JVM (OOM) must abort, not keep "verifying". The marker write
+        // itself is best-effort — listFiles() is null when the dir
+        // could not be created (stray file, disk full), and one
+        // unwritable marker must not kill the remaining queries.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failed(name) = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
-        val d = new java.io.File(s"$outDir/$name")
-        d.mkdirs()
-        d.listFiles().foreach(f => if (f.isFile) f.delete()) // stale partial output
-        Files.writeString(Paths.get(s"$outDir/$name/_ERROR"), failed(name))
+        try {
+          val d = new java.io.File(s"$outDir/$name")
+          d.mkdirs()
+          Option(d.listFiles()).foreach(_.foreach(f => if (f.isFile) f.delete()))
+          Files.writeString(Paths.get(s"$outDir/$name/_ERROR"), failed(name))
+        } catch { case scala.util.control.NonFatal(e2) =>
+          System.err.println(s"[verify] $name: could not write _ERROR marker: ${e2.getMessage}")
+        }
       }
       // several operators persist barrier frames (q17/q28 candidates,
       // q20 buckets); drop them once the query's output is written so 28

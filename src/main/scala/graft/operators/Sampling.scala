@@ -106,25 +106,16 @@ object Sampling {
       .withColumn("target",
         floor(lit(total) * col("__w") / col("__sw")).cast("long"))
       .select(col("__g"), col("target"))
-    val ranked = docs
-      .join(quotas, group === col("__g"))
-      .withColumn("__pickkey", md5(key.cast("string")))
-      .transform { df =>
-        import org.apache.spark.sql.expressions.Window
-        // q43's salted tournament, generalized to a per-row quota
-        // column: per-salt cut at the quota bounds stage 2 to
-        // ≤ nSalts · target rows per group
-        val perSalt = Window.partitionBy(col("__g"), col("__salt"))
-          .orderBy(col("__pickkey"), key)
-        val finals = Window.partitionBy(col("__g"))
-          .orderBy(col("__pickkey"), key)
-        df.withColumn("__salt", pmod(hash(key), lit(nSalts)))
-          .withColumn("__r1", row_number().over(perSalt))
-          .filter(col("__r1") <= col("target"))
-          .withColumn("pick", row_number().over(finals).cast("int"))
-          .filter(col("pick") <= col("target"))
-      }
-    ranked.drop("__g", "__pickkey", "__salt", "__r1")
+    // q43's salted tournament with the per-row quota column (the quota
+    // is group-constant by construction — joined from `quotas` — which
+    // is groupTopKVar's soundness precondition)
+    Skew.groupTopKVar(
+      docs.join(quotas, group === col("__g"))
+        .withColumn("__pickkey", md5(key.cast("string"))),
+      col("__g"), Seq(col("__pickkey").asc, key.asc),
+      Seq(col("__pickkey"), key), col("target"), nSalts)
+      .withColumnRenamed("rk", "pick")
+      .drop("__g", "__pickkey")
   }
 
   val queries: Seq[Query] = Seq(

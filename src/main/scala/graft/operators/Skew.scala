@@ -118,7 +118,18 @@ object Skew {
     * its input is the ≤ nSalts·n survivors per group — bounded
     * regardless of group size). */
   def groupTopK(df: DataFrame, group: Column, sort: Seq[Column],
-      saltKeys: Seq[Column], n: Int, nSalts: Int): DataFrame = {
+      saltKeys: Seq[Column], n: Int, nSalts: Int): DataFrame =
+    groupTopKVar(df, group, sort, saltKeys, lit(n), nSalts)
+
+  /** [[groupTopK]] with a PER-ROW limit column — for variable per-group
+    * quotas (q86's temperature targets). `n` MUST be constant within a
+    * group (join the quota onto the rows first): the per-salt cut keeps
+    * the top `n` of each salt cell, which contains the group's global
+    * top `n` only when every cell cuts at the same depth. Stage 2 sees
+    * ≤ nSalts · n rows per group — bounded by the quota, same argument
+    * as the constant-n form. */
+  def groupTopKVar(df: DataFrame, group: Column, sort: Seq[Column],
+      saltKeys: Seq[Column], n: Column, nSalts: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // salt from the order keys: deterministic (same row → same salt on
     // every run and retry), uniform when the keys are unique per row

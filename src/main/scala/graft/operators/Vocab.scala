@@ -145,10 +145,15 @@ object Vocab {
     * two-token strings, and the oracle's string-keyed recount doubles
     * as the collision check. */
   def bigramNovelty(docs: DataFrame): DataFrame = {
-    // distinct hashed bigrams per doc as one array — map-side, no shuffle
+    // distinct hashed bigrams per doc as one array — map-side, no
+    // shuffle. The null-text coalesce matters: shingleHashArray(null)
+    // is null and size(null) is -1 under legacy sizeOfNull, which would
+    // leak a -1 bigram count where the oracle's COALESCE emits 0.
     val withBigrams = docs.select(col("doc_id"),
-      array_distinct(TextAnalysis.shingleHashArray(
-        TextAnalysis.tokensFast(col("text")), 2)).as("bgs"))
+      coalesce(
+        array_distinct(TextAnalysis.shingleHashArray(
+          TextAnalysis.tokensFast(col("text")), 2)),
+        expr("CAST(array() AS array<bigint>)")).as("bgs"))
     val counts = withBigrams
       .select(col("doc_id"), size(col("bgs")).cast("long").as("n_bigrams"))
     // df=1 bigrams carry their sole owner as min(doc_id): one
@@ -333,9 +338,10 @@ object Vocab {
         "shuffle at all); corpus-unique bigrams fall out of one " +
         "bigram-keyed aggregate whose df=1 rows already carry their sole " +
         "doc_id as min(doc_id) — no join back to occurrences. Integer " +
-        "counts end to end. At 100 TB the bigram key would be the fused " +
-        "xxhash64 n-gram hash (collision-tolerant counting); the string " +
-        "key here is what lets the oracle re-derive it.",
+        "counts end to end. Bigrams travel as fused xxhash64 chains " +
+        "(8-byte keys on the wire, collision p~2^-64); the DuckDB oracle " +
+        "recounts from the literal bigram strings, so the oracle match " +
+        "doubles as the collision check.",
       (s, dir) => bigramNovelty(Tables.documents(s, dir)),
       Some("""
         WITH toks AS (

@@ -90,7 +90,20 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, unix_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    val df = load(spark, dir, "events")
+    // A nanos-typed regeneration read by a session built WITHOUT
+    // GraftSession dies inside the parquet footer read with an opaque
+    // "Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))" — translate
+    // it to the actionable message the old conf-require used to give.
+    val df =
+      try load(spark, dir, "events")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getMessage).exists(_.contains("NANOS")) =>
+          throw new IllegalStateException(
+            "events.parquet carries INT64 TIMESTAMP(NANOS): build the session " +
+              "via graft.GraftSession (or set spark.sql.legacy.parquet." +
+              "nanosAsLong=true at session construction) before reading it", e)
+      }
     df.schema("ts").dataType match {
       case LongType => df
       case TimestampType | TimestampNTZType =>
