@@ -49,7 +49,8 @@ object Bench {
     "q79_sql_curation", "q80_semantic_dedup", "q81_train_order",
     "q82_incr_refresh", "q83_profile_columns", "q84_index_search",
     "q85_hybrid_rrf", "q86_temperature_mix", "q87_bigram_novelty",
-    "q88_source_overlap", "q89_sql_search", "q90_label_centroid")
+    "q88_source_overlap", "q89_sql_search", "q90_label_centroid",
+    "q91_trending_terms", "q92_interval_stream_batch")
 
   /** `build` is by-name and runs AFTER the cache clear: queries that
     * persist (and eagerly materialize) intermediate frames — e.g. q17's
@@ -112,18 +113,29 @@ object Bench {
     val warmupErr: Map[String, String] =
       queries.flatMap { case (n, fn) => attempt(n, fn).map(n -> _) }.toMap
 
-    val results: Seq[(String, Either[String, Seq[Double]])] = queries.map {
-      case (name, _) if warmupErr.contains(name) => name -> Left(warmupErr(name))
+    // A failed timed run stops the repetition loop immediately (the
+    // remaining repetitions would just pay the failure cost again) but
+    // KEEPS the already-measured successful run times: the row is still
+    // reported as an error (a partial median is not comparable to a
+    // 3-run one), while the partial times land in the "runs" detail map
+    // for diagnosis.
+    val results: Seq[(String, (Either[String, Seq[Double]], Seq[Double]))] = queries.map {
+      case (name, _) if warmupErr.contains(name) =>
+        name -> (Left(warmupErr(name)): Either[String, Seq[Double]], Seq.empty[Double])
       case (name, fn) =>
-        val runs = (1 to 3).map { _ =>
+        val times = Seq.newBuilder[Double]
+        var err = Option.empty[String]
+        var i = 0
+        while (i < 3 && err.isEmpty) {
           val t0 = System.nanoTime()
-          val err = attempt(name, fn)
-          err.toLeft((System.nanoTime() - t0) / 1e9)
+          attempt(name, fn) match {
+            case Some(e) => err = Some(e)
+            case None    => times += (System.nanoTime() - t0) / 1e9
+          }
+          i += 1
         }
-        runs.collectFirst { case Left(e) => e } match {
-          case Some(e) => name -> Left(e)
-          case None    => name -> Right(runs.collect { case Right(t) => t })
-        }
+        val ok = times.result()
+        name -> (err.toLeft(ok), ok)
     }
     // stdout line is COMPACT (4-decimal medians, no raw runs): the
     // driver records only a bounded stdout tail, and the round-5 full
@@ -145,12 +157,15 @@ object Bench {
       case Left(e)   => s""""$k":{"err":"${esc(e)}"}"""
       case Right(ts) => s""""$k":${if (full) median(ts).toString else fmt(median(ts))}"""
     }
-    val qsFull = results.map { case (k, v) => qJson(k, v, full = true) }.mkString("{", ",", "}")
-    val qsShort = results.map { case (k, v) => qJson(k, v, full = false) }.mkString("{", ",", "}")
-    val runs = results.collect { case (k, Right(ts)) => s""""$k":[${ts.mkString(",")}]""" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, Left(e)) => s""""$k":"${esc(e)}"""" }.mkString("{", ",", "}")
-    val nErr = results.count(_._2.isLeft)
-    val total = results.collect { case (_, Right(ts)) => median(ts) }.sum
+    val qsFull = results.map { case (k, (v, _)) => qJson(k, v, full = true) }.mkString("{", ",", "}")
+    val qsShort = results.map { case (k, (v, _)) => qJson(k, v, full = false) }.mkString("{", ",", "}")
+    // partial times of error rows included (Left rows with non-empty ts):
+    // they are real measurements, useful to see how a query behaved
+    // before its failing repetition
+    val runs = results.collect { case (k, (_, ts)) if ts.nonEmpty => s""""$k":[${ts.mkString(",")}]""" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, (Left(e), _)) => s""""$k":"${esc(e)}"""" }.mkString("{", ",", "}")
+    val nErr = results.count(_._2._1.isLeft)
+    val total = results.collect { case (_, (Right(ts), _)) => median(ts) }.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errs,"sf":"$sfDir","runs":$runs,"loadavg_start":$loadStart,"loadavg_end":${loadavgJson()}}"""
     Files.writeString(Paths.get(outPath), json + "\n")

@@ -165,8 +165,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_search(docsView, embView, termsCsv, queryId, nCand, k)")
         val docs = SparkSession.active.table(strArg("graft_search", "docsView", args.head))
         val emb = SparkSession.active.table(strArg("graft_search", "embView", args(1)))
+        // normalize to the tokenizer's domain (lowercase) and de-dup:
+        // 'Data,Model' would otherwise silently match nothing (tokens
+        // are lowercased), and a duplicate term would surface as a raw
+        // require() from inside SQL resolution instead of a clear error
         val terms = strArg("graft_search", "termsCsv", args(2))
-          .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+          .split(',').toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
+        if (terms.isEmpty) throw new IllegalArgumentException(
+          "graft_search: termsCsv must contain at least one non-empty term")
         Retrieval.hybridRrf(docs, emb, terms,
           queryId = intArg("graft_search", "queryId", args(3)).toLong,
           nCand = intArg("graft_search", "nCand", args(4)),

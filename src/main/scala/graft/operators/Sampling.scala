@@ -101,10 +101,19 @@ object Sampling {
       .withColumn("__w", floor(sqrt(col("__n").cast("double"))).cast("long"))
     val sumW = g.agg(sum("__w").as("__sw"))
     val quotas = g.crossJoin(broadcast(sumW))
-      // longs fit double exactly here (total * w < 2^53), so the
-      // double-division floor is the exact integer quotient
+      // integral end to end: BIGINT multiply + `div` matches the
+      // oracle's `//` exactly at ANY magnitude (both operands are
+      // non-negative, so floor == truncate). The former double-division
+      // floor was exact only while total * w stayed under 2^53 — nothing
+      // enforced that, so a huge corpus could silently diverge from the
+      // oracle; now the one remaining failure mode (64-bit multiply
+      // overflow, which would wrap silently under non-ANSI semantics)
+      // raises instead.
       .withColumn("target",
-        floor(lit(total) * col("__w") / col("__sw")).cast("long"))
+        when(col("__w") > 0 && lit(total) > lit(Long.MaxValue) / col("__w"),
+          raise_error(concat(lit(s"temperatureMix: total=$total * weight="),
+            col("__w"), lit(" overflows BIGINT"))))
+          .otherwise(expr(s"(${total}L * __w) div __sw")))
       .select(col("__g"), col("target"))
     // q43's salted tournament with the per-row quota column (the quota
     // is group-constant by construction — joined from `quotas` — which

