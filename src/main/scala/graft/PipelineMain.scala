@@ -52,37 +52,23 @@ object PipelineMain {
 
     val docs = Tables.documents(spark, sfDir)
 
-    // 1. exact dedup: deterministic smallest-id survivor per digest. The
-    // summary's input count AND survivor count ride in ONE aggregate over
-    // the digest groups (sum of group sizes = input docs; group count =
-    // survivors, since the min-doc_id join keeps exactly one row per
-    // group) — no separate corpus scan, and no extra count() job over
-    // the joined frame.
-    val exactAgg = docs
-      .withColumn("__h", sha2(TextAnalysis.norm(col("text")), 256))
-      .groupBy("__h").agg(min("doc_id").as("doc_id"), count(lit(1)).as("__n"))
-      .persist()
-    val afterExact = docs.join(exactAgg.select("doc_id"), Seq("doc_id")).persist()
-    val exactStats = exactAgg.agg(count(lit(1)), sum("__n")).head()
-    val (nExact, total) = (exactStats.getLong(0), exactStats.getLong(1))
-
-    // 2. near-dup clusters + election: drop every non-canonical member
-    // (shared stage code with the oracle-gated q76 catalog entry)
-    val afterNear = afterExact
-      .join(TrainingPipeline.nearDupDropped(afterExact), Seq("doc_id"), "left_anti")
-      .persist()
+    // 1-3. exact dedup -> near-dup election -> p10 length gate, each
+    // stage a fingerprinted _SUCCESS-gated parquet materialization
+    // (round-8: replaces the eager MEMORY_AND_DISK persist+count
+    // barriers — at corpus scale a whole-corpus cache evicts and
+    // recomputes under pressure, while a parquet stage is written once
+    // per source fingerprint and every consumer below reads a plain
+    // pruned scan; a re-run with unchanged inputs rebuilds nothing).
+    // Stage semantics are unchanged and shared with the oracle-gated
+    // q76 catalog entry.
+    val (afterExact, afterNear, corpus) =
+      TrainingPipeline.stagedCuration(spark, sfDir, p = 0.10)
+    // summary counts are footer-bounded parquet count(*) jobs over the
+    // materialized stages (no data columns read), not corpus scans
+    val total = docs.count()
+    val nExact = afterExact.count()
     val nNear = afterNear.count()
-    // exactAgg's cache must survive until afterNear.count() above has
-    // materialized afterExact — releasing it right after the stats
-    // aggregate would recompute the full-corpus digest groupBy when the
-    // join first runs (the exact double-scan stage 1 exists to avoid)
-    exactAgg.unpersist()
-    afterExact.unpersist()
-
-    // 3. per-language length gate at p10 (q76 stage 3)
-    val corpus = TrainingPipeline.lengthGated(afterNear, p = 0.10).persist()
     val nKept = corpus.count()
-    afterNear.unpersist()
 
     // 4. shard layout + manifest
     Shards.writeShards(corpus, shardTokens, s"$outDir/shards")
@@ -98,7 +84,6 @@ object PipelineMain {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
       .orderBy("lang")
       .write.mode("overwrite").parquet(s"$outDir/datacard")
-    corpus.unpersist()
 
     val secs = (System.nanoTime() - t0) / 1e9
     val summary =

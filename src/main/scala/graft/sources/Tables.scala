@@ -35,11 +35,17 @@ object Tables {
     * ~200 hash evaluations per exploded shingle row) opt in.
     *
     * Only scan-shaped plans (leaf + project/filter, no joins/aggregates/
-    * shuffles) are ever probed: on anything else `df.rdd` would make AQE
-    * EXECUTE every upstream exchange stage just to report a partition
-    * count — real jobs whose results are then thrown away and recomputed
-    * by the actual query. Shuffle-bearing inputs already own their
-    * parallelism (shuffle.partitions), so they pass through untouched. */
+    * shuffles) are ever probed — shuffle-bearing inputs already own
+    * their parallelism (shuffle.partitions), so they pass through
+    * untouched. The probe itself is ACTION-FREE (round-8 fix): the split
+    * count is estimated from the scan relation's cached file listing by
+    * replaying Spark's own split math (`FilePartition.maxSplitBytes` +
+    * greedy bin packing — public code in
+    * `org.apache.spark.sql.execution.datasources.FilePartition`), where
+    * the previous `df.rdd.getNumPartitions` probe forced an RDD
+    * materialization of the scan lineage per call. A plan with any
+    * non-file leaf (in-memory DataFrame, stream source) yields no
+    * estimate and passes through unchanged. */
   def rebalanced(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
     def scanShaped(p: LogicalPlan): Boolean = p match {
@@ -49,9 +55,55 @@ object Tables {
       case _ => false
     }
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (scanShaped(df.queryExecution.optimizedPlan) &&
-      df.rdd.getNumPartitions < target) df.repartition(target)
-    else df
+    if (!scanShaped(df.queryExecution.optimizedPlan)) df
+    else estimatedScanPartitions(df) match {
+      case Some(n) if n < target => df.repartition(target)
+      case _ => df
+    }
+  }
+
+  /** Estimated file-scan partition count of a scan-shaped plan, from the
+    * relation's (already cached) file listing — no RDD, no job. Replays
+    * the v1 `FilePartition` arithmetic: `maxSplitBytes = min(
+    * maxPartitionBytes, max(openCostInBytes, (Σ(len + openCost)) /
+    * minPartitionNum))`, every file split into `maxSplitBytes` chunks
+    * (parquet is splittable), chunks sorted descending and greedily
+    * packed with `openCost` padding per chunk. None when any leaf is not
+    * a file relation. Exactness is asserted in `RebalanceSpec` against
+    * the RDD-derived count on the real test tables. */
+  private[graft] def estimatedScanPartitions(df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.network.util.JavaUtils
+    val spark = df.sparkSession
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    val fsRels = leaves
+      .collect { case lr: LogicalRelation => lr.relation }
+      .collect { case fs: HadoopFsRelation => fs }
+    if (fsRels.size != leaves.size) None
+    else {
+      def bytesConf(key: String, dflt: Long): Long =
+        spark.conf.getOption(key).map(JavaUtils.byteStringAsBytes).getOrElse(dflt)
+      val defaultMaxSplit = bytesConf("spark.sql.files.maxPartitionBytes", 128L << 20)
+      val openCost = bytesConf("spark.sql.files.openCostInBytes", 4L << 20)
+      val minPartitionNum = spark.conf.getOption("spark.sql.files.minPartitionNum")
+        .map(_.toInt).getOrElse(spark.sparkContext.defaultParallelism)
+      val sizes = fsRels.flatMap(_.location.listFiles(Nil, Nil)
+        .flatMap(_.files.map(_.getLen))).filter(_ > 0)
+      val totalBytes = sizes.map(_ + openCost).sum
+      val maxSplit = math.min(defaultMaxSplit,
+        math.max(openCost, totalBytes / math.max(1, minPartitionNum)))
+      val chunks = sizes.flatMap(len =>
+        (0L until len by maxSplit).map(off => math.min(maxSplit, len - off)))
+        .sortBy(-_)
+      var n = 0
+      var cur = 0L
+      chunks.foreach { c =>
+        if (cur + c > maxSplit) { n += 1; cur = 0L }
+        cur += c + openCost
+      }
+      if (cur > 0L || n == 0) n += 1
+      Some(n)
+    }
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =

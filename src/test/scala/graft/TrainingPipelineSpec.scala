@@ -74,4 +74,47 @@ class TrainingPipelineSpec extends AnyFunSuite {
     exact.unpersist(); near.unpersist()
     spark.sharedState.cacheManager.clearCache()
   }
+
+  /** (path, length, mtime) of every file under a stage root. */
+  private def fileStates(root: String): Seq[(String, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val buf = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    while (it.hasNext) {
+      val st = it.next()
+      buf += ((st.getPath.toString, st.getLen, st.getModificationTime))
+    }
+    buf.sortBy(_._1).toSeq
+  }
+
+  test("staged curation equals the in-memory form row-for-row") {
+    val staged = TrainingPipeline.curatedCorpusStaged(spark, sf, p = 0.10)
+      .select("doc_id").as[Long].collect().sorted
+    val inMem = TrainingPipeline.curatedCorpus(
+        Tables.documents(spark, sf), p = 0.10)
+      .select("doc_id").as[Long].collect().sorted
+    assert(staged === inMem)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("staged curation re-run leaves every stage file untouched") {
+    TrainingPipeline.stagedCuration(spark, sf, p = 0.10)
+    val (e, n, c) = TrainingPipeline.stageRoots(spark, sf, p = 0.10)
+    val before = Seq(e, n, c).map(fileStates)
+    assert(before.forall(_.nonEmpty))
+    val (_, _, corpus) = TrainingPipeline.stagedCuration(spark, sf, p = 0.10)
+    assert(Seq(e, n, c).map(fileStates) === before)
+    assert(corpus.count() > 0)
+  }
+
+  test("stage fingerprint separates gate parameters") {
+    val (e1, n1, c1) = TrainingPipeline.stageRoots(spark, sf, p = 0.10)
+    val (e2, n2, c2) = TrainingPipeline.stageRoots(spark, sf, p = 0.25)
+    assert(c1 !== c2)
+    // upstream stages don't depend on p semantically, but the key is
+    // one fingerprint per (source, params) chain by design
+    assert(e1 !== e2)
+    assert(n1 !== n2)
+  }
 }
