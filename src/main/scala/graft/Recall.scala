@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Per-round ANN recall artifact (round-8, verdict item 3): recall@k of
+  * every approximate ANN catalog entry against the q19 exact brute-force
+  * baseline, as a tracked JSON number rather than only a ScalaTest
+  * pass/fail — so a recall regression shows up as a DIFF in review, not
+  * just a trip wire.
+  *
+  * Method: run each entry at `$SPARK_GRAFT_SF_DIR` (default sf0.1, the
+  * bench tier), collect the (query_id, neighbor_id) pair sets (bounded:
+  * nQueries × k rows per method), and report macro-averaged
+  * recall@k = mean over queries of |approx ∩ brute| / |brute|. Floors
+  * are asserted here too (the artifact generator itself fails on a
+  * collapse), set conservatively below the spec-asserted seeds so host
+  * variance can't flake the artifact — the per-round DIFF of the exact
+  * numbers is the sharp signal.
+  *
+  * Writes `$SPARK_GRAFT_RECALL_OUT` (default `RECALL_LOCAL.json`), one
+  * JSON line with loadavg telemetry like the bench artifact.
+  */
+object Recall {
+
+  /** (method entry, recall floor). Floors: q20/q29 share the structural
+    * floor of their specs (bucketed candidates must find SOMETHING real);
+    * q74/q78's ADC + re-rank is spec-gated at ≥ 0.5 on sf0.001 and holds
+    * well above it at sf0.1; q77/q78 are bit-identical to q29/q74 by
+    * `AnnIndexSpec`, so they inherit the same floors. */
+  val methods: Seq[(String, Double)] = Seq(
+    "q20_knn_lsh" -> 0.1,
+    "q29_knn_ivf" -> 0.1,
+    "q74_knn_pq" -> 0.3,
+    "q77_knn_ivf_indexed" -> 0.1,
+    "q78_knn_pq_indexed" -> 0.3)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_RECALL_OUT", "RECALL_LOCAL.json")
+    val spark = GraftSession.local("graft-recall")
+    val loadStart = Bench.loadavgJson()
+
+    def pairs(name: String): Map[Long, Set[Long]] = {
+      spark.catalog.clearCache()
+      SparkEntry.queries(name)(spark, sfDir)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    }
+
+    val brute = pairs("q19_knn_brute")
+    require(brute.nonEmpty, "q19 brute-force baseline returned no rows")
+    val rows = methods.map { case (name, floor) =>
+      val got = pairs(name)
+      val perQuery = brute.map { case (q, truth) =>
+        (got.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+      }
+      val recall = perQuery.sum / perQuery.size
+      require(recall >= floor,
+        f"$name recall@k collapsed: $recall%.3f < floor $floor%.2f")
+      println(f"[recall] $name%-22s recall@k = $recall%.3f (floor $floor%.2f)")
+      s""""$name":{"recall":$recall,"floor":$floor}"""
+    }
+    val json =
+      s"""{"metric":"ann_recall","k":5,"n_queries":${brute.size},"sf":"$sfDir",""" +
+        s""""methods":${rows.mkString("{", ",", "}")},""" +
+        s""""loadavg_start":$loadStart,"loadavg_end":${Bench.loadavgJson()}}"""
+    Files.writeString(Paths.get(outPath), json + "\n")
+    spark.stop()
+    println(json)
+  }
+}
