@@ -5,31 +5,59 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, DupClusters}
+import graft.operators.{Dedup, DupClusters, SemanticDedup, Shards, Similarity, TrainingPipeline}
 import graft.sources.Tables
 
 /** 10× stress run for the dedup/similarity family (q17 MinHash-LSH, q22
-  * SimHash, q28 prefix-filter Jaccard, q40 connected components) — the
-  * scale check sf0.1 cannot show: candidate volume must grow LINEARLY in
-  * corpus size, or a bucket-skew blowup is hiding in the LSH/prefix
-  * shapes.
+  * SimHash, q28 prefix-filter Jaccard, q40 connected components) plus —
+  * round-8 — the two COMPOSED paths (q76 training pipeline, q80
+  * semantic dedup), where cache pressure and stage chaining bite in
+  * ways single operators don't show. This is the scale check sf0.1
+  * cannot: candidate volume must grow LINEARLY in corpus size, or a
+  * bucket-skew blowup is hiding in the LSH/prefix shapes.
   *
-  * Corpus: 10 copies of the sf0.1 `documents` table under remapped ids.
-  * Copy 0 is verbatim; copy k > 0 suffixes EVERY token with `~k`, so no
-  * shingle is shared across copy families — the 10× corpus behaves like
-  * 10× more distinct documents (a verbatim union would instead plant a
-  * 10-clique of exact duplicates on every doc: quadratic pair blowup by
-  * construction, measuring the fixture, not the operator). Each family
-  * reproduces the original corpus's internal near-dup structure, so the
-  * TRUE pair count is exactly 10× the sf0.1 count — which makes output
-  * rows a built-in linearity check alongside wall time.
+  * Documents corpus: 10 copies of the sf0.1 `documents` table under
+  * remapped ids. Copy 0 is verbatim; copy k > 0 suffixes EVERY token
+  * with `~k`, so no shingle is shared across copy families — the 10×
+  * corpus behaves like 10× more distinct documents (a verbatim union
+  * would instead plant a 10-clique of exact duplicates on every doc:
+  * quadratic pair blowup by construction, measuring the fixture, not
+  * the operator). Each family reproduces the original corpus's internal
+  * near-dup structure, so the TRUE pair count is exactly 10× the sf0.1
+  * count for the set-based detectors — a built-in linearity check
+  * alongside wall time. The corpus carries (lang, n_chars) for the
+  * pipeline path; n_chars is recomputed as length(text) (true of the
+  * source table too), so family k's suffixed docs are self-consistent.
+  *
+  * Embeddings corpus: 10 copies under remapped ids; copy k > 0 applies
+  * a family-keyed DIAGONAL SIGN FLIP (multiply each dimension by ±1,
+  * signs from a hash of (k, dim)). A sign flip is an orthogonal
+  * transform, so WITHIN-family cosines — and therefore each family's
+  * true near-dup pair structure — are preserved EXACTLY, while
+  * cross-family cosines decorrelate to near-random (≪ the 0.95
+  * threshold), so the true pair set is ~10× the base. (A verbatim
+  * union would plant cosine-1.0 10-cliques — the same fixture artifact
+  * as verbatim text.) q80's cluster count scales as C ∝ √n (64 → 202):
+  * SemDeDup's two cost terms are the n·C centroid assignment and the
+  * Σ|cluster|² ≈ n²/C within-cluster pair volume, so √n-scaling
+  * balances them at n^1.5 each — the cost-optimal plain-Spark
+  * deployment (C fixed makes pairs quadratic; C ∝ n makes assignment
+  * quadratic; production cuts the remaining n^1.5 with ANN-assisted
+  * assignment, out of scope here). The expected time ratio at 10× is
+  * therefore √10 ≈ 3.2 in marginal compute, damped toward ~2 by the
+  * fixed per-job overhead that dominates the tiny baseline tier.
+  *
+  * Composed-path caveats on exact-10× rows: the pipeline's per-language
+  * length gate pools all families into one quantile (family k's texts
+  * are 2 chars/token longer), and q80's k-means re-clusters the union,
+  * so those two report time ratios with APPROXIMATELY 10× outputs —
+  * the gate for them is the wall-clock ratio, not the row count.
   *
   * Timing: one warm-up-free timed pass per (query, tier), same session,
   * sf0.1 first (the comparison baseline). The action is `count()`, not
-  * the bench's noop write — the row counts ARE part of the artifact, and
-  * the final orderBy a count elides is noise at pair-output sizes. Gate:
-  * no query's sf1 time exceeds 10× its sf0.1 time (linear-or-better),
-  * and each pair count is exactly 10× its sf0.1 twin.
+  * the bench's noop write — the row counts ARE part of the artifact.
+  * Gate: no query's sf1 time exceeds 10× its sf0.1 time
+  * (linear-or-better); set-based detector pair counts exactly 10×.
   *
   * Writes `target/stress_sf1.json`; the tracked copy (STRESS_SF1.json)
   * is promoted explicitly after checking loadavg telemetry, like the
@@ -43,6 +71,8 @@ object StressSf1 {
   // the cross-match count stays exactly 10x (a stride ≡ 1 mod 3 would
   // rotate the split per family and break the linearity contract)
   private val IdStride = 9999999L
+  private val EmbIdStride = 100000L
+  private val EmbDim = 64
 
   private def buildCorpus(spark: org.apache.spark.sql.SparkSession,
       base: DataFrame, path: String): Unit = {
@@ -51,7 +81,10 @@ object StressSf1 {
       else base.select(
         (col("doc_id") + lit(k * IdStride)).as("doc_id"),
         array_join(transform(split(col("text"), " "),
-          t => concat(t, lit(s"~$k"))), " ").as("text"))
+          t => concat(t, lit(s"~$k"))), " ").as("text"),
+        col("lang"))
+        .withColumn("n_chars", length(col("text")))
+        .select("doc_id", "text", "lang", "n_chars")
     }.reduce(_ unionByName _)
     // spread across the session's cores so the scan side of every stress
     // query starts parallel (the sf tables are single-row-group files)
@@ -59,17 +92,43 @@ object StressSf1 {
       .write.mode("overwrite").parquet(path)
   }
 
+  private def buildEmbCorpus(spark: org.apache.spark.sql.SparkSession,
+      base: DataFrame, path: String): Unit = {
+    val corpus = (0 until Copies).map { k =>
+      if (k == 0) base
+      else {
+        // family-keyed ±1 diagonal: orthogonal, so within-family cosines
+        // are bit-preserved; deterministic from (k, dim) like the SRP
+        // plane family
+        val signs = typedlit((0 until EmbDim).map(d =>
+          if ((scala.util.hashing.MurmurHash3.productHash((k, d)) & 1) == 0)
+            1.0f else -1.0f))
+        base.select((col("vec_id") + lit(k * EmbIdStride)).as("vec_id"),
+          zip_with(col("embedding"), signs, (a, b) => a * b).as("embedding"))
+      }
+    }.reduce(_ unionByName _)
+    corpus.repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(path)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("graft-stress-sf1")
     val sfDir = "/root/testdata/sf0.1"
-    val base = Tables.documents(spark, sfDir).select("doc_id", "text")
-    // stride-keyed: a stride change must invalidate the cached corpus
-    val stressPath = s"target/stress_sf1_s$IdStride/documents.parquet"
+    val base = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "n_chars")
+    val embBase = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    // stride- and schema-keyed: a change must invalidate the cached corpus
+    val stressRoot = s"target/stress_sf1_s${IdStride}_v2"
+    val stressPath = s"$stressRoot/documents.parquet"
+    val embStressPath = s"$stressRoot/embeddings.parquet"
     if (!Files.exists(Paths.get(stressPath, "_SUCCESS")))
       buildCorpus(spark, base, stressPath)
+    if (!Files.exists(Paths.get(embStressPath, "_SUCCESS")))
+      buildEmbCorpus(spark, embBase, embStressPath)
     val stress = spark.read.parquet(stressPath)
+    val embStress = spark.read.parquet(embStressPath)
 
-    val pipelines: Seq[(String, DataFrame => DataFrame)] = Seq(
+    val docCases: Seq[(String, DataFrame => DataFrame)] = Seq(
       "q17_dedup_minhash" -> (d => Dedup.nearDuplicates(d, n = 3, k = 192, b = 64, r = 3, threshold = 0.7)),
       "q22_simhash" -> (d => Dedup.simhashNearDups(d, maxDist = 3)),
       "q28_jaccard_join" -> (d => Dedup.jaccardJoin(d, n = 3, tau = 0.7)),
@@ -102,16 +161,49 @@ object StressSf1 {
           n = 3, tau = 0.7, "ts")
       }))
 
+    // SemDeDup over a planted-twin corpus (the q80 shape); `centroids`
+    // scales as C ∝ √n (see the object scaladoc: balances assignment
+    // against within-cluster pair volume at n^1.5 each)
+    def semdedup(e: DataFrame, centroids: Int): DataFrame =
+      SemanticDedup.semanticDedup(
+        Similarity.plantedDupCorpus(e, offset = 10000000L)
+          .withColumnRenamed("emb", "embedding"),
+        threshold = 0.95, centroids = centroids)
+
+    // the composed paths: full in-memory pipeline chain (q76's semantic
+    // twin — the catalog entry's parquet stage writes are write-once and
+    // excluded on purpose: the stress measures the COMPUTE chain), and
+    // the SemDeDup composition
+    val cases: Seq[(String, () => DataFrame, () => DataFrame)] =
+      docCases.map { case (n, f) => (n, () => f(base), () => f(stress)) } ++ Seq(
+        ("q76_pipeline",
+          () => Shards.shardManifest(TrainingPipeline.curatedCorpus(base), budget = 2048L),
+          () => Shards.shardManifest(TrainingPipeline.curatedCorpus(stress), budget = 2048L)),
+        ("q80_semantic_dedup",
+          () => semdedup(embBase, centroids = 64),
+          () => semdedup(embStress,
+            centroids = (64 * math.sqrt(Copies)).round.toInt)))
+
+    // ONE untimed warm-up (JIT + file cache) before any timed row: on a
+    // fresh JVM the first timed query otherwise absorbs ~5 s of cold
+    // JIT, which reads as a bogus sublinear "speedup" at 10× whenever
+    // the stress corpus is already built (when it isn't, the corpus
+    // build itself warms the JVM — the asymmetry that made early runs
+    // incomparable). Per-query timing stays single-pass on purpose: the
+    // stress measures scaling shape, not steady-state medians.
+    spark.catalog.clearCache()
+    docCases.head._2(base).count()
+
     val loadStart = Bench.loadavgJson()
-    val results = pipelines.map { case (name, build) =>
-      def timed(d: DataFrame): (Double, Long) = {
+    val results = cases.map { case (name, buildBase, buildStress) =>
+      def timed(build: () => DataFrame): (Double, Long) = {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        val rows = build(d).count()
+        val rows = build().count()
         ((System.nanoTime() - t0) / 1e9, rows)
       }
-      val (s01, rows01) = timed(base)
-      val (s1, rows1) = timed(stress)
+      val (s01, rows01) = timed(buildBase)
+      val (s1, rows1) = timed(buildStress)
       println(f"[stress] $name%-18s sf0.1 $s01%6.1f s / $rows01%,d rows -> " +
         f"sf1 $s1%6.1f s / $rows1%,d rows  (time x${s1 / s01}%.1f, rows x${rows1.toDouble / math.max(rows01, 1)}%.1f)")
       (name, s01, rows01, s1, rows1)

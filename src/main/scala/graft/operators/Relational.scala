@@ -479,9 +479,10 @@ object Relational {
         "multi-distinct. SELF-VALIDATING: the entry joins the sketch against the " +
         "exact distinct twin (q6's plan) and emits per-group relative errors plus " +
         "a within_3sigma flag computed in-plan — the q52⊇q53 pattern, so every " +
-        "run of the query is its own exactness check (asserted in ScalaTest; at " +
-        "100 TB a consumer drops the exact branch and keeps the sketch alone). " +
-        "No oracle: the estimates themselves are engine-specific.",
+        "run of the query is its own exactness check. The |approx-exact|/exact " +
+        "<= 3*rsd bound is asserted in ScalaTest at BOTH sf0.001 and the sf0.01 " +
+        "oracle tier (at 100 TB a consumer drops the exact branch and keeps the " +
+        "sketch alone). No oracle: the estimates themselves are engine-specific.",
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
         val approx = li

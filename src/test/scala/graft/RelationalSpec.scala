@@ -39,6 +39,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(fromQ12 === fromQ6)
   }
 
+  test("q12 3-sigma band also holds at the oracle tier (sf0.01)") {
+    // the driver's CORRECTNESS records q12 as no_oracle (sketches are
+    // engine-specific); this pins the |approx-exact|/exact <= 3*rsd
+    // numeric bound at the same tier the oracle queries run on, so the
+    // no_oracle gate is a stated bound there too, not just at sf0.001
+    val rows = SparkEntry.queries("q12_approx_distinct")(spark, "/root/testdata/sf0.01")
+      .select("l_returnflag", "err_orders", "err_parts", "within_3sigma").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3),
+        s"${r.getString(0)}: err_orders=${r.getDouble(1)} err_parts=${r.getDouble(2)} exceed 3%")
+    }
+  }
+
   test("q31 exact percentiles never sort a whole group in one task") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.window.WindowExec
