@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Query
 import graft.sources.Tables
-import graft.streaming.{Sessionize, StreamJoin, TrendingStream}
+import graft.streaming.{IngestGateStream, Sessionize, StreamJoin, TrendingStream}
 
 /** Batch-registered forms of the streaming twins — the SAME declarative
   * frames [[graft.streaming.TrendingStream]] and
@@ -94,6 +94,54 @@ object StreamTwins {
         FROM ev a JOIN ev b
           ON a.user_id = b.user_id AND a.event_id < b.event_id
          AND abs(a.tus - b.tus) <= 3600000000
-        ORDER BY a.user_id, event_a, event_b"""))
+        ORDER BY a.user_id, event_a, event_b""")),
+
+    Query(
+      "q93_ingest_gate",
+      "Batch form of the X73 streaming ingest gate, oracle-gated: the " +
+        "ONE-SIDED prefix-filter cross-dedup (corpus doc_id%3<>0 emits " +
+        "frequency-ordered prefixes from its OWN internal order; the " +
+        "incoming batch doc_id%3=0 probes with its FULL shingle-hash " +
+        "sets — lossless by the counting argument, no union-wide order " +
+        "needed, which a stream cannot have). Same semantics as q70 but " +
+        "through the streaming gate's index-build + probe path verbatim " +
+        "(IngestGateStream), so the gate's batch==stream ScalaTest " +
+        "equivalence now chains to an oracle-anchored frame. The probe " +
+        "side is the micro-batch — the small side — so at scale it " +
+        "broadcasts and the persisted corpus index is scanned map-only. " +
+        "Oracle: brute-force cross-Jaccard over gram STRINGS (the hash " +
+        "match doubles as the collision check, like q70).",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val idx = IngestGateStream.buildIndex(
+          docs.filter(col("doc_id") % 3 =!= 0), n = 3, tau = 0.7)
+        IngestGateStream.matches(idx,
+          docs.filter(col("doc_id") % 3 === 0)
+            .withColumn("__ts",
+              lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))),
+          n = 3, tau = 0.7, "__ts")
+          .orderBy("corpus_doc", "batch_doc")
+      },
+      Some("""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+                                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+          FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+                FROM documents)
+        ), sz AS (
+          SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS corpus_doc, b.doc_id AS batch_doc, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s
+          WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0
+          GROUP BY 1, 2
+        )
+        SELECT corpus_doc, batch_doc,
+               CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sz za ON za.doc_id = corpus_doc
+        JOIN sz zb ON zb.doc_id = batch_doc
+        WHERE CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) >= 0.7
+        ORDER BY corpus_doc, batch_doc"""))
   )
 }
