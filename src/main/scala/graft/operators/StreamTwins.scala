@@ -44,10 +44,14 @@ object StreamTwins {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val nDocs = docs.agg(count(lit(1)).as("__nd"))
+        // the doc-text join is deliberately UNHINTED: documents is
+        // corpus-sized at scale, so the size-gated planner must pick
+        // broadcast vs shuffle (it broadcasts at the sf tiers); only the
+        // one-row count frame is pinned broadcast (q46 bounds pattern)
         val feed = Tables.events(s, dir)
           .select(Sessionize.tsCol(col("ts")).as("ets"), col("event_id"))
           .crossJoin(broadcast(nDocs))
-          .join(broadcast(docs.select(col("doc_id"), col("text"))),
+          .join(docs.select(col("doc_id"), col("text")),
             col("doc_id") === col("event_id") % col("__nd"))
         TrendingStream.termCounts(feed, "ets", "text", "1 day", "1 minute")
           .select(unix_micros(col("window_start")).as("w_start_us"),
