@@ -22,13 +22,16 @@ import java.nio.file.{Files, Paths}
   */
 object Recall {
 
-  /** (method entry, recall floor). Floors: q20/q29 share the structural
-    * floor of their specs (bucketed candidates must find SOMETHING real);
-    * q74/q78's ADC + re-rank is spec-gated at ≥ 0.5 on sf0.001 and holds
-    * well above it at sf0.1; q77/q78 are bit-identical to q29/q74 by
-    * `AnnIndexSpec`, so they inherit the same floors. */
+  /** (method entry, recall floor). Floors: q20 is multi-probe LSH,
+    * measured ~0.74 at sf0.1 — floored at 0.4 (a regression to the old
+    * no-probe level, 0.46, sits at the edge; a family/probe bug falls
+    * well below); q29's floor is its spec's structural floor (bucketed
+    * candidates must find SOMETHING real); q74/q78's ADC + re-rank is
+    * spec-gated at ≥ 0.5 on sf0.001 and holds above 0.3 at sf0.1;
+    * q77/q78 are bit-identical to q29/q74 by `AnnIndexSpec`, so they
+    * inherit the same floors. */
   val methods: Seq[(String, Double)] = Seq(
-    "q20_knn_lsh" -> 0.1,
+    "q20_knn_lsh" -> 0.4,
     "q29_knn_ivf" -> 0.1,
     "q74_knn_pq" -> 0.3,
     "q77_knn_ivf_indexed" -> 0.1,

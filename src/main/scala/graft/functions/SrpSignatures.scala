@@ -11,12 +11,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expression computing ALL sign-random-projection LSH
   * signatures of a vector in one fused loop: `out[t]` packs `bits` sign
-  * bits, bit b being the sign of the dot product against the fixed ±1
-  * hyperplane for (table t, bit b) — the same Rademacher family (seeded
-  * by `MurmurHash3.productHash((t, b, d))`) as the composed
-  * `srpSignature` form, so signature VALUES are identical (asserted
-  * bit-exact in the spec; dots accumulate strictly left-to-right like
-  * VectorDot).
+  * bits, bit b being the sign of the dot product against the fixed
+  * uniform[-1,1) hyperplane for (table t, bit b) — the same continuous
+  * family (entry = `MurmurHash3.productHash((t, b, d))` mapped to
+  * [-1, 1)) as the composed `srpSignature` form, so signature VALUES are
+  * identical (asserted bit-exact in the spec; dots accumulate strictly
+  * left-to-right like VectorDot).
+  *
+  * The family is continuous rather than Rademacher (±1) deliberately:
+  * measured on the near-random test embeddings, ±1 planes derived from
+  * a hash's single parity bit carry pairwise correlations (max |corr|
+  * 0.44 across the 14-bit family) that cost ~0.12 recall@5 at identical
+  * candidate volume; using all 32 hash bits as a uniform value removes
+  * the correlation at zero runtime cost (the plane matrix is
+  * precomputed either way).
   *
   * Exists because the composed form evaluates tables×bits separate
   * VectorDots, each reading its plane from a `typedlit`
@@ -39,9 +47,10 @@ case class SrpSignatures(child: Expression, tables: Int, bits: Int, dim: Int)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "srp_signatures"
 
-  /** Flat ±1 plane matrix, laid out [(table, bit, d)] — deterministic
-    * from the structural hash, identical on every JVM/executor, and
-    * recomputed after deserialization (cheap: tables×bits×dim doubles). */
+  /** Flat uniform[-1,1) plane matrix, laid out [(table, bit, d)] —
+    * deterministic from the structural hash, identical on every
+    * JVM/executor, and recomputed after deserialization (cheap:
+    * tables×bits×dim doubles). */
   @transient private lazy val planes: Array[Double] =
     SrpSignatures.planes(tables, bits, dim)
 
@@ -107,7 +116,14 @@ case class SrpSignatures(child: Expression, tables: Int, bits: Int, dim: Int)
 }
 
 object SrpSignatures {
-  /** The Rademacher plane family of `Similarity.planeSign`, flattened. */
+  /** One plane entry: all 32 hash bits as an unsigned value mapped to
+    * uniform [-1, 1). Shared with `Similarity.planeVal` so the composed
+    * and fused forms agree bit-exactly. */
+  private[graft] def planeEntry(table: Int, bit: Int, d: Int): Double =
+    (MurmurHash3.productHash((table, bit, d)).toLong & 0xffffffffL) /
+      2147483648.0 - 1.0
+
+  /** The continuous plane family, flattened. */
   private[graft] def planes(tables: Int, bits: Int, dim: Int): Array[Double] = {
     val out = new Array[Double](tables * bits * dim)
     var i = 0
@@ -117,7 +133,7 @@ object SrpSignatures {
       while (b < bits) {
         var d = 0
         while (d < dim) {
-          out(i) = if ((MurmurHash3.productHash((t, b, d)) & 1) == 0) 1.0 else -1.0
+          out(i) = planeEntry(t, b, d)
           i += 1; d += 1
         }
         b += 1

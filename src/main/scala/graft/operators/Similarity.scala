@@ -1,6 +1,5 @@
 package graft.operators
 
-import scala.util.hashing.MurmurHash3
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -90,21 +89,38 @@ object Similarity {
 
   // ---- sign-random-projection LSH ----
 
-  /** Deterministic Rademacher (±1) hyperplane entry for (table, bit, dim)
+  /** Deterministic uniform[-1,1) hyperplane entry for (table, bit, dim)
     * — seeded by structural hashing, so every run and every executor
-    * agrees without shipping a matrix. */
-  private def planeSign(table: Int, bit: Int, d: Int): Double =
-    if ((MurmurHash3.productHash((table, bit, d)) & 1) == 0) 1.0 else -1.0
+    * agrees without shipping a matrix. Continuous (not ±1): the single
+    * parity bit's Rademacher family carries inter-plane correlations
+    * that measurably cost recall — see [[graft.functions.SrpSignatures]]. */
+  private def planeVal(table: Int, bit: Int, d: Int): Double =
+    graft.functions.SrpSignatures.planeEntry(table, bit, d)
 
   /** SRP signature for one hash table: `bits` sign bits packed into an
-    * int. Each bit is the sign of a dot product against a fixed ±1
+    * int. Each bit is the sign of a dot product against a fixed
     * hyperplane (expressed as a literal array → `zip_with` fold, fully
     * codegen'd). */
   def srpSignature(emb: Column, table: Int, bits: Int, dim: Int): Column =
     (0 until bits).map { b =>
-      val plane = typedlit((0 until dim).map(d => planeSign(table, b, d)))
+      val plane = typedlit((0 until dim).map(d => planeVal(table, b, d)))
       when(dot(emb, plane) >= 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** All XOR masks of Hamming weight ≤ `h` over `bits` bit positions —
+    * the multi-probe sequence (Lv et al., VLDB 2007, applied to SRP:
+    * a near neighbor that lands one or two sign-flips away from the
+    * query's bucket is reached by probing the perturbed buckets instead
+    * of paying for more tables). Bounded: 1 + b + b(b−1)/2 for h=2. */
+  private[graft] def probeMasks(bits: Int, h: Int): Seq[Int] = {
+    require(h >= 0 && h <= 2, s"probeHamming $h not in [0, 2]")
+    val h0 = Seq(0)
+    val h1 = if (h >= 1) (0 until bits).map(1 << _) else Nil
+    val h2 = if (h >= 2)
+      for { i <- 0 until bits; j <- (i + 1) until bits } yield (1 << i) | (1 << j)
+    else Nil
+    h0 ++ h1 ++ h2
+  }
 
   /** (vec_id, table, bucket) — one row per hash table per vector. All
     * tables×bits sign dots run in the native fused
@@ -117,11 +133,24 @@ object Similarity {
         col("emb"), tables, bits, dim)).as(Seq("table", "bucket")))
 
   /** Approximate top-k: candidates = corpus vectors sharing any (table,
-    * bucket) with the query, then exact cosine on candidates only.
-    * Output shape matches [[knnBrute]]; ranks may differ where recall
-    * misses (measured in ScalaTest against the brute-force baseline). */
+    * bucket ⊕ mask) with the query for a Hamming-≤`probeHamming` probe
+    * mask, then exact cosine on candidates only. Output shape matches
+    * [[knnBrute]]; ranks may differ where recall misses (measured in
+    * ScalaTest against the brute-force baseline, tracked per round in
+    * RECALL_LOCAL.json).
+    *
+    * Multi-probe is a QUERY-side-only expansion: the corpus keeps one
+    * bucket row per (vector, table) — storage and build cost unchanged —
+    * while each query probes the 1 + b + b(b−1)/2 buckets within two
+    * sign-flips per table. The probe frame is (query_id, table, bucket)
+    * triples only (the query vectors join back AFTER candidate dedup),
+    * so its broadcast is |Q|·tables·masks 12-byte rows, never vectors.
+    * Measured on the sf0.1 embeddings (near-random, the hard case):
+    * recall@5 0.46 → ~0.74 at the same ~20% candidate volume as the
+    * old 12×6 no-probe shape. */
   def knnLsh(emb: DataFrame, nQueries: Int, k: Int,
-      tables: Int = 12, bits: Int = 6, dim: Int = 64): DataFrame = {
+      tables: Int = 32, bits: Int = 14, dim: Int = 64,
+      probeHamming: Int = 2): DataFrame = {
     val e = prepared(emb)
     // persisted: both the query-side filter and the corpus side read this
     // frame — unpersisted, the signature dots run twice. Cache contract
@@ -129,16 +158,23 @@ object Similarity {
     // the operator cannot release it itself; batch drivers clearCache()
     // between queries (Bench and Verify both do)
     val buckets = srpBuckets(e, tables, bits, dim).persist()
-    val qb = buckets.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
-        col("nrm").as("q_nrm"), col("table"), col("bucket"))
-    val cand = buckets.join(broadcast(qb),
-        Seq("table", "bucket")).filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("q_emb"), col("q_nrm"),
-        col("vec_id").as("neighbor_id"), col("emb"), col("nrm"))
+    val probes = buckets.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("table"),
+        explode(typedlit(probeMasks(bits, probeHamming))).as("mask"),
+        col("bucket"))
+      .select(col("query_id"), col("table"),
+        col("bucket").bitwiseXOR(col("mask")).as("bucket"))
+    val cand = buckets.join(broadcast(probes), Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("emb"), col("nrm"))
       .dropDuplicates("query_id", "neighbor_id")
-    val scored = cand.select(col("query_id"), col("neighbor_id"),
-      cosine(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("score"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val scored = cand.join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("score"))
     topK(scored, k)
   }
 
@@ -544,11 +580,17 @@ object Similarity {
 
     Query(
       "q20_knn_lsh",
-      "Approximate top-5 neighbors via sign-random-projection LSH (12 tables × " +
-        "6-bit buckets): signatures are codegen'd ±1-hyperplane dot folds, " +
-        "candidates come from a bucket equi-join (never a cross product), exact " +
-        "cosine re-ranks candidates only. Recall vs q19 measured in ScalaTest. " +
-        "No oracle: approximate by design.",
+      "Approximate top-5 neighbors via multi-probe sign-random-projection " +
+        "LSH (32 tables × 14-bit buckets, Hamming<=2 query-side probes): " +
+        "signatures are codegen'd hyperplane dot folds in one fused native " +
+        "expression, each query probes its bucket plus all 1-and-2-sign-flip " +
+        "perturbations per table (corpus-side storage unchanged — one row " +
+        "per vector per table), candidates come from a bucket equi-join " +
+        "(never a cross product), exact cosine re-ranks candidates only. " +
+        "Recall@5 ~0.74 on near-random data at ~20% candidate volume " +
+        "(was 0.46 pre-multi-probe at the same volume); measured vs q19 in " +
+        "ScalaTest and tracked in RECALL_LOCAL.json. No oracle: " +
+        "approximate by design.",
       (s, dir) => knnLsh(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
 
     Query(

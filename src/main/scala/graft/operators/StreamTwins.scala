@@ -146,6 +146,49 @@ object StreamTwins {
         JOIN sz za ON za.doc_id = corpus_doc
         JOIN sz zb ON zb.doc_id = batch_doc
         WHERE CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) >= 0.7
-        ORDER BY corpus_doc, batch_doc"""))
+        ORDER BY corpus_doc, batch_doc""")),
+
+    Query(
+      "q94_session_bounds",
+      "Batch form of the X11 streaming sessionizer's session_window plan, " +
+        "oracle-gated on the exact session BOUNDS (q13 oracles only the " +
+        "per-user counts): Sessionize.sessions VERBATIM on the events " +
+        "table — (user_id, session_start, session_end = last event + gap, " +
+        "n_events) with a 30-minute gap. One hash exchange on user_id, " +
+        "then Spark's MergingSessions aggregation (sort-merge of candidate " +
+        "windows within the partition) — no second shuffle, no window " +
+        "function pass. Gap-edge semantics pinned by test AND oracle: " +
+        "events exactly `gap` apart MERGE (probe: session_window emits one " +
+        "session for ts={0, gap}), i.e. new-session iff delta > gap — the " +
+        "same convention as q13's lag formulation, evaluated here in the " +
+        "microsecond domain on both engines (positive epochs: Spark " +
+        "ns->us truncation == DuckDB floor division).",
+      (s, dir) =>
+        Sessionize.sessions(Tables.events(s, dir), "30 minutes")
+          .select(col("user_id"),
+            unix_micros(col("session_start")).as("s_start_us"),
+            unix_micros(col("session_end")).as("s_end_us"),
+            col("n_events"))
+          .orderBy("user_id", "s_start_us"),
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tus FROM events
+        ), marked AS (
+          SELECT user_id, tus,
+                 CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
+          FROM (SELECT user_id, tus,
+                       LAG(tus) OVER (PARTITION BY user_id ORDER BY tus) AS prev
+                FROM ev) a
+        ), sess AS (
+          SELECT user_id, tus,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        )
+        SELECT user_id, MIN(tus) AS s_start_us,
+               MAX(tus) + 1800000000 AS s_end_us,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+        ORDER BY user_id, s_start_us"""))
   )
 }

@@ -34,12 +34,21 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & lsh).size.toDouble / brute.size
     info(f"real-data recall@5 = $recall%.2f (corpus cosines are near-random, ~0.3 for true top-5)")
-    assert(recall > 0.0) // structural floor; the sharp contract is the planted test
-    // candidate volume must stay well below |Q| x |corpus| (the scale point)
+    // multi-probe floor: measured ~0.7-0.9 at sf0.001/sf0.1 seeds; 0.4
+    // leaves host-independent margin while catching a probe regression
+    // back to the old no-probe level (~0.46 at sf0.1, lower here)
+    assert(recall >= 0.4,
+      f"multi-probe LSH recall collapsed: $recall%.2f")
+    // candidate volume must stay well below |Q| x |corpus| (the scale
+    // point), probes included — same shape as the operator's probe join
     val e = Similarity.prepared(emb)
-    val buckets = Similarity.srpBuckets(e, 12, 6, 64)
+    val buckets = Similarity.srpBuckets(e, 32, 14, 64)
     val qb = buckets.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("table"),
+        explode(typedlit(Similarity.probeMasks(14, 2))).as("mask"),
+        col("bucket"))
+      .select(col("query_id"), col("table"),
+        col("bucket").bitwiseXOR(col("mask")).as("bucket"))
     val nCand = buckets.join(qb, Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id").distinct().count()

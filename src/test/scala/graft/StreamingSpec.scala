@@ -22,6 +22,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("session_window gap edge: events exactly `gap` apart MERGE (q94 oracle convention)") {
+    import spark.implicits._
+    // 30-minute gap in microseconds; three events: 0, gap (must merge with
+    // 0), and 2*gap + 1us (must start a new session). Pins the `delta >
+    // gap => new session` convention the q94 oracle SQL encodes.
+    val gapUs = 1800000000L
+    val df = Seq((1L, 0L), (1L, gapUs), (1L, 2 * gapUs + 1))
+      .toDF("user_id", "tus")
+      .withColumn("event_ts", timestamp_micros(col("tus")))
+    val sessions = df
+      .groupBy(col("user_id"), session_window(col("event_ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")), unix_micros(col("w.end")), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(sessions.toSeq === Seq(
+      (0L, 2 * gapUs, 2L),                      // [0, gap] merged, end = gap + gap
+      (2 * gapUs + 1, 3 * gapUs + 1, 1L)))      // the +1us event is a new session
+  }
+
+  test("q94 session bounds equal the lag/running-sum oracle formulation on real data") {
+    // Re-derive the oracle SQL's shape in Spark (lag + gap flag + running
+    // sum + per-session min/max) and compare per-row with the
+    // session_window plan — the same equivalence DuckDB checks at sf0.01.
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 1800000000L
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), (col("ts").cast("decimal(20,0)") / lit(1000)).cast("long").as("tus"))
+    val w = Window.partitionBy("user_id").orderBy("tus")
+    val oracle = ev
+      .withColumn("prev", lag(col("tus"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min("tus").as("s_start_us"),
+        (max(col("tus")) + gapUs).as("s_end_us"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "s_start_us", "s_end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val q94 = SparkEntry.queries("q94_session_bounds")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(q94 === oracle)
+    assert(q94.nonEmpty)
+  }
+
   test("streaming content-hash dedup matches batch dropDuplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
