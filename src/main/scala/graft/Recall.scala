@@ -22,20 +22,19 @@ import java.nio.file.{Files, Paths}
   */
 object Recall {
 
-  /** (method entry, recall floor). Floors: q20 is multi-probe LSH,
-    * measured ~0.74 at sf0.1 — floored at 0.4 (a regression to the old
-    * no-probe level, 0.46, sits at the edge; a family/probe bug falls
-    * well below); q29's floor is its spec's structural floor (bucketed
-    * candidates must find SOMETHING real); q74/q78's ADC + re-rank is
-    * spec-gated at ≥ 0.5 on sf0.001 and holds above 0.3 at sf0.1;
-    * q77/q78 are bit-identical to q29/q74 by `AnnIndexSpec`, so they
-    * inherit the same floors. */
+  /** (method entry, recall floor). Floors sit ~half the measured sf0.1
+    * values so host variance can't flake the artifact while a real
+    * regression (parameter rollback, family/probe bug, training
+    * collapse) still trips: q20 multi-probe LSH measures ~0.80, q29
+    * IVF (nProbe=32, 3 Lloyd steps) ~0.7, q74 PQ (64 centroids,
+    * 256-candidate re-rank) ~0.9; q77/q78 are bit-identical to q29/q74
+    * by `AnnIndexSpec`, so they inherit the same floors. */
   val methods: Seq[(String, Double)] = Seq(
     "q20_knn_lsh" -> 0.4,
-    "q29_knn_ivf" -> 0.1,
-    "q74_knn_pq" -> 0.3,
-    "q77_knn_ivf_indexed" -> 0.1,
-    "q78_knn_pq_indexed" -> 0.3)
+    "q29_knn_ivf" -> 0.4,
+    "q74_knn_pq" -> 0.5,
+    "q77_knn_ivf_indexed" -> 0.4,
+    "q78_knn_pq_indexed" -> 0.5)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -54,7 +54,7 @@ object AnnIndex {
     * `centroids/` + cluster-partitioned `lists/`. Returns the index
     * root. */
   def ivfIndex(spark: SparkSession, dir: String, centroids: Int = 256,
-      lloydIters: Int = 1): String = synchronized {
+      lloydIters: Int = 3): String = synchronized {
     val out = "target/ann/graft_ivf_" + md5hex(
       s"$dir/$centroids/$lloydIters/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
       .take(8)
@@ -82,7 +82,7 @@ object AnnIndex {
     * (dynamic partition pruning); no training or corpus-assignment
     * stage exists in this plan at all. */
   def knnIvfIndexed(spark: SparkSession, dir: String, nQueries: Int, k: Int,
-      centroids: Int = 256, nProbe: Int = 8, lloydIters: Int = 1): DataFrame = {
+      centroids: Int = 256, nProbe: Int = 32, lloydIters: Int = 3): DataFrame = {
     val idx = ivfIndex(spark, dir, centroids, lloydIters)
     val cent = spark.read.parquet(s"$idx/centroids")
     val lists = spark.read.parquet(s"$idx/lists")
@@ -95,7 +95,7 @@ object AnnIndex {
     * `codebooks/` (m·k sub-centroids) + `codes/` (m code bytes per
     * vector). Returns the index root. */
   def pqIndex(spark: SparkSession, dir: String, m: Int = 8,
-      kCent: Int = 16, d: Int = 64): String = synchronized {
+      kCent: Int = 64, d: Int = 64): String = synchronized {
     require(d % m == 0, s"dim $d not divisible by $m subspaces")
     val out = "target/ann/graft_pq_" + md5hex(
       s"$dir/$m/$kCent/$d/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
@@ -120,7 +120,7 @@ object AnnIndex {
     * LUT build (bounded: queries × m·k), the lookup-only scan, and the
     * candidates-only re-rank — no training, no encode. */
   def knnPqIndexed(spark: SparkSession, dir: String, nQueries: Int, k: Int,
-      m: Int = 8, kCent: Int = 16, candidates: Int = 64, d: Int = 64): DataFrame = {
+      m: Int = 8, kCent: Int = 64, candidates: Int = 256, d: Int = 64): DataFrame = {
     val idx = pqIndex(spark, dir, m, kCent, d)
     val cb = spark.read.parquet(s"$idx/codebooks")
     val codes = spark.read.parquet(s"$idx/codes")

@@ -301,7 +301,7 @@ object Similarity {
   }
 
   def knnIvf(emb: DataFrame, nQueries: Int, k: Int,
-      centroids: Int = 256, nProbe: Int = 8, lloydIters: Int = 1): DataFrame = {
+      centroids: Int = 256, nProbe: Int = 32, lloydIters: Int = 3): DataFrame = {
     val e = prepared(emb)
     val cent = ivfCentroids(e, centroids, lloydIters)
     val assigned = assignToCentroids(e, cent)
@@ -463,26 +463,43 @@ object Similarity {
       when(dimOk.isNull, transform(col("emb"), x => x / col("nrm"))).as("u"))
   }
 
-  /** Map-only PQ encode: the m·k codebook rows collapse into ONE map row
-    * (key = sub·k + cid) broadcast into a per-row argmin over nested
-    * higher-order functions — the corpus pass is map-only, no shuffle,
-    * emitting (vec_id, codes: array<int>). */
+  /** The m·k codebook rows collapsed into ONE row holding a dense ARRAY
+    * indexed by `sub·k + cid` (keys are dense 0..m·k−1 by the
+    * [[pqCodebooks]] no-hole invariant). An array, NOT a map, on
+    * purpose: Catalyst's `element_at` over `ArrayBasedMapData` is a
+    * LINEAR key scan — O(m·k) per lookup, which multiplied into the
+    * corpus-sized encode/ADC stages (measured: 4× the per-lookup work
+    * at kCent=64 made the fresh-build q74 ~3× slower); array indexing
+    * is O(1) regardless of kCent. */
+  private def codebookArray(cb: DataFrame, kCent: Int, name: String): DataFrame =
+    cb.groupBy().agg(transform(array_sort(collect_list(
+      struct((col("sub") * kCent + col("cid")).as("key"), col("c_sv").as("val")))),
+      t => t("val")).as(name))
+
+  /** Map-only PQ encode: the dense codebook array broadcast into a
+    * per-row argmin over nested higher-order functions — the corpus
+    * pass is map-only, no shuffle, emitting (vec_id, codes:
+    * array<int>). */
   private[operators] def pqEncode(e: DataFrame, cb: DataFrame, m: Int,
       subdim: Int, kCent: Int): DataFrame = {
-    val cbMap = cb.groupBy().agg(map_from_entries(collect_list(
-      struct((col("sub") * kCent + col("cid")).as("key"), col("c_sv").as("val"))))
-      .as("cbm"))
+    val cbArr = codebookArray(cb, kCent, "cba")
     val zero = struct(lit(Double.MaxValue).as("bd"), lit(-1).as("bc"))
-    e.crossJoin(broadcast(cbMap))
+    // the subvector slice is materialized ONCE per subspace by binding
+    // it through the outer transform's lambda variable — inlining
+    // `slice(u, ...)` into the aggregate lambda would re-slice on every
+    // one of the kCent accumulator steps (measured on the encode pass)
+    e.crossJoin(broadcast(cbArr))
       .select(col("vec_id"), col("u"),
-        transform(sequence(lit(0), lit(m - 1)), s => {
-          val sv = slice(col("u"), s * subdim + 1, lit(subdim))
-          aggregate(sequence(lit(0), lit(kCent - 1)), zero, (acc, c) => {
-            val dist = l2sq(sv, element_at(col("cbm"), s * kCent + c))
-            when(dist < acc("bd"), struct(dist.as("bd"), c.as("bc")))
-              .otherwise(acc)
-          })("bc")
-        }).as("codes"))
+        zip_with(
+          transform(sequence(lit(0), lit(m - 1)),
+            s => slice(col("u"), s * subdim + 1, lit(subdim))),
+          sequence(lit(0), lit(m - 1)),
+          (sv, s) =>
+            aggregate(sequence(lit(0), lit(kCent - 1)), zero, (acc, c) => {
+              val dist = l2sq(sv, element_at(col("cba"), s * kCent + c + 1))
+              when(dist < acc("bd"), struct(dist.as("bd"), c.as("bc")))
+                .otherwise(acc)
+            })("bc")).as("codes"))
   }
 
   /** The ADC query side: per-query m·k partial-distance lookup tables,
@@ -495,18 +512,21 @@ object Similarity {
   private[operators] def pqAdcSearch(codes: DataFrame, cb: DataFrame,
       eq: DataFrame, eAll: DataFrame, k: Int, m: Int, subdim: Int,
       kCent: Int, candidates: Int): DataFrame = {
+    // per-query LUT as a dense array indexed by sub·k + cid — same
+    // O(1)-vs-O(m·k) argument as [[codebookArray]], here on the
+    // |Q|×corpus ADC scan (the operator's hottest loop)
     val luts = eq
       .select(col("vec_id").as("query_id"), col("u").as("q_u"))
       .crossJoin(broadcast(cb))
       .groupBy("query_id")
-      .agg(map_from_entries(collect_list(struct(
+      .agg(transform(array_sort(collect_list(struct(
         (col("sub") * kCent + col("cid")).as("key"),
         l2sq(slice(col("q_u"), col("sub") * subdim + 1, lit(subdim)),
-          col("c_sv")).as("val")))).as("lut"))
+          col("c_sv")).as("val")))), t => t("val")).as("lut"))
     val scored = codes.join(broadcast(luts), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         aggregate(zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-          (c, s) => element_at(col("lut"), s * kCent + c)),
+          (c, s) => element_at(col("lut"), s * kCent + c + 1)),
           lit(0.0), (acc, v) => acc + v).as("adc"))
     // ADC candidate cut through the salted tournament, as [[topK]]: the
     // scored frame is |Q|×corpus rows — the one frame in this operator
@@ -528,7 +548,7 @@ object Similarity {
   }
 
   def knnPq(emb: DataFrame, nQueries: Int, k: Int, m: Int = 8,
-      kCent: Int = 16, candidates: Int = 64, d: Int = 64): DataFrame = {
+      kCent: Int = 64, candidates: Int = 256, d: Int = 64): DataFrame = {
     require(d % m == 0, s"dim $d not divisible by $m subspaces")
     val e = pqPrepared(emb, d)
     val subdim = d / m
@@ -596,9 +616,9 @@ object Similarity {
     Query(
       "q29_knn_ivf",
       "Approximate top-5 neighbors via IVF-flat (C=256 hash-sampled seed " +
-        "centroids — bounded regardless of corpus size — tightened by one " +
-        "deterministic Lloyd step over a bounded 8·C training sample, " +
-        "nProbe=8): corpus coarse-quantized to inverted lists in ONE " +
+        "centroids — bounded regardless of corpus size — tightened by " +
+        "three deterministic Lloyd steps over a bounded 8·C training " +
+        "sample, nProbe=32): corpus coarse-quantized to inverted lists in ONE " +
         "assignment pass, queries probe their nearest lists only, exact " +
         "cosine re-ranks candidates. The data-driven-bucketing counterpart " +
         "of q20's LSH; at scale the cluster-keyed layout is written bucketed " +
@@ -609,14 +629,16 @@ object Similarity {
     Query(
       "q74_knn_pq",
       "Approximate top-5 neighbors via product quantization (m=8 " +
-        "subspaces x 16 centroids, bounded hash-order training, one " +
+        "subspaces x 64 centroids, bounded hash-order training, one " +
         "decimal-exact Lloyd step per subspace): each corpus vector " +
         "stored as 8 code bytes (64x memory cut), the ADC scan scores a " +
         "pair with 8 map lookups from the query's precomputed partial-" +
-        "distance table, exact cosine re-ranks the top-64 candidates " +
+        "distance table, exact cosine re-ranks the top-256 candidates " +
         "only. The memory-bound ANN decomposition next to q20 (LSH) and " +
-        "q29 (IVF); recall vs q19 gated in ScalaTest. No oracle: " +
-        "approximate by design.",
+        "q29 (IVF); recall@5 ~0.9 on the near-random sf0.1 embeddings " +
+        "(was 0.48 at 16 centroids/64 candidates), gated in ScalaTest " +
+        "and tracked in RECALL_LOCAL.json. No oracle: approximate by " +
+        "design.",
       (s, dir) => knnPq(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
 
     Query(
