@@ -179,6 +179,55 @@ object Profiling {
         sum("sm").cast("double").as("sum_v"))
   }
 
+  /** Single-pass MERGEABLE per-group quantile sketch via a deterministic
+    * bottom-k-by-hash (KMV) sample — the one-pass complement of the
+    * exact bucketed two-pass rank (q31/q69/q73): at 100 TB the exact
+    * path costs two full corpus rounds per quantile batch, while this
+    * sketch is ONE scan into bounded per-group state, and its samples
+    * merge associatively (bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪
+    * bottom-k(B)) — the identity the salted tournament's per-salt cells
+    * already exploit, proved in ScalaTest), so partial sketches from
+    * shards/days can be combined without re-scanning.
+    *
+    * Determinism and cross-engine exactness: the sample is selected by
+    * md5 over the row's id columns — not a random() draw — so the same
+    * rows are sampled on every run AND by DuckDB, making the quantile
+    * ESTIMATES (pure selection from the sorted sample, no arithmetic)
+    * oracle-exact even though the sketch is approximate vs the true
+    * quantile. The statistical content — rank error O(1/√k) — is gated
+    * separately in ScalaTest against the exact quantile. (At scale the
+    * priority hash would be xxhash64 for speed; md5 keeps the oracle
+    * replayable and is the repo's established cross-engine hash, as in
+    * [[graft.functions.BottomKNgramMd5]].)
+    *
+    * Estimate convention: element at max(1, ceil(q·n)) of the sorted
+    * sample (the inverse-CDF / type-1 quantile), n = |sample| ≤ k. */
+  def quantileSketch(df: DataFrame, grp: Column, x: Column,
+      idCols: Seq[Column], qs: Seq[Double], k: Int): DataFrame = {
+    require(k > 0, s"sample size k must be positive: $k")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must lie in (0, 1]: $qs")
+    // "|"-separated so distinct id tuples can never concatenate to the
+    // same priority string ((12,3) vs (1,23))
+    val pri = md5(concat_ws("|", idCols.map(_.cast("string")): _*))
+    // per-group bottom-k by priority through the salted tournament —
+    // never a bare per-group window over the corpus
+    val sample = Skew.groupTopK(
+      df.select(grp.as("g"), x.as("x"), pri.as("__p")),
+      col("g"), Seq(col("__p").asc), Seq(col("__p")), n = k, nSalts = 8)
+    sample
+      .groupBy("g")
+      // bounded: ≤ k sample values per group ride into the sort/list
+      .agg(array_sort(collect_list(col("x"))).as("__s"),
+        count(lit(1)).as("n_sample"))
+      .select(col("g"), explode(typedlit(qs)).as("q"),
+        col("__s"), col("n_sample"))
+      .select(col("g"), col("q"),
+        element_at(col("__s"),
+          greatest(lit(1), ceil(col("q") * col("n_sample")).cast("int"))).as("est"),
+        col("n_sample"))
+  }
+
   val queries: Seq[Query] = Seq(
     Query(
       "q46_histogram",
@@ -348,6 +397,49 @@ object Profiling {
                COUNT(DISTINCT l_shipdate),
                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
         FROM lineitem
-        ORDER BY col_name"""))
+        ORDER BY col_name""")),
+
+    Query(
+      "q95_quantile_sketch",
+      "Single-pass MERGEABLE per-group quantile sketch: a deterministic " +
+        "bottom-1024-by-md5 (KMV) sample of l_extendedprice per return " +
+        "flag through the salted tournament (one scan, bounded per-group " +
+        "state), quantile estimates {0.25, 0.5, 0.75, 0.95} selected from " +
+        "the sorted sample. The one-pass complement of the exact bucketed " +
+        "two-pass rank (q31/q69/q73): at 100 TB the exact path costs two " +
+        "full corpus rounds, the sketch one, and partial sketches from " +
+        "shards/days MERGE (bottom-k(A u B) = bottom-k(bottom-k(A) u " +
+        "bottom-k(B)), proved in ScalaTest). ORACLE-EXACT despite being " +
+        "approximate: the hash-selected sample is the same row set in " +
+        "both engines and the estimate is pure selection, no arithmetic; " +
+        "the O(1/sqrt(k)) rank-error bound vs the TRUE quantile is gated " +
+        "separately in ScalaTest.",
+      (s, dir) =>
+        quantileSketch(Tables.lineitem(s, dir),
+            col("l_returnflag"), col("l_extendedprice"),
+            Seq(col("l_orderkey"), col("l_linenumber")),
+            qs = Seq(0.25, 0.5, 0.75, 0.95), k = 1024)
+          .select(col("g").as("l_returnflag"), col("q"), col("est"), col("n_sample"))
+          .orderBy("l_returnflag", "q"),
+      Some("""
+        WITH pri AS (
+          SELECT l_returnflag AS g, l_extendedprice AS x,
+                 md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)) AS p
+          FROM lineitem
+        ), samp AS (
+          SELECT g, x FROM (
+            SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY p) AS rn
+            FROM pri) t
+          WHERE rn <= 1024
+        ), sorted AS (
+          SELECT g, list_sort(list(x)) AS s, COUNT(*) AS n_sample
+          FROM samp GROUP BY g
+        )
+        SELECT g AS l_returnflag, q,
+               s[GREATEST(1, CAST(CEIL(q * n_sample) AS BIGINT))] AS est,
+               n_sample
+        FROM sorted CROSS JOIN
+             (SELECT UNNEST(CAST([0.25, 0.5, 0.75, 0.95] AS DOUBLE[])) AS q) qs
+        ORDER BY l_returnflag, q"""))
   )
 }

@@ -33,6 +33,53 @@ class ProfilingIntervalsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(("g", 0, 7L)))
   }
 
+  test("quantileSketch: rank error vs the true quantile is within the O(1/sqrt(k)) band") {
+    val sf = "/root/testdata/sf0.01"
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val k = 1024
+    val est = SparkEntry.queries("q95_quantile_sketch")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(est.nonEmpty)
+    // exact empirical CDF at each estimate: P(x <= est) within the group
+    val cdf = li.groupBy(col("l_returnflag").as("g"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case (g, q, e) =>
+      val below = li.filter(col("l_returnflag") === g && col("l_extendedprice") <= e)
+        .count().toDouble / cdf(g)
+      // 4-sigma band for a uniform k-sample quantile + 1/k discretization
+      val bound = 4.0 * math.sqrt(q * (1 - q) / k) + 1.0 / k
+      assert(math.abs(below - q) <= bound,
+        f"group $g q=$q: empirical CDF at estimate = $below%.4f, off by more than $bound%.4f")
+    }
+  }
+
+  test("quantileSketch sample MERGES: bottom-k of halves, re-cut, equals bottom-k of the whole") {
+    import spark.implicits._
+    // the associativity that makes the sketch shard-combinable
+    val rows = (1 to 5000).map(i => ("g", i.toDouble, i.toLong))
+    val df = rows.toDF("g", "x", "id")
+    val k = 64
+    def bottomK(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("__p", md5(col("id").cast("string")))
+        .orderBy("__p").limit(k)
+    val whole = bottomK(df).select("id").collect().map(_.getLong(0)).toSet
+    val a = bottomK(df.filter(col("id") % 2 === 0))
+    val b = bottomK(df.filter(col("id") % 2 =!= 0))
+    val merged = bottomK(a.unionAll(b).select("g", "x", "id"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(merged === whole)
+  }
+
+  test("quantileSketch is deterministic across runs and respects sample-size caps") {
+    val sf = "/root/testdata/sf0.001"
+    val r1 = SparkEntry.queries("q95_quantile_sketch")(spark, sf).collect().toSeq
+    val r2 = SparkEntry.queries("q95_quantile_sketch")(spark, sf).collect().toSeq
+    assert(r1 === r2)
+    // n_sample = min(k, group size), never more
+    r1.foreach(r => assert(r.getLong(3) <= 1024))
+  }
+
   test("overlapSelfJoin matches the brute-force inequality join on varied-length intervals") {
     import spark.implicits._
     // deterministic pseudo-random intervals, lengths 0..5x the cell width —
