@@ -32,8 +32,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       // zstd compresses the int-heavy shuffle rows of the aggregation
       // pipelines ~2× tighter than lz4 at negligible CPU cost — less
-      // shuffle I/O locally, less network at cluster scale
-      .config("spark.io.compression.codec", "zstd")
+      // shuffle I/O locally, less network at cluster scale. Overridable
+      // for A/B runs (the refscale experiments): codec choice trades
+      // exchange CPU against bytes moved, and the right side of that
+      // trade flips between a laptop page cache and a cluster network.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "zstd"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
@@ -44,7 +48,9 @@ object GraftSession {
     * whole stage), and AQE coalesces the excess on small exchanges. */
   def local(appName: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val s = builder(s"local[$cpus]", shufflePartitions = cpus * 3)
+    val parts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS").map(_.toInt)
+      .getOrElse(cpus * 3)
+    val s = builder(s"local[$cpus]", shufflePartitions = parts)
       .appName(appName)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -481,6 +481,54 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "content_hash", "n_copies")
 
+  /** C4-style segment-level exact dedup WITH document reassembly: split
+    * every document into `w`-token segments, keep only the FIRST
+    * corpus-wide occurrence of each distinct segment (first = smallest
+    * (doc_id, pos)), and rebuild each document from its surviving
+    * segments — the cleaning stage that strips boilerplate lines /
+    * repeated paragraphs while keeping the rest of the document, where
+    * q16 drops whole duplicate documents and q64 only REPORTS duplicate
+    * spans.
+    *
+    * Scale shape: segmentation is map-only (stride-`w` slices of the
+    * token array, no self-join); the owner election is ONE segment-keyed
+    * map-side-combining `min(struct(doc_id, pos))` aggregate — an
+    * aggregate, NOT a per-segment window, so a boilerplate segment
+    * repeated a billion times costs its partial aggregates, never a
+    * single-task sort; survivors join back segment-keyed (linear), and
+    * reassembly is a doc-keyed aggregate whose state is bounded by one
+    * document's own segments. Ubiquitous-segment skew dies in the
+    * map-side combine.
+    *
+    * Reassembled text is the space-join of surviving segments in
+    * original order (the `w`-token segmentation already normalizes
+    * whitespace, so byte-level spacing of the source is not
+    * reconstructable — documented, and mirrored exactly by the
+    * oracle). */
+  def segmentDedup(docs: DataFrame, w: Int): DataFrame = {
+    require(w > 0, s"segment width must be positive: $w")
+    val toks = TextAnalysis.tokens(col("text"))
+    val nseg = ceil(size(toks).cast("double") / w).cast("long")
+    val segs = docs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0L), nseg - 1),
+        i => concat_ws(" ", slice(toks, (i * w + 1).cast("int"), lit(w)))))
+        .as(Seq("pos", "seg")))
+    val owners = segs.groupBy("seg")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("o"))
+    val kept = segs.join(owners, Seq("seg"))
+      .filter(col("doc_id") === col("o.doc_id") && col("pos") === col("o.pos"))
+    val perDoc = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          t => t("seg"))).as("text_kept"))
+    docs.select(col("doc_id"), nseg.as("n_segments"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
   val queries: Seq[Query] = Seq(
 
     Query(
@@ -644,5 +692,50 @@ object Dedup {
         JOIN sz za ON za.doc_id = corpus_doc
         JOIN sz zb ON zb.doc_id = batch_doc
         WHERE CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) >= 0.7
-        ORDER BY corpus_doc, batch_doc""")))
+        ORDER BY corpus_doc, batch_doc""")),
+
+    Query(
+      "q97_segment_dedup",
+      "C4-style segment dedup with reassembly: documents split into " +
+        "10-token segments, only the FIRST corpus-wide occurrence of " +
+        "each distinct segment survives (first = min (doc_id, pos)), " +
+        "and each document is rebuilt from its surviving segments in " +
+        "order — strips repeated boilerplate while keeping the rest of " +
+        "the document (q16 drops whole duplicate docs; q64 only reports " +
+        "spans). Owner election is one segment-keyed map-side-combining " +
+        "min-struct aggregate — never a per-segment window — so " +
+        "ubiquitous segments die in the combine; reassembly state is " +
+        "bounded by one document's own segments. Oracle replays the " +
+        "segmentation, the (doc_id, pos) first-occurrence rule, and the " +
+        "exact reassembled strings.",
+      (s, dir) => segmentDedup(Tables.documents(s, dir), w = 10)
+        .orderBy("doc_id"),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+          FROM documents
+        ), segs AS (
+          SELECT doc_id,
+                 unnest(range(0, CAST(CEIL(len(ws) / 10.0) AS BIGINT))) AS pos,
+                 unnest(list_transform(range(0, CAST(CEIL(len(ws) / 10.0) AS BIGINT)),
+                        i -> array_to_string(ws[i*10+1 : (i+1)*10], ' '))) AS seg
+          FROM toks
+        ), nseg AS (
+          SELECT doc_id, COUNT(*) AS n_segments FROM segs GROUP BY doc_id
+        ), ranked AS (
+          SELECT doc_id, pos, seg,
+                 row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+          FROM segs
+        ), kept AS (
+          SELECT doc_id, pos, seg FROM ranked WHERE rn = 1
+        ), perdoc AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+                 string_agg(seg, ' ' ORDER BY pos) AS text_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT n.doc_id, n.n_segments,
+               COALESCE(p.n_kept, 0) AS n_kept,
+               COALESCE(p.text_kept, '') AS text_kept
+        FROM nseg n LEFT JOIN perdoc p USING (doc_id)
+        ORDER BY n.doc_id""")))
 }

@@ -172,6 +172,66 @@ object Vocab {
       .orderBy("doc_id")
   }
 
+  /** Unigram language model over a reference slice: (token, nw) counts
+    * from one token-keyed map-side-combining aggregate. */
+  def unigramModel(ref: DataFrame): DataFrame =
+    ref.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("nw"))
+
+  /** Per-document unigram-LM frequency profile against `model` — the
+    * CCNet-style corpus-fluency filter (score each incoming document by
+    * how familiar its tokens are to a trusted reference corpus; garbled
+    * text, wrong-language text, and boilerplate codes score as rare):
+    * (doc_id, n_tokens, n_oov, sum_freq, min_freq) where n_oov counts
+    * tokens absent from the model, sum_freq = Σ model-count over
+    * in-model tokens, min_freq = the rarest in-model token's count
+    * (NULL if every token is OOV).
+    *
+    * INTEGER columns only, deliberately — the oracle-exactness rule the
+    * PMI operator (q71) established: a smoothed log-probability needs
+    * ln(), which is libm-dependent and not reproducible to the last ulp
+    * across engines; every ranking these integers induce is the same
+    * as the smoothed NLL's up to the smoothing constant, and the real
+    * NLL (with ln) is [[unigramNll]], gated in ScalaTest against a
+    * plain-Scala model instead of DuckDB.
+    *
+    * Scale shape: the model is vocabulary-sized (bounded by distinct
+    * tokens, not corpus rows) and the join is UNHINTED — Spark's
+    * size-gated planner broadcasts it while it fits (map-only probe, no
+    * skew possible) and falls back to a token-keyed shuffle join beyond
+    * that, where AQE's skew-join splitting handles the "the"-token hot
+    * keys; the per-doc aggregate combines map-side either way. */
+  def lmFrequencyScore(corpus: DataFrame, model: DataFrame): DataFrame =
+    corpus.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .join(model, Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("nw").isNull, 1)).as("n_oov"),
+        coalesce(sum("nw"), lit(0L)).as("sum_freq"),
+        min("nw").as("min_freq"))
+
+  /** Laplace-smoothed per-document negative log-likelihood under
+    * `model` — the actual perplexity-filter score: mean over tokens of
+    * −ln((nw + α)/(N + α·(V + 1))), OOV tokens contributing the α
+    * floor. N and V ride in as a one-row broadcast (the q46 bounds
+    * pattern, no driver round-trip). ScalaTest-gated (ln is not
+    * cross-engine-exact; see [[lmFrequencyScore]]). */
+  def unigramNll(corpus: DataFrame, model: DataFrame, alpha: Double): DataFrame = {
+    val totals = model.agg(sum("nw").as("__n"), count(lit(1)).as("__v"))
+    corpus.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .join(model, Seq("token"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        (-log((coalesce(col("nw"), lit(0L)).cast("double") + lit(alpha)) /
+          (col("__n").cast("double") + lit(alpha) * (col("__v").cast("double") + 1))))
+          .as("nll"))
+      .groupBy("doc_id")
+      .agg(avg("nll").as("nll"), count(lit(1)).as("n_tokens"))
+  }
+
   val queries: Seq[Query] = Seq(
     Query(
       "q48_tfidf_terms",
@@ -366,6 +426,44 @@ object Vocab {
         FROM documents d
         LEFT JOIN nb USING (doc_id)
         LEFT JOIN uqc USING (doc_id)
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    Query(
+      "q96_lm_score",
+      "Unigram-LM corpus-fluency scoring, out-of-sample (the CCNet " +
+        "shape): a token-frequency model trained on the doc_id%3<>0 " +
+        "reference slice scores the held-out doc_id%3=0 documents — " +
+        "(n_tokens, n_oov, sum_freq, min_freq) per doc, where rare/" +
+        "unseen-token mass is the garbled/wrong-language/boilerplate " +
+        "signal. Integer columns only (the q71 rule: ln() is libm-" +
+        "dependent, so the smoothed NLL twin unigramNll is ScalaTest-" +
+        "gated instead); the model join is UNHINTED — broadcast while " +
+        "the vocabulary fits, token-keyed shuffle with AQE skew-split " +
+        "beyond — and the per-doc aggregate combines map-side.",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        lmFrequencyScore(
+          docs.filter(col("doc_id") % 3 === 0),
+          unigramModel(docs.filter(col("doc_id") % 3 =!= 0)))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH ref AS (
+          SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+          FROM documents WHERE doc_id % 3 <> 0
+        ), model AS (
+          SELECT token, COUNT(*) AS nw FROM ref GROUP BY token
+        ), toks AS (
+          SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+          FROM documents WHERE doc_id % 3 = 0
+        )
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               COUNT(*) FILTER (WHERE m.nw IS NULL) AS n_oov,
+               CAST(COALESCE(SUM(m.nw), 0) AS BIGINT) AS sum_freq,
+               MIN(m.nw) AS min_freq
+        FROM toks t LEFT JOIN model m USING (token)
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id"""))
   )
 }

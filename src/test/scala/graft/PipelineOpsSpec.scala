@@ -285,6 +285,91 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   // ---- q65 overlapping chunking ----
 
+  test("unigramNll matches a plain-Scala Laplace-smoothed model; OOV scores strictly worse") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat"),
+      (3L, "zx qq zx"), // held-out: all tokens OOV vs the model below
+      (6L, "the cat sat")) // held-out: all in-model
+      .toDF("doc_id", "text")
+    val ref = docs.filter(col("doc_id") % 3 =!= 0)
+    val held = docs.filter(col("doc_id") % 3 === 0)
+    val alpha = 0.5
+    val got = Vocab.unigramNll(held, Vocab.unigramModel(ref), alpha)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // plain-Scala reference model from the same slices
+    val tok = (s: String) => s.toLowerCase.trim.replaceAll("\\s+", " ").split(" ").toSeq
+    val counts = Seq("the cat sat on the mat", "the dog sat").flatMap(tok)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = counts.values.sum.toDouble
+    val v = counts.size.toDouble
+    def nll(text: String): (Double, Long) = {
+      val ts = tok(text)
+      val scores = ts.map(t =>
+        -math.log((counts.getOrElse(t, 0L) + alpha) / (n + alpha * (v + 1))))
+      (scores.sum / scores.size, ts.size.toLong)
+    }
+    Seq(3L -> "zx qq zx", 6L -> "the cat sat").foreach { case (id, text) =>
+      val (expNll, expN) = nll(text)
+      assert(got(id)._2 === expN)
+      assert(math.abs(got(id)._1 - expNll) < 1e-12,
+        s"doc $id: ${got(id)._1} vs $expNll")
+    }
+    // the all-OOV document must score strictly worse than the fluent one
+    assert(got(3L)._1 > got(6L)._1)
+  }
+
+  test("lmFrequencyScore: OOV/min/sum bookkeeping on crafted edge docs") {
+    val docs = Seq(
+      (1L, "a a b"), (2L, "a c"),       // model slice: a->3, b->1, c->1
+      (3L, "a b zz"),                   // held out: 2 in-model, 1 OOV
+      (6L, "zz qq"))                    // held out: all OOV
+      .toDF("doc_id", "text")
+    val got = Vocab.lmFrequencyScore(
+      docs.filter(col("doc_id") % 3 === 0),
+      Vocab.unigramModel(docs.filter(col("doc_id") % 3 =!= 0)))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(got(3L) === ((3L, 1L, 4L, Some(1L)))) // a(3) + b(1); min=b(1)
+    assert(got(6L) === ((2L, 2L, 0L, None)))     // all OOV: sum 0, min NULL
+  }
+
+  test("segmentDedup keeps first occurrences only and reassembles in order") {
+    // 10-token segments built from single-letter tokens; A/B/C/D are
+    // distinct 10-token runs
+    def run(c: Char) = Seq.fill(10)(c.toString).mkString(" ")
+    val (a, b, cc, d) = (run('a'), run('b'), run('c'), run('d'))
+    val docs = Seq(
+      (1L, s"$a $b"),      // first owner of A and B
+      (2L, s"$b $cc"),     // B dropped (first seen doc 1 pos 1), C kept
+      (3L, s"$a $b"),      // identical to doc 1: keeps nothing
+      (4L, s"$d $d")       // within-doc repeat: first D kept only
+    ).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs, w = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) === ((2L, 2L, s"$a $b")))
+    assert(got(2L) === ((2L, 1L, cc)))
+    assert(got(3L) === ((2L, 0L, "")))
+    assert(got(4L) === ((2L, 1L, d)))
+  }
+
+  test("segmentDedup: short tails segment correctly and survive independently") {
+    def run(c: Char, n: Int) = Seq.fill(n)(c.toString).mkString(" ")
+    val docs = Seq(
+      (1L, run('a', 10) + " " + run('x', 3)), // 13 tokens: full A + 3-token tail
+      (2L, run('x', 3))                       // 3-token doc: same TEXT as doc 1's tail
+    ).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs, w = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1: two segments (10 + 3-token tail); doc 2's single segment
+    // equals doc 1's tail string, so it is a duplicate and drops
+    assert(got(1L) === ((2L, 2L, run('a', 10) + " " + run('x', 3))))
+    assert(got(2L) === ((1L, 0L, "")))
+  }
+
   test("chunking matches the per-doc brute force window-for-window") {
     val (w, s) = (64, 48)
     val got = Shards.chunkOverlap(Tables.documents(spark, sf), w, s)
