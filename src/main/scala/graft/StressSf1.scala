@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, DupClusters, SemanticDedup, Shards, Similarity, TrainingPipeline}
+import graft.operators.{Dedup, DupClusters, SemanticDedup, Shards, Similarity, TrainingPipeline, Vocab}
 import graft.sources.Tables
 
 /** 10× stress run for the dedup/similarity family (q17 MinHash-LSH, q22
@@ -147,6 +147,15 @@ object StressSf1 {
       // map-only explode: token counts are family-invariant (the ~k
       // suffix never adds tokens), so chunk rows are exactly 10x
       "q65_chunk_overlap" -> (d => operators.Shards.chunkOverlap(d, 64, 48)),
+      // per-family token suffixes keep segments family-local, so each
+      // family replays the base corpus's duplicate pattern: output rows
+      // (= docs) and dropped segments are both exactly 10x
+      "q97_segment_dedup" -> (d => Dedup.segmentDedup(d, w = 10)),
+      // model vocab and the token-keyed probe both scale with the 10
+      // disjoint token families -> rows (= held-out docs) exactly 10x
+      "q96_lm_score" -> (d => Vocab.lmFrequencyScore(
+        d.filter(col("doc_id") % 3 === 0),
+        Vocab.unigramModel(d.filter(col("doc_id") % 3 =!= 0)))),
       // the streaming gate's one-sided prefix filter (probe = FULL hash
       // set) trades candidate volume for statelessness — this is the
       // check that the trade stays LINEAR at 10x: same %3 split per

@@ -127,6 +127,28 @@ object Sampling {
       .drop("__g", "__pickkey")
   }
 
+
+  /** Leakage-safe train/valid/test split: the split key is the document's
+    * NEAR-DUP CLUSTER id (its q40 connected-component root; itself when
+    * unclustered), so a document and all its near-duplicates land in the
+    * SAME split by construction. Splitting on `doc_id` alone leaks
+    * evaluation data: a test document whose near-duplicate sits in train
+    * is effectively memorized-by-proxy — the classic benchmark-
+    * contamination path that survives exact dedup. Same content-stable
+    * md5 mechanics as [[splitColumn]], applied to the cluster id.
+    *
+    * Shape: one doc-keyed left join of the (bounded, ids-only) cluster
+    * frame + a map-side hash projection — the clustering itself is
+    * [[DupClusters.connectedComponents]]'s verified O(log² n) plan. */
+  def leakageSafeSplit(docs: DataFrame, clusters: DataFrame,
+      train: Double, valid: Double): DataFrame =
+    docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        splitColumn(col("cluster_id"), train, valid).as("split"))
+
   val queries: Seq[Query] = Seq(
     Query(
       "q35_split",
@@ -233,6 +255,62 @@ object Sampling {
           FROM documents d JOIN t USING (lang))
         SELECT lang, doc_id, pick, target
         FROM ranked WHERE pick <= target
-        ORDER BY lang, pick"""))
+        ORDER BY lang, pick""")),
+
+    Query(
+      "q98_leakage_split",
+      "Leakage-safe 80/10/10 split: split key = the q40 near-dup cluster " +
+        "root (itself when unclustered), so a document and ALL its " +
+        "near-duplicates land in the same split — closing the eval-" +
+        "contamination path a doc_id-keyed split (q35) leaves open (a " +
+        "test doc's near-twin in train = memorization by proxy). " +
+        "Composes q28 pairs -> q40 components -> md5 split under ONE " +
+        "oracle (recursive-CTE closure + the same hex-threshold " +
+        "predicate in DuckDB). The ScalaTest side proves the property " +
+        "itself: no q28 pair straddles splits, while the naive doc-" +
+        "keyed split demonstrably does on a crafted twin.",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.jaccardJoin(docs, n = 3, tau = 0.7)
+          .select(col("doc_a").as("u"), col("doc_b").as("v"))
+        leakageSafeSplit(docs, DupClusters.connectedComponents(pairs), 0.8, 0.1)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH RECURSIVE sh AS (
+          SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+                                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+          FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+                FROM documents)
+        ), sz AS (
+          SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), edges AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sz za ON za.doc_id = doc_a
+          JOIN sz zb ON zb.doc_id = doc_b
+          WHERE CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) >= 0.7
+        ), bi AS (
+          SELECT doc_a AS u, doc_b AS v FROM edges
+          UNION
+          SELECT doc_b AS u, doc_a AS v FROM edges
+        ), reach(u, v) AS (
+          SELECT u, v FROM bi
+          UNION
+          SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u WHERE b.v <> r.u
+        ), cl AS (
+          SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+          FROM reach GROUP BY u
+        )
+        SELECT d.doc_id,
+               COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+               CASE WHEN substring(md5(CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+                    WHEN substring(md5(CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)), 1, 8) < 'e6666666' THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents d LEFT JOIN cl USING (doc_id)
+        ORDER BY d.doc_id"""))
   )
 }

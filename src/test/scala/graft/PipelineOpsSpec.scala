@@ -82,6 +82,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("convergence short-circuit: exceptAll runs only in count-equal rounds (once on cliques)") {
+    // Pins the `nextCount == prevCount && next.exceptAll(edges).isEmpty`
+    // short-circuit (DupClusters.connectedComponents). Contract: the
+    // set-difference runs ONLY in rounds whose edge count matched the
+    // previous round's. On count-SHRINKING graphs — the near-dup shape,
+    // where clusters are dense pair sets that contract — that is exactly
+    // the one final convergence round. (A pure chain graph PRESERVES its
+    // canonical edge count across rounds, so each of its ~log² rounds
+    // pays the exact set-equality test — the documented price of an
+    // exact convergence check; this test pins the dense-graph contract
+    // a refactor to unconditional evaluation would break.)
+    val excepts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        if (qe.analyzed.collect {
+          case e: org.apache.spark.sql.catalyst.plans.logical.Except => e
+        }.nonEmpty) excepts.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // two disjoint 8-cliques: 2×28 edges contract to 2×7 star edges in
+      // round 1 (counts differ -> no exceptAll), round 2 reproduces the
+      // same stars (counts equal -> the ONE exceptAll) and converges
+      val edges = (for {
+        base <- Seq(0L, 100L)
+        i <- 1 to 8; j <- 1 to 8 if i < j
+      } yield (base + i, base + j)).toDF("u", "v")
+      val cc = DupClusters.connectedComponents(edges)
+      // sanity on the result before asserting on the listener
+      val out = cc.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(out.map(_._2).toSet === Set(1L, 101L))
+      assert(out.length === 16)
+      // drain the async listener bus: poll until the counter is stable
+      var last = -1
+      var stableSince = System.currentTimeMillis()
+      val deadline = System.currentTimeMillis() + 15000
+      while (System.currentTimeMillis() < deadline &&
+          (last != excepts.get() || System.currentTimeMillis() - stableSince < 1000)) {
+        if (last != excepts.get()) { last = excepts.get(); stableSince = System.currentTimeMillis() }
+        Thread.sleep(100)
+      }
+      // the collect() above evaluates the returned frame, whose ROOTS
+      // computation also contains an Except — so the in-loop budget is
+      // excepts ≤ 2 total: one convergence check + one roots evaluation
+      assert(excepts.get() === 2,
+        s"Except-bearing actions ran ${excepts.get()} times (expected 2: one " +
+          "convergence exceptAll + the returned frame's roots anti-join) — " +
+          "the counts-differ short-circuit is broken")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("connected components: duplicate/reversed edges and self-pairs are harmless") {
     ccCheck(Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (3L, 4L)).filter(e => e._1 != e._2))
   }
@@ -368,6 +422,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     // equals doc 1's tail string, so it is a duplicate and drops
     assert(got(1L) === ((2L, 2L, run('a', 10) + " " + run('x', 3))))
     assert(got(2L) === ((1L, 0L, "")))
+  }
+
+  test("leakage-safe split: no near-dup pair straddles splits; the doc-keyed split does") {
+    import graft.operators.Sampling
+    // ids 1 and 3 are chosen because md5("1") buckets to train and
+    // md5("3") to test under the 80/10/10 thresholds — so the naive
+    // doc_id-keyed split provably separates the identical twins below
+    val twin = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, twin), (3L, twin),
+      (7L, "completely different words nothing shared here at all today ok"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardJoin(docs, n = 3, tau = 0.7)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    assert(pairs.count() === 1) // the twins pair up, the third doc doesn't
+    val safe = Sampling.leakageSafeSplit(docs, DupClusters.connectedComponents(pairs), 0.8, 0.1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // both twins share cluster 1 and therefore ONE split
+    assert(safe(1L)._1 === 1L && safe(3L)._1 === 1L)
+    assert(safe(1L)._2 === safe(3L)._2)
+    // the unclustered doc keys on itself
+    assert(safe(7L)._1 === 7L)
+    // negative control: the naive per-doc split separates the twins
+    val naive = docs.select(col("doc_id"),
+        Sampling.splitColumn(col("doc_id"), 0.8, 0.1).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(naive(1L) !== naive(3L),
+      "fixture drift: ids 1/3 no longer split apart under the doc-keyed hash")
+  }
+
+  test("leakage-safe split property on real data: every q28 pair lands in one split") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.jaccardJoin(docs, n = 3, tau = 0.7)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val split = Sampling.leakageSafeSplit(docs, DupClusters.connectedComponents(pairs), 0.8, 0.1)
+    val straddling = pairs
+      .join(split.select(col("doc_id").as("u"), col("split").as("sa")), Seq("u"))
+      .join(split.select(col("doc_id").as("v"), col("split").as("sb")), Seq("v"))
+      .filter(col("sa") =!= col("sb"))
+      .count()
+    assert(straddling === 0L)
   }
 
   test("chunking matches the per-doc brute force window-for-window") {
