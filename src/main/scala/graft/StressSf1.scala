@@ -156,6 +156,9 @@ object StressSf1 {
       "q96_lm_score" -> (d => Vocab.lmFrequencyScore(
         d.filter(col("doc_id") % 3 === 0),
         Vocab.unigramModel(d.filter(col("doc_id") % 3 =!= 0)))),
+      // containment pairs are family-local (cross-family grams cannot
+      // collide), so ordered pairs replicate per family -> rows 10x
+      "q99_containment" -> (d => Dedup.containmentJoin(d, n = 3, tau = 0.8)),
       // the streaming gate's one-sided prefix filter (probe = FULL hash
       // set) trades candidate volume for statelessness — this is the
       // check that the trade stays LINEAR at 10x: same %3 split per

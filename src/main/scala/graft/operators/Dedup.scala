@@ -247,6 +247,18 @@ object Dedup {
   private[graft] def prefixTokens(withSz: DataFrame, tau: Double,
       carry: Seq[String]): DataFrame = {
     val u = tau / (1.0 + tau)
+    prefixTokensBy(withSz,
+      (col("sz") - ceil(col("sz") * u - 1e-9) + 1).cast("int"), carry)
+  }
+
+  /** [[prefixTokens]] with a caller-supplied prefix-length expression —
+    * the shared frequency-ordered-prefix machinery, parameterized so
+    * each similarity predicate brings its own counting bound (Jaccard:
+    * sz − ⌈sz·τ/(1+τ)⌉ + 1; containment: ⌊sz·(1−τ)⌋ + 1). Any fixed
+    * global token order preserves losslessness; rare-first (df ASC)
+    * minimizes candidates. */
+  private[graft] def prefixTokensBy(withSz: DataFrame, prefixLen: Column,
+      carry: Seq[String]): DataFrame = {
     val keys = carry ++ Seq("doc_id", "sz")
     val dfreq = withSz.select(explode(col("hs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
@@ -255,7 +267,6 @@ object Dedup {
       .join(dfreq, Seq("h"))
       .groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
-    val prefixLen = (col("sz") - ceil(col("sz") * u - 1e-9) + 1).cast("int")
     ordered.select(
       keys.map(col) :+ explode(slice(col("ord.h"), lit(1), prefixLen)).as("h"): _*)
   }
@@ -345,6 +356,59 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= tau)
       .orderBy("corpus_doc", "batch_doc")
+  }
+
+  /** Asymmetric CONTAINMENT join: every ordered pair (inner, outer)
+    * with |S_inner ∩ S_outer| / |S_inner| ≥ τ — doc `inner` is mostly
+    * contained in doc `outer`. This is the duplication Jaccard
+    * structurally misses: a quote, repost, or boilerplate-wrapped copy
+    * inside a much longer document has near-1 containment but tiny
+    * Jaccard (the union is dominated by the container), so a τ-Jaccard
+    * gate never fires.
+    *
+    * Lossless one-sided prefix filter, containment bound: if
+    * containment(a→b) ≥ τ then b misses at most ⌊(1−τ)·|S_a|⌋ of a's
+    * grams, so b must hit at least one gram of ANY
+    * (⌊(1−τ)·|S_a|⌋+1)-subset of S_a — in particular a's rare-first
+    * prefix. The INNER side emits only that prefix; the OUTER side
+    * emits its full gram stream (the q70/q93 one-sided shape — no
+    * union-wide prefix pairing needed, which is also what keeps the
+    * filter valid for a predicate with no symmetric length bound: a
+    * 10-gram doc can be contained in a 10-million-gram one). The only
+    * size prune that IS sound — |S_outer| ≥ τ·|S_inner| — is applied
+    * on the candidate pairs. Exact verify on candidates only; grams
+    * travel as xxhash64 (the q39 argument), and the oracle's
+    * string-gram recount doubles as the collision check. */
+  def containmentJoin(docs0: DataFrame, n: Int, tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must lie in (0, 1]: $tau")
+    val base = Tables.rebalanced(docs0)
+      .filter(size(TextAnalysis.tokensFast(col("text"))) >= n)
+      .select(col("doc_id"), array_sort(array_distinct(
+        TextAnalysis.shingleHashArray(TextAnalysis.tokensFast(col("text")), n))).as("hs"))
+      .persist()
+    base.count() // barrier: df pass, prefix pass, and both verify sides
+    val withSz = base.select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
+    // +1e-9 relaxation can only WIDEN the prefix (keep more), never drop
+    val innerPref = prefixTokensBy(withSz,
+        (floor(col("sz") * (1.0 - tau) + 1e-9) + 1).cast("int"), carry = Nil)
+      .select(col("doc_id").as("inner_doc"), col("sz").as("ni"), col("h"))
+    val outerAll = withSz
+      .select(col("doc_id").as("outer_doc"), col("sz").as("no"), explode(col("hs")).as("h"))
+    val cand = innerPref.join(outerAll, Seq("h"))
+      .filter(col("inner_doc") =!= col("outer_doc") &&
+        col("no").cast("double") >= col("ni") * tau - 1e-9)
+      .select("inner_doc", "outer_doc")
+      .dropDuplicates("inner_doc", "outer_doc")
+      .persist()
+    cand.count()
+    cand
+      .join(base.select(col("doc_id").as("inner_doc"), col("hs").as("si")), Seq("inner_doc"))
+      .join(base.select(col("doc_id").as("outer_doc"), col("hs").as("so")), Seq("outer_doc"))
+      .select(col("inner_doc"), col("outer_doc"),
+        (size(array_intersect(col("si"), col("so"))).cast("double") /
+          size(col("si")).cast("double")).as("containment"))
+      .filter(col("containment") >= tau)
+      .orderBy("inner_doc", "outer_doc")
   }
 
   // ---- substring-level exact dedup (Lee et al. 2022 family) ----
@@ -693,6 +757,40 @@ object Dedup {
         JOIN sz zb ON zb.doc_id = batch_doc
         WHERE CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) >= 0.7
         ORDER BY corpus_doc, batch_doc""")),
+
+    Query(
+      "q99_containment",
+      "Asymmetric containment join (tau=0.8, 3-gram shingles): every " +
+        "ordered pair where doc `inner` is mostly CONTAINED in doc " +
+        "`outer` (|S_i n S_o|/|S_i| >= tau) — the quote/repost/" +
+        "boilerplate-wrap duplication a Jaccard gate structurally " +
+        "misses, because the container's length crushes the union. " +
+        "Lossless one-sided prefix filter with the containment bound " +
+        "(inner emits its floor((1-tau)*sz)+1 rare-first prefix, outer " +
+        "its full gram stream — the q70/q93 shape, valid here precisely " +
+        "because containment has no symmetric length prune); the one " +
+        "sound prune (|S_o| >= tau*|S_i|) cuts candidates; exact verify " +
+        "on candidates only. Grams travel as xxhash64; the oracle's " +
+        "string-gram brute force doubles as the collision check.",
+      (s, dir) => containmentJoin(Tables.documents(s, dir), n = 3, tau = 0.8),
+      Some("""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+                                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+          FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+                FROM documents)
+        ), sz AS (
+          SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT inner_doc, outer_doc,
+               CAST(i AS DOUBLE) / CAST(z.n AS DOUBLE) AS containment
+        FROM inter JOIN sz z ON z.doc_id = inner_doc
+        WHERE CAST(i AS DOUBLE) / CAST(z.n AS DOUBLE) >= 0.8
+        ORDER BY inner_doc, outer_doc""")),
 
     Query(
       "q97_segment_dedup",

@@ -389,6 +389,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(6L) === ((2L, 2L, 0L, None)))     // all OOV: sum 0, min NULL
   }
 
+  test("containmentJoin finds a planted quote asymmetrically (inner->outer only)") {
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val filler = (1 to 60).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),                   // the short doc IS the quote
+      (2L, s"$filler $quote"),       // long doc containing the quote verbatim
+      (3L, (1 to 20).map(i => s"z$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(docs, n = 3, tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 1's grams all appear in doc 2 => containment(1->2) = 1.0;
+    // the reverse direction is far below tau; nothing else pairs
+    assert(got.map(t => (t._1, t._2)).toSeq === Seq((1L, 2L)))
+    assert(got.head._3 === 1.0)
+  }
+
+  test("containmentJoin prefix filter is lossless vs the brute-force scan on real data") {
+    val docs = Tables.documents(spark, sf)
+    val got = Dedup.containmentJoin(docs, n = 3, tau = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // brute force over the same hashed gram sets (no prefix filter)
+    val base = docs
+      .filter(size(graft.operators.TextAnalysis.tokensFast(col("text"))) >= 3)
+      .select(col("doc_id"), array_sort(array_distinct(
+        graft.operators.TextAnalysis.shingleHashArray(
+          graft.operators.TextAnalysis.tokensFast(col("text")), 3))).as("hs"))
+    val a = base.select(col("doc_id").as("ia"), col("hs").as("sa"))
+    val b = base.select(col("doc_id").as("ib"), col("hs").as("sb"))
+    val brute = a.join(b, col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(col("sa")).cast("double")).as("c"))
+      .filter(col("c") >= 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got === brute)
+    assert(brute.nonEmpty) // sf0.001 plants exact twins: containment 1.0 both ways
+  }
+
   test("segmentDedup keeps first occurrences only and reassembles in order") {
     // 10-token segments built from single-letter tokens; A/B/C/D are
     // distinct 10-token runs
