@@ -223,6 +223,102 @@ object TrainingPipeline {
                MAX(doc_id) AS last_doc
         FROM pref
         GROUP BY 1
-        ORDER BY shard_id"""))
+        ORDER BY shard_id""")),
+
+    Query(
+      "q100_clean_manifest",
+      "The round's cleaning stages composed under ONE oracle: C4-style " +
+        "segment dedup (q97 — strip every segment already seen corpus-" +
+        "wide, keep the rest of the doc), token recount over the " +
+        "REASSEMBLED text, leakage-safe cluster-keyed split assignment " +
+        "(q98), and the per-split manifest (docs, surviving segments, " +
+        "surviving tokens) a training run audits before reading a byte. " +
+        "Every stage is an independently oracle-gated operator run " +
+        "VERBATIM; the value of this entry is that the COMPOSITION — " +
+        "join keys, empty-doc coalescing, count domains — is itself " +
+        "under a single DuckDB query (the q76 composition argument). " +
+        "Exchanges carry ids, counts, and kept text only; the split " +
+        "attach is an ids-only join.",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val cleaned = Dedup.segmentDedup(docs, w = 10)
+        val pairs = Dedup.jaccardJoin(docs, n = 3, tau = 0.7)
+          .select(col("doc_a").as("u"), col("doc_b").as("v"))
+        val splitFrame = Sampling.leakageSafeSplit(
+          docs, DupClusters.connectedComponents(pairs), 0.8, 0.1)
+        // text_kept is the space-join of already-normalized segments, so
+        // a single-space split recovers the exact surviving tokens
+        cleaned.join(splitFrame.select("doc_id", "split"), Seq("doc_id"))
+          .select(col("split"), col("n_kept"),
+            when(col("text_kept") === "", lit(0L))
+              .otherwise(size(split(col("text_kept"), " ")).cast("long"))
+              .as("n_tokens"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_kept").as("n_kept_segments"),
+            sum("n_tokens").as("n_tokens"))
+          .orderBy("split")
+      },
+      Some("""
+        WITH RECURSIVE toksq AS (
+          SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+          FROM documents
+        ), segs AS (
+          SELECT doc_id,
+                 unnest(range(0, CAST(CEIL(len(ws) / 10.0) AS BIGINT))) AS pos,
+                 unnest(list_transform(range(0, CAST(CEIL(len(ws) / 10.0) AS BIGINT)),
+                        i -> array_to_string(ws[i*10+1 : (i+1)*10], ' '))) AS seg
+          FROM toksq
+        ), ranked AS (
+          SELECT doc_id, pos, seg,
+                 row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+          FROM segs
+        ), perdoc AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+                 string_agg(seg, ' ' ORDER BY pos) AS text_kept
+          FROM ranked WHERE rn = 1 GROUP BY doc_id
+        ), sh AS (
+          SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+                                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+          FROM toksq
+        ), sz AS (
+          SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), edges AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sz za ON za.doc_id = doc_a
+          JOIN sz zb ON zb.doc_id = doc_b
+          WHERE CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) >= 0.7
+        ), bi AS (
+          SELECT doc_a AS u, doc_b AS v FROM edges
+          UNION
+          SELECT doc_b AS u, doc_a AS v FROM edges
+        ), reach(u, v) AS (
+          SELECT u, v FROM bi
+          UNION
+          SELECT r.u, b.v FROM reach r JOIN bi b ON r.v = b.u WHERE b.v <> r.u
+        ), cl AS (
+          SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+          FROM reach GROUP BY u
+        ), spl AS (
+          SELECT d.doc_id,
+                 CASE WHEN substring(md5(CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+                      WHEN substring(md5(CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)), 1, 8) < 'e6666666' THEN 'valid'
+                      ELSE 'test' END AS split
+          FROM documents d LEFT JOIN cl USING (doc_id)
+        )
+        SELECT s.split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(COALESCE(p.n_kept, 0)) AS BIGINT) AS n_kept_segments,
+               CAST(SUM(CASE WHEN p.text_kept IS NULL OR p.text_kept = '' THEN 0
+                             ELSE len(string_split(p.text_kept, ' ')) END) AS BIGINT) AS n_tokens
+        FROM documents d
+        JOIN spl s USING (doc_id)
+        LEFT JOIN perdoc p USING (doc_id)
+        GROUP BY 1
+        ORDER BY s.split"""))
   )
 }

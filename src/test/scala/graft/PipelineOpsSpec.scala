@@ -504,6 +504,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(straddling === 0L)
   }
 
+  test("clean-manifest composition is consistent with its stage operators") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf)
+    val manifest = SparkEntry.queries("q100_clean_manifest")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // totals across splits must equal the stage operators' own totals
+    val nDocs = docs.count()
+    assert(manifest.values.map(_._1).sum === nDocs)
+    val keptTotal = Dedup.segmentDedup(docs, w = 10)
+      .agg(sum("n_kept")).head().getLong(0)
+    assert(manifest.values.map(_._2).sum === keptTotal)
+    // surviving tokens are bounded by surviving segments x width, and
+    // every kept segment holds at least one token
+    manifest.values.foreach { case (_, segs, toks) =>
+      assert(toks <= segs * 10 && toks >= segs)
+    }
+    // split keys come from the leakage-safe assignment: spot-check that
+    // the manifest's split universe matches the assignment's
+    val pairs = Dedup.jaccardJoin(docs, n = 3, tau = 0.7)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val splits = Sampling.leakageSafeSplit(docs, DupClusters.connectedComponents(pairs), 0.8, 0.1)
+      .select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(manifest.keySet === splits)
+  }
+
   test("chunking matches the per-doc brute force window-for-window") {
     val (w, s) = (64, 48)
     val got = Shards.chunkOverlap(Tables.documents(spark, sf), w, s)

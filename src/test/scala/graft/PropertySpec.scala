@@ -117,6 +117,65 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("segmentDedup matches a plain-Scala reference on random corpora") {
+    import spark.implicits._
+    (1L to 4L).foreach { run =>
+      val n = sample(Gen.choose(4, 25), run)
+      val w = sample(Gen.choose(2, 6), run + 13)
+      val seed = mix(run + 53)
+      val vocab = Seq("aa", "bb", "cc", "dd", "ee")
+      // small vocab + short segments force real cross-doc collisions
+      val rows = (1 to n).map { i =>
+        val len = 1 + bounded(seed + i * 7, 0, 14)
+        (i.toLong,
+          (0 until len).map(j => vocab(bounded(seed + i * 31 + j, 0, vocab.length - 1))).mkString(" "))
+      }
+      val got = Dedup.segmentDedup(rows.toDF("doc_id", "text"), w)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      // plain-Scala reference: same segmentation, first-occurrence rule
+      val segs = rows.flatMap { case (id, text) =>
+        text.split(" ").grouped(w).zipWithIndex.map { case (ts, pos) =>
+          (id, pos.toLong, ts.mkString(" "))
+        }
+      }
+      val owner = segs.groupBy(_._3).view.mapValues(_.minBy(s => (s._1, s._2))).toMap
+      val expected = rows.map { case (id, text) =>
+        val mine = segs.filter(_._1 == id)
+        val kept = mine.filter(s => owner(s._3) == s).sortBy(_._2)
+        id -> (mine.size.toLong, kept.size.toLong, kept.map(_._3).mkString(" "))
+      }.toMap
+      assert(got === expected, s"run $run (n=$n, w=$w)")
+    }
+  }
+
+  test("containmentJoin matches a plain-Scala brute force on random corpora") {
+    import spark.implicits._
+    (1L to 4L).foreach { run =>
+      val n = sample(Gen.choose(5, 18), run)
+      val seed = mix(run + 97)
+      val vocab = Seq("x1", "x2", "x3", "x4", "x5", "x6")
+      val rows = (1 to n).map { i =>
+        val len = 3 + bounded(seed + i * 11, 0, 20)
+        (i.toLong,
+          (0 until len).map(j => vocab(bounded(seed + i * 17 + j, 0, vocab.length - 1))).mkString(" "))
+      }
+      val tau = 0.7
+      val got = Dedup.containmentJoin(rows.toDF("doc_id", "text"), n = 3, tau = tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // plain-Scala brute force over distinct 3-gram STRING sets (also
+      // the collision check for the operator's xxhash64 gram keys)
+      val grams = rows.map { case (id, text) =>
+        id -> text.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      }.toMap
+      val expected = (for {
+        (a, sa) <- grams; (b, sb) <- grams
+        if a != b && sa.nonEmpty &&
+          (sa & sb).size.toDouble / sa.size.toDouble >= tau
+      } yield (a, b)).toSet
+      assert(got === expected, s"run $run (n=$n)")
+    }
+  }
+
   test("histogram conserves row count and never bins outside [0, nBins) (random data)") {
     import spark.implicits._
     (1L to 5L).foreach { run =>
