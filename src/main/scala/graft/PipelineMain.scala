@@ -2,17 +2,18 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Shards, TextAnalysis, TrainingPipeline}
+import graft.operators.{Dedup, DupClusters, Sampling, Shards, TextAnalysis, TrainingPipeline}
 import graft.sources.Tables
 
 /** End-to-end training-data pipeline CLI — the library's operators run
   * as ONE production-shaped job instead of isolated catalog entries:
   *
   * {{{
-  *   runMain graft.PipelineMain <sfDir> <outDir> [shardTokens]
+  *   runMain graft.PipelineMain <sfDir> <outDir> [shardTokens] \
+  *     [--segment-dedup] [--leakage-split]
   * }}}
   *
   *   1. '''exact dedup''' — smallest doc_id survives per normalized
@@ -23,33 +24,41 @@ import graft.sources.Tables
   *      feeds clustering directly through the q40 seam;
   *   3. '''per-language length gate''' — drop docs below their own
   *      language's p10 char count (q73's per-group threshold);
-  *   4. '''shard layout''' — token-budget shards in doc_id order via the
+  *   4. '''[opt-in] segment dedup''' (`--segment-dedup`) — C4-style
+  *      10-token segment dedup with reassembly (q97): repeated
+  *      boilerplate is stripped from surviving documents and their text
+  *      REPLACED by the reassembled survivor text before layout; docs
+  *      whose every segment was seen elsewhere are dropped;
+  *   5. '''[opt-in] leakage-safe split''' (`--leakage-split`) — the q98
+  *      cluster-keyed 80/10/10 assignment, clustered at tau=0.5: the
+  *      dedup stages already removed ≥0.7 twins, so the split guards
+  *      the 0.5–0.7 GRAY ZONE — pairs too dissimilar to drop but
+  *      similar enough to leak eval signal across splits — written as
+  *      `splits/` (doc_id, cluster_id, split);
+  *   6. '''shard layout''' — token-budget shards in doc_id order via the
   *      distributed prefix sum, written one file per shard (q41's
   *      writer), plus the per-shard manifest;
-  *   5. '''data card''' — per-language doc/token accounting of the final
+  *   7. '''data card''' — per-language doc/token accounting of the final
   *      corpus, the summary a dataset release ships.
   *
   * Outputs under `<outDir>`: `shards/` (one parquet file per shard,
   * partitioned by shard_id), `manifest/` (per-shard doc/token totals),
-  * `datacard/` (per-language stats), and one JSON summary line on
-  * stdout (stage row counts — parse the LAST line).
+  * `datacard/` (per-language stats), optionally `splits/`, and one JSON
+  * summary line on stdout (stage row counts — parse the LAST line).
   *
   * Scale shape: every stage is a previously-verified catalog operator;
   * the only corpus-wide exchanges are the digest aggregate, the
-  * prefix-filter machinery, and the shard writer's one repartition —
-  * exactly the exchanges the per-operator scaladocs justify at 100 TB. */
+  * prefix-filter machinery, the opt-in stages' segment/pair exchanges,
+  * and the shard writer's one repartition — exactly the exchanges the
+  * per-operator scaladocs justify at 100 TB. */
 object PipelineMain {
 
-  def main(args: Array[String]): Unit = {
-    if (args.length < 2) {
-      System.err.println("usage: PipelineMain <sfDir> <outDir> [shardTokens]")
-      sys.exit(2)
-    }
-    val (sfDir, outDir) = (args(0), args(1))
-    val shardTokens = if (args.length > 2) args(2).toLong else 2048L
-    val spark: SparkSession = GraftSession.local("graft-pipeline")
+  /** The pipeline body, session-agnostic so tests drive it on the shared
+    * test session (main() owns session lifecycle, not this). Returns the
+    * summary JSON it also writes to `<outDir>/summary.json`. */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      shardTokens: Long, segmentDedup: Boolean, leakageSplit: Boolean): String = {
     val t0 = System.nanoTime()
-
     val docs = Tables.documents(spark, sfDir)
 
     // 1-3. exact dedup -> near-dup election -> p10 length gate, each
@@ -61,23 +70,54 @@ object PipelineMain {
     // pruned scan; a re-run with unchanged inputs rebuilds nothing).
     // Stage semantics are unchanged and shared with the oracle-gated
     // q76 catalog entry.
-    val (afterExact, afterNear, corpus) =
+    val (afterExact, afterNear, curated) =
       TrainingPipeline.stagedCuration(spark, sfDir, p = 0.10)
     // summary counts are footer-bounded parquet count(*) jobs over the
     // materialized stages (no data columns read), not corpus scans
     val total = docs.count()
     val nExact = afterExact.count()
     val nNear = afterNear.count()
-    val nKept = corpus.count()
+    val nGated = curated.count()
 
-    // 4. shard layout + manifest
+    // 4. opt-in segment dedup: replace text with the reassembled
+    // survivor text; a doc that kept nothing is dropped. The n_chars
+    // column is recomputed over the kept text so the data card and any
+    // downstream length consumer see the released bytes, not the
+    // pre-strip ones.
+    val corpus: DataFrame = if (segmentDedup) {
+      val kept = Dedup.segmentDedup(curated, w = 10)
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("text_kept"))
+      curated.drop("text", "n_chars")
+        .join(kept, Seq("doc_id"))
+        .withColumn("text", col("text_kept"))
+        .withColumn("n_chars", length(col("text")).cast("int"))
+        .drop("text_kept")
+    } else curated
+    val nKept = if (segmentDedup) corpus.count() else nGated
+
+    // 5. opt-in leakage-safe split over the RELEASED corpus, clustered
+    // in the gray zone below the dedup threshold (tau=0.5 < 0.7)
+    val splitCounts: Option[Map[String, Long]] = if (leakageSplit) {
+      val pairs = Dedup.jaccardJoin(corpus, n = 3, tau = 0.5)
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      val splits = Sampling.leakageSafeSplit(
+        corpus, DupClusters.connectedComponents(pairs), 0.8, 0.1)
+      splits.orderBy("doc_id")
+        .write.mode("overwrite").parquet(s"$outDir/splits")
+      Some(spark.read.parquet(s"$outDir/splits")
+        .groupBy("split").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    } else None
+
+    // 6. shard layout + manifest
     Shards.writeShards(corpus, shardTokens, s"$outDir/shards")
     val manifest = Shards.shardManifest(corpus, shardTokens)
     manifest.orderBy("shard_id")
       .write.mode("overwrite").parquet(s"$outDir/manifest")
     val nShards = spark.read.parquet(s"$outDir/manifest").count()
 
-    // 5. data card: per-language accounting of the released corpus
+    // 7. data card: per-language accounting of the released corpus
     corpus
       .select(col("lang"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
       .groupBy("lang")
@@ -86,12 +126,37 @@ object PipelineMain {
       .write.mode("overwrite").parquet(s"$outDir/datacard")
 
     val secs = (System.nanoTime() - t0) / 1e9
+    val splitJson = splitCounts
+      .map(m => m.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }
+        .mkString(""","splits":{""", ",", "}"))
+      .getOrElse("")
+    val segJson = if (segmentDedup) s""","after_segment_dedup":$nKept""" else ""
     val summary =
       s"""{"metric":"pipeline","input_docs":$total,"after_exact_dedup":$nExact,""" +
-        s""""after_near_dedup":$nNear,"after_quality_gate":$nKept,""" +
-        s""""shards":$nShards,"shard_tokens":$shardTokens,"sec":$secs}"""
+        s""""after_near_dedup":$nNear,"after_quality_gate":$nGated""" +
+        segJson + splitJson +
+        s""","shards":$nShards,"shard_tokens":$shardTokens,"sec":$secs}"""
     Files.createDirectories(Paths.get(outDir))
     Files.writeString(Paths.get(outDir, "summary.json"), summary + "\n")
+    summary
+  }
+
+  def main(args: Array[String]): Unit = {
+    val flags = args.filter(_.startsWith("--")).toSet
+    val unknown = flags.diff(Set("--segment-dedup", "--leakage-split"))
+    val pos = args.filterNot(_.startsWith("--"))
+    if (pos.length < 2 || unknown.nonEmpty) {
+      if (unknown.nonEmpty)
+        System.err.println(s"unknown flags: ${unknown.mkString(", ")}")
+      System.err.println(
+        "usage: PipelineMain <sfDir> <outDir> [shardTokens] [--segment-dedup] [--leakage-split]")
+      sys.exit(2)
+    }
+    val shardTokens = if (pos.length > 2) pos(2).toLong else 2048L
+    val spark: SparkSession = GraftSession.local("graft-pipeline")
+    val summary = run(spark, pos(0), pos(1), shardTokens,
+      segmentDedup = flags("--segment-dedup"),
+      leakageSplit = flags("--leakage-split"))
     println(summary)
     spark.stop()
   }

@@ -26,6 +26,37 @@ class TrainingPipelineSpec extends AnyFunSuite {
     (5L, "completely different content with no overlapping shingles at all whatsoever", "en", 76L)
   ).toDF("doc_id", "text", "lang", "n_chars")
 
+  test("PipelineMain.run with opt-in stages: outputs, summary fields, and split hygiene") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft_pipeline_flags").toString
+    val summary = PipelineMain.run(spark, sf, out, shardTokens = 2048L,
+      segmentDedup = true, leakageSplit = true)
+    // summary carries the opt-in fields and the stage counts are sane
+    assert(summary.contains("\"after_segment_dedup\":"))
+    assert(summary.contains("\"splits\":{"))
+    val splits = spark.read.parquet(s"$out/splits")
+    val shards = spark.read.parquet(s"$out/shards")
+    val card = spark.read.parquet(s"$out/datacard")
+    assert(splits.count() === shards.select("doc_id").distinct().count())
+    assert(card.count() > 0)
+    // split hygiene at tau=0.5 on the RELEASED corpus: no surviving
+    // gray-zone pair straddles splits
+    val corpus = shards.select("doc_id", "text")
+    val pairs = graft.operators.Dedup.jaccardJoin(corpus, n = 3, tau = 0.5)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val sp = splits.select(col("doc_id"), col("split"))
+    val straddle = pairs
+      .join(sp.select(col("doc_id").as("u"), col("split").as("sa")), Seq("u"))
+      .join(sp.select(col("doc_id").as("v"), col("split").as("sb")), Seq("v"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddle === 0L)
+    // segment dedup really rewrote text: released docs hold no segment
+    // twice (within-doc repeats are stripped corpus-wide)
+    val resegmented = graft.operators.Dedup.segmentDedup(corpus, w = 10)
+    assert(resegmented.filter(col("n_kept") < col("n_segments")).count() === 0L,
+      "released corpus still contains corpus-duplicate segments")
+  }
+
   test("exact stage keeps the smallest id per normalized digest") {
     val ids = TrainingPipeline.exactSurvivors(planted)
       .as[Long].collect().sorted
