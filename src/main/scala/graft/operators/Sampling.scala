@@ -110,7 +110,13 @@ object Sampling {
       // overflow, which would wrap silently under non-ANSI semantics)
       // raises instead.
       .withColumn("target",
-        when(col("__w") > 0 && lit(total) > lit(Long.MaxValue) / col("__w"),
+        // the guard itself must be integral: Column `/` is DOUBLE
+        // division, whose rounding near the boundary both misses real
+        // overflows (threshold rounds up past the true floor) and
+        // raises on safe inputs (threshold rounds down) — `div` is the
+        // exact floor for the non-negative operands here
+        when(col("__w") > 0 &&
+            lit(total) > expr(s"${Long.MaxValue}L div __w"),
           raise_error(concat(lit(s"temperatureMix: total=$total * weight="),
             col("__w"), lit(" overflows BIGINT"))))
           .otherwise(expr(s"(${total}L * __w) div __sw")))

@@ -417,7 +417,16 @@ object Similarity {
       .select(col("sub"), col("cid"),
         coalesce(col("r_sv"), col("c_sv")).as("c_sv"))
       .persist()
-    out.count() // barrier: consumed by the one-row map AND the ADC luts
+    // barrier (consumed by the one-row array AND the ADC luts) doubles
+    // as the NO-HOLE enforcement: the dense codebook ARRAY downstream
+    // ([[codebookArray]]) indexes positionally by sub·k + cid, so a
+    // codebook short of m·k entries (corpus with fewer than k distinct
+    // nonzero vectors → seeds < k) would silently misalign every
+    // subspace past the first. Fail loudly instead.
+    val nOut = out.count()
+    require(nOut == m.toLong * k,
+      s"PQ codebook holds $nOut entries, expected ${m * k} (m=$m × k=$k): " +
+        s"the corpus has fewer than $k distinct nonzero vectors — lower kCent")
     Seq(train, seeds).foreach(_.unpersist())
     out
   }

@@ -135,30 +135,42 @@ object Skew {
     // every run and retry), uniform when the keys are unique per row
     val salted = df.withColumn("__salt", pmod(hash(saltKeys: _*), lit(nSalts)))
     val perSalt = Window.partitionBy(group, col("__salt")).orderBy(sort: _*)
+    val cellW = Window.partitionBy(group, col("__salt"))
     val finals = Window.partitionBy(group).orderBy(sort: _*)
+    val groupW = Window.partitionBy(group)
     // soundness precondition CHECKED, not just documented: the per-salt
     // cut contains the group's global top n only when every salt cell
     // cuts at the same depth, i.e. n is constant within each group. A
     // caller joining a non-group-constant n would get silently wrong
-    // top-k results; comparing n against max(n) over the group among
-    // the stage-1 survivors surfaces it as a hard error instead. The
-    // extra window shares the stage-2 exchange (same partition key) and
-    // runs on the <= nSalts*n bounded survivor set, so the check is
-    // free of any corpus-sized cost. (A cell whose n <= 0 contributes
-    // no survivors, so an all-nonpositive group vacuously passes —
-    // correct, since every cell then cuts at depth 0.)
+    // top-k results. The per-cell quota extremes are computed BEFORE
+    // the stage-1 cut (an unordered window on the same (group, salt)
+    // partitioning — shares the exchange, skew-safe because cells are
+    // salted) and ride to stage 2 on the survivors. Guarantee: in a
+    // cell whose rows ALL carry positive quotas, the rank-1 row always
+    // survives its own cut (1 <= n), so every such cell ships its
+    // pre-cut extremes and ANY positive-quota mix in the group raises —
+    // including when every smaller-quota row was cut away, the exact
+    // case the previous stage-1-survivor-only check could miss. Rows
+    // with n <= 0 are excluded from the extremes and contribute no
+    // survivors; a cell mixing nonpositive with small positive quotas
+    // can still vanish entirely (n=0 at rank 1 pushes n=1 to rank 2),
+    // so nonpositive-mix detection stays best-effort — nonpositive
+    // quotas are outside the operator's contract either way.
     salted
       .withColumn("__r1", row_number().over(perSalt))
+      .withColumn("__cmin", min(when(n > 0, n)).over(cellW))
+      .withColumn("__cmax", max(when(n > 0, n)).over(cellW))
       .filter(col("__r1") <= n)
-      .withColumn("__nmax", max(n).over(Window.partitionBy(group)))
+      .withColumn("__nmin", min(col("__cmin")).over(groupW))
+      .withColumn("__nmax", max(col("__cmax")).over(groupW))
       .withColumn("rk", row_number().over(finals))
       .filter(
-        when(col("__nmax") =!= n, raise_error(concat(
+        when(col("__nmax") =!= col("__nmin"), raise_error(concat(
           lit("groupTopKVar: limit column is not constant within group (got "),
-          n, lit(" and "), col("__nmax"),
+          col("__nmin"), lit(" and "), col("__nmax"),
           lit(" in one group) — join the per-group quota onto the rows first"))))
           .otherwise(col("rk") <= n))
-      .drop("__salt", "__r1", "__nmax")
+      .drop("__salt", "__r1", "__cmin", "__cmax", "__nmin", "__nmax")
   }
 
   val queries: Seq[Query] = Seq(

@@ -72,24 +72,55 @@ object Tables {
     * a file relation. Exactness is asserted in `RebalanceSpec` against
     * the RDD-derived count on the real test tables. */
   private[graft] def estimatedScanPartitions(df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.network.util.JavaUtils
     val spark = df.sparkSession
-    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
-    val fsRels = leaves
-      .collect { case lr: LogicalRelation => lr.relation }
-      .collect { case fs: HadoopFsRelation => fs }
+    val plan = df.queryExecution.optimizedPlan
+    val leaves = plan.collectLeaves()
+    val logRels = leaves.collect { case lr: LogicalRelation => lr }
+    val fsRels = logRels.collect {
+      case lr if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        (lr, lr.relation.asInstanceOf[HadoopFsRelation])
+    }
     if (fsRels.size != leaves.size) None
     else {
+      // Partition-pruning parity with the real scan: filters on a
+      // partitioned relation's partition columns prune whole directories
+      // at planning time, so estimating from the UNPRUNED listing would
+      // over-count splits and silently skip the repartition the probed
+      // plan actually needs. Replay the pruning: conjuncts of the plan's
+      // Filter conditions that reference ONLY partition columns are
+      // handed to the file index, exactly as PruneFileSourcePartitions
+      // does (same attribute ids — the scan-shaped chain preserves them).
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+      val filterCjs = plan.collect { case f: LFilter => conjuncts(f.condition) }.flatten
+      def partitionFilters(lr: LogicalRelation, fs: HadoopFsRelation): Seq[Expression] = {
+        val partCols = fs.partitionSchema.fieldNames.toSet
+        val partAttrs = AttributeSet(lr.output.filter(a => partCols.contains(a.name)))
+        if (partCols.isEmpty) Nil
+        else filterCjs.filter(c =>
+          c.deterministic && c.references.nonEmpty && c.references.subsetOf(partAttrs))
+      }
       def bytesConf(key: String, dflt: Long): Long =
         spark.conf.getOption(key).map(JavaUtils.byteStringAsBytes).getOrElse(dflt)
       val defaultMaxSplit = bytesConf("spark.sql.files.maxPartitionBytes", 128L << 20)
       val openCost = bytesConf("spark.sql.files.openCostInBytes", 4L << 20)
       val minPartitionNum = spark.conf.getOption("spark.sql.files.minPartitionNum")
         .map(_.toInt).getOrElse(spark.sparkContext.defaultParallelism)
-      val sizes = fsRels.flatMap(_.location.listFiles(Nil, Nil)
-        .flatMap(_.files.map(_.getLen))).filter(_ > 0)
-      val totalBytes = sizes.map(_ + openCost).sum
+      val allSizes = fsRels.flatMap { case (lr, fs) =>
+        fs.location.listFiles(partitionFilters(lr, fs), Nil)
+          .flatMap(_.files.map(_.getLen))
+      }
+      // totalBytes counts every selected file (zero-length included,
+      // each padded with openCost) — Spark's own maxSplitBytes math —
+      // while only non-empty files emit split chunks
+      val totalBytes = allSizes.map(_ + openCost).sum
+      val sizes = allSizes.filter(_ > 0)
       val maxSplit = math.min(defaultMaxSplit,
         math.max(openCost, totalBytes / math.max(1, minPartitionNum)))
       val chunks = sizes.flatMap(len =>

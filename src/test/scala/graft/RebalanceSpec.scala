@@ -32,6 +32,33 @@ class RebalanceSpec extends AnyFunSuite {
       === Some(df.rdd.getNumPartitions))
   }
 
+  test("partition-pruned scans estimate the PRUNED listing, exactly as the real scan") {
+    import java.nio.file.Files
+    // hive-partitioned layout written dir-by-dir from spark.range with
+    // EXPLICIT partition counts (range plans carry their slice count
+    // through a shuffle-free write, so AQE cannot coalesce the file
+    // counts away): p=0 holds 12 files, p=1 holds 1 — pruning to p=1
+    // must shrink the estimate
+    val root = Files.createTempDirectory("graft_part_est").toString
+    spark.range(0L, 12000L, 1L, 12)
+      .selectExpr("id", "repeat('x', 200) as body")
+      .write.mode("overwrite").parquet(s"$root/p=0")
+    spark.range(12000L, 13000L, 1L, 1)
+      .selectExpr("id", "repeat('x', 200) as body")
+      .write.mode("overwrite").parquet(s"$root/p=1")
+    val all = spark.read.parquet(root)
+    val pruned = all.filter(col("p") === 1)
+    val estAll = Tables.estimatedScanPartitions(all)
+    val estPruned = Tables.estimatedScanPartitions(pruned)
+    assert(estAll.isDefined && estPruned.isDefined)
+    // the pruned estimate must match the pruned scan's REAL split count
+    // (the pre-fix unpruned listing over-counted and could silently
+    // skip the repalance the probed plan needed)
+    assert(estPruned.get === pruned.rdd.getNumPartitions)
+    assert(estAll.get === all.rdd.getNumPartitions)
+    assert(estPruned.get < estAll.get)
+  }
+
   test("non-file leaves yield no estimate (pass-through, no job)") {
     import spark.implicits._
     val local = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")

@@ -96,6 +96,30 @@ class RetrievalMixNoveltySpec extends AnyFunSuite {
     assert(e.max.toDouble / e.min.toDouble <= szs.max.toDouble / szs.min.toDouble + 1e-9)
   }
 
+  test("temperature-mix overflow guard is integral-exact at the boundary") {
+    import spark.implicits._
+    // 9 docs in one group -> w = floor(sqrt(9)) = 3, sumW = 3.
+    val docs = (1L to 9L).map(i => ("en", i)).toDF("lang", "doc_id")
+    // SAFE boundary input the old DOUBLE-division guard raised on
+    // spuriously: 3 * total fits in a Long, but double(Long.MaxValue)/3
+    // rounds below total. Must NOT raise; quota = total*3 div 3 = total,
+    // clamped to the 9 available rows.
+    val safeTotal = 3074457345618258500L
+    assert(3L * safeTotal > 0L) // sanity: really no overflow
+    val picked = Sampling.temperatureMix(docs, col("lang"), col("doc_id"),
+      total = safeTotal).count()
+    assert(picked === 9L)
+    // genuine overflow one notch past the exact floor must raise
+    val ex = intercept[Exception] {
+      Sampling.temperatureMix(docs, col("lang"), col("doc_id"),
+        total = Long.MaxValue / 3 + 1).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("overflows BIGINT")),
+      s"expected the overflow error, got: ${messages(ex).mkString(" | ")}")
+  }
+
   test("variable-quota salted tournament equals the bare-window reference") {
     val docs = Tables.documents(spark, sf).select("lang", "doc_id")
     val got = Sampling.temperatureMix(docs, col("lang"), col("doc_id"), total = 200L)

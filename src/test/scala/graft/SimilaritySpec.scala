@@ -190,6 +190,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pq.size === brute.size)
   }
 
+  test("PQ refuses a corpus smaller than kCent instead of silently misaligning codes") {
+    // the dense codebook array indexes positionally by sub*k + cid, so a
+    // short codebook (corpus < kCent distinct vectors) would misalign
+    // every subspace past the first — must fail loudly at build time
+    val tiny = Tables.embeddings(spark, sf).filter(col("vec_id") < 30)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.knnPq(tiny, nQueries = 2, k = 2).collect()
+    }
+    assert(ex.getMessage.contains("lower kCent"), ex.getMessage)
+  }
+
   test("PQ codes are deterministic and 8 bytes per vector") {
     def run() = Similarity.knnPq(Tables.embeddings(spark, sf), 5, 3)
       .collect().map(_.toString).toSeq

@@ -39,6 +39,38 @@ class SkewSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("groupTopKVar raises on a mixed quota even when every smaller-quota row is cut") {
+    import spark.implicits._
+    // ONE salt cell: five rows sorted first carry quota 10, three rows
+    // sorted after them carry quota 2 — stage 1 cuts all the quota-2
+    // rows (rank 6..8 > 2), so a survivor-only check would see a
+    // uniform quota and silently emit a wrong top-k; the pre-cut
+    // per-cell extremes must surface the mix as a hard error.
+    val rows = (1 to 5).map(i => ("g", i, 10)) ++ (6 to 8).map(i => ("g", i, 2))
+    val df = rows.toDF("k", "v", "quota")
+    val ex = intercept[Exception] {
+      Skew.groupTopKVar(df, col("k"), Seq(col("v").asc), Seq(col("v")),
+        col("quota"), nSalts = 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("not constant within group")),
+      s"expected the quota-mix error, got: ${messages(ex).mkString(" | ")}")
+  }
+
+  test("groupTopKVar with a group-constant quota is unchanged by the pre-cut check") {
+    import spark.implicits._
+    val rows = (1 to 20).map(i => (s"g${i % 3}", i, 4))
+    val df = rows.toDF("k", "v", "quota")
+    val got = Skew.groupTopKVar(df, col("k"), Seq(col("v").asc), Seq(col("v")),
+        col("quota"), nSalts = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (k, g) =>
+      g.map(_._2).sorted.take(4).map(k -> _)
+    }.toSet
+    assert(got === expected)
+  }
+
   test("rowSalt spreads bit-identical hot-key rows over multiple salts") {
     import spark.implicits._
     // every row identical: a content-only salt would collapse to ONE
