@@ -180,6 +180,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical: LogicalPlan
       }))
 
+    ext.injectTableFunction((FunctionIdentifier("graft_segment_dedup"),
+      info("graft_segment_dedup",
+        "graft_segment_dedup(view, w) - C4-style segment dedup with " +
+          "reassembly over a documents view: only the first corpus-wide " +
+          "occurrence of each w-token segment survives; per doc " +
+          "(doc_id, n_segments, n_kept, text_kept)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_segment_dedup(view, w)")
+        val t = SparkSession.active.table(
+          strArg("graft_segment_dedup", "view", args.head))
+        graft.operators.Dedup.segmentDedup(t,
+          w = intArg("graft_segment_dedup", "w", args(1)))
+          .queryExecution.logical: LogicalPlan
+      }))
+
+    ext.injectTableFunction((FunctionIdentifier("graft_containment"),
+      info("graft_containment",
+        "graft_containment(view, n, tau) - asymmetric containment pairs " +
+          "over a documents view: (inner_doc, outer_doc, containment) " +
+          "where |grams(inner) ∩ grams(outer)| / |grams(inner)| >= tau, " +
+          "via the lossless one-sided prefix filter"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_containment(view, n, tau)")
+        val t = SparkSession.active.table(
+          strArg("graft_containment", "view", args.head))
+        graft.operators.Dedup.containmentJoin(t,
+          n = intArg("graft_containment", "n", args(1)),
+          tau = doubleArg("graft_containment", "tau", args(2)))
+          .queryExecution.logical: LogicalPlan
+      }))
+
     // aggregate function: the analyzer wraps a bare AggregateFunction in
     // an AggregateExpression itself, same as built-in registry entries
     ext.injectFunction((FunctionIdentifier("frequent_items"),

@@ -31,6 +31,19 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(sorted(viaSql) === sorted(Dedup.exactKeepList(docs)))
   }
 
+  test("graft_segment_dedup TVF equals Dedup.segmentDedup row for row") {
+    registered()
+    val viaSql = spark.sql("SELECT * FROM graft_segment_dedup('graft_docs', 10)")
+    assert(sorted(viaSql) === sorted(Dedup.segmentDedup(docs, w = 10)))
+  }
+
+  test("graft_containment TVF equals Dedup.containmentJoin row for row") {
+    registered()
+    val viaSql = spark.sql("SELECT * FROM graft_containment('graft_docs', 3, 0.8D)")
+    assert(sorted(viaSql) === sorted(Dedup.containmentJoin(docs, n = 3, tau = 0.8)))
+    assert(viaSql.count() > 0) // sf0.001 plants exact twins: containment 1.0
+  }
+
   test("graft_quantile_gate TVF equals Curation.quantileFilter row for row") {
     registered()
     val viaSql = spark.sql(
