@@ -5,7 +5,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Intervals, Profiling, ReferenceHypercube, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Intervals, Profiling, ReferenceHypercube, Sampling, TextAnalysis, Vocab}
 
 /** Property-based tests (SURVEY.md §5.4): engine invariants over random
   * generated datasets. ScalaCheck generators drive the data; the sweep
@@ -173,6 +173,64 @@ class PropertySpec extends AnyFunSuite {
           (sa & sb).size.toDouble / sa.size.toDouble >= tau
       } yield (a, b)).toSet
       assert(got === expected, s"run $run (n=$n)")
+    }
+  }
+
+  test("quantileSketch: sample caps, determinism, and the rank band hold on random groups") {
+    import spark.implicits._
+    (1L to 3L).foreach { run =>
+      val nGroups = sample(Gen.choose(2, 4), run)
+      val rowsPer = sample(Gen.choose(50, 400), run + 19)
+      val k = 32 // small on purpose: the sample must actually subsample
+      val seed = mix(run + 71)
+      val rows = for (g <- 1 to nGroups; i <- 1 to rowsPer) yield
+        (s"g$g", bounded(seed + g * 100000 + i, 0, 1000000).toDouble, (g * 1000000 + i).toLong)
+      val df = rows.toDF("g", "x", "id")
+      val qs = Seq(0.25, 0.5, 0.9)
+      val est1 = Profiling.quantileSketch(df, col("g"), col("x"), Seq(col("id")), qs, k)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+      val est2 = Profiling.quantileSketch(df, col("g"), col("x"), Seq(col("id")), qs, k)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+      assert(est1 === est2) // deterministic across runs
+      val byGroup = rows.groupBy(_._1)
+      est1.foreach { case ((g, q), (e, nSamp)) =>
+        val xs = byGroup(g).map(_._2).sorted
+        assert(nSamp === math.min(k, xs.size).toLong)
+        val rank = xs.count(_ <= e).toDouble / xs.size
+        val bound = 4.0 * math.sqrt(q * (1 - q) / k) + 1.0 / k
+        assert(math.abs(rank - q) <= bound,
+          f"run $run $g q=$q: rank $rank%.3f off by more than $bound%.3f")
+      }
+    }
+  }
+
+  test("lmFrequencyScore matches a plain-Scala model on random corpora") {
+    import spark.implicits._
+    (1L to 3L).foreach { run =>
+      val n = sample(Gen.choose(6, 30), run)
+      val seed = mix(run + 83)
+      val vocab = Seq("w1", "w2", "w3", "w4", "w5", "w6", "w7")
+      val rows = (1 to n).map { i =>
+        val len = 1 + bounded(seed + i * 13, 0, 12)
+        (i.toLong,
+          (0 until len).map(j => vocab(bounded(seed + i * 29 + j, 0, vocab.length - 1))).mkString(" "))
+      }
+      val docs = rows.toDF("doc_id", "text")
+      val got = Vocab.lmFrequencyScore(
+        docs.filter(col("doc_id") % 3 === 0),
+        Vocab.unigramModel(docs.filter(col("doc_id") % 3 =!= 0)))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      // plain-Scala reference
+      val model = rows.filter(_._1 % 3 != 0).flatMap(_._2.split(" "))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      rows.filter(_._1 % 3 == 0).foreach { case (id, text) =>
+        val ts = text.split(" ").toSeq
+        val expected = (ts.size.toLong,
+          ts.count(t => !model.contains(t)).toLong,
+          ts.flatMap(model.get).sum)
+        assert(got(id) === expected, s"run $run doc $id")
+      }
     }
   }
 
