@@ -172,6 +172,42 @@ object Vocab {
       .orderBy("doc_id")
   }
 
+  /** Dense token ids 1..K for a [[topVocab]] frame, assigned in the
+    * vocabulary's own deterministic (df DESC, token ASC) order — id 0 is
+    * reserved for OOV. The window is unpartitioned on purpose: the
+    * vocabulary is K rows by construction, so the single-task sort is
+    * bounded (the same argument as the PQ seed numbering). */
+  def vocabIds(vocab: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    vocab.select(col("token"), row_number().over(
+      Window.orderBy(col("df").desc, col("token").asc)).as("tid"))
+  }
+
+  /** Token-id encoding — the tokenizer-emit stage between curation and
+    * shard packing: every document becomes its id sequence under a
+    * fixed vocabulary (id 0 = OOV), plus token/OOV counts. The sequence
+    * is emitted as the space-joined id STRING: canonical, order-exact,
+    * and hashable identically by any engine (a list column would hang
+    * the cross-engine compare on array-representation details rather
+    * than values).
+    *
+    * Shape: the K-row id map broadcasts; the corpus-side probe is a
+    * map-side left join on the exploded tokens feeding one doc-keyed
+    * aggregate whose state is bounded by the document's own length —
+    * the corpus never shuffles by token (the q42 scoring shape, with
+    * the position-ordered reassembly of q97). */
+  def encodeTokenIds(corpus: DataFrame, vocab: DataFrame): DataFrame =
+    corpus.select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "token")))
+      .join(broadcast(vocabIds(vocab)), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("tid").isNull, 1)).as("n_oov"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"),
+            coalesce(col("tid"), lit(0)).as("tid")))),
+          t => t("tid").cast("string"))).as("ids"))
+
   /** Unigram language model over a reference slice: (token, nw) counts
     * from one token-keyed map-side-combining aggregate. */
   def unigramModel(ref: DataFrame): DataFrame =
@@ -463,6 +499,44 @@ object Vocab {
                CAST(COALESCE(SUM(m.nw), 0) AS BIGINT) AS sum_freq,
                MIN(m.nw) AS min_freq
         FROM toks t LEFT JOIN model m USING (token)
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id""")),
+
+    Query(
+      "q101_token_ids",
+      "Token-id encoding — the tokenizer-emit stage between curation " +
+        "and shard packing: each document becomes its id sequence under " +
+        "the top-16 document-frequency vocabulary (deterministic " +
+        "(df DESC, token ASC) ids 1..16; 0 = OOV), emitted as the " +
+        "space-joined id string (canonical and engine-hashable where a " +
+        "list column would compare representations, not values), plus " +
+        "token/OOV counts. The 16-row id map broadcasts; the corpus-" +
+        "side probe is a map-side left join on exploded tokens feeding " +
+        "one doc-keyed aggregate bounded by the document's own length — " +
+        "the corpus never shuffles by token.",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        encodeTokenIds(docs, topVocab(docs, k = 16)).orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+          FROM documents
+        ), toks AS (
+          SELECT doc_id, unnest(ws) AS token,
+                 unnest(range(1, len(ws) + 1)) AS pos
+          FROM base
+        ), dfreq AS (
+          SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+        ), vocab AS (
+          SELECT token, row_number() OVER (ORDER BY df DESC, token ASC) AS tid
+          FROM (SELECT * FROM dfreq ORDER BY df DESC, token ASC LIMIT 16)
+        )
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN v.tid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+               string_agg(CAST(COALESCE(v.tid, 0) AS VARCHAR), ' ' ORDER BY t.pos) AS ids
+        FROM toks t LEFT JOIN vocab v USING (token)
         GROUP BY t.doc_id
         ORDER BY t.doc_id"""))
   )

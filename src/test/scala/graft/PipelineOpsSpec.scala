@@ -529,6 +529,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(manifest.keySet === splits)
   }
 
+  test("encodeTokenIds assigns deterministic ids, zeroes OOV, and preserves order") {
+    import graft.operators.Vocab
+    // df: b in 3 docs, a in 2, c in 1 -> ids b=1, a=2 (tie-break by df
+    // then token), c OOV under k=2
+    val docs = Seq(
+      (1L, "a b b"),
+      (2L, "b a"),
+      (3L, "b c")).toDF("doc_id", "text")
+    val vocab = Vocab.topVocab(docs, k = 2)
+    val got = Vocab.encodeTokenIds(docs, vocab)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) === ((3L, 0L, "2 1 1")))
+    assert(got(2L) === ((2L, 0L, "1 2")))
+    assert(got(3L) === ((2L, 1L, "1 0")))
+    // round-trip: decoding in-vocab ids recovers the original tokens
+    val idToTok = Vocab.vocabIds(vocab).collect()
+      .map(r => r.getInt(1) -> r.getString(0)).toMap
+    val decoded = got(1L)._3.split(" ").map(_.toInt).map(idToTok).mkString(" ")
+    assert(decoded === "a b b")
+  }
+
   test("chunking matches the per-doc brute force window-for-window") {
     val (w, s) = (64, 48)
     val got = Shards.chunkOverlap(Tables.documents(spark, sf), w, s)
