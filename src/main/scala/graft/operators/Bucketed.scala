@@ -31,7 +31,7 @@ object Bucketed {
   /** MD5 hex of a table-id discriminator string — shared by the
     * idempotent-layout operators ([[Bucketed]], [[Partitioned]]) so
     * different source dirs / layout params yield distinct table ids. */
-  private[operators] def md5hex(s: String): String =
+  private[graft] def md5hex(s: String): String =
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 

@@ -38,7 +38,7 @@ object Layout {
     * read. Folded into every materialization cache key so a source that
     * changes under the same path invalidates the layout instead of
     * silently serving stale data against a fresh oracle scan. */
-  private[operators] def contentKey(spark: SparkSession, table: String): String = {
+  private[graft] def contentKey(spark: SparkSession, table: String): String = {
     val p = new Path(table)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts =

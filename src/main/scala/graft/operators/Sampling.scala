@@ -277,9 +277,12 @@ object Sampling {
         "keyed split demonstrably does on a crafted twin.",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val pairs = Dedup.jaccardJoin(docs, n = 3, tau = 0.7)
-          .select(col("doc_a").as("u"), col("doc_b").as("v"))
-        leakageSafeSplit(docs, DupClusters.connectedComponents(pairs), 0.8, 0.1)
+        // cluster frame from the shared fingerprinted parquet stage
+        // (q28 pairs -> q40 components, write-once per source content;
+        // also serves q100) — the oracle's recursive-CTE closure still
+        // gates the full composition, because the stage is that chain
+        leakageSafeSplit(docs,
+            TrainingPipeline.nearDupClustersStaged(s, dir), 0.8, 0.1)
           .orderBy("doc_id")
       },
       Some("""

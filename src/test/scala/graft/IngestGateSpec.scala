@@ -41,6 +41,45 @@ class IngestGateSpec extends AnyFunSuite {
     } finally { idx.unpersist(); spark.sharedState.cacheManager.clearCache() }
   }
 
+  test("staged index equals the in-flight build and a re-call touches no file") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0).withColumn("ts", lit(t0))
+    val key = s"$sf/mod3/${graft.operators.Layout.contentKey(spark, s"$sf/documents.parquet")}"
+    val staged = IngestGateStream.indexStaged(spark, key, n = 3, tau = 0.7)(corpus)
+    val live = IngestGateStream.buildIndex(corpus, n = 3, tau = 0.7)
+    try {
+      val got = asSet(IngestGateStream.matches(staged, batch, n = 3, tau = 0.7, "ts")
+        .select("corpus_doc", "batch_doc", "jaccard")
+        .as[(Long, Long, Double)].collect())
+      val expect = asSet(IngestGateStream.matches(live, batch, n = 3, tau = 0.7, "ts")
+        .select("corpus_doc", "batch_doc", "jaccard")
+        .as[(Long, Long, Double)].collect())
+      assert(got === expect)
+      assert(got.nonEmpty)
+      // re-invocation reads the finished stage: every index file untouched
+      val root = "target/ingest_gate/graft_ig_" +
+        graft.operators.Bucketed.md5hex(s"$key/3/0.7").take(8)
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def states() = {
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+        while (it.hasNext) {
+          val st = it.next()
+          buf += ((st.getPath.toString, st.getLen, st.getModificationTime))
+        }
+        buf.sortBy(_._1).toSeq
+      }
+      val before = states()
+      assert(before.nonEmpty)
+      assert(IngestGateStream.indexStaged(spark, key, n = 3, tau = 0.7)(
+        sys.error("build must not run on a finished stage")).prefix.count() > 0)
+      assert(states() === before)
+    } finally { live.unpersist(); spark.sharedState.cacheManager.clearCache() }
+  }
+
   test("MemoryStream ingest gate matches the batch path") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -50,11 +50,29 @@ class TrainingPipelineSpec extends AnyFunSuite {
       .join(sp.select(col("doc_id").as("v"), col("split").as("sb")), Seq("v"))
       .filter(col("sa") =!= col("sb")).count()
     assert(straddle === 0L)
-    // segment dedup really rewrote text: released docs hold no segment
-    // twice (within-doc repeats are stripped corpus-wide)
+    // segment dedup really rewrote text — gated by a plain-Scala
+    // recompute over the released corpus, NOT by asserting universal
+    // idempotency: stripping segments shifts later 10-token boundaries
+    // during reassembly, so a re-segmentation CAN legitimately surface
+    // new cross-doc duplicate segments on some fixtures (round-8 advice)
     val resegmented = graft.operators.Dedup.segmentDedup(corpus, w = 10)
-    assert(resegmented.filter(col("n_kept") < col("n_segments")).count() === 0L,
-      "released corpus still contains corpus-duplicate segments")
+      .select("doc_id", "n_segments", "n_kept")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val local = corpus.select("doc_id", "text").as[(Long, String)].collect()
+    val segs = local.flatMap { case (id, text) =>
+      val ws = text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+      val nseg = math.ceil(ws.length / 10.0).toLong
+      (0L until nseg).map(p =>
+        (id, p, ws.slice((p * 10).toInt, (p * 10).toInt + 10).mkString(" ")))
+    }
+    val owner = segs.groupBy(_._3).map { case (s, occ) => s -> occ.map(t => (t._1, t._2)).min }
+    val keptBy = segs.filter(t => owner(t._3) == ((t._1, t._2)))
+      .groupBy(_._1).map { case (id, xs) => id -> xs.length.toLong }
+    val expected = local.map { case (id, text) =>
+      val ws = text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+      (id, math.ceil(ws.length / 10.0).toLong, keptBy.getOrElse(id, 0L))
+    }.sortBy(_._1)
+    assert(resegmented === expected)
   }
 
   test("exact stage keeps the smallest id per normalized digest") {
@@ -137,6 +155,23 @@ class TrainingPipelineSpec extends AnyFunSuite {
     val (_, _, corpus) = TrainingPipeline.stagedCuration(spark, sf, p = 0.10)
     assert(Seq(e, n, c).map(fileStates) === before)
     assert(corpus.count() > 0)
+  }
+
+  test("staged raw-corpus clusters equal the inline q28->q40 chain; re-run untouched") {
+    val docs = Tables.documents(spark, sf)
+    val staged = TrainingPipeline.nearDupClustersStaged(spark, sf)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().sorted
+    val inline = graft.operators.DupClusters.connectedComponents(
+        graft.operators.Dedup.jaccardJoin(docs, n = 3, tau = 0.7)
+          .select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().sorted
+    assert(staged === inline)
+    // second call reads the finished stage — no file is rewritten
+    val root = TrainingPipeline.clustersRoot(spark, sf)
+    val before = fileStates(root)
+    assert(before.nonEmpty)
+    assert(TrainingPipeline.nearDupClustersStaged(spark, sf).count() > 0)
+    assert(fileStates(root) === before)
   }
 
   test("stage fingerprint separates gate parameters") {
