@@ -401,7 +401,13 @@ object Dedup {
       .dropDuplicates("inner_doc", "outer_doc")
       .persist()
     cand.count()
-    cand
+    // Materialize the (pairs-sized) verify result, then RELEASE the two
+    // corpus-scale upstream caches before returning: a long-lived SQL
+    // session invoking the graft_containment TVF repeatedly would
+    // otherwise accumulate a base+cand cache pair per call (round-8
+    // advice). The returned frame stays cached — bounded by the match
+    // set, not the corpus; callers may unpersist it when done.
+    val out = cand
       .join(base.select(col("doc_id").as("inner_doc"), col("hs").as("si")), Seq("inner_doc"))
       .join(base.select(col("doc_id").as("outer_doc"), col("hs").as("so")), Seq("outer_doc"))
       .select(col("inner_doc"), col("outer_doc"),
@@ -409,6 +415,11 @@ object Dedup {
           size(col("si")).cast("double")).as("containment"))
       .filter(col("containment") >= tau)
       .orderBy("inner_doc", "outer_doc")
+      .persist()
+    out.count()
+    cand.unpersist()
+    base.unpersist()
+    out
   }
 
   // ---- substring-level exact dedup (Lee et al. 2022 family) ----

@@ -98,13 +98,29 @@ object Tables {
         case And(l, r) => conjuncts(l) ++ conjuncts(r)
         case other => Seq(other)
       }
-      val filterCjs = plan.collect { case f: LFilter => conjuncts(f.condition) }.flatten
+      // Only Filters in the DIRECT Filter/Project chain above a scan may
+      // prune it — the shape PruneFileSourcePartitions rewrites. A
+      // conjunct found elsewhere in the plan (e.g. above an outer join,
+      // referencing the null-supplying side's partition column) is NOT a
+      // pushable scan filter, and replaying it here would under-estimate
+      // the real scan (round-8 advice).
+      import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project => LProject}
+      def chainLeaf(p: LogicalPlan): Option[LogicalRelation] = p match {
+        case f: LFilter      => chainLeaf(f.child)
+        case pr: LProject    => chainLeaf(pr.child)
+        case lr: LogicalRelation => Some(lr)
+        case _ => None
+      }
+      val chainFilters: Seq[(LogicalRelation, Seq[Expression])] = plan.collect {
+        case f: LFilter => chainLeaf(f.child).map(_ -> conjuncts(f.condition))
+      }.flatten
       def partitionFilters(lr: LogicalRelation, fs: HadoopFsRelation): Seq[Expression] = {
         val partCols = fs.partitionSchema.fieldNames.toSet
         val partAttrs = AttributeSet(lr.output.filter(a => partCols.contains(a.name)))
         if (partCols.isEmpty) Nil
-        else filterCjs.filter(c =>
-          c.deterministic && c.references.nonEmpty && c.references.subsetOf(partAttrs))
+        else chainFilters.collect { case (l, cs) if l eq lr => cs }.flatten
+          .filter(c =>
+            c.deterministic && c.references.nonEmpty && c.references.subsetOf(partAttrs))
       }
       def bytesConf(key: String, dflt: Long): Long =
         spark.conf.getOption(key).map(JavaUtils.byteStringAsBytes).getOrElse(dflt)

@@ -59,6 +59,36 @@ class RebalanceSpec extends AnyFunSuite {
     assert(estPruned.get < estAll.get)
   }
 
+  test("a filter above an outer join does not prune the null-supplying scan") {
+    import java.nio.file.Files
+    // two hive-partitioned tables; the filter on the RIGHT (null-
+    // supplying) side's partition column sits ABOVE the left join, so
+    // the optimizer cannot push it into the right scan — the estimate
+    // must not replay it as a partition filter either (round-8 advice:
+    // doing so under-estimated vs the real unpruned scan)
+    val root = Files.createTempDirectory("graft_join_est").toString
+    spark.range(0L, 6000L, 1L, 6).selectExpr("id", "id % 2 as lp")
+      .write.partitionBy("lp").mode("overwrite").parquet(s"$root/left")
+    spark.range(0L, 6000L, 1L, 6).selectExpr("id", "id % 2 as p")
+      .write.partitionBy("p").mode("overwrite").parquet(s"$root/right")
+    val l = spark.read.parquet(s"$root/left")
+    val r = spark.read.parquet(s"$root/right")
+    val bare = l.join(r, Seq("id"), "left")
+    // null-tolerant predicate on the right side's partition column: the
+    // optimizer keeps it ABOVE the join, so the right scan stays
+    // unpruned — the estimate must equal the filter-free join's (the
+    // pre-fix code replayed the conjunct as a partition filter and
+    // under-estimated)
+    val filtered = bare.filter(col("p") === 1 || col("p").isNull)
+    val est = Tables.estimatedScanPartitions(filtered)
+    assert(est.isDefined)
+    assert(est === Tables.estimatedScanPartitions(bare))
+    // while a DIRECT chain filter on the same column still prunes
+    val prunedR = r.filter(col("p") === 1)
+    assert(Tables.estimatedScanPartitions(prunedR).get
+      < Tables.estimatedScanPartitions(r).get)
+  }
+
   test("non-file leaves yield no estimate (pass-through, no job)") {
     import spark.implicits._
     val local = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
