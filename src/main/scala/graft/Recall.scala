@@ -52,20 +52,63 @@ object Recall {
 
     val brute = pairs("q19_knn_brute")
     require(brute.nonEmpty, "q19 brute-force baseline returned no rows")
-    val rows = methods.map { case (name, floor) =>
-      val got = pairs(name)
+    def recallOf(got: Map[Long, Set[Long]]): Double = {
       val perQuery = brute.map { case (q, truth) =>
         (got.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
       }
-      val recall = perQuery.sum / perQuery.size
+      perQuery.sum / perQuery.size
+    }
+    val rows = methods.map { case (name, floor) =>
+      val recall = recallOf(pairs(name))
       require(recall >= floor,
         f"$name recall@k collapsed: $recall%.3f < floor $floor%.2f")
       println(f"[recall] $name%-22s recall@k = $recall%.3f (floor $floor%.2f)")
       s""""$name":{"recall":$recall,"floor":$floor}"""
     }
+
+    // Recall/latency FRONTIER (round-9, verdict item 5): the catalog
+    // points above are single (recall, cost) samples; these sweep each
+    // method's latency knob through 3 settings (the middle one = the
+    // catalog default) so a future recall or speed move is visible as a
+    // CURVE shift, not an unexplained point jump. One timed pass per
+    // point, build included (the knnX entries build in-flight too);
+    // timings carry the artifact's loadavg telemetry like the bench.
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sfDir)
+    def timedPoint(build: => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val got = build.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val sec = (System.nanoTime() - t0) / 1e9
+      (recallOf(got), sec)
+    }
+    val frontierDefs: Seq[(String, String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      ("lsh", "probeHamming=0", () => Similarity.knnLsh(emb, 10, 5, probeHamming = 0)),
+      ("lsh", "probeHamming=1", () => Similarity.knnLsh(emb, 10, 5, probeHamming = 1)),
+      ("lsh", "probeHamming=2", () => Similarity.knnLsh(emb, 10, 5, probeHamming = 2)),
+      ("ivf", "nProbe=8",  () => Similarity.knnIvf(emb, 10, 5, nProbe = 8)),
+      ("ivf", "nProbe=32", () => Similarity.knnIvf(emb, 10, 5, nProbe = 32)),
+      ("ivf", "nProbe=64", () => Similarity.knnIvf(emb, 10, 5, nProbe = 64)),
+      ("pq", "candidates=64",  () => Similarity.knnPq(emb, 10, 5, candidates = 64)),
+      ("pq", "candidates=256", () => Similarity.knnPq(emb, 10, 5, candidates = 256)),
+      ("pq", "candidates=512", () => Similarity.knnPq(emb, 10, 5, candidates = 512)))
+    val frontier = frontierDefs.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (fam, points) =>
+        val pts = points.map { case (_, label, build) =>
+          val (r, s) = timedPoint(build())
+          println(f"[frontier] $fam%-4s $label%-16s recall@5 = $r%.3f  $s%6.2f s")
+          s"""{"point":"$label","recall":$r,"sec":$s}"""
+        }
+        s""""$fam":[${pts.mkString(",")}]"""
+    }
+
     val json =
       s"""{"metric":"ann_recall","k":5,"n_queries":${brute.size},"sf":"$sfDir",""" +
         s""""methods":${rows.mkString("{", ",", "}")},""" +
+        s""""frontier":${frontier.mkString("{", ",", "}")},""" +
         s""""loadavg_start":$loadStart,"loadavg_end":${Bench.loadavgJson()}}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()

@@ -159,6 +159,32 @@ object StressSf1 {
       // containment pairs are family-local (cross-family grams cannot
       // collide), so ordered pairs replicate per family -> rows 10x
       "q99_containment" -> (d => Dedup.containmentJoin(d, n = 3, tau = 0.8)),
+      // composed split chain (q28 pairs -> q40 components -> md5 split),
+      // the COMPUTE form (the catalog entry reads the write-once cluster
+      // stage; the stress measures the chain itself): rows (= docs) 10x
+      "q98_leakage_split" -> (d => operators.Sampling.leakageSafeSplit(d,
+        DupClusters.connectedComponents(
+          Dedup.jaccardJoin(d, n = 3, tau = 0.7)
+            .select(col("doc_a").as("u"), col("doc_b").as("v"))), 0.8, 0.1)),
+      // full clean-manifest composition (q97 + the q98 chain + manifest
+      // aggregate), compute form; output is the 3-row per-split manifest
+      // at both tiers, so the gate is the time ratio (the q76 rule)
+      "q100_clean_manifest" -> (d => {
+        val cleaned = Dedup.segmentDedup(d, w = 10)
+        val splitFrame = operators.Sampling.leakageSafeSplit(d,
+          DupClusters.connectedComponents(
+            Dedup.jaccardJoin(d, n = 3, tau = 0.7)
+              .select(col("doc_a").as("u"), col("doc_b").as("v"))), 0.8, 0.1)
+        cleaned.join(splitFrame.select("doc_id", "split"), Seq("doc_id"))
+          .select(col("split"), col("n_kept"),
+            when(col("text_kept") === "", lit(0L))
+              .otherwise(size(split(col("text_kept"), " ")).cast("long"))
+              .as("n_tokens"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_kept").as("n_kept_segments"),
+            sum("n_tokens").as("n_tokens"))
+      }),
       // the streaming gate's one-sided prefix filter (probe = FULL hash
       // set) trades candidate volume for statelessness — this is the
       // check that the trade stays LINEAR at 10x: same %3 split per
