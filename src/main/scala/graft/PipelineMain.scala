@@ -13,7 +13,7 @@ import graft.sources.Tables
   *
   * {{{
   *   runMain graft.PipelineMain <sfDir> <outDir> [shardTokens] \
-  *     [--segment-dedup] [--leakage-split]
+  *     [--segment-dedup] [--leakage-split] [--bpe]
   * }}}
   *
   *   1. '''exact dedup''' — smallest doc_id survives per normalized
@@ -35,16 +35,24 @@ import graft.sources.Tables
   *      the 0.5–0.7 GRAY ZONE — pairs too dissimilar to drop but
   *      similar enough to leak eval signal across splits — written as
   *      `splits/` (doc_id, cluster_id, split);
-  *   6. '''shard layout''' — token-budget shards in doc_id order via the
+  *   6. '''[opt-in] BPE tokenizer + token ids''' (`--bpe`) — learn 32
+  *      subword merges on the RELEASED corpus (q102, Sennrich et al.
+  *      2016; training on the post-dedup corpus is the convention — a
+  *      tokenizer trained on duplicates over-allocates merges to
+  *      boilerplate), ship the tokenizer (`tokenizer/merges`,
+  *      `tokenizer/segments`) and the encoded corpus (`token_ids/`,
+  *      q103's subword-id strings);
+  *   7. '''shard layout''' — token-budget shards in doc_id order via the
   *      distributed prefix sum, written one file per shard (q41's
   *      writer), plus the per-shard manifest;
-  *   7. '''data card''' — per-language doc/token accounting of the final
+  *   8. '''data card''' — per-language doc/token accounting of the final
   *      corpus, the summary a dataset release ships.
   *
   * Outputs under `<outDir>`: `shards/` (one parquet file per shard,
   * partitioned by shard_id), `manifest/` (per-shard doc/token totals),
-  * `datacard/` (per-language stats), optionally `splits/`, and one JSON
-  * summary line on stdout (stage row counts — parse the LAST line).
+  * `datacard/` (per-language stats), optionally `splits/`,
+  * `tokenizer/` + `token_ids/`, and one JSON summary line on stdout
+  * (stage row counts — parse the LAST line).
   *
   * Scale shape: every stage is a previously-verified catalog operator;
   * the only corpus-wide exchanges are the digest aggregate, the
@@ -57,7 +65,8 @@ object PipelineMain {
     * test session (main() owns session lifecycle, not this). Returns the
     * summary JSON it also writes to `<outDir>/summary.json`. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-      shardTokens: Long, segmentDedup: Boolean, leakageSplit: Boolean): String = {
+      shardTokens: Long, segmentDedup: Boolean, leakageSplit: Boolean,
+      bpe: Boolean = false): String = {
     val t0 = System.nanoTime()
     val docs = Tables.documents(spark, sfDir)
 
@@ -110,14 +119,34 @@ object PipelineMain {
         .map(r => r.getString(0) -> r.getLong(1)).toMap)
     } else None
 
-    // 6. shard layout + manifest
+    // 6. opt-in BPE tokenizer learned on the RELEASED corpus + the
+    // encoded corpus: the tokenizer artifacts are the shippable output
+    // (a consumer re-encodes any text under them); token_ids is the
+    // training-ready emit. Differential-gated operators (BpeSpec).
+    val bpeStats: Option[(Int, Long, Long)] = if (bpe) {
+      val (rules, words) = operators.Bpe.learn(corpus, merges = 32)
+      spark.createDataFrame(rules)
+        .write.mode("overwrite").parquet(s"$outDir/tokenizer/merges")
+      words.write.mode("overwrite").parquet(s"$outDir/tokenizer/segments")
+      words.unpersist()
+      val segs = spark.read.parquet(s"$outDir/tokenizer/segments")
+      val ids = operators.Bpe.subwordIds(operators.Bpe.subwordVocab(segs))
+      operators.Bpe.encode(corpus, segs.select("word", "syms"), ids)
+        .orderBy("doc_id")
+        .write.mode("overwrite").parquet(s"$outDir/token_ids")
+      val nSub = spark.read.parquet(s"$outDir/token_ids")
+        .agg(coalesce(sum("n_subwords"), lit(0L))).head.getLong(0)
+      Some((rules.size, ids.count(), nSub))
+    } else None
+
+    // 7. shard layout + manifest
     Shards.writeShards(corpus, shardTokens, s"$outDir/shards")
     val manifest = Shards.shardManifest(corpus, shardTokens)
     manifest.orderBy("shard_id")
       .write.mode("overwrite").parquet(s"$outDir/manifest")
     val nShards = spark.read.parquet(s"$outDir/manifest").count()
 
-    // 7. data card: per-language accounting of the released corpus
+    // 8. data card: per-language accounting of the released corpus
     corpus
       .select(col("lang"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
       .groupBy("lang")
@@ -131,10 +160,12 @@ object PipelineMain {
         .mkString(""","splits":{""", ",", "}"))
       .getOrElse("")
     val segJson = if (segmentDedup) s""","after_segment_dedup":$nKept""" else ""
+    val bpeJson = bpeStats.map { case (m, v, s) =>
+      s""","bpe_merges":$m,"bpe_vocab":$v,"bpe_subword_tokens":$s""" }.getOrElse("")
     val summary =
       s"""{"metric":"pipeline","input_docs":$total,"after_exact_dedup":$nExact,""" +
         s""""after_near_dedup":$nNear,"after_quality_gate":$nGated""" +
-        segJson + splitJson +
+        segJson + splitJson + bpeJson +
         s""","shards":$nShards,"shard_tokens":$shardTokens,"sec":$secs}"""
     Files.createDirectories(Paths.get(outDir))
     Files.writeString(Paths.get(outDir, "summary.json"), summary + "\n")
@@ -143,20 +174,21 @@ object PipelineMain {
 
   def main(args: Array[String]): Unit = {
     val flags = args.filter(_.startsWith("--")).toSet
-    val unknown = flags.diff(Set("--segment-dedup", "--leakage-split"))
+    val unknown = flags.diff(Set("--segment-dedup", "--leakage-split", "--bpe"))
     val pos = args.filterNot(_.startsWith("--"))
     if (pos.length < 2 || unknown.nonEmpty) {
       if (unknown.nonEmpty)
         System.err.println(s"unknown flags: ${unknown.mkString(", ")}")
       System.err.println(
-        "usage: PipelineMain <sfDir> <outDir> [shardTokens] [--segment-dedup] [--leakage-split]")
+        "usage: PipelineMain <sfDir> <outDir> [shardTokens] [--segment-dedup] [--leakage-split] [--bpe]")
       sys.exit(2)
     }
     val shardTokens = if (pos.length > 2) pos(2).toLong else 2048L
     val spark: SparkSession = GraftSession.local("graft-pipeline")
     val summary = run(spark, pos(0), pos(1), shardTokens,
       segmentDedup = flags("--segment-dedup"),
-      leakageSplit = flags("--leakage-split"))
+      leakageSplit = flags("--leakage-split"),
+      bpe = flags("--bpe"))
     println(summary)
     spark.stop()
   }

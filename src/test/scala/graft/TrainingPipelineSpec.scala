@@ -30,15 +30,32 @@ class TrainingPipelineSpec extends AnyFunSuite {
     import java.nio.file.Files
     val out = Files.createTempDirectory("graft_pipeline_flags").toString
     val summary = PipelineMain.run(spark, sf, out, shardTokens = 2048L,
-      segmentDedup = true, leakageSplit = true)
+      segmentDedup = true, leakageSplit = true, bpe = true)
     // summary carries the opt-in fields and the stage counts are sane
     assert(summary.contains("\"after_segment_dedup\":"))
     assert(summary.contains("\"splits\":{"))
+    assert(summary.contains("\"bpe_merges\":32"))
     val splits = spark.read.parquet(s"$out/splits")
     val shards = spark.read.parquet(s"$out/shards")
     val card = spark.read.parquet(s"$out/datacard")
     assert(splits.count() === shards.select("doc_id").distinct().count())
     assert(card.count() > 0)
+    // BPE stage: the shipped tokenizer covers the released corpus (every
+    // emitted id is within the vocab — the OOV fallback id 0 is
+    // unreachable when encoding the training corpus itself), every doc
+    // of the released corpus is encoded, and subwords >= words
+    val tokenIds = spark.read.parquet(s"$out/token_ids")
+    val vocabSize = spark.read.parquet(s"$out/tokenizer/segments")
+      .select(explode(col("syms")).as("s")).distinct().count()
+    assert(tokenIds.count() === shards.select("doc_id").distinct().count())
+    assert(tokenIds.filter(col("n_subwords") < col("n_words")).count() === 0L)
+    val maxId = tokenIds
+      .select(max(array_max(transform(split(col("ids"), " "),
+        s => s.cast("int"))))).head.getInt(0)
+    val minId = tokenIds
+      .select(min(array_min(transform(split(col("ids"), " "),
+        s => s.cast("int"))))).head.getInt(0)
+    assert(maxId <= vocabSize && minId >= 1)
     // split hygiene at tau=0.5 on the RELEASED corpus: no surviving
     // gray-zone pair straddles splits
     val corpus = shards.select("doc_id", "text")
