@@ -205,9 +205,13 @@ object DupClusters {
         "(recursive-CTE closure + window election in DuckDB).",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val pairs = Dedup.jaccardJoin(docs, n = 3, tau = 0.7)
-          .select(col("doc_a").as("u"), col("doc_b").as("v"))
-        keepList(connectedComponents(pairs),
+        // cluster frame from the shared write-once stage (q28 pairs ->
+        // q40 components; also serves q98/q100). q40 remains the
+        // compute entry that pins the chain itself — this entry pins
+        // the ELECTION semantics over that verified frame, and its
+        // composed oracle still gates the whole chain because the
+        // stage is exactly that chain.
+        keepList(TrainingPipeline.nearDupClustersStaged(s, dir),
           docs.select(col("doc_id"), col("n_chars").as("score")))
           .orderBy("doc_id")
       },
