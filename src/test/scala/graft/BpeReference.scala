@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Bpe
+
+/** Plain single-node Scala reference implementation of Sennrich et al.
+  * 2016 BPE — the differential oracle for the distributed q102/q103
+  * operators (no DuckDB oracle exists: the per-round argmax is not a
+  * recursive CTE). Shared by the fixture/real-corpus gates in `BpeSpec`
+  * and the randomized sweep in `PropertySpec`. */
+object BpeReference {
+
+  def refTokens(text: String): Vector[String] =
+    text.replaceAll("\\s+", " ").trim.toLowerCase.split(" ", -1).toVector
+
+  def refApply(ss: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < ss.length) {
+      if (i + 1 < ss.length && ss(i) == a && ss(i + 1) == b) { out += (a + b); i += 2 }
+      else { out += ss(i); i += 1 }
+    }
+    out.result()
+  }
+
+  def refWordFreq(docs: Seq[(Long, String)]): Map[String, Long] =
+    docs.flatMap { case (_, t) => refTokens(t) }
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+
+  def refLearn(wordFreq: Map[String, Long], m: Int, minCount: Long = 2L)
+      : (Vector[(Int, String, String, Long)], Map[String, Vector[String]]) = {
+    var segs: Map[String, Vector[String]] = wordFreq.map { case (w, _) =>
+      w -> (w.map(_.toString).toVector :+ Bpe.EndOfWord)
+    }
+    val rules = Vector.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= m && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, f) <- wordFreq; win <- segs(w).sliding(2) if win.size == 2)
+        counts((win(0), win(1))) = counts.getOrElse((win(0), win(1)), 0L) + f
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        if (c < minCount) done = true
+        else {
+          rules += ((rank, a, b, c))
+          segs = segs.map { case (w, ss) => w -> refApply(ss, a, b) }
+          rank += 1
+        }
+      }
+    }
+    (rules.result(), segs)
+  }
+
+  def refEncode(docs: Seq[(Long, String)], segs: Map[String, Vector[String]],
+      wordFreq: Map[String, Long]): Map[Long, (Long, Long, String)] = {
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- wordFreq; s <- segs(w))
+      counts(s) = counts.getOrElse(s, 0L) + f
+    val tid = counts.toSeq.sortBy { case (s, n) => (-n, s) }
+      .zipWithIndex.map { case ((s, _), i) => s -> (i + 1) }.toMap
+    docs.map { case (id, text) =>
+      val ws = refTokens(text)
+      val subs = ws.flatMap(w => segs.getOrElse(w,
+        w.map(_.toString).toVector :+ Bpe.EndOfWord))
+      (id, (ws.size.toLong, subs.size.toLong,
+        subs.map(s => tid.getOrElse(s, 0)).mkString(" ")))
+    }.toMap
+  }
+}

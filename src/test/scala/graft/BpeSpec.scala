@@ -18,66 +18,7 @@ class BpeSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   import spark.implicits._
 
-  // ---- plain-Scala reference implementation (single-node) ----
-
-  private def refTokens(text: String): Vector[String] =
-    text.replaceAll("\\s+", " ").trim.toLowerCase.split(" ", -1).toVector
-
-  private def refApply(ss: Vector[String], a: String, b: String): Vector[String] = {
-    val out = Vector.newBuilder[String]
-    var i = 0
-    while (i < ss.length) {
-      if (i + 1 < ss.length && ss(i) == a && ss(i + 1) == b) { out += (a + b); i += 2 }
-      else { out += ss(i); i += 1 }
-    }
-    out.result()
-  }
-
-  private def refLearn(wordFreq: Map[String, Long], m: Int, minCount: Long = 2L)
-      : (Vector[(Int, String, String, Long)], Map[String, Vector[String]]) = {
-    var segs: Map[String, Vector[String]] = wordFreq.map { case (w, _) =>
-      w -> (w.map(_.toString).toVector :+ Bpe.EndOfWord)
-    }
-    val rules = Vector.newBuilder[(Int, String, String, Long)]
-    var rank = 1
-    var done = false
-    while (rank <= m && !done) {
-      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
-      for ((w, f) <- wordFreq; win <- segs(w).sliding(2) if win.size == 2)
-        counts((win(0), win(1))) = counts.getOrElse((win(0), win(1)), 0L) + f
-      if (counts.isEmpty) done = true
-      else {
-        val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
-        if (c < minCount) done = true
-        else {
-          rules += ((rank, a, b, c))
-          segs = segs.map { case (w, ss) => w -> refApply(ss, a, b) }
-          rank += 1
-        }
-      }
-    }
-    (rules.result(), segs)
-  }
-
-  private def refEncode(docs: Seq[(Long, String)], segs: Map[String, Vector[String]],
-      wordFreq: Map[String, Long]): Map[Long, (Long, Long, String)] = {
-    val counts = scala.collection.mutable.Map.empty[String, Long]
-    for ((w, f) <- wordFreq; s <- segs(w))
-      counts(s) = counts.getOrElse(s, 0L) + f
-    val tid = counts.toSeq.sortBy { case (s, n) => (-n, s) }
-      .zipWithIndex.map { case ((s, _), i) => s -> (i + 1) }.toMap
-    docs.map { case (id, text) =>
-      val ws = refTokens(text)
-      val subs = ws.flatMap(w => segs.getOrElse(w,
-        w.map(_.toString).toVector :+ Bpe.EndOfWord))
-      (id, (ws.size.toLong, subs.size.toLong,
-        subs.map(s => tid.getOrElse(s, 0)).mkString(" ")))
-    }.toMap
-  }
-
-  private def refWordFreq(docs: Seq[(Long, String)]): Map[String, Long] =
-    docs.flatMap { case (_, t) => refTokens(t) }
-      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+  import BpeReference.{refTokens, refLearn, refEncode, refWordFreq}
 
   // ---- fold-expression merge semantics ----
 
@@ -163,6 +104,17 @@ class BpeSpec extends AnyFunSuite {
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(enc === refEncode(local, refSegs, wf))
     words.unpersist()
+  }
+
+  test("q103 plans broadcast joins only — the corpus side never shuffles by word or subword") {
+    val plan = SparkEntry.queries("q103_bpe_encode")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus-side shuffle join in q103's plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"))
+    // and the tokenizer comes from the staged parquet, not an in-flight learn
+    assert(plan.contains("graft_bpe_"))
+    spark.catalog.clearCache()
   }
 
   // ---- staged artifact ----

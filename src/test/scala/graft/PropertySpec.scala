@@ -234,6 +234,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BPE learn+encode matches the plain-Scala reference on random corpora") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    (1L to 4L).foreach { run =>
+      // random corpora over a small alphabet so merges are dense enough
+      // to chain (long shared prefixes/suffixes across words) and ties
+      // actually occur — the tie-break path is the dangerous one
+      val nDocs = sample(Gen.choose(4, 12), run)
+      val nWords = sample(Gen.choose(4, 10), run + 7)
+      val m = sample(Gen.choose(3, 14), run + 17)
+      val seed = mix(run + 97)
+      val lexicon = (1 to nWords).map { w =>
+        val len = 1 + bounded(seed + w * 31, 0, 5)
+        (0 until len).map(j => ('a' + bounded(seed + w * 37 + j, 0, 3)).toChar).mkString
+      }
+      val rows = (1 to nDocs).map { i =>
+        val len = bounded(seed + i * 41, 0, 15) // 0 => empty doc
+        (i.toLong, (0 until len)
+          .map(j => lexicon(bounded(seed + i * 43 + j, 0, lexicon.size - 1)))
+          .mkString(" "))
+      }
+      val docs = rows.toDF("doc_id", "text")
+      val wf = BpeReference.refWordFreq(rows)
+      val (refRules, refSegs) = BpeReference.refLearn(wf, m)
+      val (rules, words) = Bpe.learn(docs, merges = m)
+      assert(rules.map(r => (r.rank, r.left, r.right, r.pair_count))
+        === refRules, s"run $run (m=$m, lexicon=$lexicon)")
+      val enc = Bpe.encode(docs, words.select("word", "syms"),
+          Bpe.subwordIds(Bpe.subwordVocab(words)))
+        .select("doc_id", "n_words", "n_subwords", "ids")
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(enc === BpeReference.refEncode(rows, refSegs, wf), s"run $run")
+      words.unpersist()
+    }
+  }
+
   test("histogram conserves row count and never bins outside [0, nBins) (random data)") {
     import spark.implicits._
     (1L to 5L).foreach { run =>

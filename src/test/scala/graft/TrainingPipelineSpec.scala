@@ -191,6 +191,18 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(fileStates(root) === before)
   }
 
+  test("q98 plans as one join over the staged cluster scan (no inline pair/CC recompute)") {
+    val plan = SparkEntry.queries("q98_leakage_split")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the cluster frame is read from the fingerprinted stage…
+    assert(plan.contains("graft_clusters_"), s"q98 does not read the cluster stage:\n$plan")
+    // …and the split itself is a single ids-only join + projection: no
+    // aggregate (the CC rounds would show as HashAggregate) anywhere
+    assert(!plan.contains("HashAggregate"),
+      s"q98's plan recomputes an aggregate stage inline:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("stage fingerprint separates gate parameters") {
     val (e1, n1, c1) = TrainingPipeline.stageRoots(spark, sf, p = 0.10)
     val (e2, n2, c2) = TrainingPipeline.stageRoots(spark, sf, p = 0.25)
