@@ -195,6 +195,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical: LogicalPlan
       }))
 
+    ext.injectTableFunction((FunctionIdentifier("graft_bpe_encode"),
+      info("graft_bpe_encode",
+        "graft_bpe_encode(view, merges) - subword-id encoding of a " +
+          "documents view under BPE merges learned on that view " +
+          "(Sennrich et al. 2016): (doc_id, n_words, n_subwords, ids) " +
+          "with ids the space-joined dense subword ids. Learning runs " +
+          "EAGERLY at resolution time (`merges` bounded aggregate " +
+          "rounds over the distinct-word table) and the word table " +
+          "stays cached for the query's lifetime — the knnLsh/" +
+          "graft_containment session cache contract"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_bpe_encode(view, merges)")
+        val t = SparkSession.active.table(
+          strArg("graft_bpe_encode", "view", args.head))
+        val m = intArg("graft_bpe_encode", "merges", args(1))
+        require(m > 0, s"graft_bpe_encode: merges must be positive, got $m")
+        val (_, words) = graft.operators.Bpe.learn(t, merges = m)
+        graft.operators.Bpe.encode(t,
+          words.select("word", "syms"),
+          graft.operators.Bpe.subwordIds(
+            graft.operators.Bpe.subwordVocab(words)))
+          .queryExecution.logical: LogicalPlan
+      }))
+
     ext.injectTableFunction((FunctionIdentifier("graft_containment"),
       info("graft_containment",
         "graft_containment(view, n, tau) - asymmetric containment pairs " +

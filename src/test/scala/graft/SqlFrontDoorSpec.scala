@@ -44,6 +44,19 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(viaSql.count() > 0) // sf0.001 plants exact twins: containment 1.0
   }
 
+  test("graft_bpe_encode TVF equals the direct learn+encode path row for row") {
+    registered()
+    val viaSql = spark.sql("SELECT * FROM graft_bpe_encode('graft_docs', 12)")
+    val (_, words) = graft.operators.Bpe.learn(docs, merges = 12)
+    val direct = graft.operators.Bpe.encode(docs,
+      words.select(col("word"), col("syms")),
+      graft.operators.Bpe.subwordIds(graft.operators.Bpe.subwordVocab(words)))
+    assert(sorted(viaSql) === sorted(direct))
+    assert(viaSql.count() > 0)
+    words.unpersist()
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("graft_quantile_gate TVF equals Curation.quantileFilter row for row") {
     registered()
     val viaSql = spark.sql(
