@@ -127,13 +127,16 @@ object Bpe {
         val (a, b, cnt) = (top(0).getAs[String]("a"),
           top(0).getAs[String]("b"), top(0).getAs[Long]("cnt"))
         rules += MergeRule(rank, a, b, a + b, cnt)
-        val prev = words
+        // lazy checkpoint, materialized by the next round's aggregate
+        // (or the caller's first action). Prior rounds' checkpoint
+        // blocks are reclaimed by the ContextCleaner once their RDDs
+        // are unreferenced — the connectedComponents lifecycle; an
+        // explicit Dataset.unpersist() would be a no-op here (a
+        // localCheckpoint is RDD-level storage, not a CacheManager
+        // entry), and dropping the blocks eagerly before the next
+        // round materializes would break the truncated lineage.
         words = words.withColumn("syms", applyMerge(col("syms"), a, b))
           .localCheckpoint(false)
-        // the new checkpoint is materialized by the next round's
-        // aggregate (or the caller's first action); dropping the old
-        // one's blocks then is safe and keeps rounds O(1) in storage
-        prev.unpersist()
         rank += 1
       }
     }
