@@ -128,7 +128,6 @@ object PipelineMain {
       spark.createDataFrame(rules)
         .write.mode("overwrite").parquet(s"$outDir/tokenizer/merges")
       words.write.mode("overwrite").parquet(s"$outDir/tokenizer/segments")
-      words.unpersist()
       val segs = spark.read.parquet(s"$outDir/tokenizer/segments")
       val ids = operators.Bpe.subwordIds(operators.Bpe.subwordVocab(segs))
       operators.Bpe.encode(corpus, segs.select("word", "syms"), ids)

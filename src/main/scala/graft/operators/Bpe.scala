@@ -166,7 +166,6 @@ object Bpe {
       val (rules, words) = learn(Tables.documents(spark, dir), merges)
       spark.createDataFrame(rules).write.mode("overwrite").parquet(s"$out/merges")
       words.write.mode("overwrite").parquet(s"$out/segments")
-      words.unpersist()
       fs.create(ok).close()
     }
     (spark.read.parquet(s"$out/merges"), spark.read.parquet(s"$out/segments"))
