@@ -52,7 +52,15 @@ object Bpe {
 
   /** End-of-word marker appended to every word's symbol sequence —
     * Sennrich et al.'s `</w>`, which keeps word-final subwords distinct
-    * from word-internal ones and makes decoding unambiguous. */
+    * from word-internal ones and makes decoding unambiguous.
+    *
+    * Representation note: symbols are plain strings (the original
+    * Sennrich representation), so a pathological corpus whose merges
+    * assemble the literal string "</w>" out of characters would
+    * conflate that subword with the marker in the id space — the same
+    * ambiguity the reference representation has, immaterial for
+    * encoding (both occurrences ARE the same string) and only visible
+    * to a decoder, which this engine does not ship. */
   val EndOfWord = "</w>"
 
   /** (word, freq) over the corpus — the one corpus-wide pass. */
