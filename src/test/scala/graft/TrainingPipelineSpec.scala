@@ -44,6 +44,12 @@ class TrainingPipelineSpec extends AnyFunSuite {
     // emitted id is within the vocab — the OOV fallback id 0 is
     // unreachable when encoding the training corpus itself), every doc
     // of the released corpus is encoded, and subwords >= words
+    // the data card carries the honest modality note (non-image codecs
+    // are stubs) and records which opt-in stages produced this release
+    val notes = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/datacard_notes.json")))
+    assert(notes.contains("deterministic stubs"))
+    assert(notes.contains("\"bpe\":true"))
     val tokenIds = spark.read.parquet(s"$out/token_ids")
     val vocabSize = spark.read.parquet(s"$out/tokenizer/segments")
       .select(explode(col("syms")).as("s")).distinct().count()
