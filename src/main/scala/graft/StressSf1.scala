@@ -185,6 +185,22 @@ object StressSf1 {
             sum("n_kept").as("n_kept_segments"),
             sum("n_tokens").as("n_tokens"))
       }),
+      // BPE, compute form (the catalog entries read the staged
+      // tokenizer): the corpus pass (wordFreqs) scales linearly; the 32
+      // merge rounds run over the Heaps'-bounded word table (~31 words
+      // per disjoint token family -> ~300 at 10x), so learn's output is
+      // the constant 32-row merge table and its gate is the time ratio
+      "q102_bpe_learn" -> (d => {
+        val (rules, _) = operators.Bpe.learn(d, merges = 32)
+        d.sparkSession.createDataFrame(rules)
+      }),
+      // encode emits one row per document -> rows exactly 10x; the
+      // in-flight learn rides inside the timed window (compute form)
+      "q103_bpe_encode" -> (d => {
+        val (_, words) = operators.Bpe.learn(d, merges = 32)
+        operators.Bpe.encode(d, words.select("word", "syms"),
+          operators.Bpe.subwordIds(operators.Bpe.subwordVocab(words)))
+      }),
       // the streaming gate's one-sided prefix filter (probe = FULL hash
       // set) trades candidate volume for statelessness — this is the
       // check that the trade stays LINEAR at 10x: same %3 split per
