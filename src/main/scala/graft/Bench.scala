@@ -54,7 +54,7 @@ object Bench {
     "q94_session_bounds", "q95_quantile_sketch", "q96_lm_score",
     "q97_segment_dedup", "q98_leakage_split", "q99_containment",
     "q100_clean_manifest", "q101_token_ids", "q102_bpe_learn",
-    "q103_bpe_encode")
+    "q103_bpe_encode", "q104_bpe_learn_1k", "q105_pack_subword_shards")
 
   /** `build` is by-name and runs AFTER the cache clear: queries that
     * persist (and eagerly materialize) intermediate frames — e.g. q17's

@@ -201,17 +201,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "documents view under BPE merges learned on that view " +
           "(Sennrich et al. 2016): (doc_id, n_words, n_subwords, ids) " +
           "with ids the space-joined dense subword ids. Learning runs " +
-          "EAGERLY at resolution time (`merges` bounded aggregate " +
-          "rounds over the distinct-word table) and the word table " +
-          "stays cached for the query's lifetime — the knnLsh/" +
-          "graft_containment session cache contract"),
+          "at resolution time via the O(1)-job driver path " +
+          "(Bpe.learnCollected) and is MEMOIZED per (view plan, " +
+          "merges) for the session, so repeated SQL calls — or the " +
+          "analyzer resolving the same query twice (EXPLAIN, then " +
+          "run) — pay the training once; the memo holds only the " +
+          "Heaps'-bounded word table, no cached corpus frames"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_bpe_encode(view, merges)")
         val t = SparkSession.active.table(
           strArg("graft_bpe_encode", "view", args.head))
         val m = intArg("graft_bpe_encode", "merges", args(1))
         require(m > 0, s"graft_bpe_encode: merges must be positive, got $m")
-        val (_, words) = graft.operators.Bpe.learn(t, merges = m)
+        val (_, words) = graft.operators.Bpe.learnMemo(t, merges = m)
         graft.operators.Bpe.encode(t,
           words.select("word", "syms"),
           graft.operators.Bpe.subwordIds(
@@ -229,7 +231,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 3, "graft_containment(view, n, tau)")
         val t = SparkSession.active.table(
           strArg("graft_containment", "view", args.head))
-        graft.operators.Dedup.containmentJoin(t,
+        graft.operators.Dedup.containmentJoinMemo(t,
           n = intArg("graft_containment", "n", args(1)),
           tau = doubleArg("graft_containment", "tau", args(2)))
           .queryExecution.logical: LogicalPlan

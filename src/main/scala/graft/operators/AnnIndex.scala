@@ -33,9 +33,10 @@ import graft.sources.Tables
   * Cache keys fold in [[Layout.contentKey]]'s file fingerprint, so a
   * source that changes under the same path invalidates the index
   * instead of silently serving stale neighbors. Builds are
-  * `synchronized` + gated on a root `_SUCCESS` marker written AFTER
-  * both component writes — a half-built index (e.g. a crash between
-  * writes) is rebuilt, never served.
+  * `synchronized` (same-JVM) and committed by atomic rename via
+  * [[Staging]] — a half-built index (crash between writes, or a
+  * concurrent process mid-build) is invisible to readers, never
+  * served.
   *
   * Both indexed query paths return BIT-IDENTICAL results to their
   * build-per-batch twins (q29/q74): training is deterministic
@@ -46,10 +47,6 @@ import graft.sources.Tables
 object AnnIndex {
   import Bucketed.md5hex
 
-  private def marker(spark: SparkSession, out: String): (org.apache.hadoop.fs.FileSystem, Path) =
-    (new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration),
-      new Path(out, "_SUCCESS"))
-
   /** Idempotently materialize the IVF index for `dir`'s embeddings:
     * `centroids/` + cluster-partitioned `lists/`. Returns the index
     * root. */
@@ -58,22 +55,19 @@ object AnnIndex {
     val out = "target/ann/graft_ivf_" + md5hex(
       s"$dir/$centroids/$lloydIters/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
       .take(8)
-    val (fs, ok) = marker(spark, out)
-    if (!fs.exists(ok)) {
+    Staging.ensure(spark, out) { tmp =>
       val e = Similarity.prepared(Tables.embeddings(spark, dir))
       val cent = Similarity.ivfCentroids(e, centroids, lloydIters)
-      cent.write.mode("overwrite").parquet(s"$out/centroids")
+      cent.write.mode("overwrite").parquet(s"$tmp/centroids")
       // one corpus assignment pass, written re-keyed by cluster: each
       // inverted list is a partition directory, so a probe is a
       // partition-pruned read touching nProbe/C of the data
       Similarity.assignToCentroids(e, cent)
-        .write.mode("overwrite").partitionBy("cluster").parquet(s"$out/lists")
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$tmp/lists")
       // build is one-shot: release the centroid cache the in-flight
       // twin (knnIvf) keeps under the session cache contract
       cent.unpersist()
-      fs.create(ok).close()
     }
-    out
   }
 
   /** IVF query over the persisted index — [[Similarity.ivfProbe]] fed by
@@ -100,19 +94,16 @@ object AnnIndex {
     val out = "target/ann/graft_pq_" + md5hex(
       s"$dir/$m/$kCent/$d/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
       .take(8)
-    val (fs, ok) = marker(spark, out)
-    if (!fs.exists(ok)) {
+    Staging.ensure(spark, out) { tmp =>
       val subdim = d / m
       val e = Similarity.pqPrepared(Tables.embeddings(spark, dir), d)
       val cb = Similarity.pqCodebooks(e, m, subdim, kCent)
-      cb.write.mode("overwrite").parquet(s"$out/codebooks")
+      cb.write.mode("overwrite").parquet(s"$tmp/codebooks")
       Similarity.pqEncode(e, cb, m, subdim, kCent)
         .select("vec_id", "codes")
-        .write.mode("overwrite").parquet(s"$out/codes")
+        .write.mode("overwrite").parquet(s"$tmp/codes")
       cb.unpersist()
-      fs.create(ok).close()
     }
-    out
   }
 
   /** PQ/ADC query over the persisted index — [[Similarity.pqAdcSearch]]

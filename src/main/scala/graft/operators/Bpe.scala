@@ -7,47 +7,67 @@ import org.apache.spark.sql.functions._
 import graft.Query
 import graft.sources.Tables
 
-/** Distributed byte-pair-encoding merge LEARNING (Sennrich, Haddow &
-  * Birch, ACL 2016 — public literature) — the missing stage of the
-  * tokenize→encode→pack chain: q25 counts GPT-2-shaped pretokens and
-  * q101 encodes ids under a word-level vocabulary, but neither *induces*
-  * the subword vocabulary. This operator learns the top-M merges from
-  * the corpus and re-encodes documents as subword-id sequences under
-  * the learned vocabulary.
+/** Byte-pair-encoding merge LEARNING (Sennrich, Haddow & Birch, ACL
+  * 2016 — public literature) + subword encoding/decoding — the
+  * vocabulary-induction stage of the tokenize→encode→pack chain: q25
+  * counts GPT-2-shaped pretokens and q101 encodes ids under a
+  * word-level vocabulary, but neither *induces* the subword vocabulary.
   *
-  * The algorithm is inherently iterative (each round's argmax decides
-  * the next round's state), so the scale argument is about what each
-  * round touches:
+  * Two learning paths share one scale argument — the corpus is read
+  * exactly ONCE. [[wordFreqs]] is a token-keyed map-side-combining
+  * aggregate whose output is the distinct-word table, and that table is
+  * Heaps'-law bounded: sublinear in corpus size, ~10^7 rows (hundreds
+  * of MB with frequencies) at web scale vs 10^11 corpus rows. Every
+  * merge decision after that pass touches only the word table:
   *
-  *   - the corpus is read ONCE — [[wordFreqs]] is a token-keyed
-  *     map-side-combining aggregate whose output is the distinct-word
-  *     table (Heaps'-law bounded: sublinear in corpus size, ~10^7 rows
-  *     at web scale vs 10^11 corpus rows);
-  *   - each round runs ONE map-side-combining pair-count aggregate over
-  *     that word table and takes the argmax as a 1-row
-  *     TakeOrderedAndProject (`limit(1)` — one row to the driver per
-  *     round, the same bounded driver traffic as the CC convergence
-  *     count); the merge application is a map-only fold expression; the
-  *     per-round lineage is truncated with a lazy localCheckpoint
-  *     materialized by the NEXT round's aggregate (the
-  *     connectedComponents pattern — one job per round);
-  *   - encoding never applies merges per occurrence: a word's final
-  *     segmentation is decided once in the word table, and documents
-  *     join word→syms on the word key (size-gated by the planner) — the
-  *     corpus-side cost is the q101 explode/reassemble shape.
+  *   - [[learnCollected]] — the PRODUCTION path: collect the word
+  *     table to the driver once and run the merge loop there with the
+  *     standard incremental pair-count structure (a count-indexed
+  *     lazy-deletion heap + per-word delta updates, the shape of every
+  *     single-node BPE trainer). Spark-job count is O(1) in the merge
+  *     count M — one corpus aggregate + one collect — so a production
+  *     vocabulary (32k–50k merges) costs the SAME number of jobs as the
+  *     catalog's 32; the driver loop's cost is bounded by the word
+  *     table, not the corpus. This is what a 1000-executor deployment
+  *     runs: M sequential cluster jobs over a table that fits in one
+  *     process would be pure scheduler overhead (the round-9 finding
+  *     that motivated this path).
+  *   - [[learn]] — the DISTRIBUTED fallback for the off-design regime
+  *     where the word table itself exceeds driver memory: per round one
+  *     map-side-combining pair-count aggregate over the word table, a
+  *     1-row argmax (`limit(1)` — bounded driver traffic), and a
+  *     map-only fold-expression merge, lineage truncated per round with
+  *     a lazy localCheckpoint (the connectedComponents pattern). Costs
+  *     M sequential jobs, so it is the wrong tool at production M —
+  *     kept because its per-round aggregate is also the differential
+  *     twin that gates the driver path distributively.
   *
-  * Learned artifacts (merge list + per-word segmentations) are
-  * write-once fingerprinted parquet ([[learnStaged]]): a tokenizer is
-  * trained once per corpus and shipped, so repeated invocations (bench
-  * iterations, downstream encodes) must pay a bounded read, not M
-  * training rounds.
+  * Both paths are exactly equal — merge-for-merge, segmentation-for-
+  * segmentation — and equal to the plain-Scala reference in `BpeSpec`:
+  * symbols are Unicode code points (Spark's `substr`/`length` string
+  * semantics) and argmax ties break (count DESC, left ASC, right ASC)
+  * under UTF-8 binary string order ([[Utf8Order]] — identical to code
+  * point order, and to Spark's own string ordering), so the merge
+  * sequence is engine-, partitioning- and path-independent.
+  *
+  * Encoding never applies merges per occurrence: a word's final
+  * segmentation is decided once in the word table, and documents join
+  * word→syms on the word key (size-gated by the planner) — the
+  * corpus-side cost is the q101 explode/reassemble shape. Learned
+  * artifacts (merge list + per-word segmentations) are write-once
+  * fingerprinted parquet ([[learnStaged]], committed by atomic rename
+  * via [[Staging]]): a tokenizer is trained once per corpus and
+  * shipped, so repeated invocations (bench iterations, downstream
+  * encodes) pay a bounded read, not a training run.
   *
   * Design-gated rather than DuckDB-oracled: the merge recursion's
   * data-dependent argmax is not expressible as a recursive CTE; the
   * gate is exact merge-for-merge and id-for-id parity with a plain
   * single-node Scala BPE reference implementation in `BpeSpec` (the
-  * q80 differential pattern), on both a planted corpus with hand-
-  * checkable merges and the sf0.001 table. */
+  * q80 differential pattern), on a planted corpus, sf0.001 AND the
+  * catalog's own sf0.1 tier. The downstream COMPOSITION (subword
+  * counting → shard packing, q105) IS DuckDB-oracled, over the staged
+  * segmentations as oracle input. */
 object Bpe {
 
   /** End-of-word marker appended to every word's symbol sequence —
@@ -58,10 +78,24 @@ object Bpe {
     * Sennrich representation), so a pathological corpus whose merges
     * assemble the literal string "</w>" out of characters would
     * conflate that subword with the marker in the id space — the same
-    * ambiguity the reference representation has, immaterial for
-    * encoding (both occurrences ARE the same string) and only visible
-    * to a decoder, which this engine does not ship. */
+    * ambiguity the reference representation has. [[decode]] is the one
+    * consumer that can observe it (it would split a word at the
+    * assembled marker); the round-trip gate in `BpeSpec` covers every
+    * corpus without a literal "</w>" substring, which is all of them
+    * here. */
   val EndOfWord = "</w>"
+
+  /** UTF-8 binary string order — identical to Unicode code point order
+    * (a UTF-8 property) and to Spark's own UTF8String ordering, and
+    * used for ALL argmax tie-breaks so the driver loop, the distributed
+    * loop, and the test reference produce the same merge sequence on
+    * any corpus, supplementary characters included. (Plain
+    * `String.compareTo` would differ there: UTF-16 code units order
+    * surrogate pairs below U+E000.) */
+  val Utf8Order: Ordering[String] = (x: String, y: String) =>
+    java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** (word, freq) over the corpus — the one corpus-wide pass. */
   def wordFreqs(docs: DataFrame): DataFrame =
@@ -70,13 +104,27 @@ object Bpe {
 
   /** Initial symbol sequence of a word: its characters plus
     * [[EndOfWord]]. Pure expression (no UDF): one `substr` per
-    * character position. */
+    * character position — `substr`/`length` index CODE POINTS, which
+    * fixes the symbol alphabet for every path. */
   def charSyms(word: Column): Column =
     concat(
       when(length(word) > 0,
         transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))))
         .otherwise(array().cast("array<string>")),
       array(lit(EndOfWord)))
+
+  /** Driver-side twin of [[charSyms]]: code points (not UTF-16 units),
+    * so multi-`char` symbols segment identically on both paths. */
+  private[graft] def codePointSyms(w: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      b += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    (b += EndOfWord).result()
+  }
 
   /** Adjacent symbol pairs of a sequence as (a, b) structs — empty for
     * single-symbol sequences (the `when` guard keeps `sequence` from
@@ -103,16 +151,144 @@ object Bpe {
         .otherwise(concat(acc, array(s)))
     })
 
+  /** Driver-side twin of [[applyMerge]]: the same greedy left-to-right
+    * non-overlapping pass. */
+  private def applyMergeLocal(ss: Vector[String], a: String, b: String)
+      : Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < ss.length) {
+      if (i + 1 < ss.length && ss(i) == a && ss(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += ss(i); i += 1 }
+    }
+    out.result()
+  }
+
   /** One learned merge: `rank` (1-based), the pair, its fused form, and
     * the pair count at merge time. */
   final case class MergeRule(rank: Int, left: String, right: String,
     merged: String, pair_count: Long)
 
-  /** Learn up to `merges` BPE merges over `docs`; returns the merge
-    * list and the final word table (word, freq, syms). Stops early when
-    * no adjacent pair reaches `minCount` (Sennrich et al.'s stopping
-    * rule). Deterministic: argmax ties break (left ASC, right ASC), so
-    * the merge sequence — and everything downstream — is engine- and
+  /** A learned word segmentation row — the `segments/` stage schema. */
+  final case class WordSeg(word: String, freq: Long, syms: Seq[String])
+
+  // ---- production path: driver-side merge loop, O(1) Spark jobs ----
+
+  /** The driver-side merge loop over an already-collected word table —
+    * the production-merge-count trainer. Incremental: pair counts and a
+    * pair→words index are maintained under per-word delta updates (only
+    * words CONTAINING the merged pair are touched each round), and the
+    * argmax comes from a lazy-deletion max-heap (every count change
+    * pushes a fresh (count, pair) entry; stale entries are discarded at
+    * pop by checking against the live count — the classic single-node
+    * BPE trainer structure, cf. the original subword-nmt). Per-round
+    * cost is Σ|syms| over the words containing the merged pair — NOT
+    * the whole table — so 32k merges over a 10^7-word table is minutes
+    * of driver CPU and zero cluster jobs.
+    *
+    * Ties break (count DESC, left ASC, right ASC) under [[Utf8Order]] —
+    * bit-equal to the distributed argmax. Stops early when no pair
+    * reaches `minCount` (Sennrich et al.'s stopping rule). Returns the
+    * merge list and the final per-word segmentations in input order. */
+  def learnLocal(wordFreq: Seq[(String, Long)], merges: Int,
+      minCount: Long = 2L): (Seq[MergeRule], Seq[WordSeg]) = {
+    import scala.collection.mutable
+    val words = wordFreq.toArray
+    val n = words.length
+    val syms = Array.tabulate(n)(i => codePointSyms(words(i)._1))
+    def pairsOf(v: Vector[String]): Iterator[(String, String)] =
+      if (v.length < 2) Iterator.empty
+      else v.iterator.zip(v.iterator.drop(1))
+    val cnt = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    var i = 0
+    while (i < n) {
+      val f = words(i)._2
+      pairsOf(syms(i)).foreach { p =>
+        cnt.update(p, cnt.getOrElse(p, 0L) + f)
+        where.getOrElseUpdate(p, mutable.HashSet.empty) += i
+      }
+      i += 1
+    }
+    // max-heap on (count, pair): largest count first, ties by SMALLEST
+    // (left, right) — hence the reversed string components
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](
+      Ordering.Tuple3(Ordering.Long, Utf8Order.reverse, Utf8Order.reverse))
+    cnt.foreach { case ((a, b), c) => heap.enqueue((c, a, b)) }
+    val rules = Seq.newBuilder[MergeRule]
+    var rank = 1
+    var done = false
+    while (rank <= merges && !done) {
+      var top: Option[(Long, String, String)] = None
+      while (top.isEmpty && heap.nonEmpty) {
+        val (c, a, b) = heap.dequeue()
+        if (cnt.get((a, b)).contains(c)) top = Some((c, a, b))
+      }
+      top match {
+        case Some((c, a, b)) if c >= minCount =>
+          rules += MergeRule(rank, a, b, a + b, c)
+          val touched = where.getOrElse((a, b), mutable.HashSet.empty).toArray
+          val dirty = mutable.HashSet.empty[(String, String)]
+          touched.foreach { wi =>
+            val old = syms(wi)
+            val f = words(wi)._2
+            // retract the word's old pair contributions; a count can
+            // only reach zero once every containing word is processed
+            // (untouched words' contributions keep it positive), so
+            // remove-at-zero is exact
+            pairsOf(old).foreach { p =>
+              val nc = cnt(p) - f
+              if (nc == 0L) { cnt.remove(p); where.remove(p) }
+              else cnt(p) = nc
+              dirty += p
+            }
+            pairsOf(old).toSet[(String, String)].foreach(p =>
+              where.get(p).foreach(_ -= wi))
+            val nw = applyMergeLocal(old, a, b)
+            syms(wi) = nw
+            pairsOf(nw).foreach { p =>
+              cnt.update(p, cnt.getOrElse(p, 0L) + f)
+              where.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+              dirty += p
+            }
+          }
+          dirty.foreach(p => cnt.get(p).foreach(c2 => heap.enqueue((c2, p._1, p._2))))
+          rank += 1
+        case _ => done = true
+      }
+    }
+    (rules.result(),
+      (0 until n).map(i => WordSeg(words(i)._1, words(i)._2, syms(i))))
+  }
+
+  /** Learn up to `merges` BPE merges over `docs` with Spark-job count
+    * O(1) in the merge count: ONE distributed corpus aggregate
+    * ([[wordFreqs]]) + one collect of the Heaps'-bounded word table,
+    * then the [[learnLocal]] driver loop. Returns the merge list and
+    * the final word table (word, freq, syms) as a local-relation frame
+    * — bounded by the word table, parallelized by the planner when
+    * consumed. Exactly equal to [[learn]]'s output (BpeSpec parity). */
+  def learnCollected(docs: DataFrame, merges: Int, minCount: Long = 2L)
+      : (Seq[MergeRule], DataFrame) = {
+    val spark = docs.sparkSession
+    val wf = wordFreqs(docs).collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("freq"))).toSeq
+    val (rules, segs) = learnLocal(wf, merges, minCount)
+    (rules, spark.createDataFrame(segs))
+  }
+
+  // ---- distributed fallback: one aggregate round per merge ----
+
+  /** Learn up to `merges` BPE merges over `docs` with one distributed
+    * pair-count round PER merge; returns the merge list and the final
+    * word table (word, freq, syms). This is the fallback for the
+    * off-design regime where the word table exceeds driver memory —
+    * at production merge counts prefer [[learnCollected]] (same
+    * result, O(1) jobs). Stops early when no adjacent pair reaches
+    * `minCount`. Deterministic: argmax ties break (left ASC, right
+    * ASC) in Spark's binary string order (= [[Utf8Order]]), so the
+    * merge sequence — and everything downstream — is engine- and
     * partitioning-stable. */
   def learn(docs: DataFrame, merges: Int, minCount: Long = 2L)
       : (Seq[MergeRule], DataFrame) = {
@@ -151,6 +327,8 @@ object Bpe {
     (rules.result(), words)
   }
 
+  // ---- staged artifact + session memo ----
+
   /** Root of the fingerprinted learned-tokenizer materialization for
     * (`dir`, `merges`): merge list + word segmentations, keyed on the
     * source content like every staged artifact (AnnIndex rule). */
@@ -159,25 +337,95 @@ object Bpe {
       s"$dir/m$merges/${Layout.contentKey(spark, s"$dir/documents.parquet")}")
       .take(8)
 
-  /** Write-once learned tokenizer for `dir`: (merge table, word
-    * segmentations), trained only when no finished stage exists for
-    * this (source content, merges) key — the root `_SUCCESS` marker is
-    * written AFTER both component writes, so a half-built artifact is
-    * retrained, never served. */
-  def learnStaged(spark: SparkSession, dir: String, merges: Int)
-      : (DataFrame, DataFrame) = synchronized {
-    val out = bpeRoot(spark, dir, merges)
-    val root = new org.apache.hadoop.fs.Path(out)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ok = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
-    if (!fs.exists(ok)) {
-      val (rules, words) = learn(Tables.documents(spark, dir), merges)
-      spark.createDataFrame(rules).write.mode("overwrite").parquet(s"$out/merges")
-      words.write.mode("overwrite").parquet(s"$out/segments")
-      fs.create(ok).close()
+  /** Write-once learned tokenizer under `out`: (merge table, word
+    * segmentations), trained — via the O(1)-job [[learnCollected]]
+    * path — only when no finished stage exists. Committed by atomic
+    * rename ([[Staging]]), so a half-built artifact is invisible to
+    * every reader, same-JVM or not. `corpus` is by-name — evaluated
+    * only on a build miss. */
+  private def stagedTokenizer(spark: SparkSession, out: String, merges: Int,
+      minCount: Long)(corpus: => DataFrame): (DataFrame, DataFrame) =
+    synchronized {
+      Staging.ensure(spark, out) { tmp =>
+        val (rules, words) = learnCollected(corpus, merges, minCount)
+        spark.createDataFrame(rules).write.mode("overwrite").parquet(s"$tmp/merges")
+        words.write.mode("overwrite").parquet(s"$tmp/segments")
+      }
+      (spark.read.parquet(s"$out/merges"), spark.read.parquet(s"$out/segments"))
     }
-    (spark.read.parquet(s"$out/merges"), spark.read.parquet(s"$out/segments"))
+
+  /** The staged documents-corpus tokenizer (q102/q103/q105). */
+  def learnStaged(spark: SparkSession, dir: String, merges: Int)
+      : (DataFrame, DataFrame) =
+    stagedTokenizer(spark, bpeRoot(spark, dir, merges), merges, 2L)(
+      Tables.documents(spark, dir))
+
+  /** Every textual column in the `dir` lake as one (text) corpus — the
+    * training input a LAKE-WIDE tokenizer sees (q104). The synthetic
+    * documents table's 31-word vocabulary saturates after ~100 merges;
+    * the union restores the vocabulary richness a real corpus has, so
+    * the production-merge-count path has real work to do. One row per
+    * source value; scan reads only the projected column per table. */
+  def unionTextCorpus(spark: SparkSession, dir: String): DataFrame =
+    Seq(
+      Tables.documents(spark, dir).select(col("text")),
+      Tables.customer(spark, dir).select(col("c_name").as("text")),
+      Tables.supplier(spark, dir).select(col("s_name").as("text")),
+      Tables.part(spark, dir).select(col("p_name").as("text")),
+      Tables.part(spark, dir).select(col("p_type").as("text")),
+      Tables.part(spark, dir).select(col("p_brand").as("text")),
+      Tables.events(spark, dir).select(col("props").as("text")),
+      Tables.events(spark, dir).select(col("event_type").as("text"))
+    ).reduce(_ unionByName _)
+
+  /** Staged lake-wide tokenizer at a PRODUCTION-SHAPED merge budget —
+    * `minCount = 1`: vocabulary-BUDGET-driven training (the GPT-2 /
+    * HF-tokenizers convention, where the trainer fills the requested
+    * vocab size and `min_frequency` defaults off) rather than q102's
+    * frequency-floor mode (Sennrich's stopping rule) — with this
+    * fixture's saturating vocabulary, a floor of 2 exhausts all
+    * corpora here well short of a production budget, which would make
+    * the merge-count scaling claim untestable. Content-keyed on every
+    * source table. */
+  def learnStagedFull(spark: SparkSession, dir: String, merges: Int)
+      : (DataFrame, DataFrame) = {
+    val key = Seq("documents", "customer", "supplier", "part", "events")
+      .map(t => Layout.contentKey(spark, s"$dir/$t.parquet")).mkString("/")
+    stagedTokenizer(spark,
+      "target/bpe/graft_bpe_full_" +
+        Bucketed.md5hex(s"$dir/m$merges/mc1/$key").take(8),
+      merges, 1L)(unionTextCorpus(spark, dir))
   }
+
+  /** Session-scoped memo of [[learnCollected]] for the SQL TVF path
+    * (`graft_bpe_encode`), keyed on the view's canonicalized analyzed
+    * plan + merge count — so repeated SQL calls (or the analyzer
+    * resolving the same query twice, e.g. EXPLAIN then run) pay the
+    * training once per (view, merges), not per resolution (round-9
+    * advice). Mirrors Spark's own table-cache semantics: a view whose
+    * underlying files change under the SAME path within one session
+    * would be served the memoized tokenizer. LRU-capped — each entry
+    * is a Heaps'-bounded local relation, and 8 distinct (view, merges)
+    * tokenizers per session is already an odd workload. */
+  private val tvfMemo =
+    new java.util.LinkedHashMap[String, (Seq[MergeRule], DataFrame)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Seq[MergeRule], DataFrame)]): Boolean =
+        size() > 8
+    }
+
+  def learnMemo(view: DataFrame, merges: Int): (Seq[MergeRule], DataFrame) =
+    synchronized {
+      val plan = view.queryExecution.analyzed.canonicalized
+      val key = s"$merges:${plan.semanticHash()}:$plan"
+      Option(tvfMemo.get(key)).getOrElse {
+        val r = learnCollected(view, merges)
+        tvfMemo.put(key, r)
+        r
+      }
+    }
+
+  // ---- encode / decode ----
 
   /** Subword occurrence counts under a learned word table: every final
     * symbol weighted by its words' corpus frequencies. Bounded by
@@ -220,22 +468,96 @@ object Bpe {
             coalesce(col("tid"), lit(0)).as("tid")))),
           t => t("tid").cast("string"))).as("ids"))
 
-  val queries: Seq[Query] = Seq(
+  /** Invert [[encode]]: (doc_id, text) with `text` the whitespace-
+    * normalized original — id→subword via the broadcast V-row map,
+    * order restored per doc, word boundaries recovered from the
+    * [[EndOfWord]] suffix. decode(encode(x)) == normalized x for every
+    * word in the tokenizer's word table (gated in `BpeSpec`); id 0
+    * (OOV) decodes to the empty string — by construction the encoder
+    * only emits it for characters never seen in training, which no
+    * inverse can recover. Map-side + one doc-keyed aggregate; no
+    * corpus-side shuffle join (the q103 plan shape). */
+  def decode(encoded: DataFrame, ids: DataFrame): DataFrame =
+    encoded.select(col("doc_id"),
+        posexplode(split(col("ids"), " ")).as(Seq("pos", "tid_s")))
+      .select(col("doc_id"), col("pos"), col("tid_s").cast("int").as("tid"))
+      .join(broadcast(ids.select(col("tid"), col("subword"))), Seq("tid"), "left")
+      .groupBy("doc_id")
+      .agg(rtrim(concat_ws("", transform(
+        array_sort(collect_list(struct(col("pos"),
+          coalesce(col("subword"), lit("")).as("s")))),
+        t => when(t("s").endsWith(EndOfWord),
+          concat(t("s").substr(lit(1), length(t("s")) - lit(EndOfWord.length)),
+            lit(" ")))
+          .otherwise(t("s"))))).as("text"))
+
+  // ---- subword-budget shard packing (the q41 layout in MODEL tokens) ----
+
+  /** Per-document SUBWORD counts under a learned word table — the unit
+    * an actual training run budgets in (q41/q45/q100 count word-level
+    * tokens; a "1M-token shard" there is not 1M model tokens). Pure
+    * composition: tokenize (map-side), join word→|syms| on the
+    * Heaps'-bounded word table (size-gated → broadcast), one doc-keyed
+    * aggregate. OOV words fall back to their character-symbol count
+    * (|code points| + 1), the [[encode]] convention — on the training
+    * corpus itself the fallback is unreachable. */
+  def docSubwordCounts(docs: DataFrame, wordSegs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .join(wordSegs.select(col("word"),
+        size(col("syms")).cast("long").as("n_sub")), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("n_sub"),
+        (length(col("word")) + 1).cast("long"))).as("n_subwords"))
+
+  /** Contiguous subword-budget shard manifest in doc_id order: the q41
+    * two-pass distributed prefix sum ([[Shards.prefixOffsets]] — no
+    * global single-task window) over [[docSubwordCounts]], so every
+    * shard holds ~`budget` MODEL tokens under the learned tokenizer.
+    * Output: (shard_id, n_docs, n_subwords, first_doc, last_doc). */
+  def subwordShardManifest(docs: DataFrame, wordSegs: DataFrame,
+      budget: Long): DataFrame = {
+    val (off, _) = Shards.prefixOffsets(docSubwordCounts(docs, wordSegs),
+      Seq(col("doc_id")), col("n_subwords"))
+    off
+      .withColumn("shard_id",
+        floor(col("start_off") / lit(budget.toDouble)).cast("long"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_subwords").as("n_subwords"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+  }
+
+  /** Absolute staged-tokenizer root served by the LAST q105 run — read
+    * when the catalog is re-enumerated for the oracle dump (Verify runs
+    * every query, then dumps `oracleSql`), so the q105 oracle reads the
+    * SAME segmentation artifact the query used. The artifact is itself
+    * differential-gated (BpeSpec), making the oracle a true check of
+    * the composition (tokenize → subword count → prefix sum → manifest)
+    * with the learned segmentations as shared input. */
+  @volatile private[graft] var stagedOracleRoot: Option[String] = None
+
+  // `def`, not `val`: q105's oracle SQL embeds [[stagedOracleRoot]],
+  // which exists only after the query has run — SparkEntry.catalog is
+  // re-evaluated at oracle-dump time (after all queries), so the SQL
+  // resolves then.
+  def queries: Seq[Query] = Seq(
 
     Query(
       "q102_bpe_learn",
-      "Distributed BPE merge learning (Sennrich et al. 2016): top-32 " +
-        "subword merges over the documents corpus — ONE corpus pass " +
-        "builds the Heaps'-bounded word-frequency table, then each " +
-        "round is one map-side-combining pair-count aggregate over that " +
-        "table, a 1-row argmax (ties (left, right) ASC — fully " +
-        "deterministic), and a map-only fold-expression merge; lineage " +
-        "truncated per round. The learned tokenizer (merges + word " +
-        "segmentations) is a write-once fingerprinted parquet artifact " +
-        "— trained once per corpus content, read thereafter. No oracle: " +
+      "BPE merge learning (Sennrich et al. 2016): top-32 subword merges " +
+        "over the documents corpus in O(1) Spark jobs — ONE corpus pass " +
+        "builds the Heaps'-bounded word-frequency table, ONE collect " +
+        "moves it to the driver, and the merge loop runs there with the " +
+        "standard incremental pair-count structure (lazy-deletion " +
+        "max-heap + per-word delta updates; ties (count DESC, left, " +
+        "right ASC) in UTF-8 order — fully deterministic). The learned " +
+        "tokenizer (merges + word segmentations) is a write-once " +
+        "fingerprinted parquet artifact committed by atomic rename — " +
+        "trained once per corpus content, read thereafter. No oracle: " +
         "the iterative argmax is not a recursive CTE; gated instead by " +
-        "exact merge-for-merge parity with a plain-Scala reference BPE " +
-        "in BpeSpec (planted corpus + sf0.001), the q80 differential " +
+        "exact merge-for-merge parity with BOTH a plain-Scala reference " +
+        "BPE and the distributed per-round aggregate twin in BpeSpec " +
+        "(planted corpus + sf0.001 + sf0.1), the q80 differential " +
         "pattern.",
       (s, dir) => learnStaged(s, dir, merges = 32)._1
         .orderBy("rank")),
@@ -251,12 +573,83 @@ object Bpe {
         "rounds per occurrence) — the q101 explode/reassemble shape at " +
         "subword granularity. No oracle (vocabulary depends on the " +
         "iterative learn); gated by full-chain id-for-id parity with " +
-        "the plain-Scala reference in BpeSpec.",
+        "the plain-Scala reference in BpeSpec, plus the decode round " +
+        "trip (decode(encode(x)) == normalized x).",
       (s, dir) => {
         val (_, segs) = learnStaged(s, dir, merges = 32)
         encode(Tables.documents(s, dir), segs,
           subwordIds(subwordVocab(segs)))
           .orderBy("doc_id")
-      })
+      }),
+
+    Query(
+      "q104_bpe_learn_1k",
+      "BPE merge learning at a PRODUCTION-SHAPED merge budget: 1,024 " +
+        "merges over the union of every textual column in the lake " +
+        "(documents + names + part attributes + event payloads — the " +
+        "synthetic documents table's 31-word vocabulary saturates after " +
+        "~100 merges, so the lake-wide corpus restores real vocabulary " +
+        "richness), vocab-budget-driven (min_frequency=1, the GPT-2/" +
+        "HF-tokenizers convention; q102 keeps Sennrich's floor-2 " +
+        "stopping rule). Same O(1)-Spark-job path as q102: one corpus " +
+        "aggregate + one collect + the incremental driver loop — the " +
+        "entry that proves job count does not scale with merge count " +
+        "(the round-9 finding: 32k merges as sequential cluster rounds " +
+        "would be hours of scheduler overhead over a table that fits in " +
+        "one process). No oracle (iterative argmax); gated in BpeSpec " +
+        "by merge-for-merge parity with the plain-Scala reference at " +
+        "1,024 merges AND a SparkListener job-count assertion: learning " +
+        "1,024 merges costs exactly as many Spark jobs as learning 32.",
+      (s, dir) => learnStagedFull(s, dir, merges = 1024)._1
+        .orderBy("rank")),
+
+    Query(
+      "q105_pack_subword_shards",
+      "Token-budget shard manifest in MODEL-TOKEN units: per-doc " +
+        "subword counts under the q102-learned tokenizer (tokenize -> " +
+        "broadcast word->|syms| join -> doc aggregate), then the q41 " +
+        "two-pass distributed prefix sum and contiguous 2048-SUBWORD " +
+        "shards — closing the unit mismatch where q41/q100 budget " +
+        "word-level tokens but training consumes q103's subword ids (a " +
+        "'1M-token shard' is now 1M model tokens). Oracle: DuckDB " +
+        "recomputes the whole composition from the documents table AND " +
+        "the staged segmentation parquet as input — the segmentations " +
+        "themselves are differential-gated in BpeSpec, so the oracle " +
+        "sharply checks the composition (counting, prefix sum, " +
+        "boundaries) the q100 way.",
+      (s, dir) => {
+        val (_, segs) = learnStaged(s, dir, merges = 32)
+        stagedOracleRoot =
+          Some(new java.io.File(bpeRoot(s, dir, 32)).getAbsolutePath)
+        subwordShardManifest(Tables.documents(s, dir), segs, budget = 2048L)
+          .orderBy("shard_id")
+      },
+      stagedOracleRoot.map(root => s"""
+        WITH segs AS (
+          SELECT word, CAST(len(syms) AS BIGINT) AS n_sub
+          FROM read_parquet('$root/segments/*.parquet')
+        ), tok AS (
+          SELECT doc_id,
+                 unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS word
+          FROM documents
+        ), dc AS (
+          SELECT t.doc_id,
+                 CAST(SUM(COALESCE(s.n_sub, length(t.word) + 1)) AS BIGINT) AS n_subwords
+          FROM tok t LEFT JOIN segs s USING (word)
+          GROUP BY t.doc_id
+        ), pref AS (
+          SELECT doc_id, n_subwords,
+                 SUM(n_subwords) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_subwords AS start_off
+          FROM dc
+        )
+        SELECT CAST(FLOOR(CAST(start_off AS DOUBLE) / 2048.0) AS BIGINT) AS shard_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_subwords) AS BIGINT) AS n_subwords,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM pref
+        GROUP BY 1
+        ORDER BY shard_id"""))
   )
 }

@@ -422,6 +422,33 @@ object Dedup {
     out
   }
 
+  /** Session memo of [[containmentJoin]] for the `graft_containment`
+    * TVF, keyed on (view plan, n, tau): the join's result frame stays
+    * persisted by contract (bounded by the match set), so a long-lived
+    * SQL session sweeping parameters would otherwise accumulate one
+    * cached frame per parameter set for its lifetime (round-9 advice).
+    * LRU-capped at 8; evicted entries are unpersisted on the way out.
+    * A memo hit whose cache was dropped by an intervening
+    * `clearCache()` recomputes through lineage — slower, never
+    * wrong. */
+  private val containmentMemo =
+    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DataFrame]): Boolean =
+        if (size() > 8) { e.getValue.unpersist(); true } else false
+    }
+
+  def containmentJoinMemo(docs: DataFrame, n: Int, tau: Double): DataFrame =
+    synchronized {
+      val plan = docs.queryExecution.analyzed.canonicalized
+      val key = s"$n/$tau/${plan.semanticHash()}:$plan"
+      Option(containmentMemo.get(key)).getOrElse {
+        val r = containmentJoin(docs, n, tau)
+        containmentMemo.put(key, r)
+        r
+      }
+    }
+
   // ---- substring-level exact dedup (Lee et al. 2022 family) ----
 
   /** Maximal token spans duplicated ACROSS documents — substring-level

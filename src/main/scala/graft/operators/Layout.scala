@@ -90,8 +90,7 @@ object Layout {
       nFiles: Int = 24): String = synchronized {
     val out = "target/zorder/graft_lineitem_z" +
       md5hex(s"$dir/$nFiles/${contentKey(spark, s"$dir/lineitem.parquet")}").take(8)
-    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(out, "_SUCCESS"))) {
+    Staging.ensure(spark, out) { tmp =>
       val li = Tables.lineitem(spark, dir)
       val bounds = li.agg(
         min("l_partkey").as("__plo"), max("l_partkey").as("__phi"),
@@ -104,9 +103,8 @@ object Layout {
         .repartitionByRange(nFiles, col("z"))
         .sortWithinPartitions("z")
         .drop("z")
-        .write.mode("overwrite").parquet(out)
+        .write.mode("overwrite").parquet(tmp)
     }
-    out
   }
 
   /** Box-predicate scan over the Z-ordered layout: per-part row counts
@@ -136,20 +134,20 @@ object Layout {
       s"$dir/$nSmall/$targetBytes/${contentKey(spark, s"$dir/documents.parquet")}").take(8)
     val scattered = s"target/compact/graft_docs_small_$id"
     val compacted = s"target/compact/graft_docs_big_$id"
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(scattered).getFileSystem(conf)
-    if (!fs.exists(new Path(scattered, "_SUCCESS"))) {
+    val fs = new Path(scattered)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Staging.ensure(spark, scattered) { tmp =>
       Tables.documents(spark, dir).repartition(nSmall)
-        .write.mode("overwrite").parquet(scattered)
+        .write.mode("overwrite").parquet(tmp)
     }
-    if (!fs.exists(new Path(compacted, "_SUCCESS"))) {
+    Staging.ensure(spark, compacted) { tmp =>
       val totalBytes = fs.listStatus(new Path(scattered))
         .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
       val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
       spark.read.parquet(scattered)
         .repartitionByRange(nOut, col("doc_id"))
         .sortWithinPartitions("doc_id")
-        .write.mode("overwrite").parquet(compacted)
+        .write.mode("overwrite").parquet(tmp)
     }
     (scattered, compacted)
   }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Cross-process-safe write-once stage materialization — the shared
+  * build discipline behind every fingerprinted parquet artifact in the
+  * engine (BPE tokenizer, ANN indexes, ingest-gate corpus index,
+  * pipeline stages, layout fixtures).
+  *
+  * The round-9 pattern — build components in place, then write a root
+  * `_SUCCESS` marker last — is safe against crashes (a half-built stage
+  * has no marker and is rebuilt) and against same-JVM races (builders
+  * `synchronized`), but two *processes* sharing `target/` could race:
+  * one reads a half-built component directory after the other creates
+  * the root mid-write (round-9 advice). This helper closes that window
+  * with the standard commit-by-rename protocol:
+  *
+  *   1. build every component under a private temp root
+  *      (`<out>.tmp-<nonce>`) that no reader ever probes;
+  *   2. write the root `_SUCCESS` marker inside the temp root, AFTER
+  *      all component writes — the finished-stage invariant;
+  *   3. `rename(tmp, out)` — one filesystem metadata operation
+  *      (atomic on POSIX and HDFS). Readers see either nothing or the
+  *      complete finished stage, never an intermediate state.
+  *
+  * If the rename fails because a concurrent builder won the race, the
+  * loser discards its temp root and serves the winner's stage — both
+  * builders computed the same content-fingerprinted artifact, so either
+  * result is correct. Same-JVM duplicate builds are still elided by the
+  * caller's `synchronized`; this helper adds only the cross-process
+  * commit discipline.
+  *
+  * At cluster scale the same protocol holds on any store with atomic
+  * directory rename (HDFS, POSIX NFS); object stores without it would
+  * swap this for a manifest-pointer commit — the rename is isolated
+  * here precisely so that swap is one function. */
+object Staging {
+
+  /** Idempotently ensure the finished stage at `out`: if its root
+    * `_SUCCESS` marker is absent, run `build(tmpRoot)` (which must
+    * write every component under the given temp root) and commit via
+    * atomic rename. Returns `out`. */
+  def ensure(spark: SparkSession, out: String)(build: String => Unit): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(out)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(new Path(out, "_SUCCESS"))) {
+      // nanoTime + thread id: unique enough for concurrent builders of
+      // the same stage without polluting the content-keyed namespace
+      val tmp = new Path(
+        s"$out.tmp-${java.lang.Thread.currentThread.getId}-${System.nanoTime}")
+      try {
+        build(tmp.toString)
+        fs.create(new Path(tmp, "_SUCCESS")).close()
+        Option(root.getParent).foreach(fs.mkdirs(_))
+        if (!fs.rename(tmp, root)) {
+          // a concurrent process committed first — serve its stage; any
+          // other rename failure (permissions, missing parent) must
+          // surface, not be read through
+          require(fs.exists(new Path(out, "_SUCCESS")),
+            s"stage commit failed and no finished stage exists at $out")
+        }
+      } finally {
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+      }
+    }
+    out
+  }
+}

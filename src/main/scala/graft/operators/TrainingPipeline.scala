@@ -81,14 +81,14 @@ object TrainingPipeline {
       s"target/pipeline_stages/graft_corpus_$id")
   }
 
-  /** `_SUCCESS`-gated materialization: build + write `df` only when the
-    * finished marker is absent, then hand every consumer the plain
-    * parquet scan (pruned/pushed-down like any table read). */
+  /** Write-once materialization: build + write `df` only when no
+    * finished stage exists, committed by atomic rename ([[Staging]] —
+    * a concurrent process never reads a half-written stage), then hand
+    * every consumer the plain parquet scan (pruned/pushed-down like
+    * any table read). */
   private[graft] def materialized(spark: SparkSession, out: String)
       (df: => DataFrame): DataFrame = {
-    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(out, "_SUCCESS")))
-      df.write.mode("overwrite").parquet(out)
+    Staging.ensure(spark, out)(tmp => df.write.mode("overwrite").parquet(tmp))
     spark.read.parquet(out)
   }
 

@@ -74,9 +74,10 @@ object IngestGateStream {
 
   /** Write-once materialized form of [[buildIndex]]: the prefix index
     * and the hash-set frame land as parquet under a caller-supplied
-    * content-fingerprinted root, gated by a root `_SUCCESS` marker
-    * written AFTER both component writes (the AnnIndex half-build
-    * rule), and every later call returns plain parquet scans without
+    * content-fingerprinted root, committed by atomic rename (the
+    * [[graft.operators.Staging]] rule — half-built or concurrently
+    * building stages are invisible to readers, same-JVM or not),
+    * and every later call returns plain parquet scans without
     * touching the corpus. This is the gate's production economics made
     * literal: the streaming deployment builds the index once and probes
     * it per micro-batch, so a repeated batch invocation (the bench, a
@@ -86,15 +87,11 @@ object IngestGateStream {
       n: Int, tau: Double)(corpus: => DataFrame): CorpusIndex = synchronized {
     val out = "target/ingest_gate/graft_ig_" +
       graft.operators.Bucketed.md5hex(s"$cacheKey/$n/$tau").take(8)
-    val root = new org.apache.hadoop.fs.Path(out)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ok = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
-    if (!fs.exists(ok)) {
+    graft.operators.Staging.ensure(spark, out) { tmp =>
       val built = buildIndex(corpus, n, tau)
-      built.prefix.write.mode("overwrite").parquet(s"$out/prefix")
-      built.sets.write.mode("overwrite").parquet(s"$out/sets")
+      built.prefix.write.mode("overwrite").parquet(s"$tmp/prefix")
+      built.sets.write.mode("overwrite").parquet(s"$tmp/sets")
       built.unpersist()
-      fs.create(ok).close()
     }
     CorpusIndex(spark.read.parquet(s"$out/prefix"),
       spark.read.parquet(s"$out/sets"))

@@ -3,11 +3,39 @@ package graft
 import graft.operators.Bpe
 
 /** Plain single-node Scala reference implementation of Sennrich et al.
-  * 2016 BPE — the differential oracle for the distributed q102/q103
-  * operators (no DuckDB oracle exists: the per-round argmax is not a
-  * recursive CTE). Shared by the fixture/real-corpus gates in `BpeSpec`
-  * and the randomized sweep in `PropertySpec`. */
+  * 2016 BPE — the differential oracle for the q102/q103/q104 operators
+  * (no DuckDB oracle exists: the per-round argmax is not a recursive
+  * CTE). Deliberately the NAIVE formulation — full pair recount every
+  * round, no incremental structure, no heap — so it shares no shape
+  * with either engine path (the distributed aggregate loop or the
+  * incremental driver loop). Shared by the fixture/real-corpus gates in
+  * `BpeSpec` and the randomized sweep in `PropertySpec`.
+  *
+  * Unicode contract (matches both engine paths): symbols are CODE
+  * POINTS (Spark's `substr`/`length` string semantics — not UTF-16
+  * code units, which would split supplementary characters into lone
+  * surrogates), and argmax ties break in code point order (= UTF-8
+  * binary order = Spark's string ordering; plain `String.compareTo`
+  * would order supplementary characters below U+E000). */
 object BpeReference {
+
+  /** Code point order — an independent implementation of the tie-break
+    * (compare code point sequences, not UTF-16 units like
+    * `String.compareTo`, not UTF-8 bytes like the engine's). */
+  val cpOrder: Ordering[String] = (x: String, y: String) => {
+    val a = x.codePoints().toArray
+    val b = y.codePoints().toArray
+    var i = 0
+    var r = 0
+    while (r == 0 && i < a.length && i < b.length) {
+      r = Integer.compare(a(i), b(i))
+      i += 1
+    }
+    if (r != 0) r else Integer.compare(a.length, b.length)
+  }
+
+  private def cpSyms(w: String): Vector[String] =
+    w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
 
   def refTokens(text: String): Vector[String] =
     text.replaceAll("\\s+", " ").trim.toLowerCase.split(" ", -1).toVector
@@ -29,7 +57,7 @@ object BpeReference {
   def refLearn(wordFreq: Map[String, Long], m: Int, minCount: Long = 2L)
       : (Vector[(Int, String, String, Long)], Map[String, Vector[String]]) = {
     var segs: Map[String, Vector[String]] = wordFreq.map { case (w, _) =>
-      w -> (w.map(_.toString).toVector :+ Bpe.EndOfWord)
+      w -> (cpSyms(w) :+ Bpe.EndOfWord)
     }
     val rules = Vector.newBuilder[(Int, String, String, Long)]
     var rank = 1
@@ -40,7 +68,8 @@ object BpeReference {
         counts((win(0), win(1))) = counts.getOrElse((win(0), win(1)), 0L) + f
       if (counts.isEmpty) done = true
       else {
-        val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }(
+          Ordering.Tuple3(Ordering.Long, cpOrder, cpOrder))
         if (c < minCount) done = true
         else {
           rules += ((rank, a, b, c))
@@ -57,12 +86,12 @@ object BpeReference {
     val counts = scala.collection.mutable.Map.empty[String, Long]
     for ((w, f) <- wordFreq; s <- segs(w))
       counts(s) = counts.getOrElse(s, 0L) + f
-    val tid = counts.toSeq.sortBy { case (s, n) => (-n, s) }
+    val tid = counts.toSeq
+      .sortBy { case (s, n) => (-n, s) }(Ordering.Tuple2(Ordering.Long, cpOrder))
       .zipWithIndex.map { case ((s, _), i) => s -> (i + 1) }.toMap
     docs.map { case (id, text) =>
       val ws = refTokens(text)
-      val subs = ws.flatMap(w => segs.getOrElse(w,
-        w.map(_.toString).toVector :+ Bpe.EndOfWord))
+      val subs = ws.flatMap(w => segs.getOrElse(w, cpSyms(w) :+ Bpe.EndOfWord))
       (id, (ws.size.toLong, subs.size.toLong,
         subs.map(s => tid.getOrElse(s, 0)).mkString(" ")))
     }.toMap

@@ -106,6 +106,118 @@ class BpeSpec extends AnyFunSuite {
     words.unpersist()
   }
 
+  // ---- O(1)-job production path (q102/q104 round-10 gates) ----
+
+  test("learnCollected (driver loop) equals the distributed loop and the reference, planted + sf0.001") {
+    Seq(planted.toDF("doc_id", "text") -> planted,
+        Tables.documents(spark, sf) ->
+          Tables.documents(spark, sf).select("doc_id", "text")
+            .as[(Long, String)].collect().toSeq).foreach { case (docs, local) =>
+      val wf = refWordFreq(local)
+      val (refRules, refSegs) = refLearn(wf, 32)
+      val (rules, segs) = Bpe.learnCollected(docs, merges = 32)
+      assert(rules.map(r => (r.rank, r.left, r.right, r.pair_count)) === refRules)
+      val got = segs.select("word", "syms").as[(String, Seq[String])]
+        .collect().toMap.view.mapValues(_.toVector).toMap
+      assert(got === refSegs)
+    }
+  }
+
+  test("sf0.1 (the catalog tier): merges, segmentations and encoded ids equal the reference") {
+    val dir = "/root/testdata/sf0.1"
+    val docs = Tables.documents(spark, dir)
+    val local = docs.select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val wf = refWordFreq(local)
+    val (refRules, refSegs) = refLearn(wf, 32)
+    val (rules, segs) = Bpe.learnCollected(docs, merges = 32)
+    assert(rules.map(r => (r.rank, r.left, r.right, r.pair_count)) === refRules)
+    val enc = Bpe.encode(docs, segs.select("word", "syms"),
+        Bpe.subwordIds(Bpe.subwordVocab(segs)))
+      .select("doc_id", "n_words", "n_subwords", "ids")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(enc === refEncode(local, refSegs, wf))
+    spark.catalog.clearCache()
+  }
+
+  test("q104: 1,024 vocab-budget merges on the lake-wide corpus equal the reference (sf0.01), early-stop parity at sf0.001") {
+    // sf0.01 — the CORRECTNESS tier: the budget is actually filled
+    val dir = "/root/testdata/sf0.01"
+    val wf01 = Bpe.unionTextCorpus(spark, dir)
+      .select("text").as[String].collect().toSeq
+      .flatMap(BpeReference.refTokens)
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val (refRules, refSegs) = refLearn(wf01, 1024, minCount = 1L)
+    assert(refRules.size === 1024, "fixture no longer sustains the budget")
+    val (rules, segs) =
+      Bpe.learnCollected(Bpe.unionTextCorpus(spark, dir), 1024, minCount = 1L)
+    assert(rules.map(r => (r.rank, r.left, r.right, r.pair_count)) === refRules)
+    assert(segs.select("word", "syms").as[(String, Seq[String])]
+      .collect().toMap.view.mapValues(_.toVector).toMap === refSegs)
+    // sf0.001 — the corpus exhausts below the budget: the early stop
+    // must agree rule-for-rule too
+    val wf001 = Bpe.unionTextCorpus(spark, sf)
+      .select("text").as[String].collect().toSeq
+      .flatMap(BpeReference.refTokens)
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val (refR2, _) = refLearn(wf001, 1024, minCount = 1L)
+    assert(refR2.size < 1024)
+    val (rules2, _) =
+      Bpe.learnCollected(Bpe.unionTextCorpus(spark, sf), 1024, minCount = 1L)
+    assert(rules2.map(r => (r.rank, r.left, r.right, r.pair_count)) === refR2)
+  }
+
+  test("job count is O(1) in the merge count: 1,024 merges cost exactly as many Spark jobs as 32") {
+    def jobsFor(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try body finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    val corpus = Bpe.unionTextCorpus(spark, sf)
+    val j32 = jobsFor("bpe-jobs-32") {
+      assert(Bpe.learnCollected(corpus, 32, minCount = 1L)._1.size === 32)
+    }
+    val j1024 = jobsFor("bpe-jobs-1024") {
+      assert(Bpe.learnCollected(corpus, 1024, minCount = 1L)._1.size > 32)
+    }
+    assert(j1024 === j32,
+      s"merge count leaked into the Spark-job count: $j32 jobs at 32 merges, $j1024 at 1024")
+    assert(j32 <= 4, s"the corpus pass should be O(1) jobs, got $j32")
+  }
+
+  // ---- decode round trip (q103 round-10 gate) ----
+
+  test("decode(encode(x)) == normalized x, planted + sf0.001 + sf0.1") {
+    Seq(planted.toDF("doc_id", "text"),
+        Tables.documents(spark, sf),
+        Tables.documents(spark, "/root/testdata/sf0.1")).foreach { docs =>
+      val (_, segs) = Bpe.learnCollected(docs, merges = 32)
+      val ids = Bpe.subwordIds(Bpe.subwordVocab(segs))
+      val enc = Bpe.encode(docs, segs.select("word", "syms"), ids)
+      val got = Bpe.decode(enc, ids)
+        .as[(Long, String)].collect().toMap
+      val want = docs.select(col("doc_id"),
+          lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("n"))
+        .as[(Long, String)].collect().toMap
+      assert(got === want)
+      spark.catalog.clearCache()
+    }
+  }
+
+  // ---- subword shard packing (q105 cross-entry consistency) ----
+
+  test("q105 manifest subword totals equal q103's encoded subword totals") {
+    val (_, segs) = Bpe.learnStaged(spark, sf, merges = 32)
+    val manifestTotal = Bpe.subwordShardManifest(
+        Tables.documents(spark, sf), segs, budget = 2048L)
+      .agg(sum("n_subwords")).as[Long].collect().head
+    val encodeTotal = Bpe.encode(Tables.documents(spark, sf),
+        segs.select("word", "syms"), Bpe.subwordIds(Bpe.subwordVocab(segs)))
+      .agg(sum("n_subwords")).as[Long].collect().head
+    assert(manifestTotal === encodeTotal)
+    spark.catalog.clearCache()
+  }
+
   test("q103 plans broadcast joins only — the corpus side never shuffles by word or subword") {
     val plan = SparkEntry.queries("q103_bpe_encode")(spark, sf)
       .queryExecution.executedPlan.toString

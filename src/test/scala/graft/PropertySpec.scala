@@ -261,6 +261,17 @@ class PropertySpec extends AnyFunSuite {
       val (rules, words) = Bpe.learn(docs, merges = m)
       assert(rules.map(r => (r.rank, r.left, r.right, r.pair_count))
         === refRules, s"run $run (m=$m, lexicon=$lexicon)")
+      // the incremental driver loop (the production path) against the
+      // same reference, both stopping modes — the heap/delta structure
+      // shares nothing with the reference's full recount per round
+      Seq(2L, 1L).foreach { mc =>
+        val (refR, refS) = BpeReference.refLearn(wf, m, minCount = mc)
+        val (locRules, locSegs) = Bpe.learnLocal(wf.toSeq, m, minCount = mc)
+        assert(locRules.map(r => (r.rank, r.left, r.right, r.pair_count))
+          === refR, s"run $run minCount=$mc (m=$m, lexicon=$lexicon)")
+        assert(locSegs.map(ws => ws.word -> ws.syms.toVector).toMap
+          === refS, s"run $run minCount=$mc")
+      }
       val enc = Bpe.encode(docs, words.select("word", "syms"),
           Bpe.subwordIds(Bpe.subwordVocab(words)))
         .select("doc_id", "n_words", "n_subwords", "ids")
