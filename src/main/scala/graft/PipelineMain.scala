@@ -44,7 +44,9 @@ import graft.sources.Tables
   *      q103's subword-id strings);
   *   7. '''shard layout''' — token-budget shards in doc_id order via the
   *      distributed prefix sum, written one file per shard (q41's
-  *      writer), plus the per-shard manifest;
+  *      writer), plus the per-shard manifest. With `--bpe` the budget
+  *      unit is the MODEL token (q105's subword counts under the
+  *      just-shipped tokenizer); without, the word-level count;
   *   8. '''data card''' — per-language doc/token accounting of the final
   *      corpus, the summary a dataset release ships.
   *
@@ -124,7 +126,10 @@ object PipelineMain {
     // (a consumer re-encodes any text under them); token_ids is the
     // training-ready emit. Differential-gated operators (BpeSpec).
     val bpeStats: Option[(Int, Long, Long)] = if (bpe) {
-      val (rules, words) = operators.Bpe.learn(corpus, merges = 32)
+      // O(1)-job learning (one corpus aggregate + one collect + the
+      // incremental driver loop) — a production merge budget costs the
+      // same job count as these 32 merges
+      val (rules, words) = operators.Bpe.learnCollected(corpus, merges = 32)
       spark.createDataFrame(rules)
         .write.mode("overwrite").parquet(s"$outDir/tokenizer/merges")
       words.write.mode("overwrite").parquet(s"$outDir/tokenizer/segments")
@@ -138,11 +143,23 @@ object PipelineMain {
       Some((rules.size, ids.count(), nSub))
     } else None
 
-    // 7. shard layout + manifest
-    Shards.writeShards(corpus, shardTokens, s"$outDir/shards")
-    val manifest = Shards.shardManifest(corpus, shardTokens)
-    manifest.orderBy("shard_id")
-      .write.mode("overwrite").parquet(s"$outDir/manifest")
+    // 7. shard layout + manifest. With --bpe the budget unit is the
+    // MODEL token (subwords under the just-shipped tokenizer — a
+    // "2048-token shard" then means 2048 tokens the training run
+    // actually consumes); without a tokenizer the honest unit is the
+    // word-level count (q41). Same two-pass prefix sum either way.
+    if (bpe) {
+      val segs = spark.read.parquet(s"$outDir/tokenizer/segments")
+      operators.Bpe.writeSubwordShards(corpus, segs, shardTokens,
+        s"$outDir/shards")
+      operators.Bpe.subwordShardManifest(corpus, segs, shardTokens)
+        .orderBy("shard_id")
+        .write.mode("overwrite").parquet(s"$outDir/manifest")
+    } else {
+      Shards.writeShards(corpus, shardTokens, s"$outDir/shards")
+      Shards.shardManifest(corpus, shardTokens).orderBy("shard_id")
+        .write.mode("overwrite").parquet(s"$outDir/manifest")
+    }
     val nShards = spark.read.parquet(s"$outDir/manifest").count()
 
     // 8. data card: per-language accounting of the released corpus,
@@ -172,11 +189,12 @@ object PipelineMain {
     val segJson = if (segmentDedup) s""","after_segment_dedup":$nKept""" else ""
     val bpeJson = bpeStats.map { case (m, v, s) =>
       s""","bpe_merges":$m,"bpe_vocab":$v,"bpe_subword_tokens":$s""" }.getOrElse("")
+    val unit = if (bpe) "subwords" else "words"
     val summary =
       s"""{"metric":"pipeline","input_docs":$total,"after_exact_dedup":$nExact,""" +
         s""""after_near_dedup":$nNear,"after_quality_gate":$nGated""" +
         segJson + splitJson + bpeJson +
-        s""","shards":$nShards,"shard_tokens":$shardTokens,"sec":$secs}"""
+        s""","shards":$nShards,"shard_tokens":$shardTokens,"shard_unit":"$unit","sec":$secs}"""
     Files.createDirectories(Paths.get(outDir))
     Files.writeString(Paths.get(outDir, "summary.json"), summary + "\n")
     summary

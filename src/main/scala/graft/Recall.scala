@@ -75,40 +75,65 @@ object Recall {
     // timings carry the artifact's loadavg telemetry like the bench.
     import graft.operators.Similarity
     import graft.sources.Tables
-    val emb = Tables.embeddings(spark, sfDir)
-    def timedPoint(build: => org.apache.spark.sql.DataFrame): (Double, Double) = {
+    def timedPoint(ref: Map[Long, Set[Long]])(
+        build: => org.apache.spark.sql.DataFrame): (Double, Double) = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val got = build.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
       val sec = (System.nanoTime() - t0) / 1e9
-      (recallOf(got), sec)
+      val perQuery = ref.map { case (q, truth) =>
+        (got.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+      }
+      (perQuery.sum / perQuery.size, sec)
     }
-    val frontierDefs: Seq[(String, String, () => org.apache.spark.sql.DataFrame)] = Seq(
-      ("lsh", "probeHamming=0", () => Similarity.knnLsh(emb, 10, 5, probeHamming = 0)),
-      ("lsh", "probeHamming=1", () => Similarity.knnLsh(emb, 10, 5, probeHamming = 1)),
-      ("lsh", "probeHamming=2", () => Similarity.knnLsh(emb, 10, 5, probeHamming = 2)),
-      ("ivf", "nProbe=8",  () => Similarity.knnIvf(emb, 10, 5, nProbe = 8)),
-      ("ivf", "nProbe=32", () => Similarity.knnIvf(emb, 10, 5, nProbe = 32)),
-      ("ivf", "nProbe=64", () => Similarity.knnIvf(emb, 10, 5, nProbe = 64)),
-      ("pq", "candidates=64",  () => Similarity.knnPq(emb, 10, 5, candidates = 64)),
-      ("pq", "candidates=256", () => Similarity.knnPq(emb, 10, 5, candidates = 256)),
-      ("pq", "candidates=512", () => Similarity.knnPq(emb, 10, 5, candidates = 512)))
-    val frontier = frontierDefs.groupBy(_._1).toSeq.sortBy(_._1).map {
-      case (fam, points) =>
+    def sweep(tag: String, emb: org.apache.spark.sql.DataFrame,
+        ref: Map[Long, Set[Long]]): Seq[String] = {
+      val defs: Seq[(String, String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        ("lsh", "probeHamming=0", () => Similarity.knnLsh(emb, 10, 5, probeHamming = 0)),
+        ("lsh", "probeHamming=1", () => Similarity.knnLsh(emb, 10, 5, probeHamming = 1)),
+        ("lsh", "probeHamming=2", () => Similarity.knnLsh(emb, 10, 5, probeHamming = 2)),
+        ("ivf", "nProbe=8",  () => Similarity.knnIvf(emb, 10, 5, nProbe = 8)),
+        ("ivf", "nProbe=32", () => Similarity.knnIvf(emb, 10, 5, nProbe = 32)),
+        ("ivf", "nProbe=64", () => Similarity.knnIvf(emb, 10, 5, nProbe = 64)),
+        ("pq", "candidates=64",  () => Similarity.knnPq(emb, 10, 5, candidates = 64)),
+        ("pq", "candidates=256", () => Similarity.knnPq(emb, 10, 5, candidates = 256)),
+        ("pq", "candidates=512", () => Similarity.knnPq(emb, 10, 5, candidates = 512)))
+      defs.groupBy(_._1).toSeq.sortBy(_._1).map { case (fam, points) =>
         val pts = points.map { case (_, label, build) =>
-          val (r, s) = timedPoint(build())
-          println(f"[frontier] $fam%-4s $label%-16s recall@5 = $r%.3f  $s%6.2f s")
+          val (r, s) = timedPoint(ref)(build())
+          println(f"[frontier-$tag] $fam%-4s $label%-16s recall@5 = $r%.3f  $s%6.2f s")
           s"""{"point":"$label","recall":$r,"sec":$s}"""
         }
         s""""$fam":[${pts.mkString(",")}]"""
+      }
     }
+    val frontier = sweep("sf0.1", Tables.embeddings(spark, sfDir), brute)
+
+    // 10x-tier frontier (round-10, verdict item 5): at sf0.1 (2k
+    // vectors) every point is fixed-overhead-dominated — wider probes
+    // measured FASTER than narrow ones. The 10x stress corpus (20k
+    // vectors, sign-flip families — the StressSf1 fixture) is the
+    // smallest tier where probe width has a measurable marginal cost;
+    // its brute baseline is recomputed on the same corpus. Runs only at
+    // the default sf0.1 tier (the stress corpus derives from it).
+    val frontier10 = if (sfDir.endsWith("sf0.1")) {
+      val emb10 = spark.read.parquet(StressSf1.ensureStressEmbeddings(spark))
+      spark.catalog.clearCache()
+      val brute10 = Similarity.knnBrute(emb10, 10, 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      sweep("10x", emb10, brute10)
+    } else Seq.empty
 
     val json =
       s"""{"metric":"ann_recall","k":5,"n_queries":${brute.size},"sf":"$sfDir",""" +
         s""""methods":${rows.mkString("{", ",", "}")},""" +
         s""""frontier":${frontier.mkString("{", ",", "}")},""" +
+        (if (frontier10.nonEmpty)
+          s""""frontier_10x":${frontier10.mkString("{", ",", "}")},""" else "") +
         s""""loadavg_start":$loadStart,"loadavg_end":${Bench.loadavgJson()}}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()

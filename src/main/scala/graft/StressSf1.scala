@@ -111,22 +111,52 @@ object StressSf1 {
       .write.mode("overwrite").parquet(path)
   }
 
+  private val sfDir = "/root/testdata/sf0.1"
+  // stride- and schema-keyed: a change must invalidate the cached corpus
+  private val stressRoot = s"target/stress_sf1_s${IdStride}_v2"
+
+  /** Idempotently build + return the 10× embeddings corpus path — shared
+    * with [[Recall]]'s 10×-tier frontier sweep (round-10: the sf0.1
+    * frontier latencies are fixed-overhead-dominated; the 10× corpus is
+    * where probe width has a measurable cost). */
+  private[graft] def ensureStressEmbeddings(
+      spark: org.apache.spark.sql.SparkSession): String = {
+    val embStressPath = s"$stressRoot/embeddings.parquet"
+    if (!Files.exists(Paths.get(embStressPath, "_SUCCESS")))
+      buildEmbCorpus(spark,
+        Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
+        embStressPath)
+    embStressPath
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("graft-stress-sf1")
-    val sfDir = "/root/testdata/sf0.1"
     val base = Tables.documents(spark, sfDir)
       .select("doc_id", "text", "lang", "n_chars")
     val embBase = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
-    // stride- and schema-keyed: a change must invalidate the cached corpus
-    val stressRoot = s"target/stress_sf1_s${IdStride}_v2"
     val stressPath = s"$stressRoot/documents.parquet"
-    val embStressPath = s"$stressRoot/embeddings.parquet"
     if (!Files.exists(Paths.get(stressPath, "_SUCCESS")))
       buildCorpus(spark, base, stressPath)
-    if (!Files.exists(Paths.get(embStressPath, "_SUCCESS")))
-      buildEmbCorpus(spark, embBase, embStressPath)
+    val embStressPath = ensureStressEmbeddings(spark)
     val stress = spark.read.parquet(stressPath)
     val embStress = spark.read.parquet(embStressPath)
+
+    // lineitem at 10x under remapped order keys: the key column's
+    // distinct count grows 10x (the profile's exchange must carry 10x
+    // more distinct partials) while value columns replicate verbatim —
+    // the realistic wide-table mix for the all-columns profile (q83)
+    val liStressPath = s"$stressRoot/lineitem.parquet"
+    if (!Files.exists(Paths.get(liStressPath, "_SUCCESS"))) {
+      val liBase = Tables.lineitem(spark, sfDir)
+      (0 until Copies).map { k =>
+        if (k == 0) liBase
+        else liBase.withColumn("l_orderkey",
+          col("l_orderkey") + lit(k * IdStride))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(liStressPath)
+    }
+    val liStress = spark.read.parquet(liStressPath)
 
     val docCases: Seq[(String, DataFrame => DataFrame)] = Seq(
       "q17_dedup_minhash" -> (d => Dedup.nearDuplicates(d, n = 3, k = 192, b = 64, r = 3, threshold = 0.7)),
@@ -201,6 +231,28 @@ object StressSf1 {
         operators.Bpe.encode(d, words.select("word", "syms"),
           operators.Bpe.subwordIds(operators.Bpe.subwordVocab(words)))
       }),
+      // the O(1)-job production path at 10x: the corpus aggregate and
+      // the word-table collect scale with the corpus (10 token families
+      // -> ~10x the word table), the driver loop with the table only;
+      // rows = merges learned (the 10x vocabulary fills the budget the
+      // base tier cannot), so the gate is the time ratio (q76 rule)
+      "q104_bpe_learn_1k" -> (d => {
+        val (rules, _) =
+          operators.Bpe.learnCollected(d, merges = 1024, minCount = 1L)
+        d.sparkSession.createDataFrame(rules)
+      }),
+      // subword-budget packing, compute form (tokenizer learn + subword
+      // count join + two-pass prefix sum all inside the timed window);
+      // manifest rows track total subwords -> ~10x
+      "q105_pack_subword_shards" -> (d => {
+        val (_, segs) = operators.Bpe.learnCollected(d, merges = 32)
+        operators.Bpe.subwordShardManifest(d, segs, budget = 2048L)
+      }),
+      // composed curation (q15 admission + q16 exact dedup + q28
+      // prefix-filter near-dup + accounting) — the heaviest catalog
+      // entry absent from the 10x suite until round 10; each stage is
+      // independently stress-verified, this row gates the COMPOSITION
+      "q34_curation" -> (d => operators.Curation.curated(d)),
       // the streaming gate's one-sided prefix filter (probe = FULL hash
       // set) trades candidate volume for statelessness — this is the
       // check that the trade stays LINEAR at 10x: same %3 split per
@@ -236,7 +288,21 @@ object StressSf1 {
         ("q80_semantic_dedup",
           () => semdedup(embBase, centroids = 64),
           () => semdedup(embStress,
-            centroids = (64 * math.sqrt(Copies)).round.toInt)))
+            centroids = (64 * math.sqrt(Copies)).round.toInt)),
+        // all-columns single-scan profile over the 10x lineitem: output
+        // is the constant 8-row card at both tiers; the key column's
+        // 10x distinct count is what the shared-scan fold must absorb
+        ("q83_profile_columns",
+          () => operators.Profiling.profileColumns(
+            Tables.lineitem(spark, sfDir),
+            numeric = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+              "l_discount", "l_tax"),
+            other = Seq("l_returnflag", "l_linestatus", "l_shipdate")),
+          () => operators.Profiling.profileColumns(
+            liStress,
+            numeric = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+              "l_discount", "l_tax"),
+            other = Seq("l_returnflag", "l_linestatus", "l_shipdate"))))
 
     // ONE untimed warm-up (JIT + file cache) before any timed row: on a
     // fresh JVM the first timed query otherwise absorbs ~5 s of cold

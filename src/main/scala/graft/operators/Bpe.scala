@@ -510,21 +510,38 @@ object Bpe {
       .agg(sum(coalesce(col("n_sub"),
         (length(col("word")) + 1).cast("long"))).as("n_subwords"))
 
-  /** Contiguous subword-budget shard manifest in doc_id order: the q41
-    * two-pass distributed prefix sum ([[Shards.prefixOffsets]] — no
-    * global single-task window) over [[docSubwordCounts]], so every
-    * shard holds ~`budget` MODEL tokens under the learned tokenizer.
-    * Output: (shard_id, n_docs, n_subwords, first_doc, last_doc). */
-  def subwordShardManifest(docs: DataFrame, wordSegs: DataFrame,
-      budget: Long): DataFrame = {
-    val (off, _) = Shards.prefixOffsets(docSubwordCounts(docs, wordSegs),
+  /** Subword-budget shard assignment (doc_id, n_subwords, shard_id) in
+    * doc_id order — the q41 `packShardsWithHandle` twin in MODEL-token
+    * units: the q41 two-pass distributed prefix sum
+    * ([[Shards.prefixOffsets]] — no global single-task window) over
+    * [[docSubwordCounts]]. Returns the packing's persisted prefix
+    * frame as the second element (the q41 cache contract). */
+  def packSubwordShardsWithHandle(docs: DataFrame, wordSegs: DataFrame,
+      budget: Long): (DataFrame, DataFrame) = {
+    val (off, handle) = Shards.prefixOffsets(docSubwordCounts(docs, wordSegs),
       Seq(col("doc_id")), col("n_subwords"))
-    off
+    (off
       .withColumn("shard_id",
         floor(col("start_off") / lit(budget.toDouble)).cast("long"))
+      .select("doc_id", "n_subwords", "shard_id"), handle)
+  }
+
+  /** Contiguous subword-budget shard manifest: every shard holds
+    * ~`budget` MODEL tokens under the learned tokenizer. Output:
+    * (shard_id, n_docs, n_subwords, first_doc, last_doc). */
+  def subwordShardManifest(docs: DataFrame, wordSegs: DataFrame,
+      budget: Long): DataFrame =
+    packSubwordShardsWithHandle(docs, wordSegs, budget)._1
       .groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_subwords").as("n_subwords"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+
+  /** Materialize the subword-budget shard layout — [[Shards.writeShards]]
+    * in model-token units: one file per shard, rows sorted by doc_id. */
+  def writeSubwordShards(docs: DataFrame, wordSegs: DataFrame, budget: Long,
+      outDir: String): Unit = {
+    val (packed, handle) = packSubwordShardsWithHandle(docs, wordSegs, budget)
+    Shards.writeShardLayout(docs, packed, handle, outDir)
   }
 
   /** Absolute staged-tokenizer root served by the LAST q105 run — read

@@ -156,6 +156,18 @@ object Shards {
     * and file count = shard count regardless of executor count. */
   def writeShards(docs: DataFrame, budget: Long, outDir: String): Unit = {
     val (packed, handle) = packShardsWithHandle(docs, budget)
+    writeShardLayout(docs, packed, handle, outDir)
+  }
+
+  /** The layout writer shared by the word-budget ([[writeShards]]) and
+    * subword-budget ([[Bpe.writeSubwordShards]]) packings: join the
+    * (doc_id, shard_id) assignment back to the full rows, co-locate
+    * each shard with one `repartition` on the partition column, write
+    * one file per shard sorted by doc_id. `handle` is the packing's
+    * persisted prefix frame, released after the write (the one
+    * action). */
+  private[graft] def writeShardLayout(docs: DataFrame, packed: DataFrame,
+      handle: DataFrame, outDir: String): Unit = {
     try
       docs.join(packed.select("doc_id", "shard_id"), Seq("doc_id"))
         .repartition(col("shard_id"))

@@ -45,7 +45,13 @@ object Staging {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(out)
     val fs = root.getFileSystem(conf)
-    if (!fs.exists(new Path(out, "_SUCCESS"))) {
+    val ok = new Path(out, "_SUCCESS")
+    if (!fs.exists(ok)) {
+      // markerless residue at the root (a crashed pre-rename-era build)
+      // is never served by anyone — clear it so the commit rename finds
+      // no destination (Hadoop's local rename would otherwise NEST the
+      // temp root inside an existing directory instead of replacing it)
+      if (fs.exists(root)) fs.delete(root, true)
       // nanoTime + thread id: unique enough for concurrent builders of
       // the same stage without polluting the content-keyed namespace
       val tmp = new Path(
@@ -54,12 +60,18 @@ object Staging {
         build(tmp.toString)
         fs.create(new Path(tmp, "_SUCCESS")).close()
         Option(root.getParent).foreach(fs.mkdirs(_))
-        if (!fs.rename(tmp, root)) {
-          // a concurrent process committed first — serve its stage; any
-          // other rename failure (permissions, missing parent) must
-          // surface, not be read through
-          require(fs.exists(new Path(out, "_SUCCESS")),
-            s"stage commit failed and no finished stage exists at $out")
+        if (!fs.exists(ok)) {
+          // (a concurrent winner committing in exactly this window would
+          // be nested-into by the rename — the residual theoretical race
+          // of a lock-free protocol; both artifacts are content-equal,
+          // and the window is one metadata op wide vs. the whole build
+          // before this helper existed)
+          if (!fs.rename(tmp, root)) {
+            // rename refused: either a concurrent process committed
+            // first (serve its stage) or a real failure (surface it)
+            require(fs.exists(ok),
+              s"stage commit failed and no finished stage exists at $out")
+          }
         }
       } finally {
         if (fs.exists(tmp)) fs.delete(tmp, true)

@@ -62,6 +62,12 @@ class TrainingPipelineSpec extends AnyFunSuite {
       .select(min(array_min(transform(split(col("ids"), " "),
         s => s.cast("int"))))).head.getInt(0)
     assert(maxId <= vocabSize && minId >= 1)
+    // with --bpe the shard budget unit is the MODEL token: the manifest
+    // must account for exactly the subwords the encoder emitted
+    val manifest = spark.read.parquet(s"$out/manifest")
+    assert(manifest.columns.contains("n_subwords"))
+    assert(manifest.agg(sum("n_subwords")).head.getLong(0) ===
+      tokenIds.agg(sum("n_subwords")).head.getLong(0))
     // split hygiene at tau=0.5 on the RELEASED corpus: no surviving
     // gray-zone pair straddles splits
     val corpus = shards.select("doc_id", "text")
