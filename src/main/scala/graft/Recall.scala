@@ -101,6 +101,13 @@ object Recall {
         ("pq", "candidates=256", () => Similarity.knnPq(emb, 10, 5, candidates = 256)),
         ("pq", "candidates=512", () => Similarity.knnPq(emb, 10, 5, candidates = 512)))
       defs.groupBy(_._1).toSeq.sortBy(_._1).map { case (fam, points) =>
+        // one UNTIMED pass per family before its timed points: the first
+        // executed point otherwise absorbs the family's one-time costs
+        // (file-cache fill, codegen/JIT of its operator chain), which at
+        // these corpus sizes exceed the probe-width marginal cost and
+        // read as an inverted time axis (round-9's IVF nProbe=64
+        // "faster" than nProbe=8)
+        timedPoint(ref)(points.head._3())
         val pts = points.map { case (_, label, build) =>
           val (r, s) = timedPoint(ref)(build())
           println(f"[frontier-$tag] $fam%-4s $label%-16s recall@5 = $r%.3f  $s%6.2f s")
@@ -128,12 +135,23 @@ object Recall {
       sweep("10x", emb10, brute10)
     } else Seq.empty
 
+    val note =
+      "recall is the monotone axis of every frontier (strictly rising " +
+        "with probe width per family, both tiers); the time axis at " +
+        "local tiers measures the FIXED train/assign/encode stages plus " +
+        "residual host noise — the probe-width marginal cost scans " +
+        "nProbe/C (or candidates/N) of a corpus that is single-digit MB " +
+        "even at 10x, so it only becomes the dominant term when " +
+        "inverted lists exceed memory/scan bandwidth, i.e. at cluster " +
+        "scale; per-family untimed warm-up removes the first-point " +
+        "JIT/file-cache skew that previously inverted the axis outright"
     val json =
       s"""{"metric":"ann_recall","k":5,"n_queries":${brute.size},"sf":"$sfDir",""" +
         s""""methods":${rows.mkString("{", ",", "}")},""" +
         s""""frontier":${frontier.mkString("{", ",", "}")},""" +
         (if (frontier10.nonEmpty)
           s""""frontier_10x":${frontier10.mkString("{", ",", "}")},""" else "") +
+        s""""frontier_note":"$note",""" +
         s""""loadavg_start":$loadStart,"loadavg_end":${Bench.loadavgJson()}}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()

@@ -235,7 +235,12 @@ object StressSf1 {
       // the word-table collect scale with the corpus (10 token families
       // -> ~10x the word table), the driver loop with the table only;
       // rows = merges learned (the 10x vocabulary fills the budget the
-      // base tier cannot), so the gate is the time ratio (q76 rule)
+      // base tier cannot), so the gate is the time ratio (q76 rule).
+      // NOTE on the measured ~3x ratio: both tiers run in well under a
+      // second (0.3 -> 1.0 s in round 10) — the denominator is the
+      // scheduler/collect floor, the q96 small-denominator pattern; the
+      // marginal driver-loop cost is bounded by the word table, which
+      // Heaps' keeps sublinear in the corpus
       "q104_bpe_learn_1k" -> (d => {
         val (rules, _) =
           operators.Bpe.learnCollected(d, merges = 1024, minCount = 1L)
