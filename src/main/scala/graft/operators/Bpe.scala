@@ -184,8 +184,10 @@ object Bpe {
     * pop by checking against the live count — the classic single-node
     * BPE trainer structure, cf. the original subword-nmt). Per-round
     * cost is Σ|syms| over the words containing the merged pair — NOT
-    * the whole table — so 32k merges over a 10^7-word table is minutes
-    * of driver CPU and zero cluster jobs.
+    * the whole table — so a production budget over a web-scale word
+    * table is minutes of driver CPU and zero cluster jobs (measured by
+    * `BpeScaleProbe`: 32,768 merges over a 10^6-word / 9·10^6-symbol
+    * high-entropy table in 110 s single-threaded).
     *
     * Ties break (count DESC, left ASC, right ASC) under [[Utf8Order]] —
     * bit-equal to the distributed argmax. Stops early when no pair
