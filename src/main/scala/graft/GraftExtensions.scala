@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types.{Decimal, DecimalType, DoubleType, IntegerType, StringType}
 
 import graft.functions._
-import graft.operators.{Curation, Dedup, Profiling, Retrieval}
+import graft.operators.{Curation, Dedup, Profiling, Retrieval, Vocab}
 
 /** `SparkSessionExtensions` wiring: registers the engine's native
   * Catalyst expressions as SQL functions, so `spark.sql("SELECT
@@ -105,6 +105,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "repetition_stats(tokens)")
         RepetitionStats(args.head)
       }))
+    ext.injectFunction((FunctionIdentifier("deflate_stats"),
+      info("deflate_stats", "deflate_stats(text) - struct<n_bytes, n_deflate> DEFLATE compressibility signal"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "deflate_stats(text)")
+        DeflateStats(args.head)
+      }))
     // ---- operator-level TABLE functions ------------------------------
     // The flagship curation operators as SQL table-valued functions, so
     // a spark-sql-only consumer can run the curation path — not just the
@@ -192,6 +198,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           strArg("graft_segment_dedup", "view", args.head))
         graft.operators.Dedup.segmentDedup(t,
           w = intArg("graft_segment_dedup", "w", args(1)))
+          .queryExecution.logical: LogicalPlan
+      }))
+
+    ext.injectTableFunction((FunctionIdentifier("graft_lm_bigram"),
+      info("graft_lm_bigram",
+        "graft_lm_bigram(corpusView, refView, floor) - bigram-LM " +
+          "fluency profile of a documents view against Stupid-Backoff-" +
+          "structured models trained on a reference view (the q106 " +
+          "shape): per doc (n_bigrams, floored-bigram-model hits and " +
+          "their summed counts, misses backing off to unigram " +
+          "continuation mass with that mass, continuation-OOV misses); " +
+          "integer-exact columns"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_lm_bigram(corpusView, refView, floor)")
+        val corpus = SparkSession.active.table(
+          strArg("graft_lm_bigram", "corpusView", args.head))
+        val ref = SparkSession.active.table(
+          strArg("graft_lm_bigram", "refView", args(1)))
+        val floor = intArg("graft_lm_bigram", "floor", args(2))
+        require(floor >= 1, s"graft_lm_bigram: floor must be >= 1, got $floor")
+        Vocab.bigramBackoffScore(corpus,
+          Vocab.bigramModel(ref, floor.toLong), Vocab.unigramModel(ref))
           .queryExecution.logical: LogicalPlan
       }))
 

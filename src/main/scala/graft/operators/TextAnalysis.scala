@@ -375,6 +375,27 @@ object TextAnalysis {
                CAST(top AS DOUBLE) / CAST(tot AS DOUBLE) AS top_bigram_ratio,
                CAST(len(w) AS INT) AS n_tokens
         FROM ws LEFT JOIN gt ON ws.doc_id = gt.doc_id
-        ORDER BY ws.doc_id"""))
+        ORDER BY ws.doc_id""")),
+
+    Query(
+      "q107_compress_ratio",
+      "DEFLATE-compressibility quality signal (the tokenizer-free " +
+        "boilerplate/garble cut web-corpus pipelines apply from both " +
+        "ends: template text compresses far below prose, random salad " +
+        "refuses to compress): per document the UTF-8 byte length and " +
+        "the raw-DEFLATE length from the native deflate_stats " +
+        "expression — one fused map-only pass inside whole-stage " +
+        "codegen, a per-thread reused native Deflater, no shuffle " +
+        "beyond the presentation sort. Integer columns only; no DuckDB " +
+        "deflate exists, so the entry is design-gated in ScalaTest " +
+        "(interpreted==codegen parity, a java.util.zip reference " +
+        "differential, and the repetitive<prose<random ordering).",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            graft.functions.DeflateStats.deflate_stats(col("text")).as("ds"))
+          .select(col("doc_id"), col("ds.n_bytes").as("n_bytes"),
+            col("ds.n_deflate").as("n_deflate"))
+          .orderBy("doc_id"))
   )
 }

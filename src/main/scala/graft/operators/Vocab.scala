@@ -276,6 +276,127 @@ object Vocab {
       .agg(avg("nll").as("nll"), count(lit(1)).as("n_tokens"))
   }
 
+  // ---- bigram LM with Stupid Backoff (q106) ----
+
+  /** Frequency-floored adjacent-bigram counts of `ref`: ("w1 w2"
+    * space-joined bigram, c_ab), keeping only bigrams seen at least
+    * `floor` times. The floor is the 100 TB control: raw bigram types
+    * grow near-linearly with a web corpus, but the count-≥-floor
+    * survivors are the Zipf head — the same heavy-hitter argument that
+    * bounds [[unigramModel]] by vocabulary bounds this table well below
+    * occurrence scale, keeping the scoring join broadcastable far
+    * longer. Emission is map-only (the q71 zip_with shape, no window,
+    * no positions shuffled); the count is one bigram-keyed
+    * map-side-combining aggregate. */
+  def bigramModel(ref: DataFrame, floor: Long): DataFrame = {
+    val w = TextAnalysis.tokens(col("text"))
+    ref.filter(size(w) >= 2)
+      .select(explode(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= floor)
+  }
+
+  /** Per-document bigram profile of `corpus` against a floored bigram
+    * model and a unigram model — the two-level (CCNet / KenLM-shaped)
+    * fluency filter one level up from [[lmFrequencyScore]]: a document
+    * whose adjacent pairs are familiar reads as fluent prose; one whose
+    * pairs all miss (n-gram salad, wrong language, shuffled boilerplate)
+    * backs off to unigram mass or worse. Per doc:
+    *
+    *   - n_bigrams: adjacent pairs (0 for <2-token docs, which are kept
+    *     via the outer doc join);
+    *   - n_hit / sum_hit: pairs present in the floored bigram model and
+    *     their summed counts;
+    *   - n_backoff / sum_backoff: missing pairs whose CONTINUATION
+    *     token w2 is at least in the unigram model, and that unigram
+    *     mass — the Stupid-Backoff fallback level;
+    *   - n_oov2: missing pairs whose w2 is unseen entirely — the
+    *     hardest-garble bucket.
+    *
+    * INTEGER columns only (the q96/q71 libm rule); the real
+    * log-likelihood with the 0.4 backoff multiplier is
+    * [[bigramBackoffNll]], ScalaTest-gated. Scale shape: bigram
+    * emission is map-only; both model joins are UNHINTED (size-gated
+    * broadcast while the floored tables fit, AQE-skew-split token join
+    * beyond); the per-doc aggregate combines map-side; the closing
+    * doc-keyed join attaches zeros to short docs without a second
+    * corpus scan (documents-side is id+length only). */
+  def bigramBackoffScore(corpus: DataFrame, bigModel: DataFrame,
+      uniModel: DataFrame): DataFrame = {
+    val w = TextAnalysis.tokens(col("text"))
+    val pairs = corpus.filter(size(w) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (a, b) => struct(concat(a, lit(" "), b).as("bigram"), b.as("w2"))))
+          .as("bg"))
+      .select(col("doc_id"), col("bg.bigram").as("bigram"), col("bg.w2").as("w2"))
+    val scored = pairs
+      .join(bigModel, Seq("bigram"), "left")
+      .join(uniModel.select(col("token").as("w2"), col("nw").as("c_w2")),
+        Seq("w2"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        count(col("c_ab")).as("n_hit"),
+        coalesce(sum("c_ab"), lit(0L)).as("sum_hit"),
+        count(when(col("c_ab").isNull && col("c_w2").isNotNull, 1))
+          .as("n_backoff"),
+        coalesce(sum(when(col("c_ab").isNull, col("c_w2"))), lit(0L))
+          .as("sum_backoff"),
+        count(when(col("c_ab").isNull && col("c_w2").isNull, 1)).as("n_oov2"))
+    corpus.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("sum_hit"), lit(0L)).as("sum_hit"),
+        coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+        coalesce(col("sum_backoff"), lit(0L)).as("sum_backoff"),
+        coalesce(col("n_oov2"), lit(0L)).as("n_oov2"))
+  }
+
+  /** Per-document mean negative log-likelihood under the two-level
+    * Stupid Backoff model (Brants et al. 2007: score, not probability —
+    * no normalization): a hit contributes −ln(c_ab / c_w1) (w1 is in
+    * the unigram model by construction whenever its bigram survived the
+    * floor), a miss backs off to −ln(λ · (c_w2 + α)/(N + α·(V + 1)))
+    * with the Laplace unigram floor absorbing w2-OOV. N and V ride in
+    * as a one-row broadcast (the q46 bounds pattern). ScalaTest-gated
+    * against a plain-Scala model (ln is libm-dependent; see
+    * [[lmFrequencyScore]]). Only documents with ≥1 bigram appear. */
+  def bigramBackoffNll(corpus: DataFrame, bigModel: DataFrame,
+      uniModel: DataFrame, lambda: Double, alpha: Double): DataFrame = {
+    val totals = uniModel.agg(sum("nw").as("__n"), count(lit(1)).as("__v"))
+    val w = TextAnalysis.tokens(col("text"))
+    corpus.filter(size(w) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (a, b) => struct(concat(a, lit(" "), b).as("bigram"),
+            a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.bigram").as("bigram"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .join(bigModel, Seq("bigram"), "left")
+      .join(uniModel.select(col("token").as("w1"), col("nw").as("c_w1")),
+        Seq("w1"), "left")
+      .join(uniModel.select(col("token").as("w2"), col("nw").as("c_w2")),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        when(col("c_ab").isNotNull,
+          -log(col("c_ab").cast("double") / col("c_w1").cast("double")))
+          .otherwise(-log(lit(lambda) *
+            (coalesce(col("c_w2"), lit(0L)).cast("double") + lit(alpha)) /
+            (col("__n").cast("double") +
+              lit(alpha) * (col("__v").cast("double") + 1))))
+          .as("nll"))
+      .groupBy("doc_id")
+      .agg(avg("nll").as("nll"), count(lit(1)).as("n_bigrams"))
+  }
+
   val queries: Seq[Query] = Seq(
     Query(
       "q48_tfidf_terms",
@@ -546,6 +667,76 @@ object Vocab {
                string_agg(CAST(COALESCE(v.tid, 0) AS VARCHAR), ' ' ORDER BY t.pos) AS ids
         FROM toks t LEFT JOIN vocab v USING (token)
         GROUP BY t.doc_id
-        ORDER BY t.doc_id"""))
+        ORDER BY t.doc_id""")),
+
+    Query(
+      "q106_lm_bigram",
+      "Bigram-LM fluency profile with Stupid-Backoff structure (the " +
+        "CCNet/KenLM shape one order up from q96): a frequency-floored " +
+        "(>= 2) adjacent-bigram model and a unigram model trained on " +
+        "the doc_id%3<>0 slice profile the held-out documents — per doc " +
+        "the bigram count, floored-model hits and their summed counts, " +
+        "misses whose continuation token backs off to unigram mass " +
+        "(with that mass), and misses whose continuation is unseen " +
+        "entirely. Integer columns only (the q96/q71 libm rule; the " +
+        "real -ln score with the 0.4 backoff multiplier is " +
+        "bigramBackoffNll, ScalaTest-gated). The floor is the scale " +
+        "control: survivors are the Zipf head, so both model joins stay " +
+        "size-gated-broadcastable far beyond where raw bigram types " +
+        "would force a shuffle; bigram emission is map-only zip_with " +
+        "and the per-doc aggregate combines map-side.",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val ref = docs.filter(col("doc_id") % 3 =!= 0)
+        bigramBackoffScore(
+          docs.filter(col("doc_id") % 3 === 0),
+          bigramModel(ref, floor = 2L), unigramModel(ref))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH ref AS (
+          SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+          FROM documents WHERE doc_id % 3 <> 0
+        ), unim AS (
+          SELECT token, COUNT(*) AS c_w
+          FROM (SELECT unnest(ws) AS token FROM ref)
+          GROUP BY token
+        ), bigm AS (
+          SELECT bg, COUNT(*) AS c_ab
+          FROM (SELECT unnest(list_transform(range(1, len(ws)),
+                                             i -> ws[i] || ' ' || ws[i+1])) AS bg
+                FROM ref)
+          GROUP BY bg HAVING COUNT(*) >= 2
+        ), held AS (
+          SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+          FROM documents WHERE doc_id % 3 = 0
+        ), pairs AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws)),
+                                       i -> ws[i] || ' ' || ws[i+1])) AS bg,
+                 unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+          FROM held
+        ), scored AS (
+          SELECT p.doc_id,
+                 COUNT(*) AS n_bigrams,
+                 COUNT(b.c_ab) AS n_hit,
+                 CAST(COALESCE(SUM(b.c_ab), 0) AS BIGINT) AS sum_hit,
+                 COUNT(*) FILTER (WHERE b.c_ab IS NULL AND u.c_w IS NOT NULL) AS n_backoff,
+                 CAST(COALESCE(SUM(CASE WHEN b.c_ab IS NULL THEN u.c_w END), 0) AS BIGINT) AS sum_backoff,
+                 COUNT(*) FILTER (WHERE b.c_ab IS NULL AND u.c_w IS NULL) AS n_oov2
+          FROM pairs p
+          LEFT JOIN bigm b ON p.bg = b.bg
+          LEFT JOIN unim u ON p.w2 = u.token
+          GROUP BY p.doc_id)
+        SELECT d.doc_id,
+               COALESCE(s.n_bigrams, 0) AS n_bigrams,
+               COALESCE(s.n_hit, 0) AS n_hit,
+               COALESCE(s.sum_hit, 0) AS sum_hit,
+               COALESCE(s.n_backoff, 0) AS n_backoff,
+               COALESCE(s.sum_backoff, 0) AS sum_backoff,
+               COALESCE(s.n_oov2, 0) AS n_oov2
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+        LEFT JOIN scored s USING (doc_id)
+        ORDER BY doc_id"""))
   )
 }

@@ -389,6 +389,77 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(6L) === ((2L, 2L, 0L, None)))     // all OOV: sum 0, min NULL
   }
 
+  // ---- q106 bigram LM / Stupid Backoff ----
+
+  test("bigramBackoffScore: floor, backoff and OOV2 bookkeeping on crafted docs") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat sat"),
+      (2L, "the cat ran"),
+      // model: bigrams >=2 -> {the cat: 3, cat sat: 2};
+      // unigrams -> the:4 cat:3 sat:2 on:1 mat:1 ran:1
+      (3L, "the cat sat zz qq"), // 2 hits (3+2), 2 misses w2-OOV
+      (6L, "ran the"),           // 1 miss backing off to c(the)=4
+      (9L, "solo"),              // no bigrams: all zeros via outer join
+      (12L, "cat sat on"))       // "sat on" seen ONCE in ref: floored out
+      .toDF("doc_id", "text")
+    val ref = docs.filter(col("doc_id") % 3 =!= 0)
+    val got = Vocab.bigramBackoffScore(
+      docs.filter(col("doc_id") % 3 === 0),
+      Vocab.bigramModel(ref, floor = 2L), Vocab.unigramModel(ref))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got(3L) === ((4L, 2L, 5L, 0L, 0L, 2L)))
+    assert(got(6L) === ((1L, 0L, 0L, 1L, 4L, 0L)))
+    assert(got(9L) === ((0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(got(12L) === ((2L, 1L, 2L, 1L, 1L, 0L)))
+  }
+
+  test("bigramBackoffNll matches a plain-Scala Stupid-Backoff model; garble scores worse") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat sat"),
+      (2L, "the cat ran"),
+      (3L, "the cat sat zz qq"),
+      (6L, "ran the"),
+      (12L, "cat sat on"))
+      .toDF("doc_id", "text")
+    val ref = docs.filter(col("doc_id") % 3 =!= 0)
+    val (lambda, alpha) = (0.4, 0.5)
+    val got = Vocab.bigramBackoffNll(
+      docs.filter(col("doc_id") % 3 === 0),
+      Vocab.bigramModel(ref, floor = 2L), Vocab.unigramModel(ref),
+      lambda, alpha)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // plain-Scala reference from the same slices
+    val tok = (s: String) => s.toLowerCase.trim.replaceAll("\\s+", " ").split(" ").toSeq
+    val refToks = Seq("the cat sat on the mat the cat sat", "the cat ran").map(tok)
+    val uni = refToks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val big = refToks.flatMap(ts => ts.zip(ts.tail).map { case (a, b) => s"$a $b" })
+      .groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 2L).toMap
+    val n = uni.values.sum.toDouble
+    val v = uni.size.toDouble
+    def nll(text: String): (Double, Long) = {
+      val ts = tok(text)
+      val scores = ts.zip(ts.tail).map { case (a, b) =>
+        big.get(s"$a $b") match {
+          case Some(cab) => -math.log(cab.toDouble / uni(a).toDouble)
+          case None => -math.log(lambda * (uni.getOrElse(b, 0L) + alpha) /
+            (n + alpha * (v + 1)))
+        }
+      }
+      (scores.sum / scores.size, scores.size.toLong)
+    }
+    Seq(3L -> "the cat sat zz qq", 6L -> "ran the", 12L -> "cat sat on")
+      .foreach { case (id, text) =>
+        val (expNll, expN) = nll(text)
+        assert(got(id)._2 === expN)
+        assert(math.abs(got(id)._1 - expNll) < 1e-12,
+          s"doc $id: ${got(id)._1} vs $expNll")
+      }
+    // the hit-heavy document must score better than the w2-OOV one
+    assert(got(12L)._1 < got(3L)._1)
+  }
+
   test("containmentJoin finds a planted quote asymmetrically (inner->outer only)") {
     val quote = (1 to 12).map(i => s"q$i").mkString(" ")
     val filler = (1 to 60).map(i => s"f$i").mkString(" ")

@@ -258,4 +258,71 @@ class SignatureExprSpec extends AnyFunSuite {
       .as[Seq[Long]].collect()
     assert(df(0) === df(1)) // min is idempotent to duplicates
   }
+
+  // ---- deflate_stats (q107) ----
+
+  /** Driver-side java.util.zip reference: raw DEFLATE, level 6 — the
+    * expression's exact contract. */
+  private def refDeflate(s: String): (Long, Long) = {
+    val bytes = s.getBytes("UTF-8")
+    val d = new java.util.zip.Deflater(6, true)
+    d.setInput(bytes); d.finish()
+    val buf = new Array[Byte](8192)
+    var out = 0L
+    while (!d.finished()) out += d.deflate(buf)
+    d.end()
+    (bytes.length.toLong, out)
+  }
+
+  test("deflate_stats matches the java.util.zip reference on the corpus") {
+    import spark.implicits._
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = docs
+      .select(col("text"),
+        graft.functions.DeflateStats.deflate_stats(col("text")).as("ds"))
+      .select(col("text"), col("ds.n_bytes"), col("ds.n_deflate"))
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (text, nb, nd) =>
+      assert((nb, nd) === refDeflate(text), s"mismatch on ${text.take(40)}")
+    }
+  }
+
+  test("deflate_stats: interpreted==codegen, degenerate inputs, ordering, codegen span") {
+    import graft.functions.DeflateStats
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    def interp(s: String): (Long, Long) = {
+      val r = DeflateStats(Literal.create(UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType)).eval(null).asInstanceOf[InternalRow]
+      (r.getLong(0), r.getLong(1))
+    }
+    // interpreted path == the driver-side reference (and so, with the
+    // corpus test above, == the codegen path)
+    Seq("", "a", "ab" * 500, "the quick brown fox", "é漢字 mixed")
+      .foreach(s => assert(interp(s) === refDeflate(s), s"on ${s.take(20)}"))
+    // empty input: zero bytes in, a constant empty-stream frame out
+    assert(interp("")._1 === 0L)
+    // the quality-signal ordering the cut relies on: repetition
+    // compresses below prose, prose below high-entropy salad
+    val rep = interp("lorem ipsum " * 200)
+    val prose = interp(("the quick brown fox jumps over the lazy dog and " +
+      "every sentence differs a little bit more 0123456789 ") * 24)
+    val rnd = {
+      val r = new scala.util.Random(7)
+      interp(Seq.fill(2400)(r.nextPrintableChar()).mkString)
+    }
+    def ratio(p: (Long, Long)) = p._2.toDouble / p._1.toDouble
+    assert(ratio(rep) < ratio(prose) && ratio(prose) < ratio(rnd),
+      s"${ratio(rep)} / ${ratio(prose)} / ${ratio(rnd)}")
+    // whole-stage-codegen participation on a table-backed scan
+    val df = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(DeflateStats.deflate_stats(col("text")).as("ds"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("deflate_stats") && l.contains("*(")),
+      s"deflate_stats not inside a codegen stage:\n$plan")
+  }
 }

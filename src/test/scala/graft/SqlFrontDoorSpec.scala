@@ -44,6 +44,21 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(viaSql.count() > 0) // sf0.001 plants exact twins: containment 1.0
   }
 
+  test("graft_lm_bigram TVF equals the direct model+score path row for row") {
+    registered()
+    val ref = docs.filter(col("doc_id") % 3 =!= 0)
+    ref.createOrReplaceTempView("graft_ref_docs")
+    val held = docs.filter(col("doc_id") % 3 === 0)
+    held.createOrReplaceTempView("graft_held_docs")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_lm_bigram('graft_held_docs', 'graft_ref_docs', 2)")
+    val direct = graft.operators.Vocab.bigramBackoffScore(held,
+      graft.operators.Vocab.bigramModel(ref, floor = 2L),
+      graft.operators.Vocab.unigramModel(ref))
+    assert(sorted(viaSql) === sorted(direct))
+    assert(viaSql.count() > 0)
+  }
+
   test("graft_bpe_encode TVF equals the direct learn+encode path row for row") {
     registered()
     val viaSql = spark.sql("SELECT * FROM graft_bpe_encode('graft_docs', 12)")
