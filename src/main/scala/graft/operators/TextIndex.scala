@@ -59,6 +59,61 @@ object TextIndex {
       .limit(k)
   }
 
+  /** Top-k docs matching ANY of `terms`, ranked by BM25 (Robertson/
+    * Sparck Jones; the Lucene idf form ln(1 + (N − df + 0.5)/(df + 0.5)),
+    * always positive) with the standard (k1, b) length normalization —
+    * the ranking q84's summed-tf ladder is the integer shadow of, and
+    * the keyword side a production hybrid-retrieval stack (q85) feeds
+    * from.
+    *
+    * Scale shape: the document length rides THROUGH the explode
+    * (doc_id, dl, term), so no doc-keyed join against a corpus-sized
+    * length frame exists — the only per-posting cost is one long. The
+    * q-term filter still precedes the aggregate (the exchange carries
+    * query-term postings only); df comes from those same candidate
+    * rows (postings are distinct per (term, doc), so it is the exact
+    * corpus df for each query term) via a tiny term-keyed aggregate
+    * that BROADCASTS back; the corpus totals (N, Σdl) are a one-row
+    * broadcast (the q46 bounds pattern) — on a persisted deployment
+    * both are index metadata written at build time, so the second
+    * map-only corpus pass disappears. Ranking is TakeOrdered top-k
+    * (per-partition heaps, k rows to the driver), never a global sort.
+    *
+    * Scores are doubles through ln(), so the entry is design-gated
+    * against a plain-Scala BM25 at 1e-12 (the q96 libm rule) rather
+    * than DuckDB-oracled; ties break to smallest doc_id for a total
+    * order. */
+  def bm25Search(docs: DataFrame, terms: Seq[String], k: Int,
+      k1: Double, b: Double): DataFrame = {
+    require(terms.nonEmpty, "bm25Search needs at least one term")
+    require(terms.distinct.size == terms.size, s"duplicate query terms: $terms")
+    val toks = TextAnalysis.tokens(col("text"))
+    val bounds = docs.agg(count(lit(1)).as("__n"),
+      sum(size(toks).cast("long")).as("__sumdl"))
+    val cand = docs
+      .select(col("doc_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+    val df = cand.groupBy("term").agg(count(lit(1)).as("df"))
+    cand
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(bounds))
+      .select(col("doc_id"),
+        (log(lit(1.0) +
+          (col("__n").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) *
+          (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl").cast("double") * col("__n").cast("double") /
+              col("__sumdl").cast("double")))).as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("s").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   val queries: Seq[Query] = Seq(
     Query(
       "q84_index_search",
@@ -88,6 +143,23 @@ object TextIndex {
         GROUP BY doc_id
         HAVING COUNT(*) = 3
         ORDER BY score DESC, doc_id
-        LIMIT 20"""))
+        LIMIT 20""")),
+
+    Query(
+      "q108_bm25_search",
+      "BM25-ranked disjunctive keyword search (Lucene idf form, " +
+        "k1=1.2, b=0.75): top-20 docs matching ANY of {spark, join, " +
+        "filter} with full length normalization — the production " +
+        "ranking whose integer shadow q84 is, and the keyword side a " +
+        "hybrid stack (q85) feeds. Document length rides through the " +
+        "explode so no corpus-sized doc-keyed join exists; the q-term " +
+        "filter precedes the aggregate; df and the (N, sum dl) corpus " +
+        "bounds are broadcast; ranking is TakeOrdered top-k. Scores " +
+        "pass through ln(), so the entry is design-gated against a " +
+        "plain-Scala BM25 at 1e-12 (the q96 libm rule) instead of " +
+        "DuckDB-oracled.",
+      (s, dir) => bm25Search(
+        Tables.documents(s, dir), Seq("spark", "join", "filter"),
+        k = 20, k1 = 1.2, b = 0.75))
   )
 }

@@ -60,6 +60,85 @@ class TextIndexSpec extends AnyFunSuite {
     assert(got === Set(("x", 1L, 2L), ("y", 1L, 1L), ("y", 2L, 1L)))
   }
 
+  // ---- q108 BM25 ----
+
+  /** Plain-Scala BM25 reference — same tokenization, Lucene idf. */
+  private def refBm25(docs: Seq[(Long, String)], terms: Seq[String],
+      k: Int, k1: Double, b: Double): Seq[(Long, Long, Double)] = {
+    val toks = docs.map { case (id, text) =>
+      id -> text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ").toSeq
+    }
+    val n = toks.size.toDouble
+    val avgdl = toks.map(_._2.size).sum.toDouble / n
+    val dfs = terms.map(t => t -> toks.count(_._2.contains(t)).toDouble).toMap
+    toks.flatMap { case (id, ts) =>
+      val matched = terms.filter(t => ts.contains(t))
+      if (matched.isEmpty) None
+      else {
+        val score = matched.map { t =>
+          val tf = ts.count(_ == t).toDouble
+          val idf = math.log(1.0 + (n - dfs(t) + 0.5) / (dfs(t) + 0.5))
+          idf * tf * (k1 + 1.0) /
+            (tf + k1 * (1.0 - b + b * ts.size.toDouble / avgdl))
+        }.sum
+        Some((id, matched.size.toLong, score))
+      }
+    }.sortBy { case (id, _, s) => (-s, id) }.take(k)
+  }
+
+  test("bm25Search is disjunctive and matches the plain-Scala reference at 1e-12") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "cat dog cat"),
+      (2L, "cat dog dog cat extra words making this one longer"),
+      (3L, "cat cat cat"),            // one term only — still ranked (OR)
+      (4L, "fish only here"),         // no term — excluded
+      (5L, "dog"))
+    val docs = rows.toDF("doc_id", "text")
+    val got = TextIndex.bm25Search(docs, Seq("cat", "dog"), k = 10,
+        k1 = 1.2, b = 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exp = refBm25(rows, Seq("cat", "dog"), k = 10, k1 = 1.2, b = 0.75)
+    assert(got.map(_._1).toSeq === exp.map(_._1))
+    got.zip(exp).foreach { case ((gi, gn, gs), (ei, en, es)) =>
+      assert(gn === en, s"doc $gi matched-term count")
+      assert(math.abs(gs - es) < 1e-12, s"doc $gi: $gs vs $es")
+    }
+    assert(!got.map(_._1).contains(4L))
+    assert(got.map(_._1).contains(3L)) // disjunctive: single-term doc ranks
+  }
+
+  test("q108 matches the plain-Scala BM25 on sf0.001 and keeps the top-k plan") {
+    import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec, SortExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val collected = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val exp = refBm25(collected, Seq("spark", "join", "filter"),
+      k = 20, k1 = 1.2, b = 0.75)
+    val out = SparkEntry.queries("q108_bm25_search")(spark, sf)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty, "fixture corpus matched no docs — pick other terms")
+    assert(got.map(_._1).toSeq === exp.map(_._1))
+    got.zip(exp).foreach { case ((gi, gn, gs), (_, en, es)) =>
+      assert(gn === en)
+      assert(math.abs(gs - es) < 1e-12, s"doc $gi: $gs vs $es")
+    }
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val expanded = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Seq.empty
+      }
+      p +: (p.children ++ expanded).flatMap(allNodes)
+    }
+    val nodes = allNodes(out.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "expected TakeOrderedAndProject for the BM25 top-k")
+    assert(!nodes.exists(_.isInstanceOf[SortExec]),
+      "unexpected global SortExec in the BM25 plan")
+  }
+
   test("search plans TakeOrderedAndProject, never a corpus-wide global sort") {
     import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec, SortExec}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
