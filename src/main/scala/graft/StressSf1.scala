@@ -186,6 +186,27 @@ object StressSf1 {
       "q96_lm_score" -> (d => Vocab.lmFrequencyScore(
         d.filter(col("doc_id") % 3 === 0),
         Vocab.unigramModel(d.filter(col("doc_id") % 3 =!= 0)))),
+      // two-level LM (q106): both model tables scale with the 10
+      // disjoint token families and the %3 split replicates per family
+      // (IdStride % 3 == 0) -> rows (= held-out docs) exactly 10x
+      "q106_lm_bigram" -> (d => {
+        val ref = d.filter(col("doc_id") % 3 =!= 0)
+        Vocab.bigramBackoffScore(d.filter(col("doc_id") % 3 === 0),
+          Vocab.bigramModel(ref, floor = 2L), Vocab.unigramModel(ref))
+      }),
+      // map-only native deflate expression -> rows (= docs) exactly 10x
+      "q107_compress_ratio" -> (d => d
+        .select(col("doc_id"),
+          graft.functions.DeflateStats.deflate_stats(col("text")).as("ds"))
+        .select(col("doc_id"), col("ds.n_bytes").as("n_bytes"),
+          col("ds.n_deflate").as("n_deflate"))),
+      // BM25: the ~k suffixes keep the query terms in copy 0 only, so
+      // candidates and the top-20 output are CONSTANT across tiers —
+      // this row gates the scan side's linearity (tokenize+filter is
+      // the 10x cost; the exchange carries copy-0 postings only); the
+      // gate is the time ratio (the q76 rule)
+      "q108_bm25_search" -> (d => operators.TextIndex.bm25Search(d,
+        Seq("spark", "join", "filter"), k = 20, k1 = 1.2, b = 0.75)),
       // containment pairs are family-local (cross-family grams cannot
       // collide), so ordered pairs replicate per family -> rows 10x
       "q99_containment" -> (d => Dedup.containmentJoin(d, n = 3, tau = 0.8)),

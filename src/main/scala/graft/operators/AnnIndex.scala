@@ -85,6 +85,68 @@ object AnnIndex {
     Similarity.ivfProbe(lists, cent, q, nProbe, k)
   }
 
+  /** Incremental IVF growth — the LSM shape a production vector store
+    * uses when embeddings keep arriving: the BASE index (trained and
+    * assigned over the `vec_id % 10 <> 0` slice) is built once and
+    * NEVER rewritten; the later `% 10 = 0` arrivals become a DELTA
+    * segment holding only their own map-only assignment under the
+    * base's frozen centroids. Append cost is therefore delta-sized —
+    * the base corpus is never rescanned, the base lists never copied
+    * (at 100 TB, rewriting the lists to admit 0.1% new vectors would
+    * dwarf the ingest itself). Queries read base ∪ delta, each side
+    * cluster-partition-pruned exactly like q77's single segment;
+    * centroid retraining (drift repair) and segment compaction are
+    * deliberate SEPARATE maintenance ops — compaction is one
+    * partition-preserving rewrite, the q67 economics.
+    *
+    * Frozen centroids make append CLOSED under composition: assignment
+    * is deterministic per vector given centroids, so
+    * assign(base) ∪ assign(delta) == assign(base ∪ delta) — the
+    * appended index answers every probe BIT-IDENTICALLY to a
+    * from-scratch assignment of the union under the same centroids
+    * (asserted in AnnIndexSpec). Returns (baseRoot, deltaRoot). */
+  def ivfDeltaIndex(spark: SparkSession, dir: String, centroids: Int = 256,
+      lloydIters: Int = 3): (String, String) = synchronized {
+    val key = s"$dir/split10/$centroids/$lloydIters/" +
+      Layout.contentKey(spark, s"$dir/embeddings.parquet")
+    val all = Similarity.prepared(Tables.embeddings(spark, dir))
+    val baseRoot = "target/ann/graft_ivfb_" + md5hex(key).take(8)
+    Staging.ensure(spark, baseRoot) { tmp =>
+      val base = all.filter(col("vec_id") % 10 =!= 0)
+      val cent = Similarity.ivfCentroids(base, centroids, lloydIters)
+      cent.write.mode("overwrite").parquet(s"$tmp/centroids")
+      Similarity.assignToCentroids(base, cent)
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$tmp/lists")
+      cent.unpersist()
+    }
+    val deltaRoot = "target/ann/graft_ivfd_" + md5hex(s"$key/delta").take(8)
+    Staging.ensure(spark, deltaRoot) { tmp =>
+      // delta-only work: one broadcast-centroid assignment pass over the
+      // arrivals; the base segment is read-only input to QUERIES, not to
+      // this build
+      Similarity.assignToCentroids(
+        all.filter(col("vec_id") % 10 === 0),
+        spark.read.parquet(s"$baseRoot/centroids"))
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$tmp/lists")
+    }
+    (baseRoot, deltaRoot)
+  }
+
+  /** IVF query over the appended (base ∪ delta) index: the same
+    * [[Similarity.ivfProbe]] as q77, fed by the union of the two
+    * cluster-partitioned segments — both sides prune to the probe set's
+    * clusters. */
+  def knnIvfAppended(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+      centroids: Int = 256, nProbe: Int = 32, lloydIters: Int = 3): DataFrame = {
+    val (baseRoot, deltaRoot) = ivfDeltaIndex(spark, dir, centroids, lloydIters)
+    val cent = spark.read.parquet(s"$baseRoot/centroids")
+    val lists = spark.read.parquet(s"$baseRoot/lists")
+      .unionByName(spark.read.parquet(s"$deltaRoot/lists"))
+    val q = Similarity.prepared(Tables.embeddings(spark, dir))
+      .filter(col("vec_id") < nQueries)
+    Similarity.ivfProbe(lists, cent, q, nProbe, k)
+  }
+
   /** Idempotently materialize the PQ index for `dir`'s embeddings:
     * `codebooks/` (m·k sub-centroids) + `codes/` (m code bytes per
     * vector). Returns the index root. */
@@ -142,6 +204,23 @@ object AnnIndex {
         "training or encode stages in the query plan. Bit-identical to " +
         "q74 (asserted in AnnIndexSpec). No oracle: approximate by " +
         "design — gated by the q74 equality instead.",
-      (s, dir) => knnPqIndexed(s, dir, nQueries = 10, k = 5))
+      (s, dir) => knnPqIndexed(s, dir, nQueries = 10, k = 5)),
+
+    Query(
+      "q109_knn_ivf_append",
+      "Incremental IVF index growth (the LSM shape of a production " +
+        "vector store): the base index over the vec_id%10<>0 slice is " +
+        "built once and never rewritten; the %10=0 arrivals become a " +
+        "delta segment holding only their own map-only assignment " +
+        "under the base's frozen centroids — append cost is delta-" +
+        "sized, the base corpus is never rescanned and its lists never " +
+        "copied. Queries probe base UNION delta, both sides cluster-" +
+        "partition-pruned. Frozen centroids make append closed under " +
+        "composition, so results are bit-identical to a from-scratch " +
+        "assignment of the union under the same centroids (asserted in " +
+        "AnnIndexSpec, with delta-size and segment-disjointness " +
+        "probes). No oracle: approximate by design — gated by that " +
+        "equality instead.",
+      (s, dir) => knnIvfAppended(s, dir, nQueries = 10, k = 5))
   )
 }

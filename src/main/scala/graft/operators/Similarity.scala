@@ -193,7 +193,7 @@ object Similarity {
     * formulation would sort and shuffle. Ties (two centroids at identical
     * cosine) break deterministically to the higher cent_id via the struct
     * ordering. Output: (vec_id, emb, nrm, cluster). */
-  private[operators] def assignToCentroids(e: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def assignToCentroids(e: DataFrame, cent: DataFrame): DataFrame =
     centScores(e, cent)
       .groupBy("vec_id")
       .agg(max_by(struct(col("emb"), col("nrm"), col("cent_id")),
@@ -286,7 +286,7 @@ object Similarity {
     * ([[AnnIndex.knnIvfIndexed]], where the cluster-partitioned layout
     * turns this join into a partition-pruned read). The probe window is
     * bare but bounded: each query's frame is exactly C centroid rows. */
-  private[operators] def ivfProbe(lists: DataFrame, cent: DataFrame,
+  private[graft] def ivfProbe(lists: DataFrame, cent: DataFrame,
       q: DataFrame, nProbe: Int, k: Int): DataFrame = {
     val wProbe = Window.partitionBy("vec_id").orderBy(desc("cs"), asc("cent_id"))
     val probes = centScores(q, cent)

@@ -80,6 +80,60 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(aggs.isEmpty, s"indexed IVF plan must not train/assign:\n${aggs.mkString("\n")}")
   }
 
+  test("IVF append: appended search is bit-identical to a from-scratch union assignment") {
+    import org.apache.spark.sql.functions.col
+    val (baseRoot, deltaRoot) = AnnIndex.ivfDeltaIndex(spark, sf)
+    // from-scratch: assign the WHOLE corpus under the same (base-slice-
+    // trained) frozen centroids, probe identically
+    val cent = spark.read.parquet(s"$baseRoot/centroids")
+    val all = Similarity.prepared(Tables.embeddings(spark, sf))
+    val fresh = rows(Similarity.ivfProbe(
+      Similarity.assignToCentroids(all, cent), cent,
+      all.filter(col("vec_id") < 10), nProbe = 32, k = 5))
+    spark.sharedState.cacheManager.clearCache()
+    val appended = rows(AnnIndex.knnIvfAppended(spark, sf, nQueries = 10, k = 5))
+    assert(appended === fresh)
+    assert(appended.nonEmpty)
+  }
+
+  test("IVF append: delta segment holds exactly the arrivals; segments are disjoint and complete") {
+    import org.apache.spark.sql.functions.col
+    val (baseRoot, deltaRoot) = AnnIndex.ivfDeltaIndex(spark, sf)
+    val all = Tables.embeddings(spark, sf)
+    val nAll = all.count()
+    val nDelta = all.filter(col("vec_id") % 10 === 0).count()
+    val base = spark.read.parquet(s"$baseRoot/lists")
+    val delta = spark.read.parquet(s"$deltaRoot/lists")
+    assert(delta.count() === nDelta)
+    assert(base.count() === nAll - nDelta)
+    assert(delta.filter(col("vec_id") % 10 =!= 0).count() === 0)
+    assert(base.filter(col("vec_id") % 10 === 0).count() === 0)
+  }
+
+  test("IVF append: rebuilding appends nothing — both segments reused untouched") {
+    val (baseRoot, deltaRoot) = AnnIndex.ivfDeltaIndex(spark, sf)
+    val b0 = fileStates(baseRoot)
+    val d0 = fileStates(deltaRoot)
+    assert(b0.nonEmpty && d0.nonEmpty)
+    val (b2, d2) = AnnIndex.ivfDeltaIndex(spark, sf)
+    assert((b2, d2) === ((baseRoot, deltaRoot)))
+    assert(fileStates(baseRoot) === b0)
+    assert(fileStates(deltaRoot) === d0)
+  }
+
+  test("IVF append: query plan scans both segments and never re-assigns") {
+    val df = AnnIndex.knnIvfAppended(spark, sf, nQueries = 10, k = 5)
+    val leaves = scanPaths(df)
+    assert(leaves.exists(_.contains("graft_ivfb_")) &&
+      leaves.exists(_.contains("graft_ivfd_")),
+      s"expected base+delta index scans among leaves:\n${leaves.mkString("\n")}")
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.isEmpty,
+      s"appended IVF query must not train/assign:\n${aggs.mkString("\n")}")
+  }
+
   test("PQ: indexed search is bit-identical to the build-per-batch twin") {
     val fresh = rows(Similarity.knnPq(
       Tables.embeddings(spark, sf), nQueries = 10, k = 5))
