@@ -550,19 +550,31 @@ object Dedup {
     * requiring agreement on a chunk PAIR (the multi-index trick from the
     * Manku et al. 2007 web-dedup paper) — both change only the banding
     * arithmetic below, not the pipeline shape. */
-  def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame =
+    hamming64NearDups(
+      simhash64(docs).select(col("doc_id"), col("simhash").as("fp")), maxDist)
+
+  /** Near-dup pairs over ANY 64-bit per-doc fingerprint by Hamming
+    * distance ≤ maxDist (≤ 3): the q22 banding machinery factored out —
+    * SimHash text fingerprints and the multimodal dHash image
+    * fingerprints (q110) are the same problem once the fingerprint
+    * exists. Bands the word into 4×16-bit chunks; by pigeonhole any
+    * pair within Hamming 3 agrees on at least one whole chunk, so an
+    * equi-join on (chunk index, chunk value) finds ALL such pairs with
+    * no all-pairs product; `bit_count(xor)` verifies the exact
+    * distance. Input: (doc_id, fp) — one row per doc. */
+  def hamming64NearDups(fps: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-chunk banding only guarantees recall up to Hamming 3")
-    val fp = simhash64(docs)
-    val chunked = fp.select(col("doc_id"), col("simhash"),
+    val chunked = fps.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map(j =>
-        shiftright(col("simhash"), 16 * j).bitwiseAND(lit(0xFFFFL))): _*))
+        shiftright(col("fp"), 16 * j).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("chunk", "cv")))
     // bucket-grouped pair expansion: the fingerprints ride along in the
-    // member structs, so no re-join against the SimHash aggregate (and no
+    // member structs, so no re-join against the fingerprint frame (and no
     // second corpus scan) is ever needed
-    val cand = pairsWithinBuckets(chunked, Seq("chunk", "cv"), Seq("doc_id", "simhash"))
+    val cand = pairsWithinBuckets(chunked, Seq("chunk", "cv"), Seq("doc_id", "fp"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+        col("a.fp").as("ha"), col("b.fp").as("hb"))
       .distinct()
     cand
       .select(col("doc_a"), col("doc_b"),

@@ -226,6 +226,127 @@ object Multimodal {
         col("f.frame_idx").as("frame_idx"), col("f.frame").as("frame"))
   }
 
+  // ---- perceptual image dedup (q110) ----
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** 64-bit difference hash (dHash) of an image payload: ImageIO
+    * decode, bilinear draw onto a 9×8 grayscale canvas, bit (8y+x) set
+    * when pixel(x,y) < pixel(x+1,y) — the classic cheap perceptual
+    * fingerprint: stable under re-encode and mild brightness/noise
+    * changes, Hamming distance ≈ visual difference. None when the
+    * bytes are not a decodable image (same NonFatal discipline as
+    * [[decodeImage]]: corrupt bytes fall back, never kill the task). */
+  private[graft] def dHash64(bytes: Array[Byte]): Option[Long] =
+    try {
+      if (!looksLikeImage(bytes)) None
+      else Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))).map { img =>
+        val canvas = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val g = canvas.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, 9, 8, null)
+        g.dispose()
+        val r = canvas.getRaster
+        var fp = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (r.getSample(x, y, 0) < r.getSample(x + 1, y, 0))
+              fp |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        fp
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-payload 64-bit perceptual fingerprint on the q23 batch seam:
+    * decodable PNG/JPEG payloads take the real [[dHash64]]; everything
+    * else falls back to a splitmix64 of the payload checksum (the q23
+    * stub convention) — deterministic, and a random 64-bit word is
+    * never within Hamming 3 of anything (p ≈ 43k/2⁶⁴ per pair), so
+    * non-image payloads cannot fabricate near-dup pairs. Output:
+    * (doc_id, fp, is_image). */
+  def imageFingerprints(payloadsDf: DataFrame): DataFrame = {
+    val spark = payloadsDf.sparkSession
+    import spark.implicits._
+    payloadsDf.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          dHash64(bytes) match {
+            case Some(fp) => (id, fp, true)
+            case None =>
+              var crc = 0L
+              var i = 0
+              while (i < bytes.length) { crc = crc * 31 + bytes(i); i += 1 }
+              (id, splitmix64(crc), false)
+          }
+        }
+      }.toDF("doc_id", "fp", "is_image")
+  }
+
+  /** Near-duplicate image pairs by dHash Hamming distance ≤ maxDist —
+    * [[Dedup.hamming64NearDups]]'s banded equi-join (the q22 SimHash
+    * machinery) over perceptual fingerprints: once the fingerprint
+    * exists, text SimHash and image dHash are the same scale problem
+    * (map-only fingerprinting, 4×16-bit chunk banding, no all-pairs
+    * product anywhere). */
+  def imageNearDups(payloadsDf: DataFrame, maxDist: Int = 3): DataFrame =
+    Dedup.hamming64NearDups(
+      imageFingerprints(payloadsDf).select("doc_id", "fp"), maxDist)
+
+  /** The payloads frame with a deterministic 16×16 noise PNG planted on
+    * every `doc_id % 20 == 0` row: members of a pair (40k, 40k + 20)
+    * render the SAME base pattern (keyed by doc_id / 40, pixels from
+    * splitmix64 — distinct keys give Hamming-random fingerprints, so
+    * cross-pair collisions are ~impossible), with the odd member
+    * perturbing one pixel by one gray level — planted near-duplicate
+    * structure that drives the REAL path end to end (ImageIO decode →
+    * dHash → banded Hamming join). All other rows keep their text
+    * payload and take the stub-fingerprint fallback. */
+  def plantedImagePayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    payloads(docs).select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          if (id % 20 != 0) (id, bytes, "text/plain")
+          else {
+            val key = id / 40
+            val img = new java.awt.image.BufferedImage(16, 16,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 16) {
+                var g = (splitmix64((key << 16) | (y * 16 + x)) & 0xFFL).toInt
+                if ((id / 20) % 2 == 1 && x == 7 && y == 7)
+                  g = math.min(255, g + 1) // the near-dup perturbation
+                img.setRGB(x, y, (g << 16) | (g << 8) | g)
+                x += 1
+              }
+              y += 1
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", baos)
+            (id, baos.toByteArray, "image/png")
+          }
+        }
+      }.toDF("doc_id", "payload", "mime")
+      .select(col("doc_id"), col("payload"),
+        struct(col("mime"), length(col("payload")).as("nbytes")).as("meta"))
+  }
+
   private val frameBytes = 64
 
   val queries: Seq[Query] = Seq(
@@ -246,6 +367,23 @@ object Multimodal {
                CAST(octet_length(encode(text)) AS INT) AS nbytes,
                CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / $frameBytes) AS INT) AS n_frames
         FROM documents
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    Query(
+      "q110_image_dedup",
+      "Perceptual image dedup over the binary-payload corpus: every " +
+        "doc_id%20==0 row carries a deterministic planted PNG (pair " +
+        "members render the same 16x16 pattern, the odd member " +
+        "perturbed by one gray level), driving the REAL path end to " +
+        "end — ImageIO decode, 9x8 bilinear grayscale dHash, then the " +
+        "q22 banded-Hamming equi-join (4x16-bit chunks, no all-pairs " +
+        "product); non-image payloads take the stub splitmix64 " +
+        "fingerprint, which cannot land within Hamming 3 of anything. " +
+        "No oracle (DuckDB cannot decode PNGs): planted-pair recall, " +
+        "perturbation distance, stub-path isolation and fingerprint " +
+        "determinism are gated in MultimodalSpec.",
+      (s: SparkSession, dir: String) =>
+        imageNearDups(plantedImagePayloads(Tables.documents(s, dir)),
+          maxDist = 3))
   )
 }

@@ -106,4 +106,92 @@ class MultimodalSpec extends AnyFunSuite {
     val strided = Multimodal.sampleFrames(p, frameBytes = 64, stride = 2)
     assert(strided.filter(col("frame_idx") % 2 =!= 0).count() === 0)
   }
+
+  // ---- q110 perceptual image dedup ----
+
+  private def png(w: Int, h: Int)(gray: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) {
+      val g = gray(x, y) & 0xFF
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("dHash: identical images at distance 0; perturbed within 3; distinct far; re-encode-stable") {
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(16, 16)(rnd.nextInt(256))
+    val a = png(16, 16)((x, y) => base(x)(y))
+    val a2 = png(16, 16)((x, y) => base(x)(y)) // independent encode pass
+    val perturbed = png(16, 16)((x, y) =>
+      if (x == 7 && y == 7) math.min(255, base(x)(y) + 1) else base(x)(y))
+    val other = {
+      val r2 = new scala.util.Random(99)
+      val o = Array.fill(16, 16)(r2.nextInt(256))
+      png(16, 16)((x, y) => o(x)(y))
+    }
+    def fp(b: Array[Byte]): Long = Multimodal.dHash64(b).get
+    assert(fp(a) === fp(a2)) // encoding is not part of the fingerprint
+    assert(java.lang.Long.bitCount(fp(a) ^ fp(perturbed)) <= 3,
+      s"perturbation moved ${java.lang.Long.bitCount(fp(a) ^ fp(perturbed))} bits")
+    assert(java.lang.Long.bitCount(fp(a) ^ fp(other)) > 3)
+    // non-images refuse to fingerprint on the real path
+    assert(Multimodal.dHash64("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("imageNearDups finds planted image pairs via the real decode path only") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val base = Array.fill(16, 16)(rnd.nextInt(256))
+    val imgA = png(16, 16)((x, y) => base(x)(y))
+    val imgB = png(16, 16)((x, y) =>
+      if (x == 3 && y == 9) math.min(255, base(x)(y) + 1) else base(x)(y))
+    val far = {
+      val r2 = new scala.util.Random(77)
+      val o = Array.fill(16, 16)(r2.nextInt(256))
+      png(16, 16)((x, y) => o(x)(y))
+    }
+    val rows = Seq(
+      (1L, imgA, "image/png"), (2L, imgB, "image/png"),
+      (3L, far, "image/png"),
+      (4L, "some plain text".getBytes("UTF-8"), "text/plain"),
+      (5L, "different text body".getBytes("UTF-8"), "text/plain"))
+    val payloads = rows.toDF("doc_id", "payload", "mime")
+      .select(col("doc_id"), col("payload"),
+        struct(col("mime"), length(col("payload")).as("nbytes")).as("meta"))
+    val got = Multimodal.imageNearDups(payloads, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)),
+      s"expected exactly the planted pair, got $got")
+    val fps = Multimodal.imageFingerprints(payloads)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(fps.count(_._3) === 3) // the three PNGs took the real path
+    // stub fps are a pure function of the bytes: identical payloads
+    // (e.g. byte-identical boilerplate docs) would collapse to one
+    // fingerprint — exact-dup semantics, q16's contract, never a false
+    // cross-modality pair (a random 64-bit word is not within Hamming 3
+    // of an image's dHash)
+    assert(fps.filter(!_._3).map(_._2).distinct.length === 2)
+  }
+
+  test("q110 entry: every planted pair is recovered with its exact Hamming distance") {
+    val docs = Tables.documents(spark, sf)
+    val got = SparkEntry.queries("q110_image_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // sf0.001 plants images on doc ids 0,20,40; (0,20) share base key 0
+    assert(got.map(t => (t._1, t._2)).contains((0L, 20L)))
+    got.foreach { case (a, b, d) => assert(d <= 3, s"($a,$b) at $d") }
+    // the planted structure is exactly the %40-paired ids — nothing else
+    got.foreach { case (a, b, _) =>
+      assert(a % 20 === 0 && b % 20 === 0 && a / 40 === b / 40,
+        s"unplanted pair ($a,$b)")
+    }
+    // determinism across runs (executor retries must agree)
+    val again = SparkEntry.queries("q110_image_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === again.toSeq)
+  }
 }
