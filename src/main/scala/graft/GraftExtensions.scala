@@ -201,6 +201,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical: LogicalPlan
       }))
 
+    ext.injectTableFunction((FunctionIdentifier("graft_bm25"),
+      info("graft_bm25",
+        "graft_bm25(docsView, termsCsv, k) - BM25-ranked disjunctive " +
+          "keyword search over a documents view (Lucene idf, k1=1.2, " +
+          "b=0.75): top-k (doc_id, n_terms, score), ties to smallest " +
+          "doc_id; the q108 plan with document length riding through " +
+          "the explode"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_bm25(docsView, termsCsv, k)")
+        val docs = SparkSession.active.table(
+          strArg("graft_bm25", "docsView", args.head))
+        // same normalization as graft_search: lowercase to the
+        // tokenizer's domain, drop empties, de-dup
+        val terms = strArg("graft_bm25", "termsCsv", args(1))
+          .split(',').toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
+        if (terms.isEmpty) throw new IllegalArgumentException(
+          "graft_bm25: termsCsv must contain at least one non-empty term")
+        graft.operators.TextIndex.bm25Search(docs, terms,
+          k = intArg("graft_bm25", "k", args(2)), k1 = 1.2, b = 0.75)
+          .queryExecution.logical: LogicalPlan
+      }))
+
     ext.injectTableFunction((FunctionIdentifier("graft_lm_bigram"),
       info("graft_lm_bigram",
         "graft_lm_bigram(corpusView, refView, floor) - bigram-LM " +

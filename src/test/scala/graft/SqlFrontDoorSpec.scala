@@ -44,6 +44,16 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(viaSql.count() > 0) // sf0.001 plants exact twins: containment 1.0
   }
 
+  test("graft_bm25 TVF equals the direct bm25Search path row for row") {
+    registered()
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_bm25('graft_docs', 'spark, join, filter', 20)")
+    val direct = graft.operators.TextIndex.bm25Search(docs,
+      Seq("spark", "join", "filter"), k = 20, k1 = 1.2, b = 0.75)
+    assert(sorted(viaSql) === sorted(direct))
+    assert(viaSql.count() > 0)
+  }
+
   test("graft_lm_bigram TVF equals the direct model+score path row for row") {
     registered()
     val ref = docs.filter(col("doc_id") % 3 =!= 0)
