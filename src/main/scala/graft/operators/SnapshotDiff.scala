@@ -123,6 +123,41 @@ object SnapshotDiff {
       .filter(col("n_rows") > 0)
   }
 
+  /** Type-2 slowly-changing dimension from a change log: per entity
+    * (`key`), ordered by (`ts`, `tiebreak`), consecutive runs of the
+    * same `state` collapse into one version row carrying its validity
+    * interval — (key, version, state, valid_from, valid_to,
+    * is_current), with `valid_to` null on the open current version.
+    * The warehouse-standard dimension-history build (Kimball SCD-2).
+    *
+    * Shape: two window passes over the SAME (key)-partitioned
+    * (ts, tiebreak) order — `lag` marks change points, then
+    * `lead`/`row_number` over the surviving change rows close the
+    * intervals — so Catalyst plans ONE exchange; the second Window
+    * reuses the first's partitioning (the filter preserves it) and
+    * only re-sorts within partitions. No global (unpartitioned) window
+    * anywhere. Scale contract: windows are per-ENTITY — a dimension
+    * key's version history (thousands of rows) must fit a partition,
+    * which is the SCD premise itself; the fact-sized table never meets
+    * a window in this operator. Ties on `ts` are settled by the
+    * `tiebreak` total order, so version boundaries are deterministic
+    * and engine-independent. */
+  def scd2(log: DataFrame, key: String, ts: String, tiebreak: String,
+      state: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    val changes = log
+      .withColumn("__prev", lag(col(state), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(state))
+    changes.select(
+        col(key),
+        row_number().over(w).cast("int").as("version"),
+        col(state).as("state"),
+        col(ts).as("valid_from"),
+        lead(col(ts), 1).over(w).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   val queries: Seq[Query] = Seq(
     Query(
       "q59_snapshot_diff",
@@ -253,5 +288,41 @@ object SnapshotDiff {
         FROM eff
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus"""))
+    ,
+    Query(
+      "q112_scd2",
+      "Type-2 slowly-changing dimension build (Kimball SCD-2) from the " +
+        "event change log: per user, consecutive runs of the same " +
+        "event_type collapse to one version row with its validity " +
+        "interval [valid_from, valid_to) and an is_current flag on the " +
+        "open version. Per-entity windows only (one exchange, no global " +
+        "window); (ts, event_id) total order makes version boundaries " +
+        "deterministic. Timestamps ride the microsecond domain on both " +
+        "engines (the q68 convention).",
+      (s, dir) =>
+        scd2(
+          Tables.events(s, dir).withColumn("ts",
+            expr(graft.operators.Intervals.floorDiv("ts", 1000L))),
+          key = "user_id", ts = "ts", tiebreak = "event_id",
+          state = "event_type")
+          .orderBy("user_id", "version"),
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id) AS prev
+          FROM events
+        ), c AS (
+          SELECT user_id, event_id, ts, event_type
+          FROM o WHERE prev IS NULL OR prev <> event_type
+        )
+        SELECT user_id,
+               CAST(row_number() OVER w AS INT) AS version,
+               event_type AS state,
+               ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               lead(ts) OVER w IS NULL AS is_current
+        FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, version"""))
   )
 }

@@ -98,6 +98,51 @@ class SnapshotDiffSpec extends AnyFunSuite {
     assert(got === Set("a"))
   }
 
+  test("scd2: run collapse, interval closure, is_current, and ts ties") {
+    import spark.implicits._
+    // user 1: A,A,B,A (runs collapse; B reopens A as version 3)
+    // user 2: single event -> one open version
+    // user 3: ts tie at 10 settled by event_id (5:"X" then 6:"Y")
+    val log = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), (1L, 30L, 3L, "B"),
+      (1L, 40L, 4L, "A"),
+      (2L, 15L, 7L, "Z"),
+      (3L, 10L, 6L, "Y"), (3L, 10L, 5L, "X"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = SnapshotDiff.scd2(log, "user_id", "ts", "event_id", "event_type")
+      .orderBy("user_id", "version")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5)))
+    assert(got.toSeq === Seq(
+      (1L, 1, "A", 10L, 30L, false),
+      (1L, 2, "B", 30L, 40L, false),
+      (1L, 3, "A", 40L, -1L, true),
+      (2L, 1, "Z", 15L, -1L, true),
+      (3L, 1, "X", 10L, 10L, false),   // tie: event_id 5 precedes 6
+      (3L, 2, "Y", 10L, -1L, true)))
+  }
+
+  test("scd2: intervals tile each entity's history; exactly one current") {
+    val out = SparkEntry.queries("q112_scd2")(spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (_, vs) =>
+      val sorted = vs.sortBy(_.getInt(1))
+      assert(sorted.count(_.getBoolean(5)) === 1)
+      assert(sorted.last.isNullAt(4) && sorted.last.getBoolean(5))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(4) === b.getLong(3)) // valid_to == next valid_from
+          assert(a.getString(2) !== b.getString(2)) // versions are real changes
+        case _ =>
+      }
+    }
+    // no unpartitioned window anywhere in the physical plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"))
+  }
+
   test("q82 state+delta equals full recompute (differential on sf0.001)") {
     val sf = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("q82_incr_refresh")(spark, sf)
