@@ -228,6 +228,68 @@ object Profiling {
         col("n_sample"))
   }
 
+  /** Declarative data-quality audit (the dbt-test / Deequ shape): a
+    * fixed battery of constraint checks over the warehouse tables,
+    * each reduced to one (check, violations) row, unioned into a
+    * single report frame.
+    *
+    * Scale shape — one pass per table, not one pass per check:
+    * same-table column constraints (accepted values, ranges,
+    * positivity, null/emptiness, derived-column consistency) FUSE into
+    * a single map-side-combining conditional aggregate over one scan;
+    * referential checks are LEFT joins that each also carry any
+    * cross-table row predicate on the same key (orphan count and
+    * ship-before-order count ride ONE lineitem⋈orders join), with
+    * dimension sides broadcast. Every branch reduces to a 1-row frame
+    * before the union, so the report assembly is free. At 100 TB the
+    * audit costs: one scan per audited table + one join per FK family
+    * — the minimum any checker can pay. */
+  def dqAudit(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      part: DataFrame, documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    def viol(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    // fused single-scan column constraints per table
+    val liCols = lineitem.agg(
+        viol(!col("l_returnflag").isin("A", "N", "R")).as("v1"),
+        viol(col("l_discount") < 0 || col("l_discount") > 0.1).as("v2"),
+        viol(col("l_quantity") <= 0).as("v3"))
+      .selectExpr("stack(3, " +
+        "'accepted_values:lineitem.l_returnflag', v1, " +
+        "'range:lineitem.l_discount[0,0.1]', v2, " +
+        "'positive:lineitem.l_quantity', v3) AS (check_name, violations)")
+    val docCols = documents.agg(
+        viol(col("text").isNull || length(col("text")) === 0).as("v1"),
+        viol(col("n_chars") =!= length(col("text"))).as("v2"))
+      .selectExpr("stack(2, " +
+        "'not_empty:documents.text', v1, " +
+        "'consistent:documents.n_chars=length(text)', v2) AS (check_name, violations)")
+    // key uniqueness: rows in excess of distinct keys
+    val pkCust = customer.agg(
+      (count(lit(1)) - countDistinct(col("c_custkey"))).as("violations"))
+      .select(lit("unique:customer.c_custkey").as("check_name"), col("violations"))
+    // FK families: orphans (+ same-key row predicates) on ONE join each
+    val ordCust = orders.join(
+        bcast(customer.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(viol(col("c_custkey").isNull).as("violations"))
+      .select(lit("fk:orders.o_custkey->customer").as("check_name"), col("violations"))
+    val liOrd = lineitem
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(
+        viol(col("o_orderkey").isNull).as("v1"),
+        viol(col("l_shipdate") < col("o_orderdate")).as("v2"))
+      .selectExpr("stack(2, " +
+        "'fk:lineitem.l_orderkey->orders', v1, " +
+        "'order:lineitem.l_shipdate>=o_orderdate', v2) AS (check_name, violations)")
+    val liPart = lineitem.join(bcast(part.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left")
+      .agg(viol(col("p_partkey").isNull).as("violations"))
+      .select(lit("fk:lineitem.l_partkey->part").as("check_name"), col("violations"))
+    liCols.unionByName(docCols).unionByName(pkCust).unionByName(ordCust)
+      .unionByName(liOrd).unionByName(liPart)
+  }
+
   val queries: Seq[Query] = Seq(
     Query(
       "q46_histogram",
@@ -441,5 +503,64 @@ object Profiling {
         FROM sorted CROSS JOIN
              (SELECT UNNEST(CAST([0.25, 0.5, 0.75, 0.95] AS DOUBLE[])) AS q) qs
         ORDER BY l_returnflag, q"""))
+    ,
+    Query(
+      "q113_dq_audit",
+      "Declarative data-quality audit (dbt-test/Deequ shape): a 10-check " +
+        "battery — accepted values, range, positivity, non-emptiness, " +
+        "derived-column consistency, key uniqueness, three FK families, " +
+        "and a cross-table temporal order rule — each reduced to one " +
+        "(check_name, violations) row. Same-table checks fuse into one " +
+        "conditional aggregate per scan; orphan and ship-before-order " +
+        "counts ride ONE lineitem joins orders pass; dims broadcast. The " +
+        "synthetic data plants a real violation: lineitems shipping " +
+        "before their order date.",
+      (s, dir) =>
+        dqAudit(Tables.customer(s, dir), Tables.orders(s, dir),
+          Tables.lineitem(s, dir), Tables.part(s, dir),
+          Tables.documents(s, dir))
+          .orderBy("check_name"),
+      Some("""
+        SELECT * FROM (
+          SELECT 'accepted_values:lineitem.l_returnflag' AS check_name,
+                 CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS violations
+          FROM lineitem
+          UNION ALL
+          SELECT 'range:lineitem.l_discount[0,0.1]',
+                 CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT 'positive:lineitem.l_quantity',
+                 CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT 'not_empty:documents.text',
+                 CAST(SUM(CASE WHEN text IS NULL OR LENGTH(text) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM documents
+          UNION ALL
+          SELECT 'consistent:documents.n_chars=length(text)',
+                 CAST(SUM(CASE WHEN n_chars <> LENGTH(text) THEN 1 ELSE 0 END) AS BIGINT)
+          FROM documents
+          UNION ALL
+          SELECT 'unique:customer.c_custkey',
+                 CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+          FROM customer
+          UNION ALL
+          SELECT 'fk:orders.o_custkey->customer',
+                 CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+          FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+          UNION ALL
+          SELECT 'fk:lineitem.l_orderkey->orders',
+                 CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+          FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+          UNION ALL
+          SELECT 'order:lineitem.l_shipdate>=o_orderdate',
+                 CAST(COUNT(*) FILTER (WHERE l.l_shipdate < o.o_orderdate) AS BIGINT)
+          FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+          UNION ALL
+          SELECT 'fk:lineitem.l_partkey->part',
+                 CAST(COUNT(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT)
+          FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        ) ORDER BY check_name"""))
   )
 }

@@ -190,6 +190,48 @@ class ProfilingIntervalsSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("dqAudit counts each planted violation class exactly once per bad row") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: Int) = new Timestamp(d * 86400000L)
+    val customer = Seq((1L, "a"), (2L, "b"), (2L, "b2"), (3L, "c"))
+      .toDF("c_custkey", "c_name")                     // dup key 2 -> 1 excess row
+    val orders = Seq(
+      (10L, 1L, ts(10)), (11L, 2L, ts(20)), (12L, 99L, ts(30))) // orphan cust 99
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val lineitem = Seq(
+      (10L, 100L, 1.0, 0.05, "A", ts(12)),  // clean
+      (10L, 100L, 2.0, 0.05, "A", ts(5)),   // ships before order date
+      (11L, 999L, 3.0, 0.2,  "X", ts(25)),  // orphan part + bad discount + bad flag
+      (77L, 100L, 0.0, 0.05, "N", ts(1)))   // orphan order + non-positive qty
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_discount",
+        "l_returnflag", "l_shipdate")
+    val part = Seq((100L, "p")).toDF("p_partkey", "p_name")
+    val docs = Seq((1L, "abc", 3L), (2L, "", 0L), (3L, "xy", 9L))
+      .toDF("doc_id", "text", "n_chars") // one empty, one n_chars lie
+    val got = Profiling.dqAudit(customer, orders, lineitem, part, docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "accepted_values:lineitem.l_returnflag" -> 1L,
+      "range:lineitem.l_discount[0,0.1]" -> 1L,
+      "positive:lineitem.l_quantity" -> 1L,
+      "not_empty:documents.text" -> 1L,
+      "consistent:documents.n_chars=length(text)" -> 1L,
+      "unique:customer.c_custkey" -> 1L,
+      "fk:orders.o_custkey->customer" -> 1L,
+      "fk:lineitem.l_orderkey->orders" -> 1L,
+      "order:lineitem.l_shipdate>=o_orderdate" -> 1L,
+      "fk:lineitem.l_partkey->part" -> 1L))
+  }
+
+  test("q113 catalog entry: only the planted ship-before-order rule fires") {
+    val rows = SparkEntry.queries("q113_dq_audit")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.size === 10)
+    assert(rows("order:lineitem.l_shipdate>=o_orderdate") > 0)
+    assert((rows - "order:lineitem.l_shipdate>=o_orderdate").values.forall(_ == 0L))
+  }
+
   test("profileColumns: nulls, duplicates, and an all-null column fold exactly") {
     import spark.implicits._
     val df = Seq(
