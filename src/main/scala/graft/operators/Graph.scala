@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Query
+import graft.sources.Tables
+
+/** Iterative graph analytics on DataFrames — PageRank, the canonical
+  * power-iteration workload (Page et al. 1999; the host-authority
+  * signal production crawls weight sources with, à la Common Crawl's
+  * harmonic-centrality ranking).
+  *
+  * Scale design: the edge frame is NORMALIZED ONCE (per-source weight
+  * fractions p = w / outw) and localCheckpointed, so each of the T
+  * iterations is exactly one edge-sized equi-join (edges ⋈ ranks on
+  * src) plus one map-side-combining sum by dst — two shuffles per
+  * round, both keyed on node id, and Catalyst reuses the ranks-side
+  * hash partitioning between rounds. Ranks are checkpoint-truncated
+  * every few rounds: without that, iteration t's lineage nests t
+  * joins deep and the planner itself becomes the bottleneck (the q40
+  * connected-components lesson). Nothing is ever collected to the
+  * driver; T is a fixed constant, so the job count is O(T), not
+  * O(data).
+  *
+  * Semantics: weighted PageRank on the UNDIRECTED bipartite graph
+  * (each edge contributes both directions), damping d, uniform
+  * teleport. Undirected means no dangling nodes — every node present
+  * has an outgoing edge — so rank mass is conserved at exactly 1 and
+  * no dangling-redistribution term is needed. Isolated nodes (no
+  * edges at all) are out of the graph by construction.
+  */
+object Graph {
+
+  /** T power-iteration rounds of weighted PageRank over undirected
+    * weighted edges (src, dst, weight) — returns (node, rank).
+    * `edges` must already be symmetric (both directions present). */
+  def pageRank(edges: DataFrame, damping: Double, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
+    // one-time normalization: p = weight / total outgoing weight(src)
+    val outw = edges.groupBy("src").agg(sum("weight").as("outw"))
+    val norm = edges.join(outw, "src")
+      .select(col("src"), col("dst"), (col("weight") / col("outw")).as("p"))
+      .localCheckpoint(eager = true)
+    val nodes = norm.select(col("src").as("node")).distinct()
+      .localCheckpoint(eager = true)
+    val n = nodes.count()
+    val teleport = (1.0 - damping) / n
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (i <- 1 to iters) {
+      val contribs = norm.join(ranks, norm("src") === ranks("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") * col("p")).as("in_mass"))
+      // undirected graph: every node has in-edges, so the join below is
+      // total — no coalesce-with-teleport-only branch needed
+      ranks = contribs
+        .select(col("node"), (lit(teleport) + lit(damping) * col("in_mass")).as("rank"))
+      // truncate lineage so round t never re-plans rounds 1..t-1
+      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint(eager = true)
+    }
+    ranks
+  }
+
+  /** The catalog graph: customer↔supplier purchase edges from
+    * orders⋈lineitem, weight = number of lineitems, symmetrized.
+    * Node encoding keeps the two key spaces disjoint: 2k for
+    * customers, 2k+1 for suppliers. */
+  def purchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("cust_node"),
+        (col("l_suppkey") * 2 + 1).as("supp_node"))
+      .agg(count(lit(1)).cast("double").as("weight"))
+    pairs.select(col("cust_node").as("src"), col("supp_node").as("dst"), col("weight"))
+      .unionByName(pairs.select(col("supp_node").as("src"),
+        col("cust_node").as("dst"), col("weight")))
+  }
+
+  val queries: Seq[Query] = Seq(
+    Query(
+      "q114_pagerank",
+      "Weighted PageRank (d=0.85, 15 rounds) over the undirected " +
+        "customer-supplier purchase graph — the source-authority signal " +
+        "crawl pipelines weight domains with. Edge fractions normalized " +
+        "once and checkpointed; each round is one edge-sized equi-join + " +
+        "one map-side-combining sum, lineage truncated every 5 rounds; " +
+        "nothing collected to the driver. Design-gated: no oracle (float " +
+        "power iteration); ScalaTest proves 1e-9 parity with a " +
+        "plain-Scala reference, unit rank-mass conservation, and " +
+        "convergence.",
+      (s, dir) =>
+        pageRank(purchaseEdges(s, dir), damping = 0.85, iters = 15)
+          .select(
+            when(col("node") % 2 === 0, lit("customer"))
+              .otherwise(lit("supplier")).as("node_type"),
+            expr("node div 2").as("entity_id"),
+            col("rank"))
+          .orderBy("node_type", "entity_id"),
+      None)
+  )
+}
