@@ -397,6 +397,84 @@ object Vocab {
       .agg(avg("nll").as("nll"), count(lit(1)).as("n_bigrams"))
   }
 
+  // ---- multinomial Naive Bayes classifier (q115) ----
+
+  /** Multinomial Naive Bayes training counts — the fastText-shaped
+    * trained filter every production curation stack runs (wiki-vs-crawl
+    * quality, language ID à la langid.py): per-(label, token)
+    * occurrence counts from ONE token-keyed map-side-combining
+    * aggregate over the labeled slice. The model is bounded by
+    * Σ per-class vocabulary (Heaps' law), not corpus size — the same
+    * argument that keeps [[unigramModel]] broadcastable keeps this
+    * C-times-larger table broadcastable. */
+  def nbModel(train: DataFrame, labelCol: String): DataFrame =
+    train.select(col(labelCol).as("label"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("label", "token")
+      .agg(count(lit(1)).as("cwt"))
+
+  /** Per-(document, class) INTEGER evidence under `model`: n_tokens,
+    * hits = Σ class count over the doc's tokens (multiplicity-weighted)
+    * and n_unseen = tokens with no count in that class. Integer columns
+    * only — the q96/q71 oracle-exactness rule; the real smoothed
+    * log-posterior (with ln) is [[nbPosterior]], ScalaTest-gated.
+    *
+    * Shape: the class list is a C-row broadcast (C is a handful), so
+    * the grid is a map-side C× fan-out of the exploded corpus — never a
+    * corpus×corpus product; the model probe is the unhinted size-gated
+    * join of [[lmFrequencyScore]]; the per-(doc, class) aggregate
+    * combines map-side. */
+  def nbEvidence(heldOut: DataFrame, model: DataFrame): DataFrame = {
+    val classes = model.select("label").distinct()
+    heldOut.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .crossJoin(broadcast(classes))
+      .join(model, Seq("token", "label"), "left")
+      .groupBy("doc_id", "label")
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum("cwt"), lit(0L)).as("hits"),
+        count(when(col("cwt").isNull, 1)).as("n_unseen"))
+  }
+
+  /** Add-one-smoothed NB log-posterior per (document, class), plus the
+    * argmax prediction: score = ln(n_docs_c / n_docs) +
+    * Σ_tokens ln((cwt + 1)/(ct + V)), V = |model vocabulary| (tokens
+    * unseen in a class — including corpus-OOV — take the 1/(ct + V)
+    * floor). Returns (doc_id, label, score, is_pred); ties in the
+    * argmax break to the lexicographically LAST label via
+    * max_by(struct(score, label)) — deterministic, engine-independent.
+    * ScalaTest-gated at 1e-12 against a plain-Scala model (ln rule). */
+  def nbPosterior(heldOut: DataFrame, model: DataFrame,
+      priors: DataFrame): DataFrame = {
+    val ct = model.groupBy("label").agg(sum("cwt").as("ct"))
+    val v = model.agg(countDistinct("token").as("__v"))
+    val nDocs = priors.agg(sum("n_docs").as("__nd"))
+    val scored = heldOut.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .crossJoin(broadcast(ct))
+      .join(model, Seq("token", "label"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("label"),
+        log((coalesce(col("cwt"), lit(0L)).cast("double") + 1.0) /
+          (col("ct").cast("double") + col("__v").cast("double"))).as("term"))
+      .groupBy("doc_id", "label")
+      .agg(sum("term").as("lik"))
+      .join(broadcast(priors), Seq("label"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("label"),
+        (col("lik") + log(col("n_docs").cast("double") /
+          col("__nd").cast("double"))).as("score"))
+    val best = scored.groupBy("doc_id")
+      .agg(max_by(col("label"), struct(col("score"), col("label"))).as("__pred"))
+    scored.join(best, Seq("doc_id"))
+      .select(col("doc_id"), col("label"), col("score"),
+        (col("label") === col("__pred")).as("is_pred"))
+  }
+
+  /** Per-class training document counts for [[nbPosterior]] priors. */
+  def nbPriors(train: DataFrame, labelCol: String): DataFrame =
+    train.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("n_docs"))
+
   val queries: Seq[Query] = Seq(
     Query(
       "q48_tfidf_terms",
@@ -738,5 +816,48 @@ object Vocab {
         FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
         LEFT JOIN scored s USING (doc_id)
         ORDER BY doc_id"""))
+    ,
+    Query(
+      "q115_nb_classify",
+      "Multinomial Naive Bayes evidence — the fastText-shaped TRAINED " +
+        "filter of a production curation stack (quality / language ID): " +
+        "per-(label, token) counts learned on the doc_id%3<>0 slice, " +
+        "held-out documents expanded over the C-row broadcast class list " +
+        "and probed against the model join, emitting integer evidence " +
+        "(n_tokens, multiplicity-weighted hits, unseen-token count) per " +
+        "(doc, class). Integer columns only (the q96/q71 ln rule); the " +
+        "smoothed log-posterior + argmax prediction is nbPosterior, " +
+        "ScalaTest-gated at 1e-12 with a planted separable corpus " +
+        "proving the discrimination path (the synthetic lang labels " +
+        "carry no text signal by construction).",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val model = nbModel(docs.filter(col("doc_id") % 3 =!= 0), "lang")
+        nbEvidence(docs.filter(col("doc_id") % 3 === 0), model)
+          .withColumnRenamed("label", "class")
+          .orderBy("doc_id", "class")
+      },
+      Some("""
+        WITH train AS (
+          SELECT lang AS label,
+                 unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+          FROM documents WHERE doc_id % 3 <> 0
+        ), cwt AS (
+          SELECT label, token, COUNT(*) AS cwt FROM train GROUP BY 1, 2
+        ), classes AS (
+          SELECT DISTINCT label FROM cwt
+        ), toks AS (
+          SELECT doc_id,
+                 unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+          FROM documents WHERE doc_id % 3 = 0
+        )
+        SELECT t.doc_id, c.label AS class,
+               COUNT(*) AS n_tokens,
+               CAST(COALESCE(SUM(m.cwt), 0) AS BIGINT) AS hits,
+               COUNT(*) FILTER (WHERE m.cwt IS NULL) AS n_unseen
+        FROM toks t CROSS JOIN classes c
+        LEFT JOIN cwt m ON m.token = t.token AND m.label = c.label
+        GROUP BY t.doc_id, c.label
+        ORDER BY doc_id, class"""))
   )
 }

@@ -460,6 +460,72 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(12L)._1 < got(3L)._1)
   }
 
+  // ---- q115 Naive Bayes classifier ----
+
+  test("nbEvidence counts multiplicity-weighted hits and unseen tokens exactly") {
+    val train = Seq(
+      ("good", "the cat sat the cat"),   // good: the=2 cat=2 sat=1
+      ("bad", "zz zz cat"))              // bad: zz=2 cat=1
+      .toDF("lang", "text").withColumnRenamed("lang", "label")
+      .withColumn("doc_id", lit(0L))
+    val model = Vocab.nbModel(train, "label")
+    val held = Seq((1L, "the cat zz unknown")).toDF("doc_id", "text")
+    val got = Vocab.nbEvidence(held, model)
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // good: the(2)+cat(2)+zz(miss)+unknown(miss) = hits 4, unseen 2
+    assert(got("good") === ((4L, 4L, 2L)))
+    // bad: the(miss)+cat(1)+zz(2)+unknown(miss) = hits 3, unseen 2
+    assert(got("bad") === ((4L, 3L, 2L)))
+  }
+
+  test("nbPosterior matches plain-Scala NB at 1e-12; separable corpus classifies perfectly") {
+    // planted separable classes: disjoint vocabularies per class
+    val vocabByClass = Map(
+      "alpha" -> Seq("ape", "axe", "ant", "arc"),
+      "beta"  -> Seq("bat", "bow", "bee", "bug"),
+      "gamma" -> Seq("gnu", "gum", "gas", "gel"))
+    val rnd = new scala.util.Random(42)
+    def doc(cls: String, n: Int): String =
+      Seq.fill(n)(vocabByClass(cls)(rnd.nextInt(4))).mkString(" ")
+    val trainRows = (for {
+      (cls, i) <- vocabByClass.keys.toSeq.sorted.zipWithIndex
+      j <- 0 until (3 + i) // unequal priors on purpose
+    } yield (cls, doc(cls, 8))).zipWithIndex
+      .map { case ((c, t), id) => (id.toLong, c, t) }
+    val train = trainRows.toDF("doc_id", "label", "text")
+    val heldRows = vocabByClass.keys.toSeq.sorted.zipWithIndex
+      .flatMap { case (c, i) => Seq((100L + i, c, doc(c, 6))) }
+    val held = heldRows.toDF("doc_id", "truth", "text")
+    val model = Vocab.nbModel(train, "label")
+    val priors = Vocab.nbPriors(train, "label")
+    val post = Vocab.nbPosterior(held.select(col("doc_id"), col("text")),
+      model, priors).collect()
+    // plain-Scala reference with the same formula
+    val tok = (s: String) => s.toLowerCase.trim.replaceAll("\\s+", " ").split(" ").toSeq
+    val cwt = trainRows.flatMap { case (_, c, t) => tok(t).map(c -> _) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ct = cwt.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val vv = cwt.keys.map(_._2).toSet.size.toDouble
+    val ndc = trainRows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nd = trainRows.size.toDouble
+    def refScore(text: String, cls: String): Double =
+      math.log(ndc(cls) / nd) + tok(text).map(t =>
+        math.log((cwt.getOrElse((cls, t), 0L) + 1.0) / (ct(cls) + vv))).sum
+    post.foreach { r =>
+      val (id, cls, score) = (r.getLong(0), r.getString(1), r.getDouble(2))
+      val text = heldRows.find(_._1 == id).get._3
+      assert(math.abs(score - refScore(text, cls)) < 1e-12,
+        s"doc $id class $cls: $score vs ${refScore(text, cls)}")
+    }
+    // separable vocabularies => the argmax recovers every true class
+    val pred = post.filter(_.getBoolean(3))
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    heldRows.foreach { case (id, truth, _) => assert(pred(id) === truth) }
+    // exactly one prediction per document
+    assert(post.count(_.getBoolean(3)) === heldRows.size)
+  }
+
   test("containmentJoin finds a planted quote asymmetrically (inner->outer only)") {
     val quote = (1 to 12).map(i => s"q$i").mkString(" ")
     val filler = (1 to 60).map(i => s"f$i").mkString(" ")
