@@ -34,7 +34,10 @@ object Recall {
     "q29_knn_ivf" -> 0.4,
     "q74_knn_pq" -> 0.5,
     "q77_knn_ivf_indexed" -> 0.4,
-    "q78_knn_pq_indexed" -> 0.5)
+    "q78_knn_pq_indexed" -> 0.5,
+    // SQ8 barely perturbs cosine ordering (8-bit per dim, asymmetric
+    // scoring): measures ~0.95+; 0.8 still catches an encode bug
+    "q116_knn_sq8" -> 0.8)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -586,6 +586,69 @@ object Similarity {
       .agg(sum(col("v").cast(DecimalType(38, 18))).as("sum_v"),
         count(lit(1)).as("n"))
 
+  // ---- int8 scalar quantization (q116) ----
+
+  /** Per-dimension quantization bounds from one corpus pass: a ONE-ROW
+    * frame (mns, spans) of D-element arrays — the Faiss SQ8 training
+    * step. Map-side-combining min/max over (dim, value) reduces to D
+    * rows before the exchange; the fold to one row is free. Spans are
+    * floored at 1e-12 so a constant dimension dequantizes to itself
+    * instead of dividing by zero. Bounds stay INSIDE the plan (the q46
+    * one-row-broadcast pattern, no driver round-trip). */
+  def sqBounds(e: DataFrame): DataFrame =
+    e.select(posexplode(col("emb")).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+      .agg(sort_array(collect_list(struct(col("d"), col("mn"), col("mx"))))
+        .as("b"))
+      .select(
+        transform(col("b"), t => t("mn")).as("mns"),
+        transform(col("b"), t => greatest(t("mx") - t("mn"), lit(1e-12)))
+          .as("spans"))
+
+  /** Quantize each vector to 8-bit codes under `bounds`:
+    * code_d = round(255 · (x_d − mn_d)/span_d) clamped to [0, 255] —
+    * map-only (bounds broadcast), 4× smaller than float32 storage (the
+    * catalog keeps codes as an int array for plan inspectability; a
+    * persisted deployment packs them into a D-byte binary column, the
+    * q74 code-byte layout). */
+  def sqEncode(e: DataFrame, bounds: DataFrame): DataFrame =
+    e.crossJoin(broadcast(bounds))
+      .withColumn("codes",
+        zip_with(zip_with(col("emb"), col("mns"), (x, m) => x - m),
+          col("spans"),
+          (xm, s) => least(greatest(round(xm / s * 255.0), lit(0.0)),
+            lit(255.0)).cast("int")))
+
+  /** Dequantized vector: x̂_d = mn_d + code_d · span_d / 255. */
+  private def sqDequant(codes: Column, mns: Column, spans: Column): Column =
+    zip_with(zip_with(codes, spans, (c, s) => c.cast("double") * s / 255.0),
+      mns, (cs, m) => cs + m)
+
+  /** Approximate top-k via int8 scalar quantization, asymmetric
+    * distance (Faiss SQ8 shape): the CORPUS lives as 8-bit codes (4×
+    * memory cut, trivially composable with the q29/q77 IVF layout for
+    * the pruned-probe scale path), queries stay float, and each
+    * candidate is scored against its dequantized reconstruction —
+    * quantization error enters once (corpus side), not twice. Same
+    * salted-tournament top-k as every ANN path (no bare window). */
+  def knnSq8(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val e = prepared(emb)
+    val bounds = sqBounds(e)
+    val codes = sqEncode(e.select(col("vec_id"), col("emb")), bounds)
+      .select(col("vec_id"), col("codes"), col("mns"), col("spans"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val deq = codes.withColumn("emb_hat",
+        sqDequant(col("codes"), col("mns"), col("spans")))
+      .withColumn("nrm_hat", l2norm(col("emb_hat")))
+    val scored = deq.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_emb"), col("q_nrm"), col("emb_hat"), col("nrm_hat"))
+          .as("score"))
+    topK(scored, k)
+  }
+
   val queries: Seq[Query] = Seq(
 
     Query(
@@ -649,6 +712,20 @@ object Similarity {
         "and tracked in RECALL_LOCAL.json. No oracle: approximate by " +
         "design.",
       (s, dir) => knnPq(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
+
+    Query(
+      "q116_knn_sq8",
+      "Approximate top-5 neighbors via int8 scalar quantization (Faiss " +
+        "SQ8): per-dimension bounds from one training pass (a one-row " +
+        "broadcast, no driver round-trip), corpus stored as 8-bit codes " +
+        "(4x memory cut; composable with the q29/q77 IVF layout for " +
+        "pruned probes), asymmetric scoring — float queries against " +
+        "dequantized reconstructions, so quantization error enters once. " +
+        "The gentlest point on the ANN compression spectrum next to " +
+        "q74's PQ (64x). Recall vs q19 gated in ScalaTest plus a " +
+        "reconstruction-error bound of half a quantization step. No " +
+        "oracle: approximate by design.",
+      (s, dir) => knnSq8(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
 
     Query(
       "q21_embed_neardup",
