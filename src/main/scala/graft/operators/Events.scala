@@ -61,6 +61,38 @@ object Events {
             coalesce(element_at(col("m"), d), lit(0L)).as("n_events")))).as("e"))
       .select(col("user_id"), col("e.day").as("day"), col("e.n_events").as("n_events"))
 
+  /** Integer-exact rolling spike detection over per-entity daily
+    * activity — the telemetry/abuse-monitoring shape (flag a day whose
+    * volume jumps a factor above the entity's trailing baseline).
+    *
+    * Semantics: day = floor(ts / 86400e9) (the engine-wide negative-
+    * safe cell math, [[Intervals.floorDiv]]); the baseline is the up-to
+    * `window` OBSERVED preceding days (a rows-frame — sparse calendars
+    * don't fabricate zero days); a spike needs ≥3 baseline days and
+    * n · base_n > factor · base_sum — the mean comparison cleared of
+    * division, so every column and the flag itself stay INTEGER-exact
+    * cross-engine (the q96/q71 rule applied to time series; a z-score
+    * variant would put doubles and sqrt in the oracle path).
+    *
+    * Scale shape: the corpus-sized pass is the daily pre-aggregate
+    * (map-side-combining count to user×day cardinality); the window
+    * then runs per-ENTITY over the compacted frame with a bounded
+    * rows-frame — never over raw events, never unpartitioned. */
+  def spikeDetect(events: DataFrame, window: Int, factor: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.select(col("user_id"),
+        expr(Intervals.floorDiv("ts", 86400L * 1000000000L)).as("day"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(-window, -1)
+    daily
+      .withColumn("base_n", count(lit(1)).over(w))
+      .withColumn("base_sum", coalesce(sum("n_events").over(w), lit(0L)))
+      .withColumn("is_spike", col("base_n") >= 3 &&
+        col("n_events") * col("base_n") > lit(factor) * col("base_sum"))
+  }
+
   val queries: Seq[Query] = Seq(
     Query(
       "q54_json_extract",
@@ -224,5 +256,35 @@ object Events {
         FROM active a JOIN first_touch f USING (user_id)
         GROUP BY 1, 2
         ORDER BY cohort, week_offset"""))
+    ,
+    Query(
+      "q117_spike_detect",
+      "Rolling spike detection over per-user daily event volume: a day " +
+        "is a spike when its count exceeds 3x the mean of the trailing " +
+        "(up to 7 observed) days with >=3 days of history — the " +
+        "telemetry/abuse-monitoring shape. The mean test rides as " +
+        "n*base_n > 3*base_sum, so every column AND the flag are " +
+        "integer-exact cross-engine. Corpus pass = one map-side-" +
+        "combining daily count; the bounded rows-frame window runs " +
+        "per-entity over the compacted user x day frame only.",
+      (s, dir) =>
+        spikeDetect(Tables.events(s, dir), window = 7, factor = 3)
+          .orderBy("user_id", "day"),
+      Some("""
+        WITH daily AS (
+          SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+                 COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2
+        ), r AS (
+          SELECT user_id, day, n_events,
+                 COUNT(*) OVER w AS base_n,
+                 CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT) AS base_sum
+          FROM daily
+          WINDOW w AS (PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT user_id, day, n_events, base_n, base_sum,
+               (base_n >= 3 AND n_events * base_n > 3 * base_sum) AS is_spike
+        FROM r ORDER BY user_id, day"""))
   )
 }

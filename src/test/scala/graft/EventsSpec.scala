@@ -76,4 +76,36 @@ class EventsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq === Seq((0L, 2L, 0L, 0L), (1L, 0L, 1L, 0L)))
   }
+
+  test("spikeDetect: baseline frame, history floor, and the 3x cut are exact") {
+    import spark.implicits._
+    val day = 86400L * 1000000000L
+    // user 1: 2,2,2 then 9 (spike: 9*3 > 3*6), then 2 (not)
+    // user 2: only 2 history days at day 3 -> never flagged
+    val ev = Seq(
+      (1L, 1L, 2), (1L, 2L, 2), (1L, 3L, 2), (1L, 4L, 9), (1L, 5L, 2),
+      (2L, 1L, 9), (2L, 2L, 1), (2L, 3L, 99))
+      .flatMap { case (u, d, n) => (1 to n).map(i => (u, d * day + i)) }
+      .toDF("user_id", "ts")
+    val got = Events.spikeDetect(ev, window = 7, factor = 3)
+      .orderBy("user_id", "day")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, 2L, 0L, 0L, false),
+      (1L, 2L, 2L, 1L, 2L, false),
+      (1L, 3L, 2L, 2L, 4L, false),
+      (1L, 4L, 9L, 3L, 6L, true),   // 9*3=27 > 3*6=18
+      (1L, 5L, 2L, 4L, 15L, false),
+      (2L, 1L, 9L, 0L, 0L, false),
+      (2L, 2L, 1L, 1L, 9L, false),
+      (2L, 3L, 99L, 2L, 10L, false))) // huge but only 2 history days
+  }
+
+  test("q117 flags at least one spike at sf0.001 and never without 3 history days") {
+    val rows = SparkEntry.queries("q117_spike_detect")(spark, sf)
+      .collect().map(r => (r.getLong(3), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (baseN, spike) => !spike || baseN >= 3 })
+  }
 }
