@@ -223,6 +223,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical: LogicalPlan
       }))
 
+    ext.injectTableFunction((FunctionIdentifier("graft_edit_join"),
+      info("graft_edit_join",
+        "graft_edit_join(view, k) - edit-distance similarity self-join " +
+          "over a (id, name) view: all pairs within Levenshtein k " +
+          "(k in {1,2}) via symmetric-deletion candidates — an " +
+          "equi-join on shared deletion variants, never an all-pairs " +
+          "product; (id_a, id_b, name_a, name_b, dist)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_edit_join(view, k)")
+        val t = SparkSession.active.table(
+          strArg("graft_edit_join", "view", args.head))
+        graft.operators.Fuzzy.editJoin(t,
+          k = intArg("graft_edit_join", "k", args(1)))
+          .queryExecution.logical: LogicalPlan
+      }))
+
+    ext.injectTableFunction((FunctionIdentifier("graft_scd2"),
+      info("graft_scd2",
+        "graft_scd2(view, keyCol, tsCol, tiebreakCol, stateCol) - " +
+          "type-2 SCD build from a change-log view: consecutive " +
+          "same-state runs collapse to version rows with validity " +
+          "intervals; (key, version, state, valid_from, valid_to, " +
+          "is_current); per-entity windows only"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "graft_scd2(view, keyCol, tsCol, tiebreakCol, stateCol)")
+        val t = SparkSession.active.table(strArg("graft_scd2", "view", args.head))
+        graft.operators.SnapshotDiff.scd2(t,
+          key = strArg("graft_scd2", "keyCol", args(1)),
+          ts = strArg("graft_scd2", "tsCol", args(2)),
+          tiebreak = strArg("graft_scd2", "tiebreakCol", args(3)),
+          state = strArg("graft_scd2", "stateCol", args(4)))
+          .queryExecution.logical: LogicalPlan
+      }))
+
     ext.injectTableFunction((FunctionIdentifier("graft_lm_bigram"),
       info("graft_lm_bigram",
         "graft_lm_bigram(corpusView, refView, floor) - bigram-LM " +

@@ -54,6 +54,29 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(viaSql.count() > 0)
   }
 
+  test("graft_edit_join TVF equals the direct editJoin path row for row") {
+    registered()
+    import spark.implicits._
+    val names = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    names.createOrReplaceTempView("graft_names")
+    val viaSql = spark.sql("SELECT * FROM graft_edit_join('graft_names', 1)")
+    assert(sorted(viaSql) === sorted(graft.operators.Fuzzy.editJoin(names, 1)))
+    assert(viaSql.count() > 0)
+  }
+
+  test("graft_scd2 TVF equals the direct scd2 path row for row") {
+    registered()
+    val ev = Tables.events(spark, sf)
+    ev.createOrReplaceTempView("graft_events")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_scd2('graft_events', 'user_id', 'ts', 'event_id', 'event_type')")
+    val direct = graft.operators.SnapshotDiff.scd2(
+      ev, "user_id", "ts", "event_id", "event_type")
+    assert(sorted(viaSql) === sorted(direct))
+    assert(viaSql.count() > 0)
+  }
+
   test("graft_lm_bigram TVF equals the direct model+score path row for row") {
     registered()
     val ref = docs.filter(col("doc_id") % 3 =!= 0)
