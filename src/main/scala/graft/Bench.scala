@@ -54,7 +54,11 @@ object Bench {
     "q94_session_bounds", "q95_quantile_sketch", "q96_lm_score",
     "q97_segment_dedup", "q98_leakage_split", "q99_containment",
     "q100_clean_manifest", "q101_token_ids", "q102_bpe_learn",
-    "q103_bpe_encode", "q104_bpe_learn_1k", "q105_pack_subword_shards")
+    "q103_bpe_encode", "q104_bpe_learn_1k", "q105_pack_subword_shards",
+    "q106_lm_bigram", "q107_compress_ratio", "q108_bm25_search",
+    "q109_knn_ivf_append", "q110_image_dedup", "q111_edit_join",
+    "q112_scd2", "q113_dq_audit", "q114_pagerank", "q115_nb_classify",
+    "q116_knn_sq8", "q117_spike_detect")
 
   /** `build` is by-name and runs AFTER the cache clear: queries that
     * persist (and eagerly materialize) intermediate frames — e.g. q17's

