@@ -123,6 +123,47 @@ object SnapshotDiff {
       .filter(col("n_rows") > 0)
   }
 
+  /** MERGE INTO — the warehouse upsert primitive (ISO SQL MERGE, the
+    * Delta/Iceberg `MERGE INTO` shape): apply a keyed change batch to a
+    * target table in ONE pass. Semantics: matched + op='D' deletes the
+    * target row; matched + op='U' replaces its payload; unmatched +
+    * op∈{'I','U'} inserts (the usual upsert liberality: an update for
+    * a row that does not exist yet inserts it); unmatched target rows
+    * pass through untouched; unmatched + op='D' is a no-op.
+    *
+    * Contract (the diffCounts/q68 convention): `source` holds one row
+    * per key — pre-compact a multi-row batch with [[latestByKey]];
+    * duplicate source keys would fan the full-outer join out and
+    * duplicate target rows. Presence travels as explicit side markers,
+    * never as payload nullity (a NULL payload value is still a row —
+    * the [[diffCounts]] lesson).
+    *
+    * Shape: ONE key-equi full-outer join (target ⋈ batch) + a map-side
+    * CASE projection — work is |target| + |batch| with the join as the
+    * only exchange; the batch side broadcasts when small. This is the
+    * row-level companion of [[refreshAgg]]'s aggregate-state merge:
+    * refreshAgg maintains derived aggregates delta-wise, mergeInto
+    * maintains the base table itself. At 100 TB the production form
+    * partitions both sides by key and rewrites only matched partitions
+    * (the Delta/Iceberg file-pruning layer — out of scope here); the
+    * JOIN SHAPE is identical. */
+  def mergeInto(target: DataFrame, source: DataFrame, key: String,
+      payload: Seq[String]): DataFrame = {
+    val tm = target.select(col(key) +: payload.map(col) :+
+      lit(true).as("__in_t"): _*)
+    val sm = source.select(col(key) +: col("__op") +:
+      payload.map(c => col(c).as(s"__s_$c")) :+ lit(true).as("__in_s"): _*)
+    tm.join(sm, Seq(key), "full_outer")
+      .filter(
+        // deletes drop matched rows; unmatched deletes are no-ops
+        !(coalesce(col("__in_s"), lit(false)) && col("__op") === "D"))
+      .filter(coalesce(col("__in_t"), lit(false)) ||
+        col("__op").isin("I", "U"))
+      .select(col(key) +: payload.map(c =>
+        when(coalesce(col("__in_s"), lit(false)) && col("__op") =!= "D",
+          col(s"__s_$c")).otherwise(col(c)).as(c)): _*)
+  }
+
   /** Type-2 slowly-changing dimension from a change log: per entity
     * (`key`), ordered by (`ts`, `tiebreak`), consecutive runs of the
     * same `state` collapse into one version row carrying its validity
@@ -324,5 +365,56 @@ object SnapshotDiff {
                lead(ts) OVER w IS NULL AS is_current
         FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY user_id, version"""))
+    ,
+    Query(
+      "q118_merge_upsert",
+      "MERGE INTO (the Delta/Iceberg warehouse upsert): one keyed change " +
+        "batch — deletes (custkey%7=0), payload updates (%5=0), inserts " +
+        "(supplier-derived new keys) — applied to the customer dimension " +
+        "in ONE full-outer key join + a map-side CASE projection; work " +
+        "is |target|+|batch|, the join is the only exchange, presence " +
+        "rides explicit side markers (never payload nullity). The " +
+        "row-level companion of q82's aggregate-state refresh.",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+          .select("c_custkey", "c_name", "c_acctbal")
+        val del = cust.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), lit("D").as("__op"),
+            lit(null).cast("string").as("c_name"),
+            lit(null).cast("double").as("c_acctbal"))
+        val upd = cust.filter(col("c_custkey") % 7 =!= 0 &&
+            col("c_custkey") % 5 === 0)
+          .select(col("c_custkey"), lit("U").as("__op"),
+            concat(col("c_name"), lit("*")).as("c_name"),
+            (col("c_acctbal") + 100.0).as("c_acctbal"))
+        val ins = Tables.supplier(s, dir)
+          .select((lit(1000000L) + col("s_suppkey")).as("c_custkey"),
+            lit("I").as("__op"), col("s_name").as("c_name"),
+            col("s_acctbal").as("c_acctbal"))
+        mergeInto(cust, del.unionByName(upd).unionByName(ins),
+          "c_custkey", Seq("c_name", "c_acctbal"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        WITH batch AS (
+          SELECT c_custkey AS k, 'D' AS op,
+                 CAST(NULL AS VARCHAR) AS name, CAST(NULL AS DOUBLE) AS bal
+          FROM customer WHERE c_custkey % 7 = 0
+          UNION ALL
+          SELECT c_custkey, 'U', c_name || '*', c_acctbal + 100.0
+          FROM customer WHERE c_custkey % 7 <> 0 AND c_custkey % 5 = 0
+          UNION ALL
+          SELECT 1000000 + s_suppkey, 'I', s_name, s_acctbal
+          FROM supplier
+        )
+        SELECT COALESCE(t.c_custkey, b.k) AS c_custkey,
+               CASE WHEN b.op IS NOT NULL AND b.op <> 'D' THEN b.name
+                    ELSE t.c_name END AS c_name,
+               CASE WHEN b.op IS NOT NULL AND b.op <> 'D' THEN b.bal
+                    ELSE t.c_acctbal END AS c_acctbal
+        FROM customer t FULL OUTER JOIN batch b ON t.c_custkey = b.k
+        WHERE (b.op IS NULL OR b.op <> 'D')
+          AND (t.c_custkey IS NOT NULL OR b.op IN ('I', 'U'))
+        ORDER BY c_custkey"""))
   )
 }

@@ -143,6 +143,31 @@ class SnapshotDiffSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"))
   }
 
+  test("mergeInto: delete, update, insert, upsert-insert, no-op delete, passthrough") {
+    import spark.implicits._
+    val target = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, null.asInstanceOf[String], 40.0))
+      .toDF("k", "name", "bal")
+    val batch = Seq(
+      (2L, "D", null, 0.0),          // delete existing
+      (3L, "U", "c2", 33.0),         // update existing
+      (5L, "I", "e", 50.0),          // plain insert
+      (6L, "U", "f", 60.0),          // upsert: update of missing key inserts
+      (9L, "D", null, 0.0))          // delete of missing key: no-op
+      .toDF("k", "__op", "name", "bal")
+    val got = SnapshotDiff.mergeInto(target, batch, "k", Seq("name", "bal"))
+      .orderBy("k")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(
+      (1L, "a", 10.0),      // untouched
+      (3L, "c2", 33.0),     // updated
+      (4L, null, 40.0),     // NULL payload row survives untouched
+      (5L, "e", 50.0),
+      (6L, "f", 60.0)))
+  }
+
   test("q82 state+delta equals full recompute (differential on sf0.001)") {
     val sf = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("q82_incr_refresh")(spark, sf)
