@@ -58,7 +58,8 @@ object Bench {
     "q106_lm_bigram", "q107_compress_ratio", "q108_bm25_search",
     "q109_knn_ivf_append", "q110_image_dedup", "q111_edit_join",
     "q112_scd2", "q113_dq_audit", "q114_pagerank", "q115_nb_classify",
-    "q116_knn_sq8", "q117_spike_detect", "q118_merge_upsert")
+    "q116_knn_sq8", "q117_spike_detect", "q118_merge_upsert",
+    "q119_stratified_quota")
 
   /** `build` is by-name and runs AFTER the cache clear: queries that
     * persist (and eagerly materialize) intermediate frames — e.g. q17's

@@ -155,6 +155,27 @@ object Sampling {
       .select(col("doc_id"), col("cluster_id"),
         splitColumn(col("cluster_id"), train, valid).as("split"))
 
+  /** Exact-quota stratified sample: exactly min(quota, |stratum|) rows
+    * per stratum, chosen by the md5-of-key order — the eval-set
+    * construction primitive. The existing samplers are PROPORTIONAL
+    * (hash-threshold q35/q44 drift ±O(√n) per stratum; weighted q47
+    * draws by priority): an eval set needs exact per-stratum counts,
+    * which means a per-stratum rank, and at 100 TB a bare per-stratum
+    * window is the q31 single-task pathology — so the rank runs on the
+    * q43 salted tournament ([[Skew.groupTopK]]): per-(stratum, salt)
+    * top-quota first, then the ≤ nSalts·quota survivors. Hash order
+    * (not physical order) makes the sample reproducible under any
+    * repartition/relayout, and (hash, key) is a total order so the
+    * result is engine-exact — the DuckDB oracle runs the naive window
+    * the operator refuses to. */
+  def stratifiedQuota(df: DataFrame, stratum: Column, key: Column,
+      quota: Int): DataFrame =
+    Skew.groupTopK(
+      df.withColumn("__h", md5(key.cast("string").cast("binary"))),
+      stratum, Seq(col("__h").asc, key.asc),
+      Seq(col("__h"), key), n = quota, nSalts = 8)
+      .drop("__h")
+
   val queries: Seq[Query] = Seq(
     Query(
       "q35_split",
@@ -321,5 +342,29 @@ object Sampling {
                     ELSE 'test' END AS split
         FROM documents d LEFT JOIN cl USING (doc_id)
         ORDER BY d.doc_id"""))
+    ,
+    Query(
+      "q119_stratified_quota",
+      "Exact-quota stratified sampling (the eval-set primitive): exactly " +
+        "min(10, |stratum|) documents per language, in md5(doc_id) order " +
+        "— reproducible under any physical relayout, exact counts where " +
+        "the proportional hash splits (q35/q44) drift. The per-stratum " +
+        "rank runs on the q43 salted tournament, never a bare stratum " +
+        "window; the oracle runs the naive row_number the operator " +
+        "refuses to, proving identical selection.",
+      (s, dir) =>
+        stratifiedQuota(Tables.documents(s, dir), col("lang"),
+          col("doc_id"), quota = 10)
+          .select(col("lang"), col("rk").cast("int").as("rk"), col("doc_id"))
+          .orderBy("lang", "rk"),
+      Some("""
+        SELECT lang, CAST(rn AS INT) AS rk, doc_id
+        FROM (
+          SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 10
+        ORDER BY lang, rk"""))
   )
 }

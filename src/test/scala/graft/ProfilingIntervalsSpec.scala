@@ -190,6 +190,27 @@ class ProfilingIntervalsSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("stratifiedQuota equals the naive per-stratum window; small strata return whole") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = ((1 to 40).map(i => (i.toLong, "big")) ++
+      (100 to 102).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "lang")
+    val got = Sampling.stratifiedQuota(df, col("lang"), col("doc_id"), quota = 5)
+      .select("lang", "rk", "doc_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val naive = df
+      .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))))
+      .filter(col("rk") <= 5)
+      .select("lang", "rk", "doc_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === naive)
+    assert(got.count(_._1 == "big") === 5)
+    assert(got.count(_._1 == "small") === 3) // stratum smaller than quota
+  }
+
   test("dqAudit counts each planted violation class exactly once per bad row") {
     import spark.implicits._
     import java.sql.Timestamp
