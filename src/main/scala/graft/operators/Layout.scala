@@ -107,6 +107,20 @@ object Layout {
     }
   }
 
+  /** Idempotently stage the documents table as JSON lines (doc_id,
+    * lang, source, text) — the interchange-boundary fixture for the
+    * q120 round trip; content-keyed like every layout stage. */
+  def jsonlDocuments(spark: SparkSession, dir: String): String = synchronized {
+    val out = "target/jsonl/graft_documents_" +
+      md5hex(s"$dir/${contentKey(spark, s"$dir/documents.parquet")}").take(8)
+    Staging.ensure(spark, out) { tmp =>
+      Tables.documents(spark, dir)
+        .select("doc_id", "lang", "source", "text")
+        .repartition(4)
+        .write.mode("overwrite").json(tmp)
+    }
+  }
+
   /** Box-predicate scan over the Z-ordered layout: per-part row counts
     * and decimal-exact quantity totals inside a 2-D key box. On the
     * clustered layout the parquet reader's min/max stats skip every
@@ -190,6 +204,34 @@ object Layout {
       },
       Some("""
         SELECT doc_id, lang, source, n_chars, text
+        FROM documents
+        ORDER BY doc_id"""))
+    ,
+    Query(
+      "q120_jsonl_roundtrip",
+      "JSON-lines interchange boundary: the documents table staged out " +
+        "as JSONL (write-once, the Staging.ensure convention) and read " +
+        "back SCHEMA-FIRST — inference would cost a second full pass at " +
+        "100 TB, so the reader never samples; JSONL splits by line, so " +
+        "the scan parallelizes like any text source. The oracle compares " +
+        "md5(text) per document against the parquet original, proving " +
+        "the JSON quote/escape round trip is byte-exact — parquet is the " +
+        "engine's format, JSONL is the ingest/export boundary.",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", StringType),
+          StructField("source", StringType), StructField("text", StringType)))
+        s.read.schema(schema).json(jsonlDocuments(s, dir))
+          .select(col("doc_id"), col("lang"), col("source"),
+            length(col("text")).as("n_chars"),
+            md5(col("text").cast("binary")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, lang, source,
+               CAST(LENGTH(text) AS INT) AS n_chars,
+               md5(text) AS text_md5
         FROM documents
         ORDER BY doc_id"""))
   )

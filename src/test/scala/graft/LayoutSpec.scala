@@ -140,4 +140,44 @@ class LayoutSpec extends AnyFunSuite {
     fs.delete(srcDir, true)
     Seq(first, second).foreach(p => fs.delete(new Path(p), true))
   }
+
+  test("JSONL round trip is byte-exact on hostile strings (escapes, unicode)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val nasty = Seq(
+      (1L, "plain text"),
+      (2L, "quotes \" and \\ backslash \\\" mixed"),
+      (3L, "newline\nand\ttab\rand\fcontrolchars"),
+      (4L, "unicode: café 中文 😀 ß"),
+      (5L, "{\"looks\":\"like json\",\"n\":[1,2]}"),
+      (6L, ""),
+      (7L, "trailing backslash \\"))
+      .toDF("doc_id", "text")
+    val out = "target/jsonl/spec_nasty"
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(out), true)
+    nasty.write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val back = spark.read.schema(schema).json(out)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    nasty.collect().foreach { r =>
+      assert(back(r.getLong(0)) === r.getString(1),
+        s"doc ${r.getLong(0)} mutated in the JSONL round trip")
+    }
+    fs.delete(new Path(out), true)
+  }
+
+  test("q120 reads the staged JSONL schema-first and matches the parquet md5s") {
+    val out = SparkEntry.queries("q120_jsonl_roundtrip")(spark, sf)
+    val viaJson = out.collect().map(r => (r.getLong(0), r.getString(4))).toMap
+    val direct = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text").cast("binary")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(viaJson === direct)
+    // schema-first: the plan must not have paid an inference pass — the
+    // reader's schema is exactly the declared one
+    assert(out.schema.fieldNames.toSeq ===
+      Seq("doc_id", "lang", "source", "n_chars", "text_md5"))
+  }
 }
