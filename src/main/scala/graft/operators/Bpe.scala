@@ -512,6 +512,28 @@ object Bpe {
       .agg(sum(coalesce(col("n_sub"),
         (length(col("word")) + 1).cast("long"))).as("n_subwords"))
 
+  /** Per-group tokenizer evaluation counters — the fertility/compression
+    * audit every tokenizer report carries (subwords-per-word and
+    * chars-per-subword by language): one tokenize-explode pass, the
+    * broadcast word→|syms| probe of [[docSubwordCounts]], and a
+    * group-keyed map-side-combining aggregate. INTEGER columns only
+    * (n_docs, n_words, n_subwords with the character-symbol OOV
+    * fallback, n_chars) — the ratios derive downstream, so the whole
+    * report stays oracle-exact (the q96/q71 rule). */
+  def fertilityByGroup(docs: DataFrame, wordSegs: DataFrame,
+      group: Column): DataFrame =
+    docs.select(group.as("grp"), col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .join(wordSegs.select(col("word"),
+        size(col("syms")).cast("long").as("n_sub")), Seq("word"), "left")
+      .groupBy("grp")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_sub"),
+          (length(col("word")) + 1).cast("long"))).as("n_subwords"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+
   /** Subword-budget shard assignment (doc_id, n_subwords, shard_id) in
     * doc_id order — the q41 `packShardsWithHandle` twin in MODEL-token
     * units: the q41 two-pass distributed prefix sum
@@ -670,5 +692,43 @@ object Bpe {
         FROM pref
         GROUP BY 1
         ORDER BY shard_id"""))
+    ,
+    Query(
+      "q121_bpe_fertility",
+      "Tokenizer evaluation report — per-language fertility and " +
+        "compression counters under the q102-learned tokenizer (the " +
+        "audit every tokenizer release ships: subwords-per-word and " +
+        "chars-per-subword by language expose a vocabulary that " +
+        "over-fragments one language): one tokenize-explode pass, the " +
+        "broadcast word->|syms| probe, one group-keyed aggregate. " +
+        "INTEGER counters only — ratios derive downstream (the q96/q71 " +
+        "rule). Oracle: DuckDB recomputes from the documents table AND " +
+        "the staged segmentation parquet (segmentations are BpeSpec-" +
+        "differential-gated), the q105 convention.",
+      (s, dir) => {
+        val (_, segs) = learnStaged(s, dir, merges = 32)
+        stagedOracleRoot =
+          Some(new java.io.File(bpeRoot(s, dir, 32)).getAbsolutePath)
+        fertilityByGroup(Tables.documents(s, dir), segs, col("lang"))
+          .withColumnRenamed("grp", "lang")
+          .orderBy("lang")
+      },
+      stagedOracleRoot.map(root => s"""
+        WITH segs AS (
+          SELECT word, CAST(len(syms) AS BIGINT) AS n_sub
+          FROM read_parquet('$root/segments/*.parquet')
+        ), tok AS (
+          SELECT doc_id, lang,
+                 unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS word
+          FROM documents
+        )
+        SELECT t.lang,
+               CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+               COUNT(*) AS n_words,
+               CAST(SUM(COALESCE(s.n_sub, length(t.word) + 1)) AS BIGINT) AS n_subwords,
+               CAST(SUM(length(t.word)) AS BIGINT) AS n_chars
+        FROM tok t LEFT JOIN segs s USING (word)
+        GROUP BY t.lang
+        ORDER BY lang"""))
   )
 }

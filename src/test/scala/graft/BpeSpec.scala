@@ -262,4 +262,24 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.learnStaged(spark, sf, merges = 32)._1.count() > 0)
     assert(states() === before)
   }
+
+  test("fertilityByGroup: exact counters incl. the character-symbol OOV fallback") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "en", "ab ab abc"),   // 2 known words + 1 known word
+      (2L, "en", "zzzz"),        // OOV: falls back to len+1 = 5 symbols
+      (3L, "de", "ab"))
+      .toDF("doc_id", "lang", "text")
+    val segs = Seq(
+      ("ab", Seq("ab</w>")),           // 1 subword
+      ("abc", Seq("ab", "c</w>")))     // 2 subwords
+      .toDF("word", "syms")
+    val got = Bpe.fertilityByGroup(docs, segs, col("lang"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // en: docs {1,2}; words: ab,ab,abc,zzzz -> 1+1+2+5 = 9 subwords,
+    // chars 2+2+3+4 = 11
+    assert(got("en") === ((2L, 4L, 9L, 11L)))
+    assert(got("de") === ((1L, 1L, 1L, 2L)))
+  }
 }
