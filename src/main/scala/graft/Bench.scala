@@ -14,9 +14,14 @@ import org.apache.spark.sql.DataFrame
   *   - the action is a `noop`-sink write, not `count()` — under a bare
   *     count Catalyst's `EliminateSorts` deletes every `orderBy`, so the
   *     declared sorts were never measured;
-  *   - one warm-up pass (JIT + file cache + parquet footer cache), then
-  *     3 timed runs per query, median reported — the round-1 single cold
-  *     shot recorded 350.9 s for a workload that steady-states at ~103 s.
+  *   - one untimed warm-up run per query IMMEDIATELY before its 3 timed
+  *     runs (JIT + file cache + staged-artifact builds), median of the
+  *     timed runs reported — the round-1 single cold shot recorded
+  *     350.9 s for a workload that steady-states at ~103 s, and the
+  *     round-10 GLOBAL warm-up pass left late queries cold again by the
+  *     time their timed runs arrived (q109 tracked 14.3 s vs 3.7 s
+  *     steady). Warm-up durations are recorded per query (`warm_sec`) so
+  *     one-time build costs are measured, not hidden.
   */
 object Bench {
 
@@ -117,34 +122,48 @@ object Bench {
         System.err.println(s"[bench] $name failed: $msg")
         Some(msg)
       }
-    // Warm-up: one full pass (never timed); remember failures so the
-    // timed phase doesn't pay 3 more exceptions per broken query.
-    val warmupErr: Map[String, String] =
-      queries.flatMap { case (n, fn) => attempt(n, fn).map(n -> _) }.toMap
-
+    // Warm-up: one untimed pass per query run IMMEDIATELY before that
+    // query's timed runs — not as a separate global pass (the round-10
+    // shape). A global pass front-loads every staged build, but by the
+    // time a late query's timed runs start, ~300 intervening runs have
+    // churned the JIT/code-gen/file caches cold again, and any one-time
+    // cost that re-surfaces (staged artifact first-build on a fresh
+    // target/, cold codegen) lands in timed run 1 and skews the median —
+    // round 10 tracked q109 at 14.3 s for a 3.7 s steady-state query.
+    // Adjacent warm-up is the RECALL frontier's per-family pattern: the
+    // timed region sees only steady state, and the warm-up's own
+    // duration is RECORDED (warm_sec in the detail artifact) so a
+    // staged build's one-time cost stays visible instead of hidden.
+    //
     // A failed timed run stops the repetition loop immediately (the
     // remaining repetitions would just pay the failure cost again) but
     // KEEPS the already-measured successful run times: the row is still
     // reported as an error (a partial median is not comparable to a
     // 3-run one), while the partial times land in the "runs" detail map
     // for diagnosis.
-    val results: Seq[(String, (Either[String, Seq[Double]], Seq[Double]))] = queries.map {
-      case (name, _) if warmupErr.contains(name) =>
-        name -> (Left(warmupErr(name)): Either[String, Seq[Double]], Seq.empty[Double])
+    val results: Seq[(String, (Either[String, Seq[Double]], Seq[Double], Double))] = queries.map {
       case (name, fn) =>
-        val times = Seq.newBuilder[Double]
-        var err = Option.empty[String]
-        var i = 0
-        while (i < 3 && err.isEmpty) {
-          val t0 = System.nanoTime()
-          attempt(name, fn) match {
-            case Some(e) => err = Some(e)
-            case None    => times += (System.nanoTime() - t0) / 1e9
-          }
-          i += 1
+        val w0 = System.nanoTime()
+        val warmErr = attempt(name, fn)
+        val warmSec = (System.nanoTime() - w0) / 1e9
+        warmErr match {
+          case Some(e) =>
+            name -> (Left(e): Either[String, Seq[Double]], Seq.empty[Double], warmSec)
+          case None =>
+            val times = Seq.newBuilder[Double]
+            var err = Option.empty[String]
+            var i = 0
+            while (i < 3 && err.isEmpty) {
+              val t0 = System.nanoTime()
+              attempt(name, fn) match {
+                case Some(e) => err = Some(e)
+                case None    => times += (System.nanoTime() - t0) / 1e9
+              }
+              i += 1
+            }
+            val ok = times.result()
+            name -> (err.toLeft(ok), ok, warmSec)
         }
-        val ok = times.result()
-        name -> (err.toLeft(ok), ok)
     }
     // stdout line is COMPACT (4-decimal medians, no raw runs): the
     // driver records only a bounded stdout tail, and the round-5 full
@@ -166,17 +185,21 @@ object Bench {
       case Left(e)   => s""""$k":{"err":"${esc(e)}"}"""
       case Right(ts) => s""""$k":${if (full) median(ts).toString else fmt(median(ts))}"""
     }
-    val qsFull = results.map { case (k, (v, _)) => qJson(k, v, full = true) }.mkString("{", ",", "}")
-    val qsShort = results.map { case (k, (v, _)) => qJson(k, v, full = false) }.mkString("{", ",", "}")
+    val qsFull = results.map { case (k, (v, _, _)) => qJson(k, v, full = true) }.mkString("{", ",", "}")
+    val qsShort = results.map { case (k, (v, _, _)) => qJson(k, v, full = false) }.mkString("{", ",", "}")
     // partial times of error rows included (Left rows with non-empty ts):
     // they are real measurements, useful to see how a query behaved
     // before its failing repetition
-    val runs = results.collect { case (k, (_, ts)) if ts.nonEmpty => s""""$k":[${ts.mkString(",")}]""" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, (Left(e), _)) => s""""$k":"${esc(e)}"""" }.mkString("{", ",", "}")
+    val runs = results.collect { case (k, (_, ts, _)) if ts.nonEmpty => s""""$k":[${ts.mkString(",")}]""" }.mkString("{", ",", "}")
+    // per-query warm-up durations: where a query's one-time cost (staged
+    // artifact build, codegen compile) is reported — a warm_sec far above
+    // the median IS the build cost, measured instead of leaked
+    val warms = results.map { case (k, (_, _, w)) => s""""$k":${fmt(w)}""" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, (Left(e), _, _)) => s""""$k":"${esc(e)}"""" }.mkString("{", ",", "}")
     val nErr = results.count(_._2._1.isLeft)
-    val total = results.collect { case (_, (Right(ts), _)) => median(ts) }.sum
+    val total = results.collect { case (_, (Right(ts), _, _)) => median(ts) }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errs,"sf":"$sfDir","runs":$runs,"loadavg_start":$loadStart,"loadavg_end":${loadavgJson()}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errs,"sf":"$sfDir","runs":$runs,"warm_sec":$warms,"loadavg_start":$loadStart,"loadavg_end":${loadavgJson()}}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()
     // last line of stdout; detail_file points the reader at the full artifact

@@ -32,8 +32,9 @@ import graft.sources.Tables
   *
   * Cache keys fold in [[Layout.contentKey]]'s file fingerprint, so a
   * source that changes under the same path invalidates the index
-  * instead of silently serving stale neighbors. Builds are
-  * `synchronized` (same-JVM) and committed by atomic rename via
+  * instead of silently serving stale neighbors. Builds serialize
+  * per-stage on [[Staging]]'s path lock (same-JVM; different indexes
+  * build concurrently) and are committed by atomic rename via
   * [[Staging]] — a half-built index (crash between writes, or a
   * concurrent process mid-build) is invisible to readers, never
   * served.
@@ -51,7 +52,7 @@ object AnnIndex {
     * `centroids/` + cluster-partitioned `lists/`. Returns the index
     * root. */
   def ivfIndex(spark: SparkSession, dir: String, centroids: Int = 256,
-      lloydIters: Int = 3): String = synchronized {
+      lloydIters: Int = 3): String = {
     val out = "target/ann/graft_ivf_" + md5hex(
       s"$dir/$centroids/$lloydIters/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
       .take(8)
@@ -106,7 +107,7 @@ object AnnIndex {
     * from-scratch assignment of the union under the same centroids
     * (asserted in AnnIndexSpec). Returns (baseRoot, deltaRoot). */
   def ivfDeltaIndex(spark: SparkSession, dir: String, centroids: Int = 256,
-      lloydIters: Int = 3): (String, String) = synchronized {
+      lloydIters: Int = 3): (String, String) = {
     val key = s"$dir/split10/$centroids/$lloydIters/" +
       Layout.contentKey(spark, s"$dir/embeddings.parquet")
     val all = Similarity.prepared(Tables.embeddings(spark, dir))
@@ -151,7 +152,7 @@ object AnnIndex {
     * `codebooks/` (m·k sub-centroids) + `codes/` (m code bytes per
     * vector). Returns the index root. */
   def pqIndex(spark: SparkSession, dir: String, m: Int = 8,
-      kCent: Int = 64, d: Int = 64): String = synchronized {
+      kCent: Int = 64, d: Int = 64): String = {
     require(d % m == 0, s"dim $d not divisible by $m subspaces")
     val out = "target/ann/graft_pq_" + md5hex(
       s"$dir/$m/$kCent/$d/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")

@@ -346,15 +346,17 @@ object Bpe {
     * every reader, same-JVM or not. `corpus` is by-name — evaluated
     * only on a build miss. */
   private def stagedTokenizer(spark: SparkSession, out: String, merges: Int,
-      minCount: Long)(corpus: => DataFrame): (DataFrame, DataFrame) =
-    synchronized {
-      Staging.ensure(spark, out) { tmp =>
-        val (rules, words) = learnCollected(corpus, merges, minCount)
-        spark.createDataFrame(rules).write.mode("overwrite").parquet(s"$tmp/merges")
-        words.write.mode("overwrite").parquet(s"$tmp/segments")
-      }
-      (spark.read.parquet(s"$out/merges"), spark.read.parquet(s"$out/segments"))
+      minCount: Long)(corpus: => DataFrame): (DataFrame, DataFrame) = {
+    // same-JVM duplicate-build elision is Staging's per-path lock
+    // (round-10 advice: an object-level synchronized here serialized
+    // trainings of DIFFERENT tokenizers behind one monitor)
+    Staging.ensure(spark, out) { tmp =>
+      val (rules, words) = learnCollected(corpus, merges, minCount)
+      spark.createDataFrame(rules).write.mode("overwrite").parquet(s"$tmp/merges")
+      words.write.mode("overwrite").parquet(s"$tmp/segments")
     }
+    (spark.read.parquet(s"$out/merges"), spark.read.parquet(s"$out/segments"))
+  }
 
   /** The staged documents-corpus tokenizer (q102/q103/q105). */
   def learnStaged(spark: SparkSession, dir: String, merges: Int)
@@ -409,23 +411,16 @@ object Bpe {
     * would be served the memoized tokenizer. LRU-capped — each entry
     * is a Heaps'-bounded local relation, and 8 distinct (view, merges)
     * tokenizers per session is already an odd workload. */
-  private val tvfMemo =
-    new java.util.LinkedHashMap[String, (Seq[MergeRule], DataFrame)](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (Seq[MergeRule], DataFrame)]): Boolean =
-        size() > 8
-    }
+  private val tvfMemo = new KeyedMemo[(Seq[MergeRule], DataFrame)](8)
 
-  def learnMemo(view: DataFrame, merges: Int): (Seq[MergeRule], DataFrame) =
-    synchronized {
-      val plan = view.queryExecution.analyzed.canonicalized
-      val key = s"$merges:${plan.semanticHash()}:$plan"
-      Option(tvfMemo.get(key)).getOrElse {
-        val r = learnCollected(view, merges)
-        tvfMemo.put(key, r)
-        r
-      }
-    }
+  // single-flight per key (KeyedMemo, round-10 advice): training runs
+  // outside the map lock, so sessions resolving DIFFERENT views never
+  // serialize behind one training run
+  def learnMemo(view: DataFrame, merges: Int): (Seq[MergeRule], DataFrame) = {
+    val plan = view.queryExecution.analyzed.canonicalized
+    val key = s"$merges:${plan.semanticHash()}:$plan"
+    tvfMemo.getOrCompute(key)(learnCollected(view, merges))
+  }
 
   // ---- encode / decode ----
 

@@ -428,26 +428,23 @@ object Dedup {
     * SQL session sweeping parameters would otherwise accumulate one
     * cached frame per parameter set for its lifetime (round-9 advice).
     * LRU-capped at 8; evicted entries are unpersisted on the way out.
-    * A memo hit whose cache was dropped by an intervening
-    * `clearCache()` recomputes through lineage — slower, never
-    * wrong. */
+    * Single-flight per key ([[KeyedMemo]], round-10 advice): the join
+    * runs outside the map lock, so concurrent sessions resolving
+    * DIFFERENT views never serialize behind one join, while two
+    * resolutions of the SAME view still compute once. Staleness is
+    * table-cache-like (documented at the TVF registration): a view
+    * whose underlying files change under the same path in-session is
+    * served the memoized result. A memo hit whose cache was dropped by
+    * an intervening `clearCache()` recomputes through lineage — slower,
+    * never wrong. */
   private val containmentMemo =
-    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, DataFrame]): Boolean =
-        if (size() > 8) { e.getValue.unpersist(); true } else false
-    }
+    new KeyedMemo[DataFrame](8, _.unpersist())
 
-  def containmentJoinMemo(docs: DataFrame, n: Int, tau: Double): DataFrame =
-    synchronized {
-      val plan = docs.queryExecution.analyzed.canonicalized
-      val key = s"$n/$tau/${plan.semanticHash()}:$plan"
-      Option(containmentMemo.get(key)).getOrElse {
-        val r = containmentJoin(docs, n, tau)
-        containmentMemo.put(key, r)
-        r
-      }
-    }
+  def containmentJoinMemo(docs: DataFrame, n: Int, tau: Double): DataFrame = {
+    val plan = docs.queryExecution.analyzed.canonicalized
+    val key = s"$n/$tau/${plan.semanticHash()}:$plan"
+    containmentMemo.getOrCompute(key)(containmentJoin(docs, n, tau))
+  }
 
   // ---- substring-level exact dedup (Lee et al. 2022 family) ----
 

@@ -52,6 +52,11 @@ object Graph {
     val nodes = norm.select(col("src").as("node")).distinct()
       .localCheckpoint(eager = true)
     val n = nodes.count()
+    // an empty graph would otherwise divide into an Infinity/NaN
+    // teleport constant and return silently-poisoned ranks (round-10
+    // advice); the symmetric-edges precondition above is what makes
+    // rank mass conserve at 1 — asserted on crafted graphs in GraphSpec
+    require(n > 0, "pageRank needs a non-empty edge frame")
     val teleport = (1.0 - damping) / n
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (i <- 1 to iters) {

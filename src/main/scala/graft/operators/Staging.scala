@@ -24,6 +24,16 @@ import org.apache.spark.sql.SparkSession
   *      (atomic on POSIX and HDFS). Readers see either nothing or the
   *      complete finished stage, never an intermediate state.
   *
+  * Residual window (documented, not closed — this is a lock-free
+  * protocol): a concurrent commit landing between the pre-delete
+  * `_SUCCESS` re-check and the delete (or between the pre-rename check
+  * and the rename, where a losing rename nests its temp root inside
+  * the winner's commit as an orphan subdirectory) is a two-metadata-op
+  * window. Content-fingerprinted keys make every competing build
+  * byte-equivalent, so the served stage is correct in all interleavings;
+  * the final marker `require` refuses to serve a destination that holds
+  * no finished stage.
+  *
   * If the rename fails because a concurrent builder won the race, the
   * loser discards its temp root and serves the winner's stage — both
   * builders computed the same content-fingerprinted artifact, so either
@@ -37,11 +47,26 @@ import org.apache.spark.sql.SparkSession
   * here precisely so that swap is one function. */
 object Staging {
 
+  /** One lock object per stage path — same-JVM build serialization is
+    * PER STAGE, not global (round-10 advice: callers' object-level
+    * `synchronized` serialized builders of unrelated stages behind one
+    * monitor). Never pruned: bounded by the number of distinct stage
+    * paths a session touches, each entry a bare Object. */
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Idempotently ensure the finished stage at `out`: if its root
     * `_SUCCESS` marker is absent, run `build(tmpRoot)` (which must
     * write every component under the given temp root) and commit via
-    * atomic rename. Returns `out`. */
-  def ensure(spark: SparkSession, out: String)(build: String => Unit): String = {
+    * atomic rename. Same-JVM callers of the SAME stage serialize here
+    * (duplicate-build elision — callers need no `synchronized` of their
+    * own); different stages build concurrently. Returns `out`. */
+  def ensure(spark: SparkSession, out: String)(build: String => Unit): String =
+    locks.computeIfAbsent(out, _ => new Object).synchronized {
+      ensureLocked(spark, out)(build)
+    }
+
+  private def ensureLocked(spark: SparkSession, out: String)(build: String => Unit): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(out)
     val fs = root.getFileSystem(conf)
@@ -50,8 +75,15 @@ object Staging {
       // markerless residue at the root (a crashed pre-rename-era build)
       // is never served by anyone — clear it so the commit rename finds
       // no destination (Hadoop's local rename would otherwise NEST the
-      // temp root inside an existing directory instead of replacing it)
-      if (fs.exists(root)) fs.delete(root, true)
+      // temp root inside an existing directory instead of replacing it).
+      // The marker is RE-CHECKED immediately before the delete (round-10
+      // advice): between the outer exists(ok) and here, a concurrent
+      // process may have committed a finished stage, and deleting it
+      // would remove an artifact cross-process readers could be
+      // mid-scan. The re-check shrinks the lost-commit window from the
+      // whole build to two adjacent metadata ops; a commit landing
+      // inside THAT window is the residual race documented below.
+      if (fs.exists(root) && !fs.exists(ok)) fs.delete(root, true)
       // nanoTime + thread id: unique enough for concurrent builders of
       // the same stage without polluting the content-keyed namespace
       val tmp = new Path(
@@ -76,6 +108,11 @@ object Staging {
       } finally {
         if (fs.exists(tmp)) fs.delete(tmp, true)
       }
+      // serve nothing unverified: whichever branch ran (our rename, a
+      // skipped rename behind a winner, or a losing rename that nested
+      // the temp root inside a winner's commit), the destination must
+      // hold the finished-stage marker before any caller reads it
+      require(fs.exists(ok), s"no finished stage marker at $out after commit")
     }
     out
   }

@@ -36,6 +36,15 @@ class GraphSpec extends AnyFunSuite {
   private def sym(e: Seq[(Long, Long, Double)]): Seq[(Long, Long, Double)] =
     e ++ e.map { case (a, b, w) => (b, a, w) }
 
+  test("an empty edge frame is refused, not silently NaN-ranked") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      Graph.pageRank(Seq.empty[(Long, Long, Double)]
+        .toDF("src", "dst", "weight"), 0.85, 5).collect()
+    }
+    assert(e.getMessage.contains("non-empty"))
+  }
+
   test("two-node symmetric graph converges to equal ranks of 1/2") {
     val got = sparkRanks(sym(Seq((1L, 2L, 3.0))), 0.85, 10)
     assert(math.abs(got(1L) - 0.5) < 1e-12 && math.abs(got(2L) - 0.5) < 1e-12)
