@@ -64,7 +64,8 @@ object Bench {
     "q109_knn_ivf_append", "q110_image_dedup", "q111_edit_join",
     "q112_scd2", "q113_dq_audit", "q114_pagerank", "q115_nb_classify",
     "q116_knn_sq8", "q117_spike_detect", "q118_merge_upsert",
-    "q119_stratified_quota", "q120_jsonl_roundtrip", "q121_bpe_fertility")
+    "q119_stratified_quota", "q120_jsonl_roundtrip", "q121_bpe_fertility",
+    "q122_bpe_byte_learn", "q123_bpe_byte_encode")
 
   /** `build` is by-name and runs AFTER the cache clear: queries that
     * persist (and eagerly materialize) intermediate frames — e.g. q17's

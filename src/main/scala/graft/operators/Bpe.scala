@@ -97,6 +97,68 @@ object Bpe {
       x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
+  // ---- byte-level alphabet (the GPT-2 byte↔unicode bijection) ----
+
+  /** The 256-entry byte→printable-char table of GPT-2's byte-level BPE
+    * (Radford et al. 2019; the `bytes_to_unicode` construction in the
+    * public openai/gpt-2 encoder): the 188 "printable" byte values
+    * (0x21–0x7E, 0xA1–0xAC, 0xAE–0xFF) map to their own code points;
+    * the remaining 68 (controls, space, DEL, 0x80–0xA0, soft hyphen)
+    * map to 0x100, 0x101, … in byte order. Every byte has exactly one
+    * single-code-point representative, so a UTF-8 byte stream becomes
+    * a plain string over a CLOSED 256-symbol alphabet — which is what
+    * structurally eliminates the OOV path: any text, any script, any
+    * binary-ish junk decomposes into in-vocabulary symbols. */
+  val ByteChar: IndexedSeq[String] = {
+    val printable =
+      ((0x21 to 0x7e) ++ (0xa1 to 0xac) ++ (0xae to 0xff)).toSet
+    val out = IndexedSeq.newBuilder[String]
+    var next = 0x100
+    (0 until 256).foreach { b =>
+      if (printable(b)) out += new String(Character.toChars(b))
+      else { out += new String(Character.toChars(next)); next += 1 }
+    }
+    out.result()
+  }
+
+  /** Inverse of [[ByteChar]]: mapped char → its byte as a 2-digit
+    * uppercase hex pair (the `unhex` feed for decoding). */
+  private val CharHex: Map[String, String] =
+    ByteChar.zipWithIndex.map { case (c, b) => c -> f"$b%02X" }.toMap
+
+  /** Byte-level initial symbol sequence of a word: its UTF-8 bytes,
+    * each mapped through [[ByteChar]], plus [[EndOfWord]]. Pure
+    * expression (no UDF): `hex(encode(word))` lays the bytes out as
+    * 2-char pairs, one `substr`+`conv` per byte position indexes the
+    * broadcast 256-entry literal table. The byte-mode twin of
+    * [[charSyms]]. */
+  def byteSyms(word: Column): Column = {
+    val lut = typedlit(ByteChar)
+    val h = hex(org.apache.spark.sql.functions.encode(word, "UTF-8"))
+    concat(
+      when(length(word) > 0,
+        transform(sequence(lit(1), (length(h) / 2).cast("int")),
+          i => element_at(lut,
+            conv(h.substr(i * 2 - 1, lit(2)), 16, 10).cast("int") + 1)))
+        .otherwise(array().cast("array<string>")),
+      array(lit(EndOfWord)))
+  }
+
+  /** Driver-side twin of [[byteSyms]]. */
+  private[graft] def byteSymsLocal(w: String): Vector[String] =
+    w.getBytes(java.nio.charset.StandardCharsets.UTF_8).toVector
+      .map(b => ByteChar(b & 0xff)) :+ EndOfWord
+
+  /** Invert the byte mapping on a word of mapped chars: char → hex
+    * pair → `unhex` → UTF-8 decode. Pure expression; the inverse of
+    * [[byteSyms]] minus the marker. */
+  private def unmapWord(w: Column): Column =
+    org.apache.spark.sql.functions.decode(
+      unhex(concat_ws("", transform(
+        sequence(lit(1), length(w)),
+        i => element_at(typedlit(CharHex), w.substr(i, lit(1)))))),
+      "UTF-8")
+
   /** (word, freq) over the corpus — the one corpus-wide pass. */
   def wordFreqs(docs: DataFrame): DataFrame =
     docs.select(explode(TextAnalysis.tokens(col("text"))).as("word"))
@@ -194,11 +256,13 @@ object Bpe {
     * reaches `minCount` (Sennrich et al.'s stopping rule). Returns the
     * merge list and the final per-word segmentations in input order. */
   def learnLocal(wordFreq: Seq[(String, Long)], merges: Int,
-      minCount: Long = 2L): (Seq[MergeRule], Seq[WordSeg]) = {
+      minCount: Long = 2L,
+      symsOf: String => Vector[String] = codePointSyms)
+      : (Seq[MergeRule], Seq[WordSeg]) = {
     import scala.collection.mutable
     val words = wordFreq.toArray
     val n = words.length
-    val syms = Array.tabulate(n)(i => codePointSyms(words(i)._1))
+    val syms = Array.tabulate(n)(i => symsOf(words(i)._1))
     def pairsOf(v: Vector[String]): Iterator[(String, String)] =
       if (v.length < 2) Iterator.empty
       else v.iterator.zip(v.iterator.drop(1))
@@ -271,12 +335,13 @@ object Bpe {
     * the final word table (word, freq, syms) as a local-relation frame
     * — bounded by the word table, parallelized by the planner when
     * consumed. Exactly equal to [[learn]]'s output (BpeSpec parity). */
-  def learnCollected(docs: DataFrame, merges: Int, minCount: Long = 2L)
+  def learnCollected(docs: DataFrame, merges: Int, minCount: Long = 2L,
+      symsOf: String => Vector[String] = codePointSyms)
       : (Seq[MergeRule], DataFrame) = {
     val spark = docs.sparkSession
     val wf = wordFreqs(docs).collect()
       .map(r => (r.getAs[String]("word"), r.getAs[Long]("freq"))).toSeq
-    val (rules, segs) = learnLocal(wf, merges, minCount)
+    val (rules, segs) = learnLocal(wf, merges, minCount, symsOf)
     (rules, spark.createDataFrame(segs))
   }
 
@@ -346,12 +411,14 @@ object Bpe {
     * every reader, same-JVM or not. `corpus` is by-name — evaluated
     * only on a build miss. */
   private def stagedTokenizer(spark: SparkSession, out: String, merges: Int,
-      minCount: Long)(corpus: => DataFrame): (DataFrame, DataFrame) = {
+      minCount: Long,
+      symsOf: String => Vector[String] = codePointSyms)
+      (corpus: => DataFrame): (DataFrame, DataFrame) = {
     // same-JVM duplicate-build elision is Staging's per-path lock
     // (round-10 advice: an object-level synchronized here serialized
     // trainings of DIFFERENT tokenizers behind one monitor)
     Staging.ensure(spark, out) { tmp =>
-      val (rules, words) = learnCollected(corpus, merges, minCount)
+      val (rules, words) = learnCollected(corpus, merges, minCount, symsOf)
       spark.createDataFrame(rules).write.mode("overwrite").parquet(s"$tmp/merges")
       words.write.mode("overwrite").parquet(s"$tmp/segments")
     }
@@ -363,6 +430,19 @@ object Bpe {
       : (DataFrame, DataFrame) =
     stagedTokenizer(spark, bpeRoot(spark, dir, merges), merges, 2L)(
       Tables.documents(spark, dir))
+
+  /** The staged BYTE-LEVEL documents-corpus tokenizer (q122/q123):
+    * same learn machinery, byte alphabet — words decompose into their
+    * UTF-8 bytes mapped through [[ByteChar]], so the learned vocabulary
+    * (plus the constant 256-symbol base) covers EVERY possible input
+    * and encode has no OOV path. */
+  def learnStagedBytes(spark: SparkSession, dir: String, merges: Int)
+      : (DataFrame, DataFrame) =
+    stagedTokenizer(spark,
+      "target/bpe/graft_bpeb_" + Bucketed.md5hex(
+        s"$dir/m$merges/bytes/${Layout.contentKey(spark, s"$dir/documents.parquet")}")
+        .take(8),
+      merges, 2L, byteSymsLocal)(Tables.documents(spark, dir))
 
   /** Every textual column in the `dir` lake as one (text) corpus — the
     * training input a LAKE-WIDE tokenizer sees (q104). The synthetic
@@ -450,11 +530,22 @@ object Bpe {
     * the id map is V rows and broadcast outright; per-doc state is
     * bounded by the document's own subword count. */
   def encode(corpus: DataFrame, wordSegs: DataFrame, ids: DataFrame): DataFrame =
+    encodeWith(corpus, wordSegs, ids, charSyms)
+
+  /** [[encode]] under the byte-level tokenizer: unseen words fall back
+    * to their mapped UTF-8 byte symbols ([[byteSyms]]) — all of which
+    * are in the base alphabet, so with [[byteVocab]]-derived ids the
+    * OOV id 0 is structurally unreachable on ANY input. */
+  def encodeBytes(corpus: DataFrame, wordSegs: DataFrame, ids: DataFrame): DataFrame =
+    encodeWith(corpus, wordSegs, ids, byteSyms)
+
+  private def encodeWith(corpus: DataFrame, wordSegs: DataFrame,
+      ids: DataFrame, fallback: Column => Column): DataFrame =
     corpus.select(col("doc_id"),
         posexplode(TextAnalysis.tokens(col("text"))).as(Seq("wpos", "word")))
       .join(wordSegs.select(col("word"), col("syms")), Seq("word"), "left")
       .select(col("doc_id"), col("wpos"),
-        posexplode(coalesce(col("syms"), charSyms(col("word"))))
+        posexplode(coalesce(col("syms"), fallback(col("word"))))
           .as(Seq("spos", "subword")))
       .join(broadcast(ids), Seq("subword"), "left")
       .groupBy("doc_id")
@@ -464,6 +555,23 @@ object Bpe {
           array_sort(collect_list(struct(col("wpos"), col("spos"),
             coalesce(col("tid"), lit(0)).as("tid")))),
           t => t("tid").cast("string"))).as("ids"))
+
+  /** Byte-mode subword vocabulary: the learned subword counts UNIONED
+    * with the constant 257-symbol base alphabet (256 byte chars +
+    * [[EndOfWord]]) at count 0 — the GPT-2 convention of seeding the
+    * vocabulary with every byte regardless of whether the training
+    * corpus exercised it. This is what makes encode total: any
+    * fallback decomposition's symbols are guaranteed an id. Learned
+    * symbols keep their counts (the base contributes 0), so their
+    * relative id order is unchanged; never-seen base symbols sort
+    * after every observed one. */
+  def byteVocab(wordSegs: DataFrame): DataFrame = {
+    val spark = wordSegs.sparkSession
+    val base = spark.createDataFrame(
+      (ByteChar :+ EndOfWord).map(s => (s, 0L))).toDF("subword", "n")
+    subwordVocab(wordSegs).unionByName(base)
+      .groupBy("subword").agg(sum("n").as("n"))
+  }
 
   /** Invert [[encode]]: (doc_id, text) with `text` the whitespace-
     * normalized original — id→subword via the broadcast V-row map,
@@ -487,6 +595,32 @@ object Bpe {
           concat(t("s").substr(lit(1), length(t("s")) - lit(EndOfWord.length)),
             lit(" ")))
           .otherwise(t("s"))))).as("text"))
+
+  /** Invert [[encodeBytes]]: (doc_id, text) with `text` the
+    * whitespace-normalized original — id→subword via the broadcast map,
+    * order restored per doc, the concatenated symbol stream split back
+    * into words at the [[EndOfWord]] markers, and each word's mapped
+    * chars inverted to UTF-8 bytes ([[unmapWord]]). Total: byte-mode
+    * ids never include OOV, so decode(encodeBytes(x)) == normalized x
+    * for EVERY input string, training corpus or not — the property
+    * that code-point mode can only promise for in-vocabulary
+    * characters (gated in BpeSpec on hostile multi-script input). */
+  def decodeBytes(encoded: DataFrame, ids: DataFrame): DataFrame =
+    encoded.select(col("doc_id"),
+        posexplode(split(col("ids"), " ")).as(Seq("pos", "tid_s")))
+      .select(col("doc_id"), col("pos"), col("tid_s").cast("int").as("tid"))
+      .join(broadcast(ids.select(col("tid"), col("subword"))), Seq("tid"), "left")
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(
+          filter(
+            split(concat_ws("", transform(
+              array_sort(collect_list(struct(col("pos"),
+                coalesce(col("subword"), lit("")).as("s")))),
+              t => t("s"))), EndOfWord),
+            w => length(w) > 0),
+          w => unmapWord(w)),
+        " ").as("text"))
 
   // ---- subword-budget shard packing (the q41 layout in MODEL tokens) ----
 
@@ -724,6 +858,44 @@ object Bpe {
                CAST(SUM(length(t.word)) AS BIGINT) AS n_chars
         FROM tok t LEFT JOIN segs s USING (word)
         GROUP BY t.lang
-        ORDER BY lang"""))
+        ORDER BY lang""")),
+
+    Query(
+      "q122_bpe_byte_learn",
+      "BYTE-LEVEL BPE merge learning (the GPT-2 mode every production " +
+        "tokenizer descends from): words decompose into their UTF-8 " +
+        "bytes mapped through the public byte-to-unicode bijection " +
+        "(Radford et al. 2019) instead of code points, so the symbol " +
+        "alphabet is CLOSED at 256 and the learned vocabulary covers " +
+        "any input — no OOV path exists, structurally. Same O(1)-job " +
+        "learn as q102 (one corpus aggregate, one Heaps'-bounded " +
+        "collect, incremental driver loop); the byte mapping is a pure " +
+        "hex/conv/lookup expression, no UDF. No oracle (iterative " +
+        "argmax); gated in BpeSpec by merge-for-merge parity with a " +
+        "plain-Scala byte-level reference on the planted corpus and " +
+        "sf0.001, plus byteSyms expression==driver-twin equality on " +
+        "hostile multi-script strings.",
+      (s, dir) => learnStagedBytes(s, dir, merges = 32)._1
+        .orderBy("rank")),
+
+    Query(
+      "q123_bpe_byte_encode",
+      "Subword-id encoding under the q122 byte-level tokenizer, with " +
+        "the vocabulary seeded by the constant 256-symbol byte " +
+        "alphabet (the GPT-2 convention): every possible input — any " +
+        "script, emoji, control bytes — encodes to non-OOV ids, and " +
+        "decode(encode(x)) == normalized x for EVERY string, not just " +
+        "the training corpus (code-point mode can only promise that " +
+        "for seen characters). Same size-gated word join + broadcast " +
+        "id map as q103. No oracle (vocabulary depends on the " +
+        "iterative learn); gated in BpeSpec by id-for-id parity with " +
+        "the plain-Scala byte-level reference, the universal decode " +
+        "round trip on hostile input, and a zero-OOV assertion.",
+      (s, dir) => {
+        val (_, segs) = learnStagedBytes(s, dir, merges = 32)
+        encodeBytes(Tables.documents(s, dir), segs,
+          subwordIds(byteVocab(segs)))
+          .orderBy("doc_id")
+      })
   )
 }

@@ -37,6 +37,30 @@ object BpeReference {
   private def cpSyms(w: String): Vector[String] =
     w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
 
+  /** Default initial symbol sequence: code points + the end marker. */
+  val cpInitial: String => Vector[String] =
+    w => cpSyms(w) :+ Bpe.EndOfWord
+
+  /** Independent construction of the GPT-2 byte→unicode table (the
+    * `bytes_to_unicode` bijection): printable byte values keep their
+    * code point; the rest get 256, 257, … in ascending byte order.
+    * Built pair-sort-style — deliberately a different shape from the
+    * engine's sequential-scan construction. */
+  val refByteChar: Vector[String] = {
+    val printable = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toVector
+    val extra = (0 to 255).filterNot(printable.contains)
+    (printable.map(b => b -> b) ++
+      extra.zipWithIndex.map { case (b, i) => b -> (256 + i) })
+      .sortBy(_._1).map { case (_, cp) => new String(Character.toChars(cp)) }
+      .toVector
+  }
+
+  /** Byte-level initial symbol sequence: UTF-8 bytes through
+    * [[refByteChar]] + the end marker. */
+  val byteInitial: String => Vector[String] =
+    w => w.getBytes(java.nio.charset.StandardCharsets.UTF_8).toVector
+      .map(b => refByteChar(b & 0xff)) :+ Bpe.EndOfWord
+
   def refTokens(text: String): Vector[String] =
     text.replaceAll("\\s+", " ").trim.toLowerCase.split(" ", -1).toVector
 
@@ -54,10 +78,11 @@ object BpeReference {
     docs.flatMap { case (_, t) => refTokens(t) }
       .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
 
-  def refLearn(wordFreq: Map[String, Long], m: Int, minCount: Long = 2L)
+  def refLearn(wordFreq: Map[String, Long], m: Int, minCount: Long = 2L,
+      initial: String => Vector[String] = cpInitial)
       : (Vector[(Int, String, String, Long)], Map[String, Vector[String]]) = {
     var segs: Map[String, Vector[String]] = wordFreq.map { case (w, _) =>
-      w -> (cpSyms(w) :+ Bpe.EndOfWord)
+      w -> initial(w)
     }
     val rules = Vector.newBuilder[(Int, String, String, Long)]
     var rank = 1
@@ -82,16 +107,21 @@ object BpeReference {
   }
 
   def refEncode(docs: Seq[(Long, String)], segs: Map[String, Vector[String]],
-      wordFreq: Map[String, Long]): Map[Long, (Long, Long, String)] = {
+      wordFreq: Map[String, Long],
+      initial: String => Vector[String] = cpInitial,
+      baseSymbols: Seq[String] = Nil): Map[Long, (Long, Long, String)] = {
     val counts = scala.collection.mutable.Map.empty[String, Long]
     for ((w, f) <- wordFreq; s <- segs(w))
       counts(s) = counts.getOrElse(s, 0L) + f
+    // byte mode seeds the vocabulary with the whole base alphabet at
+    // count 0 (never-seen symbols sort after every observed one)
+    for (s <- baseSymbols if !counts.contains(s)) counts(s) = 0L
     val tid = counts.toSeq
       .sortBy { case (s, n) => (-n, s) }(Ordering.Tuple2(Ordering.Long, cpOrder))
       .zipWithIndex.map { case ((s, _), i) => s -> (i + 1) }.toMap
     docs.map { case (id, text) =>
       val ws = refTokens(text)
-      val subs = ws.flatMap(w => segs.getOrElse(w, cpSyms(w) :+ Bpe.EndOfWord))
+      val subs = ws.flatMap(w => segs.getOrElse(w, initial(w)))
       (id, (ws.size.toLong, subs.size.toLong,
         subs.map(s => tid.getOrElse(s, 0)).mkString(" ")))
     }.toMap

@@ -282,4 +282,83 @@ class BpeSpec extends AnyFunSuite {
     assert(got("en") === ((2L, 4L, 9L, 11L)))
     assert(got("de") === ((1L, 1L, 1L, 2L)))
   }
+
+  // ---- byte-level mode (q122/q123 round-11 gates) ----
+
+  /** Multi-script strings exercising every byte-mapping regime:
+    * 1-byte ASCII, 2-byte Latin/Greek, 3-byte CJK, 4-byte emoji, soft
+    * hyphen (0xAD, a NON-printable Latin-1 byte), and a mixed token.
+    * Already lowercase — the tokenizer normalizes case, so a round
+    * trip compares against the normalized form. */
+  private val hostileDocs = Seq(
+    (1L, "hello héllo über"),
+    (2L, "日本語 текст ωμέγα"),
+    (3L, "🚀🚀 a­b mix🎉ed"),
+    (4L, ""))
+
+  test("byteSyms expression equals the driver twin on hostile multi-script words") {
+    val words = hostileDocs.flatMap(_._2.split(" ")).filter(_.nonEmpty) :+ "x"
+    val got = words.toDF("w")
+      .select(col("w"), Bpe.byteSyms(col("w")).as("syms"))
+      .as[(String, Seq[String])].collect().toMap
+    words.foreach { w =>
+      assert(got(w).toVector === Bpe.byteSymsLocal(w), s"word $w")
+    }
+    // independent-table cross-check: engine table == test-side table
+    assert(Bpe.ByteChar.toVector === BpeReference.refByteChar)
+  }
+
+  test("byte mode: planted + sf0.001 merges and ids equal the byte-level reference") {
+    Seq(planted -> planted.toDF("doc_id", "text"),
+        Tables.documents(spark, sf).select("doc_id", "text")
+          .as[(Long, String)].collect().toSeq -> Tables.documents(spark, sf))
+      .foreach { case (local, docs) =>
+        val wf = refWordFreq(local)
+        val (refRules, refSegs) =
+          refLearn(wf, 32, initial = BpeReference.byteInitial)
+        val (rules, segs) =
+          Bpe.learnCollected(docs, merges = 32, symsOf = Bpe.byteSymsLocal)
+        assert(rules.map(r => (r.rank, r.left, r.right, r.pair_count)) === refRules)
+        val enc = Bpe.encodeBytes(docs, segs.select("word", "syms"),
+            Bpe.subwordIds(Bpe.byteVocab(segs)))
+          .select("doc_id", "n_words", "n_subwords", "ids")
+          .as[(Long, Long, Long, String)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+        assert(enc === refEncode(local, refSegs, wf,
+          initial = BpeReference.byteInitial,
+          baseSymbols = BpeReference.refByteChar :+ Bpe.EndOfWord))
+      }
+  }
+
+  test("byte mode: zero OOV and a universal decode round trip on unseen hostile input") {
+    // tokenizer trained on the sf0.001 corpus — which contains NONE of
+    // the hostile scripts — then asked to encode them: every id must be
+    // non-zero (the base alphabet guarantees coverage) and decode must
+    // return the exact normalized input
+    val (_, segs) = Bpe.learnStagedBytes(spark, sf, merges = 32)
+    val ids = Bpe.subwordIds(Bpe.byteVocab(segs))
+    val hostile = hostileDocs.toDF("doc_id", "text")
+    val enc = Bpe.encodeBytes(hostile, segs.select("word", "syms"), ids)
+    val zeroIds = enc.select(explode(split(col("ids"), " ")).as("t"))
+      .filter(col("t") === "0").count()
+    assert(zeroIds === 0L, "byte mode emitted an OOV id")
+    val got = Bpe.decodeBytes(enc, ids).as[(Long, String)].collect().toMap
+    val want = hostile.select(col("doc_id"),
+        lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(got === want)
+  }
+
+  test("byte mode: decode(encodeBytes(x)) == normalized x on the training corpus") {
+    val docs = Tables.documents(spark, sf)
+    val (_, segs) = Bpe.learnStagedBytes(spark, sf, merges = 32)
+    val ids = Bpe.subwordIds(Bpe.byteVocab(segs))
+    val got = Bpe.decodeBytes(
+        Bpe.encodeBytes(docs, segs.select("word", "syms"), ids), ids)
+      .as[(Long, String)].collect().toMap
+    val want = docs.select(col("doc_id"),
+        lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(got === want)
+  }
 }
