@@ -148,6 +148,91 @@ object AnnIndex {
     Similarity.ivfProbe(lists, cent, q, nProbe, k)
   }
 
+  /** Delta-segment COMPACTION — the first of the two maintenance ops
+    * q109's scaladoc promises (the q67 small-file economics applied to
+    * `target/ann` segments): fold the delta's inverted lists into the
+    * base in ONE partition-preserving rewrite. The quantizer is
+    * untouched (compaction rewrites lists, never centroids), vectors
+    * keep their frozen-centroid assignments verbatim, so the compacted
+    * index answers every probe BIT-IDENTICALLY to the appended
+    * base ∪ delta pair (asserted in AnnIndexSpec) — it just answers
+    * from one segment instead of two (half the partition directories
+    * to list, one scan per probed cluster instead of two). At 100 TB
+    * this runs on the maintenance cadence where accumulated deltas
+    * start to dominate file counts: cost is one read+write of the
+    * lists, no training, no re-assignment, no source-corpus scan. */
+  def ivfCompactIndex(spark: SparkSession, dir: String, centroids: Int = 256,
+      lloydIters: Int = 3): String = {
+    val (baseRoot, deltaRoot) = ivfDeltaIndex(spark, dir, centroids, lloydIters)
+    val key = s"$dir/split10/$centroids/$lloydIters/" +
+      Layout.contentKey(spark, s"$dir/embeddings.parquet")
+    val out = "target/ann/graft_ivfc_" + md5hex(s"$key/compact").take(8)
+    Staging.ensure(spark, out) { tmp =>
+      spark.read.parquet(s"$baseRoot/centroids")
+        .write.mode("overwrite").parquet(s"$tmp/centroids")
+      spark.read.parquet(s"$baseRoot/lists")
+        .unionByName(spark.read.parquet(s"$deltaRoot/lists"))
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$tmp/lists")
+    }
+    out
+  }
+
+  /** IVF query over the compacted single segment — the q77 probe shape
+    * against the [[ivfCompactIndex]] artifact. */
+  def knnIvfCompacted(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+      centroids: Int = 256, nProbe: Int = 32, lloydIters: Int = 3): DataFrame = {
+    val idx = ivfCompactIndex(spark, dir, centroids, lloydIters)
+    val cent = spark.read.parquet(s"$idx/centroids")
+    val lists = spark.read.parquet(s"$idx/lists")
+    val q = Similarity.prepared(Tables.embeddings(spark, dir))
+      .filter(col("vec_id") < nQueries)
+    Similarity.ivfProbe(lists, cent, q, nProbe, k)
+  }
+
+  /** Centroid RETRAIN — the second maintenance op (drift repair): after
+    * enough appends, the frozen base-slice quantizer no longer reflects
+    * the vector distribution; retrain re-derives the centroids from the
+    * index's OWN segments (base ∪ delta lists — never a source-corpus
+    * rescan) and re-assigns every vector in one broadcast-sided map
+    * pass. Training is the same deterministic hash-order-sample +
+    * Lloyd pipeline as the from-scratch build, and the segment union
+    * carries exactly the corpus's (vec_id, emb, nrm) rows, so the
+    * retrained index is BIT-IDENTICAL to a from-scratch full-corpus
+    * index — centroids, lists, and probe answers (asserted in
+    * AnnIndexSpec). That closure is the maintenance contract: retrain
+    * restores the invariant "index == build-from-scratch" without ever
+    * touching the source table. */
+  def ivfRetrainIndex(spark: SparkSession, dir: String, centroids: Int = 256,
+      lloydIters: Int = 3): String = {
+    val (baseRoot, deltaRoot) = ivfDeltaIndex(spark, dir, centroids, lloydIters)
+    val key = s"$dir/split10/$centroids/$lloydIters/" +
+      Layout.contentKey(spark, s"$dir/embeddings.parquet")
+    val out = "target/ann/graft_ivfr_" + md5hex(s"$key/retrain").take(8)
+    Staging.ensure(spark, out) { tmp =>
+      val vecs = spark.read.parquet(s"$baseRoot/lists")
+        .unionByName(spark.read.parquet(s"$deltaRoot/lists"))
+        .select("vec_id", "emb", "nrm")
+      val cent = Similarity.ivfCentroids(vecs, centroids, lloydIters)
+      cent.write.mode("overwrite").parquet(s"$tmp/centroids")
+      Similarity.assignToCentroids(vecs, cent)
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$tmp/lists")
+      cent.unpersist()
+    }
+    out
+  }
+
+  /** IVF query over the retrained index — the q77 probe shape against
+    * the [[ivfRetrainIndex]] artifact. */
+  def knnIvfRetrained(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+      centroids: Int = 256, nProbe: Int = 32, lloydIters: Int = 3): DataFrame = {
+    val idx = ivfRetrainIndex(spark, dir, centroids, lloydIters)
+    val cent = spark.read.parquet(s"$idx/centroids")
+    val lists = spark.read.parquet(s"$idx/lists")
+    val q = Similarity.prepared(Tables.embeddings(spark, dir))
+      .filter(col("vec_id") < nQueries)
+    Similarity.ivfProbe(lists, cent, q, nProbe, k)
+  }
+
   /** Idempotently materialize the PQ index for `dir`'s embeddings:
     * `codebooks/` (m·k sub-centroids) + `codes/` (m code bytes per
     * vector). Returns the index root. */
@@ -222,6 +307,37 @@ object AnnIndex {
         "AnnIndexSpec, with delta-size and segment-disjointness " +
         "probes). No oracle: approximate by design — gated by that " +
         "equality instead.",
-      (s, dir) => knnIvfAppended(s, dir, nQueries = 10, k = 5))
+      (s, dir) => knnIvfAppended(s, dir, nQueries = 10, k = 5)),
+
+    Query(
+      "q124_knn_ivf_compact",
+      "IVF delta-segment compaction (the q67 small-file economics on " +
+        "ANN segments — the first maintenance op a production vector " +
+        "store runs): fold q109's delta lists into the base in ONE " +
+        "partition-preserving rewrite, centroids untouched, assignments " +
+        "verbatim — so the compacted single segment answers every probe " +
+        "bit-identically to the appended base-union-delta pair while " +
+        "halving the directories a probe lists. No training, no " +
+        "re-assignment, no source-corpus scan in the build; the probe " +
+        "plan stays aggregate-free and cluster-partition-pruned. No " +
+        "oracle: approximate by design — gated in AnnIndexSpec by " +
+        "bit-equality with the appended probe, a lists-union row check, " +
+        "and the no-aggregate plan assert.",
+      (s, dir) => knnIvfCompacted(s, dir, nQueries = 10, k = 5)),
+
+    Query(
+      "q125_knn_ivf_retrain",
+      "IVF centroid retrain (drift repair — the second maintenance op): " +
+        "re-derive the coarse quantizer from the index's OWN segments " +
+        "(base-union-delta lists, never a source rescan) and re-assign " +
+        "every vector in one broadcast-sided map pass. Deterministic " +
+        "training (hash-order sample + Lloyd) over exactly the corpus's " +
+        "vector rows makes the retrained index BIT-IDENTICAL to a " +
+        "from-scratch full-corpus build — centroids, lists, and probe " +
+        "answers — restoring the index==rebuild invariant appends " +
+        "erode. No oracle: approximate by design — gated in " +
+        "AnnIndexSpec by frame-for-frame equality with the q77 index " +
+        "and probe bit-equality.",
+      (s, dir) => knnIvfRetrained(s, dir, nQueries = 10, k = 5))
   )
 }

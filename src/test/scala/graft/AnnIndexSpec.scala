@@ -134,6 +134,65 @@ class AnnIndexSpec extends AnyFunSuite {
       s"appended IVF query must not train/assign:\n${aggs.mkString("\n")}")
   }
 
+  test("IVF compact: compacted search is bit-identical to the appended search") {
+    val appended = rows(AnnIndex.knnIvfAppended(spark, sf, nQueries = 10, k = 5))
+    spark.sharedState.cacheManager.clearCache()
+    val compacted = rows(AnnIndex.knnIvfCompacted(spark, sf, nQueries = 10, k = 5))
+    assert(compacted === appended)
+    assert(compacted.nonEmpty)
+  }
+
+  test("IVF compact: lists hold exactly the segment union; probe plan prunes and never re-assigns") {
+    import org.apache.spark.sql.functions.col
+    val (baseRoot, deltaRoot) = AnnIndex.ivfDeltaIndex(spark, sf)
+    val idx = AnnIndex.ivfCompactIndex(spark, sf)
+    val compacted = spark.read.parquet(s"$idx/lists")
+    val base = spark.read.parquet(s"$baseRoot/lists")
+    val delta = spark.read.parquet(s"$deltaRoot/lists")
+    assert(compacted.count() === base.count() + delta.count())
+    // assignments verbatim: every (vec_id, cluster) pair survives
+    assert(compacted.select("vec_id", "cluster")
+      .exceptAll(base.select("vec_id", "cluster")
+        .unionByName(delta.select("vec_id", "cluster"))).count() === 0)
+    val df = AnnIndex.knnIvfCompacted(spark, sf, nQueries = 10, k = 5)
+    val leaves = scanPaths(df)
+    assert(leaves.exists(_.contains("graft_ivfc_")),
+      s"expected a compacted-index scan among leaves:\n${leaves.mkString("\n")}")
+    assert(!leaves.exists(_.contains("graft_ivfb_")) &&
+      !leaves.exists(_.contains("graft_ivfd_")),
+      "compacted probe must not touch the pre-compaction segments")
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.isEmpty, s"compacted IVF probe must not train/assign:\n${aggs.mkString("\n")}")
+  }
+
+  test("IVF retrain: retrained index equals the from-scratch full index bit-for-bit") {
+    val retrained = AnnIndex.ivfRetrainIndex(spark, sf)
+    val scratch = AnnIndex.ivfIndex(spark, sf)
+    assert(rows(spark.read.parquet(s"$retrained/centroids")).sorted ===
+      rows(spark.read.parquet(s"$scratch/centroids")).sorted)
+    assert(rows(spark.read.parquet(s"$retrained/lists")).sorted ===
+      rows(spark.read.parquet(s"$scratch/lists")).sorted)
+    val viaRetrain = rows(AnnIndex.knnIvfRetrained(spark, sf, nQueries = 10, k = 5))
+    spark.sharedState.cacheManager.clearCache()
+    val viaScratch = rows(AnnIndex.knnIvfIndexed(spark, sf, nQueries = 10, k = 5))
+    assert(viaRetrain === viaScratch)
+    assert(viaRetrain.nonEmpty)
+  }
+
+  test("IVF maintenance: both ops are idempotent — re-invocation touches no file") {
+    val c = AnnIndex.ivfCompactIndex(spark, sf)
+    val r = AnnIndex.ivfRetrainIndex(spark, sf)
+    val c0 = fileStates(c)
+    val r0 = fileStates(r)
+    assert(c0.nonEmpty && r0.nonEmpty)
+    assert(AnnIndex.ivfCompactIndex(spark, sf) === c)
+    assert(AnnIndex.ivfRetrainIndex(spark, sf) === r)
+    assert(fileStates(c) === c0)
+    assert(fileStates(r) === r0)
+  }
+
   test("PQ: indexed search is bit-identical to the build-per-batch twin") {
     val fresh = rows(Similarity.knnPq(
       Tables.embeddings(spark, sf), nQueries = 10, k = 5))
