@@ -65,7 +65,8 @@ object Bench {
     "q112_scd2", "q113_dq_audit", "q114_pagerank", "q115_nb_classify",
     "q116_knn_sq8", "q117_spike_detect", "q118_merge_upsert",
     "q119_stratified_quota", "q120_jsonl_roundtrip", "q121_bpe_fertility",
-    "q122_bpe_byte_learn", "q123_bpe_byte_encode")
+    "q122_bpe_byte_learn", "q123_bpe_byte_encode", "q124_knn_ivf_compact",
+    "q125_knn_ivf_retrain", "q126_bm25_indexed")
 
   /** `build` is by-name and runs AFTER the cache clear: queries that
     * persist (and eagerly materialize) intermediate frames — e.g. q17's

@@ -139,6 +139,70 @@ class TextIndexSpec extends AnyFunSuite {
       "unexpected global SortExec in the BM25 plan")
   }
 
+  test("q126: indexed BM25 equals the in-flight form at 1e-12 with identical ranking") {
+    val terms = Seq("spark", "join", "filter")
+    val flight = TextIndex.bm25Search(Tables.documents(spark, sf), terms,
+        k = 20, k1 = 1.2, b = 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val indexed = TextIndex.bm25SearchIndexed(spark, sf, terms,
+        k = 20, k1 = 1.2, b = 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(indexed.nonEmpty)
+    assert(indexed.map(_._1).toSeq === flight.map(_._1).toSeq,
+      "indexed ranking order diverged from the in-flight form")
+    indexed.zip(flight).foreach { case ((gi, gn, gs), (_, en, es)) =>
+      assert(gn === en, s"doc $gi matched-term count")
+      assert(math.abs(gs - es) < 1e-12, s"doc $gi: $gs vs $es")
+    }
+  }
+
+  test("q126: query plan never tokenizes or reads the documents table; the scan is bucket-pruned") {
+    import spark.implicits._
+    val terms = Seq("spark", "join", "filter")
+    val df = TextIndex.bm25SearchIndexed(spark, sf, terms,
+      k = 20, k1 = 1.2, b = 0.75)
+    // no Generate: the tokenize/explode pass exists only at build time
+    val gens = df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.isEmpty, s"indexed BM25 must not explode/tokenize:\n${gens.mkString("\n")}")
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      case _ => Nil
+    }
+    assert(leaves.exists(_.contains("graft_bm25_")),
+      s"expected an index scan among leaves:\n${leaves.mkString("\n")}")
+    assert(!leaves.exists(_.contains("documents.parquet")),
+      "indexed BM25 query must never touch the documents table")
+    // execution-level pruning evidence: every file the candidate scan
+    // actually reads lives in one of the query terms' bucket directories
+    val wantBuckets = terms.map(TextIndex.termBucketLocal).distinct.toSet
+    val idx = TextIndex.bm25Index(spark, sf)
+    val files = spark.read.parquet(s"$idx/postings")
+      .filter(col("tbucket").isin(wantBuckets.toSeq: _*) &&
+        col("term").isin(terms: _*))
+      .select(input_file_name().as("f")).distinct().as[String].collect()
+    assert(files.nonEmpty)
+    files.foreach(f => assert(
+      wantBuckets.exists(bk => f.contains(s"tbucket=$bk/")),
+      s"file outside the pruned buckets: $f"))
+  }
+
+  test("termBucket expression equals the driver twin on multi-script terms") {
+    import spark.implicits._
+    val terms = Seq("spark", "join", "filter", "héllo", "日本語", "a", "🚀")
+    val got = terms.toDF("t")
+      .select(col("t"), TextIndex.termBucket(col("t")).as("b"))
+      .as[(String, Long)].collect().toMap
+    terms.foreach(t =>
+      assert(got(t) === TextIndex.termBucketLocal(t), s"term $t"))
+  }
+
   test("search plans TakeOrderedAndProject, never a corpus-wide global sort") {
     import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec, SortExec}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
