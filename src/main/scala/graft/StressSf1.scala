@@ -58,6 +58,11 @@ import graft.sources.Tables
   * the bench's noop write — the row counts ARE part of the artifact.
   * Gate: no query's sf1 time exceeds 10× its sf0.1 time
   * (linear-or-better); set-based detector pair counts exactly 10×.
+  * Each row also carries a two-point linear fit (fit_floor_sec,
+  * fit_marginal_sec_per_copy, floor_frac): floor_frac near 1 marks a
+  * base tier dominated by fixed scheduler/collect overhead, where a
+  * raw time_ratio well under 10 is expected and the marginal per-copy
+  * cost is the number the 100 TB extrapolation actually rides on.
   *
   * Writes `target/stress_sf1.json`; the tracked copy (STRESS_SF1.json)
   * is promoted explicitly after checking loadavg telemetry, like the
@@ -113,7 +118,9 @@ object StressSf1 {
 
   private val sfDir = "/root/testdata/sf0.1"
   // stride- and schema-keyed: a change must invalidate the cached corpus
-  private val stressRoot = s"target/stress_sf1_s${IdStride}_v2"
+  // (v3: events carry event_id/event_type, customer carries c_acctbal,
+  // lineitem offsets l_partkey, orders/part corpora added — round 11)
+  private val stressRoot = s"target/stress_sf1_s${IdStride}_v3"
 
   /** Idempotently build + return the 10× embeddings corpus path — shared
     * with [[Recall]]'s 10×-tier frontier sweep (round-10: the sf0.1
@@ -141,22 +148,54 @@ object StressSf1 {
     val stress = spark.read.parquet(stressPath)
     val embStress = spark.read.parquet(embStressPath)
 
-    // lineitem at 10x under remapped order keys: the key column's
-    // distinct count grows 10x (the profile's exchange must carry 10x
-    // more distinct partials) while value columns replicate verbatim —
-    // the realistic wide-table mix for the all-columns profile (q83)
+    // lineitem at 10x under remapped order AND part keys: the key
+    // columns' distinct counts grow 10x (the profile's exchange must
+    // carry 10x more distinct partials; the FK families stay aligned
+    // with the 10x orders/part tables below so dq violations replicate
+    // per family) while value columns replicate verbatim — the
+    // realistic wide-table mix for the all-columns profile (q83)
     val liStressPath = s"$stressRoot/lineitem.parquet"
     if (!Files.exists(Paths.get(liStressPath, "_SUCCESS"))) {
       val liBase = Tables.lineitem(spark, sfDir)
       (0 until Copies).map { k =>
         if (k == 0) liBase
-        else liBase.withColumn("l_orderkey",
-          col("l_orderkey") + lit(k * IdStride))
+        else liBase
+          .withColumn("l_orderkey", col("l_orderkey") + lit(k * IdStride))
+          .withColumn("l_partkey", col("l_partkey") + lit(k * IdStride))
       }.reduce(_ unionByName _)
         .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(liStressPath)
     }
     val liStress = spark.read.parquet(liStressPath)
+
+    // orders/part at 10x under the same key stride (value columns
+    // verbatim): the FK parents of the 10x lineitem — each family is a
+    // self-consistent replica, so q113's orphan/temporal violation
+    // counts are exactly 10x the base audit's
+    val ordStressPath = s"$stressRoot/orders.parquet"
+    if (!Files.exists(Paths.get(ordStressPath, "_SUCCESS"))) {
+      val oBase = Tables.orders(spark, sfDir)
+      (0 until Copies).map { k =>
+        if (k == 0) oBase
+        else oBase
+          .withColumn("o_orderkey", col("o_orderkey") + lit(k * IdStride))
+          .withColumn("o_custkey", col("o_custkey") + lit(k * IdStride))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(ordStressPath)
+    }
+    val ordStress = spark.read.parquet(ordStressPath)
+    val partStressPath = s"$stressRoot/part.parquet"
+    if (!Files.exists(Paths.get(partStressPath, "_SUCCESS"))) {
+      val pBase = Tables.part(spark, sfDir)
+      (0 until Copies).map { k =>
+        if (k == 0) pBase
+        else pBase.withColumn("p_partkey", col("p_partkey") + lit(k * IdStride))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(partStressPath)
+    }
+    val partStress = spark.read.parquet(partStressPath)
 
     // customer at 10x with family-distinct names: the "~kkk" suffix
     // keeps every cross-family distance >= 3 > k=1 (no fabricated
@@ -165,26 +204,32 @@ object StressSf1 {
     // rows exactly 10x
     val custStressPath = s"$stressRoot/customer.parquet"
     if (!Files.exists(Paths.get(custStressPath, "_SUCCESS"))) {
-      val cBase = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+      val cBase = Tables.customer(spark, sfDir)
+        .select("c_custkey", "c_name", "c_acctbal")
       (0 until Copies).map { k =>
         if (k == 0) cBase
         else cBase.select(
           (col("c_custkey") + lit(k * IdStride)).as("c_custkey"),
-          concat(col("c_name"), lit(s"~$k$k$k")).as("c_name"))
+          concat(col("c_name"), lit(s"~$k$k$k")).as("c_name"),
+          col("c_acctbal"))
       }.reduce(_ unionByName _)
         .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(custStressPath)
     }
     val custStress = spark.read.parquet(custStressPath)
 
-    // events at 10x under disjoint user families (ts verbatim): each
-    // family replays the base per-user day series -> spike rows 10x
+    // events at 10x under disjoint user families (ts/event_type
+    // verbatim, event_id offset to stay unique): each family replays
+    // the base per-user series -> spike rows AND SCD-2 version rows 10x
     val evStressPath = s"$stressRoot/events.parquet"
     if (!Files.exists(Paths.get(evStressPath, "_SUCCESS"))) {
-      val eBase = Tables.events(spark, sfDir).select("user_id", "ts")
+      val eBase = Tables.events(spark, sfDir)
+        .select("user_id", "ts", "event_id", "event_type")
       (0 until Copies).map { k =>
         if (k == 0) eBase
-        else eBase.withColumn("user_id", col("user_id") + lit(k * IdStride))
+        else eBase
+          .withColumn("user_id", col("user_id") + lit(k * IdStride))
+          .withColumn("event_id", col("event_id") + lit(k * IdStride))
       }.reduce(_ unionByName _)
         .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(evStressPath)
@@ -357,6 +402,48 @@ object StressSf1 {
         col("weight"))
     }.reduce(_ unionByName _)
 
+    // the q118 merge shape with the batch selected on the FAMILY-LOCAL
+    // key (pmod(key, IdStride) == the base key in every family), so the
+    // 10x tier replays the base delete/update/insert mix exactly
+    def mergeCase(cust: DataFrame, sup: DataFrame): DataFrame = {
+      val keyLocal = pmod(col("c_custkey"), lit(IdStride))
+      val del = cust.filter(keyLocal % 7 === 0)
+        .select(col("c_custkey"), lit("D").as("__op"),
+          lit(null).cast("string").as("c_name"),
+          lit(null).cast("double").as("c_acctbal"))
+      val upd = cust.filter(keyLocal % 7 =!= 0 && keyLocal % 5 === 0)
+        .select(col("c_custkey"), lit("U").as("__op"),
+          concat(col("c_name"), lit("*")).as("c_name"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"))
+      // inserted keys 1e6 + s_suppkey + k*IdStride stay disjoint from
+      // every family's custkey range (base keys < 1e6 << IdStride)
+      val ins = sup.select(
+        (lit(1000000L) + col("s_suppkey")).as("c_custkey"),
+        lit("I").as("__op"), col("s_name").as("c_name"),
+        col("s_acctbal").as("c_acctbal"))
+      operators.SnapshotDiff.mergeInto(cust,
+        del.unionByName(upd).unionByName(ins),
+        "c_custkey", Seq("c_name", "c_acctbal"))
+    }
+
+    // persisted ANN segments for the q109 build/probe rows — ensured
+    // (or reused) UNTIMED like the corpora: those rows measure the
+    // steady-state ingest/query cost, not the one-time index build
+    val annBase = operators.AnnIndex.ivfDeltaIndex(spark, sfDir)
+    val annSfRoot = operators.AnnIndex.ivfIndex(spark, sfDir)
+    val annStressRoot = {
+      val out = s"$stressRoot/ann_ivf"
+      operators.Staging.ensure(spark, out) { tmp =>
+        val e = Similarity.prepared(embStress)
+        val cent = Similarity.ivfCentroids(e, 256, 3)
+        cent.write.mode("overwrite").parquet(s"$tmp/centroids")
+        Similarity.assignToCentroids(e, cent)
+          .write.mode("overwrite").partitionBy("cluster").parquet(s"$tmp/lists")
+        cent.unpersist()
+      }
+      out
+    }
+
     // the composed paths: full in-memory pipeline chain (q76's semantic
     // twin — the catalog entry's parquet stage writes are write-once and
     // excluded on purpose: the stress measures the COMPUTE chain), and
@@ -414,7 +501,76 @@ object StressSf1 {
             liStress,
             numeric = Seq("l_orderkey", "l_quantity", "l_extendedprice",
               "l_discount", "l_tax"),
-            other = Seq("l_returnflag", "l_linestatus", "l_shipdate"))))
+            other = Seq("l_returnflag", "l_linestatus", "l_shipdate"))),
+        // SCD-2 over the 10x event log: disjoint user families replay
+        // the base per-user version chains -> version rows exactly 10x;
+        // per-entity windows only, so the exchange is user-keyed
+        ("q112_scd2",
+          () => operators.SnapshotDiff.scd2(
+            Tables.events(spark, sfDir).withColumn("ts",
+              expr(operators.Intervals.floorDiv("ts", 1000L))),
+            key = "user_id", ts = "ts", tiebreak = "event_id",
+            state = "event_type"),
+          () => operators.SnapshotDiff.scd2(
+            evStress.withColumn("ts",
+              expr(operators.Intervals.floorDiv("ts", 1000L))),
+            key = "user_id", ts = "ts", tiebreak = "event_id",
+            state = "event_type")),
+        // declarative DQ audit over the 10x warehouse (lineitem/orders/
+        // customer/part families key-aligned, documents the 10x corpus):
+        // output is the constant 10-row battery at both tiers — each
+        // family replays the base violations, so the gate is the time
+        // ratio of the fused scans + the one lineitem-orders join
+        ("q113_dq_audit",
+          () => operators.Profiling.dqAudit(
+            Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
+            Tables.lineitem(spark, sfDir), Tables.part(spark, sfDir),
+            Tables.documents(spark, sfDir)),
+          () => operators.Profiling.dqAudit(
+            custStress, ordStress, liStress, partStress, stress)),
+        // MERGE INTO over the 10x dimension: the change batch selects on
+        // the FAMILY-LOCAL key (pmod(key, IdStride)), so every family
+        // replays the base delete/update/insert mix exactly -> merged
+        // rows exactly 10x; the full-outer key join is the only exchange
+        ("q118_merge_upsert",
+          () => mergeCase(Tables.customer(spark, sfDir)
+              .select("c_custkey", "c_name", "c_acctbal"),
+            Tables.supplier(spark, sfDir)
+              .select("s_suppkey", "s_name", "s_acctbal")),
+          () => mergeCase(custStress,
+            (0 until Copies).map { k =>
+              val sBase = Tables.supplier(spark, sfDir)
+                .select("s_suppkey", "s_name", "s_acctbal")
+              if (k == 0) sBase
+              else sBase.withColumn("s_suppkey",
+                col("s_suppkey") + lit(k * IdStride))
+            }.reduce(_ unionByName _))),
+        // q109 build form — the per-ingest cost of the incremental IVF
+        // index: one broadcast-centroid assignment pass over the delta
+        // arrivals (frozen centroids read from the persisted index, the
+        // production shape); delta rows exactly 10x, cost map-linear
+        ("q109_ivf_delta_build",
+          () => Similarity.assignToCentroids(
+            Similarity.prepared(Tables.embeddings(spark, sfDir))
+              .filter(col("vec_id") % 10 === 0),
+            spark.read.parquet(s"${annBase._1}/centroids")),
+          () => Similarity.assignToCentroids(
+            Similarity.prepared(embStress).filter(col("vec_id") % 10 === 0),
+            spark.read.parquet(s"$annStressRoot/centroids"))),
+        // q109/q77 probe form — the steady-state query cost against the
+        // persisted single-segment index (both indexes pre-built
+        // untimed): constant 10-query/top-5 output, the gate is the
+        // time ratio of the partition-pruned nProbe/C list scan
+        ("q109_ivf_probe",
+          () => Similarity.ivfProbe(
+            spark.read.parquet(s"$annSfRoot/lists"),
+            spark.read.parquet(s"$annSfRoot/centroids"),
+            Similarity.prepared(Tables.embeddings(spark, sfDir))
+              .filter(col("vec_id") < 10), 32, 5),
+          () => Similarity.ivfProbe(
+            spark.read.parquet(s"$annStressRoot/lists"),
+            spark.read.parquet(s"$annStressRoot/centroids"),
+            Similarity.prepared(embStress).filter(col("vec_id") < 10), 32, 5)))
 
     // ONE untimed warm-up (JIT + file cache) before any timed row: on a
     // fresh JVM the first timed query otherwise absorbs ~5 s of cold
@@ -440,8 +596,19 @@ object StressSf1 {
         f"sf1 $s1%6.1f s / $rows1%,d rows  (time x${s1 / s01}%.1f, rows x${rows1.toDouble / math.max(rows01, 1)}%.1f)")
       (name, s01, rows01, s1, rows1)
     }
+    // two-point linear fit t(c) = floor + c·marginal over the 1-copy and
+    // 10-copy tiers (round-10 verdict: four of five >2.5x ratios were
+    // the same fixed-overhead pattern explained in prose — the artifact
+    // now separates floor from slope directly). floor_frac ~ 1 means
+    // the base tier is scheduler/collect overhead and a raw time_ratio
+    // far below 10 is EXPECTED; fit_marginal_sec_per_copy is the honest
+    // per-copy cost the 100 TB extrapolation rides on. A sublinear pair
+    // (s1 < s01, ambient noise) clamps marginal to 0 and floor to s01.
     val json = results.map { case (name, s01, rows01, s1, rows1) =>
-      s""""$name":{"sf0.1_sec":$s01,"sf0.1_rows":$rows01,"sf1_sec":$s1,"sf1_rows":$rows1,"time_ratio":${s1 / s01}}"""
+      val marginal = math.max(0.0, (s1 - s01) / (Copies - 1).toDouble)
+      val floor = math.max(0.0, s01 - marginal)
+      val floorFrac = if (s01 > 0) floor / s01 else 0.0
+      s""""$name":{"sf0.1_sec":$s01,"sf0.1_rows":$rows01,"sf1_sec":$s1,"sf1_rows":$rows1,"time_ratio":${s1 / s01},"fit_floor_sec":$floor,"fit_marginal_sec_per_copy":$marginal,"floor_frac":$floorFrac}"""
     }.mkString("{", ",", "}")
     val out =
       s"""{"metric":"stress_sf1","copies":$Copies,"queries":$json,"loadavg_start":$loadStart,"loadavg_end":${Bench.loadavgJson()}}"""

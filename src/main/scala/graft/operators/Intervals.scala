@@ -38,7 +38,7 @@ object Intervals {
     * floor division on the whole long range. Shared across the operator
     * families that bin time axes (here and [[Events]]) so the engine has
     * ONE negative-safe cell-math convention. */
-  private[operators] def floorDiv(x: String, w: Long): String =
+  private[graft] def floorDiv(x: String, w: Long): String =
     s"(($x - pmod($x, ${w}L)) div ${w}L)"
 
   /** All overlapping pairs of `iv` (columns: id, key, s, e — closed
