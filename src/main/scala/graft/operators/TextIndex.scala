@@ -164,19 +164,80 @@ object TextIndex {
       s"$dir/b$TermBuckets/${Layout.contentKey(spark, s"$dir/documents.parquet")}")
       .take(8)
     Staging.ensure(spark, out) { tmp =>
-      val docs = Tables.documents(spark, dir)
-      val toks = TextAnalysis.tokens(col("text"))
-      docs.agg(count(lit(1)).as("__n"),
-          sum(size(toks).cast("long")).as("__sumdl"))
-        .write.mode("overwrite").parquet(s"$tmp/meta")
-      docs.select(col("doc_id"), size(toks).cast("long").as("dl"),
-          explode(toks).as("term"))
-        .groupBy("term", "doc_id", "dl")
-        .agg(count(lit(1)).as("tf"))
-        .withColumn("tbucket", termBucket(col("term")))
-        .write.mode("overwrite").partitionBy("tbucket").parquet(s"$tmp/postings")
+      writeIndexSegment(Tables.documents(spark, dir), tmp)
     }
     out
+  }
+
+  /** One index segment under `tmp`: `meta/` (n_docs, Σdl — one row) +
+    * `postings/` partitioned by term bucket. Shared by the full build
+    * and the incremental segments: postings are DOC-LOCAL aggregates
+    * (each (term, doc, dl, tf) row depends on its document alone), so
+    * building per segment produces exactly the rows a full build
+    * produces — the property that makes append closed under
+    * composition. */
+  private def writeIndexSegment(docs: DataFrame, tmp: String): Unit = {
+    val toks = TextAnalysis.tokens(col("text"))
+    docs.agg(count(lit(1)).as("__n"),
+        sum(size(toks).cast("long")).as("__sumdl"))
+      .write.mode("overwrite").parquet(s"$tmp/meta")
+    docs.select(col("doc_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tbucket", termBucket(col("term")))
+      .write.mode("overwrite").partitionBy("tbucket").parquet(s"$tmp/postings")
+  }
+
+  /** Incremental BM25 index growth — the LSM shape q109 gives the
+    * vector store, applied to the text index: the BASE segment (over
+    * the `doc_id % 10 <> 0` slice) is built once and never rewritten;
+    * the `% 10 = 0` arrivals become a DELTA segment holding only their
+    * own postings and their own one-row meta. Append cost is
+    * delta-sized — postings are doc-local, so no base rescan can ever
+    * be needed, and the corpus bounds recompose by ADDITION (two longs)
+    * rather than re-aggregation. Queries read base ∪ delta postings
+    * (both bucket-pruned) and sum the two metas; df comes from the
+    * unioned candidate rows, which equal the full index's rows exactly
+    * — so the appended index ranks every query identically to a
+    * from-scratch full build (gated in TextIndexSpec). Returns
+    * (baseRoot, deltaRoot). */
+  def bm25DeltaIndex(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (String, String) = {
+    val key = s"$dir/split10/b$TermBuckets/" +
+      Layout.contentKey(spark, s"$dir/documents.parquet")
+    val baseRoot = "target/text/graft_bm25b_" + Bucketed.md5hex(key).take(8)
+    Staging.ensure(spark, baseRoot) { tmp =>
+      writeIndexSegment(
+        Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 0), tmp)
+    }
+    val deltaRoot = "target/text/graft_bm25d_" + Bucketed.md5hex(s"$key/delta").take(8)
+    Staging.ensure(spark, deltaRoot) { tmp =>
+      writeIndexSegment(
+        Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0), tmp)
+    }
+    (baseRoot, deltaRoot)
+  }
+
+  /** [[bm25SearchIndexed]] over the appended (base ∪ delta) index:
+    * both postings segments bucket-pruned and term-filtered, metas
+    * summed (a 2-row bounded aggregate), the same ranking tail. */
+  def bm25SearchAppended(spark: org.apache.spark.sql.SparkSession, dir: String,
+      terms: Seq[String], k: Int, k1: Double, b: Double): DataFrame = {
+    require(terms.nonEmpty, "bm25SearchAppended needs at least one term")
+    require(terms.distinct.size == terms.size, s"duplicate query terms: $terms")
+    val (baseRoot, deltaRoot) = bm25DeltaIndex(spark, dir)
+    val buckets = terms.map(termBucketLocal).distinct
+    def seg(root: String): DataFrame =
+      spark.read.parquet(s"$root/postings")
+        .filter(col("tbucket").isin(buckets: _*) && col("term").isin(terms: _*))
+        .select("term", "doc_id", "dl", "tf")
+    val cand = seg(baseRoot).unionByName(seg(deltaRoot))
+    val bounds = spark.read.parquet(s"$baseRoot/meta")
+      .unionByName(spark.read.parquet(s"$deltaRoot/meta"))
+      .agg(sum("__n").cast("long").as("__n"),
+        sum("__sumdl").cast("long").as("__sumdl"))
+    bm25Rank(cand, bounds, k, k1, b)
   }
 
   /** [[bm25Search]] over the persisted index: the query plan holds NO
@@ -262,6 +323,25 @@ object TextIndex {
         "form, identical ranking order, and plan asserts (no Generate, " +
         "no documents scan, pruned partition count).",
       (s, dir) => bm25SearchIndexed(s, dir,
+        Seq("spark", "join", "filter"), k = 20, k1 = 1.2, b = 0.75)),
+
+    Query(
+      "q127_bm25_append",
+      "Incremental BM25 index growth (the q109 LSM shape on the text " +
+        "index): the base segment over doc_id%10<>0 is built once and " +
+        "never rewritten; the %10=0 arrivals become a delta segment " +
+        "holding only their own postings and one-row meta — append " +
+        "cost is delta-sized because postings are DOC-LOCAL aggregates " +
+        "(no base rescan can be needed) and the corpus bounds " +
+        "recompose by adding two longs. Queries read base-union-delta " +
+        "postings (both bucket-pruned), sum the metas, and rank with " +
+        "the shared tail; the unioned candidate rows equal the full " +
+        "index's rows exactly, so the appended index ranks every query " +
+        "identically to a from-scratch build. No oracle (ln scores); " +
+        "gated in TextIndexSpec by identical ranking + 1e-12 scores vs " +
+        "BOTH the full persisted index and the in-flight form, segment " +
+        "disjointness/completeness, and the no-Generate plan assert.",
+      (s, dir) => bm25SearchAppended(s, dir,
         Seq("spark", "join", "filter"), k = 20, k1 = 1.2, b = 0.75))
   )
 }

@@ -193,6 +193,55 @@ class TextIndexSpec extends AnyFunSuite {
       s"file outside the pruned buckets: $f"))
   }
 
+  test("q127: appended BM25 ranks identically to the full index and the in-flight form") {
+    val terms = Seq("spark", "join", "filter")
+    val appended = TextIndex.bm25SearchAppended(spark, sf, terms,
+        k = 20, k1 = 1.2, b = 0.75)
+    // no Generate anywhere: both segments are persisted postings
+    val gens = appended.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.isEmpty, "appended BM25 must not explode/tokenize")
+    val got = appended.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    Seq(
+      TextIndex.bm25SearchIndexed(spark, sf, terms, k = 20, k1 = 1.2, b = 0.75),
+      TextIndex.bm25Search(Tables.documents(spark, sf), terms,
+        k = 20, k1 = 1.2, b = 0.75)
+    ).foreach { twin =>
+      val want = twin.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.map(_._1).toSeq === want.map(_._1).toSeq,
+        "appended ranking order diverged")
+      got.zip(want).foreach { case ((gi, gn, gs), (_, en, es)) =>
+        assert(gn === en, s"doc $gi matched-term count")
+        assert(math.abs(gs - es) < 1e-12, s"doc $gi: $gs vs $es")
+      }
+    }
+  }
+
+  test("q127: segments are disjoint, complete, and delta-sized") {
+    import spark.implicits._
+    val (baseRoot, deltaRoot) = TextIndex.bm25DeltaIndex(spark, sf)
+    val base = spark.read.parquet(s"$baseRoot/postings")
+    val delta = spark.read.parquet(s"$deltaRoot/postings")
+    assert(delta.filter(col("doc_id") % 10 =!= 0).count() === 0)
+    assert(base.filter(col("doc_id") % 10 === 0).count() === 0)
+    // segment metas sum to the full corpus bounds
+    val metas = spark.read.parquet(s"$baseRoot/meta")
+      .unionByName(spark.read.parquet(s"$deltaRoot/meta"))
+      .agg(sum("__n"), sum("__sumdl")).as[(Long, Long)].collect().head
+    val idx = TextIndex.bm25Index(spark, sf)
+    val full = spark.read.parquet(s"$idx/meta")
+      .as[(Long, Long)].collect().head
+    assert(metas === full, "segment metas must sum to the full-index bounds")
+    // postings union equals the full index's postings row set
+    assert(base.unionByName(delta)
+      .exceptAll(spark.read.parquet(s"$idx/postings")).count() === 0)
+    assert(base.count() + delta.count() ===
+      spark.read.parquet(s"$idx/postings").count())
+  }
+
   test("termBucket expression equals the driver twin on multi-script terms") {
     import spark.implicits._
     val terms = Seq("spark", "join", "filter", "héllo", "日本語", "a", "🚀")
