@@ -223,6 +223,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical: LogicalPlan
       }))
 
+    ext.injectTableFunction((FunctionIdentifier("graft_bm25_indexed"),
+      info("graft_bm25_indexed",
+        "graft_bm25_indexed(dataDir, termsCsv, k) - graft_bm25 served " +
+          "from the persisted term-bucketed index of dataDir's " +
+          "documents table (built once, content-keyed, committed by " +
+          "atomic rename; later calls reuse it): top-k (doc_id, " +
+          "n_terms, score) at index cost — the query plan never " +
+          "tokenizes or reads the documents table. Interactive " +
+          "retrieval's SQL front door"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_bm25_indexed(dataDir, termsCsv, k)")
+        val dir = strArg("graft_bm25_indexed", "dataDir", args.head)
+        val terms = strArg("graft_bm25_indexed", "termsCsv", args(1))
+          .split(',').toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
+        if (terms.isEmpty) throw new IllegalArgumentException(
+          "graft_bm25_indexed: termsCsv must contain at least one non-empty term")
+        graft.operators.TextIndex.bm25SearchIndexed(SparkSession.active, dir,
+          terms, k = intArg("graft_bm25_indexed", "k", args(2)),
+          k1 = 1.2, b = 0.75)
+          .queryExecution.logical: LogicalPlan
+      }))
+
     ext.injectTableFunction((FunctionIdentifier("graft_edit_join"),
       info("graft_edit_join",
         "graft_edit_join(view, k) - edit-distance similarity self-join " +

@@ -282,6 +282,65 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("byte-level BPE matches the byte-level reference on random multi-byte corpora") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    // the alphabet mixes 1-, 2- and 3-byte UTF-8 characters, so the
+    // byte decomposition genuinely differs from the code-point one
+    // (an ASCII-only corpus would make the two modes coincide and the
+    // test vacuous); merges can fuse ACROSS a character's bytes, the
+    // regime code-point mode cannot reach
+    val alphabet = Vector("a", "b", "é", "ß", "日")
+    (1L to 4L).foreach { run =>
+      val nDocs = sample(Gen.choose(4, 12), run + 3)
+      val nWords = sample(Gen.choose(4, 10), run + 11)
+      val m = sample(Gen.choose(3, 14), run + 23)
+      val seed = mix(run + 131)
+      val lexicon = (1 to nWords).map { w =>
+        val len = 1 + bounded(seed + w * 31, 0, 4)
+        (0 until len).map(j =>
+          alphabet(bounded(seed + w * 37 + j, 0, alphabet.size - 1))).mkString
+      }
+      val rows = (1 to nDocs).map { i =>
+        val len = bounded(seed + i * 41, 0, 15)
+        (i.toLong, (0 until len)
+          .map(j => lexicon(bounded(seed + i * 43 + j, 0, lexicon.size - 1)))
+          .mkString(" "))
+      }
+      val docs = rows.toDF("doc_id", "text")
+      val wf = BpeReference.refWordFreq(rows)
+      Seq(2L, 1L).foreach { mc =>
+        val (refR, refS) =
+          BpeReference.refLearn(wf, m, minCount = mc,
+            initial = BpeReference.byteInitial)
+        val (locRules, locSegs) =
+          Bpe.learnLocal(wf.toSeq, m, minCount = mc, symsOf = Bpe.byteSymsLocal)
+        assert(locRules.map(r => (r.rank, r.left, r.right, r.pair_count))
+          === refR, s"run $run minCount=$mc (m=$m, lexicon=$lexicon)")
+        assert(locSegs.map(ws => ws.word -> ws.syms.toVector).toMap
+          === refS, s"run $run minCount=$mc")
+      }
+      val (_, words) = Bpe.learnCollected(docs, merges = m,
+        symsOf = Bpe.byteSymsLocal)
+      val ids = Bpe.subwordIds(Bpe.byteVocab(words))
+      val enc = Bpe.encodeBytes(docs, words.select("word", "syms"), ids)
+      val got = enc.select("doc_id", "n_words", "n_subwords", "ids")
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val (_, refSegs) = BpeReference.refLearn(wf, m,
+        initial = BpeReference.byteInitial)
+      assert(got === BpeReference.refEncode(rows, refSegs, wf,
+        initial = BpeReference.byteInitial,
+        baseSymbols = BpeReference.refByteChar :+ Bpe.EndOfWord), s"run $run")
+      // universal round trip on the random corpus
+      val dec = Bpe.decodeBytes(enc, ids).as[(Long, String)].collect().toMap
+      val want = rows.map { case (id, t) =>
+        id -> t.replaceAll("\\s+", " ").trim.toLowerCase
+      }.toMap
+      assert(dec === want, s"run $run decode round trip")
+    }
+  }
+
   test("histogram conserves row count and never bins outside [0, nBins) (random data)") {
     import spark.implicits._
     (1L to 5L).foreach { run =>

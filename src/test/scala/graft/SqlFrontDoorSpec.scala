@@ -54,6 +54,15 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(viaSql.count() > 0)
   }
 
+  test("graft_bm25_indexed TVF equals the direct persisted-index path row for row") {
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_bm25_indexed('$sf', 'spark, join, filter', 20)")
+    val direct = graft.operators.TextIndex.bm25SearchIndexed(spark, sf,
+      Seq("spark", "join", "filter"), k = 20, k1 = 1.2, b = 0.75)
+    assert(sorted(viaSql) === sorted(direct))
+    assert(viaSql.count() > 0)
+  }
+
   test("graft_edit_join TVF equals the direct editJoin path row for row") {
     registered()
     import spark.implicits._
