@@ -431,6 +431,18 @@ object StressSf1 {
     // steady-state ingest/query cost, not the one-time index build
     val annBase = operators.AnnIndex.ivfDeltaIndex(spark, sfDir)
     val annSfRoot = operators.AnnIndex.ivfIndex(spark, sfDir)
+
+    // persisted BM25 index over the 10x corpus (base tier reuses the
+    // content-keyed sf0.1 index), both ensured untimed — the q126 row
+    // measures the pruned-scan query, not the build
+    val bm25SfRoot = operators.TextIndex.bm25Index(spark, sfDir)
+    val bm25StressRoot = {
+      val out = s"$stressRoot/text_bm25"
+      operators.Staging.ensure(spark, out) { tmp =>
+        operators.TextIndex.writeIndexSegment(stress, tmp)
+      }
+      out
+    }
     val annStressRoot = {
       val out = s"$stressRoot/ann_ivf"
       operators.Staging.ensure(spark, out) { tmp =>
@@ -557,6 +569,34 @@ object StressSf1 {
           () => Similarity.assignToCentroids(
             Similarity.prepared(embStress).filter(col("vec_id") % 10 === 0),
             spark.read.parquet(s"$annStressRoot/centroids"))),
+        // byte-level encode at 10x, compute form (the q103 convention:
+        // the in-flight byte-mode learn rides inside the timed window):
+        // one row per document -> rows exactly 10x; the corpus-side
+        // cost is the explode + broadcast word/ids joins
+        ("q123_bpe_byte_encode",
+          () => {
+            val (_, words) = operators.Bpe.learnCollected(base, merges = 32,
+              symsOf = operators.Bpe.byteSymsLocal)
+            operators.Bpe.encodeBytes(base, words.select("word", "syms"),
+              operators.Bpe.subwordIds(operators.Bpe.byteVocab(words)))
+          },
+          () => {
+            val (_, words) = operators.Bpe.learnCollected(stress, merges = 32,
+              symsOf = operators.Bpe.byteSymsLocal)
+            operators.Bpe.encodeBytes(stress, words.select("word", "syms"),
+              operators.Bpe.subwordIds(operators.Bpe.byteVocab(words)))
+          }),
+        // persisted-index BM25 query at 10x (indexes pre-built untimed):
+        // the query terms live in copy 0 only, so candidates and the
+        // top-20 output are constant — the row gates the linearity of
+        // the bucket-pruned, term-filtered index scan (the pruned
+        // partitions hold 10x the postings; the term pushdown discards
+        // the suffixed families at the scan)
+        ("q126_bm25_indexed",
+          () => operators.TextIndex.bm25SearchAt(spark, bm25SfRoot,
+            Seq("spark", "join", "filter"), k = 20, k1 = 1.2, b = 0.75),
+          () => operators.TextIndex.bm25SearchAt(spark, bm25StressRoot,
+            Seq("spark", "join", "filter"), k = 20, k1 = 1.2, b = 0.75)),
         // q109/q77 probe form — the steady-state query cost against the
         // persisted single-segment index (both indexes pre-built
         // untimed): constant 10-query/top-5 output, the gate is the

@@ -176,7 +176,7 @@ object TextIndex {
     * building per segment produces exactly the rows a full build
     * produces — the property that makes append closed under
     * composition. */
-  private def writeIndexSegment(docs: DataFrame, tmp: String): Unit = {
+  private[graft] def writeIndexSegment(docs: DataFrame, tmp: String): Unit = {
     val toks = TextAnalysis.tokens(col("text"))
     docs.agg(count(lit(1)).as("__n"),
         sum(size(toks).cast("long")).as("__sumdl"))
@@ -247,10 +247,16 @@ object TextIndex {
     * tail ([[bm25Rank]]), so scores match the in-flight form (gated in
     * TextIndexSpec at 1e-12 with identical ranking order). */
   def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
-      terms: Seq[String], k: Int, k1: Double, b: Double): DataFrame = {
+      terms: Seq[String], k: Int, k1: Double, b: Double): DataFrame =
+    bm25SearchAt(spark, bm25Index(spark, dir), terms, k, k1, b)
+
+  /** The indexed query against an explicit index root — shared by the
+    * dir-keyed form above and harnesses that stage their own segment
+    * (the stress suite's 10× corpus). */
+  private[graft] def bm25SearchAt(spark: org.apache.spark.sql.SparkSession,
+      idx: String, terms: Seq[String], k: Int, k1: Double, b: Double): DataFrame = {
     require(terms.nonEmpty, "bm25SearchIndexed needs at least one term")
     require(terms.distinct.size == terms.size, s"duplicate query terms: $terms")
-    val idx = bm25Index(spark, dir)
     val buckets = terms.map(termBucketLocal).distinct
     val cand = spark.read.parquet(s"$idx/postings")
       .filter(col("tbucket").isin(buckets: _*) && col("term").isin(terms: _*))
