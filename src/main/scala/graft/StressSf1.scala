@@ -530,8 +530,11 @@ object StressSf1 {
             state = "event_type")),
         // declarative DQ audit over the 10x warehouse (lineitem/orders/
         // customer/part families key-aligned, documents the 10x corpus):
-        // output is the constant 10-row battery at both tiers — each
-        // family replays the base violations, so the gate is the time
+        // output is the constant 10-row battery at both tiers. The
+        // key-aligned tables replay the base FK/uniqueness/temporal
+        // violations per family; the two DOCUMENTS checks do not (the
+        // stress corpus rewrites text and recomputes n_chars, so those
+        // violations exist in copy 0 only) — the gate is the time
         // ratio of the fused scans + the one lineitem-orders join
         ("q113_dq_audit",
           () => operators.Profiling.dqAudit(

@@ -77,8 +77,24 @@ object AnnIndex {
     * (dynamic partition pruning); no training or corpus-assignment
     * stage exists in this plan at all. */
   def knnIvfIndexed(spark: SparkSession, dir: String, nQueries: Int, k: Int,
-      centroids: Int = 256, nProbe: Int = 32, lloydIters: Int = 3): DataFrame = {
-    val idx = ivfIndex(spark, dir, centroids, lloydIters)
+      centroids: Int = 256, nProbe: Int = 32, lloydIters: Int = 3): DataFrame =
+    probeAt(spark, dir, ivfIndex(spark, dir, centroids, lloydIters),
+      nQueries, k, nProbe)
+
+  /** The shared cache-key string of the split-10 delta-index family —
+    * ONE definition so the base/delta/compact/retrain artifacts can
+    * never silently decouple from the segments they derive from (a key
+    * edit here re-keys all four together). */
+  private def deltaKey(spark: SparkSession, dir: String, centroids: Int,
+      lloydIters: Int): String =
+    s"$dir/split10/$centroids/$lloydIters/" +
+      Layout.contentKey(spark, s"$dir/embeddings.parquet")
+
+  /** The q77 probe shape against any persisted single-segment index
+    * root: read centroids + lists, probe with the first `nQueries`
+    * embeddings. */
+  private def probeAt(spark: SparkSession, dir: String, idx: String,
+      nQueries: Int, k: Int, nProbe: Int): DataFrame = {
     val cent = spark.read.parquet(s"$idx/centroids")
     val lists = spark.read.parquet(s"$idx/lists")
     val q = Similarity.prepared(Tables.embeddings(spark, dir))
@@ -108,8 +124,7 @@ object AnnIndex {
     * (asserted in AnnIndexSpec). Returns (baseRoot, deltaRoot). */
   def ivfDeltaIndex(spark: SparkSession, dir: String, centroids: Int = 256,
       lloydIters: Int = 3): (String, String) = {
-    val key = s"$dir/split10/$centroids/$lloydIters/" +
-      Layout.contentKey(spark, s"$dir/embeddings.parquet")
+    val key = deltaKey(spark, dir, centroids, lloydIters)
     val all = Similarity.prepared(Tables.embeddings(spark, dir))
     val baseRoot = "target/ann/graft_ivfb_" + md5hex(key).take(8)
     Staging.ensure(spark, baseRoot) { tmp =>
@@ -164,8 +179,7 @@ object AnnIndex {
   def ivfCompactIndex(spark: SparkSession, dir: String, centroids: Int = 256,
       lloydIters: Int = 3): String = {
     val (baseRoot, deltaRoot) = ivfDeltaIndex(spark, dir, centroids, lloydIters)
-    val key = s"$dir/split10/$centroids/$lloydIters/" +
-      Layout.contentKey(spark, s"$dir/embeddings.parquet")
+    val key = deltaKey(spark, dir, centroids, lloydIters)
     val out = "target/ann/graft_ivfc_" + md5hex(s"$key/compact").take(8)
     Staging.ensure(spark, out) { tmp =>
       spark.read.parquet(s"$baseRoot/centroids")
@@ -180,14 +194,9 @@ object AnnIndex {
   /** IVF query over the compacted single segment — the q77 probe shape
     * against the [[ivfCompactIndex]] artifact. */
   def knnIvfCompacted(spark: SparkSession, dir: String, nQueries: Int, k: Int,
-      centroids: Int = 256, nProbe: Int = 32, lloydIters: Int = 3): DataFrame = {
-    val idx = ivfCompactIndex(spark, dir, centroids, lloydIters)
-    val cent = spark.read.parquet(s"$idx/centroids")
-    val lists = spark.read.parquet(s"$idx/lists")
-    val q = Similarity.prepared(Tables.embeddings(spark, dir))
-      .filter(col("vec_id") < nQueries)
-    Similarity.ivfProbe(lists, cent, q, nProbe, k)
-  }
+      centroids: Int = 256, nProbe: Int = 32, lloydIters: Int = 3): DataFrame =
+    probeAt(spark, dir, ivfCompactIndex(spark, dir, centroids, lloydIters),
+      nQueries, k, nProbe)
 
   /** Centroid RETRAIN — the second maintenance op (drift repair): after
     * enough appends, the frozen base-slice quantizer no longer reflects
@@ -205,8 +214,7 @@ object AnnIndex {
   def ivfRetrainIndex(spark: SparkSession, dir: String, centroids: Int = 256,
       lloydIters: Int = 3): String = {
     val (baseRoot, deltaRoot) = ivfDeltaIndex(spark, dir, centroids, lloydIters)
-    val key = s"$dir/split10/$centroids/$lloydIters/" +
-      Layout.contentKey(spark, s"$dir/embeddings.parquet")
+    val key = deltaKey(spark, dir, centroids, lloydIters)
     val out = "target/ann/graft_ivfr_" + md5hex(s"$key/retrain").take(8)
     Staging.ensure(spark, out) { tmp =>
       val vecs = spark.read.parquet(s"$baseRoot/lists")
@@ -224,14 +232,9 @@ object AnnIndex {
   /** IVF query over the retrained index — the q77 probe shape against
     * the [[ivfRetrainIndex]] artifact. */
   def knnIvfRetrained(spark: SparkSession, dir: String, nQueries: Int, k: Int,
-      centroids: Int = 256, nProbe: Int = 32, lloydIters: Int = 3): DataFrame = {
-    val idx = ivfRetrainIndex(spark, dir, centroids, lloydIters)
-    val cent = spark.read.parquet(s"$idx/centroids")
-    val lists = spark.read.parquet(s"$idx/lists")
-    val q = Similarity.prepared(Tables.embeddings(spark, dir))
-      .filter(col("vec_id") < nQueries)
-    Similarity.ivfProbe(lists, cent, q, nProbe, k)
-  }
+      centroids: Int = 256, nProbe: Int = 32, lloydIters: Int = 3): DataFrame =
+    probeAt(spark, dir, ivfRetrainIndex(spark, dir, centroids, lloydIters),
+      nQueries, k, nProbe)
 
   /** Idempotently materialize the PQ index for `dir`'s embeddings:
     * `codebooks/` (m·k sub-centroids) + `codes/` (m code bytes per

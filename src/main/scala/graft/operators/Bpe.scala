@@ -126,8 +126,19 @@ object Bpe {
   private val CharHex: Map[String, String] =
     ByteChar.zipWithIndex.map { case (c, b) => c -> f"$b%02X" }.toMap
 
+  /** Byte-mode end-of-word marker: U+0144, the first code point PAST
+    * the remap range (0x100–0x143), so it is provably OUTSIDE the
+    * 256-char byte alphabet — no concatenation of byte symbols can
+    * ever contain it, which is what makes [[decodeBytes]]'s split
+    * genuinely total. Code-point mode's literal-string `"</w>"` marker
+    * is IN-BAND there (a document containing the ASCII text `</w>`
+    * would decode wrong — the documented Sennrich-representation
+    * ambiguity); byte mode exists to make every input round-trip, so
+    * it gets the out-of-band marker. */
+  val ByteEndOfWord = "\u0144"
+
   /** Byte-level initial symbol sequence of a word: its UTF-8 bytes,
-    * each mapped through [[ByteChar]], plus [[EndOfWord]]. Pure
+    * each mapped through [[ByteChar]], plus [[ByteEndOfWord]]. Pure
     * expression (no UDF): `hex(encode(word))` lays the bytes out as
     * 2-char pairs, one `substr`+`conv` per byte position indexes the
     * broadcast 256-entry literal table. The byte-mode twin of
@@ -141,13 +152,13 @@ object Bpe {
           i => element_at(lut,
             conv(h.substr(i * 2 - 1, lit(2)), 16, 10).cast("int") + 1)))
         .otherwise(array().cast("array<string>")),
-      array(lit(EndOfWord)))
+      array(lit(ByteEndOfWord)))
   }
 
   /** Driver-side twin of [[byteSyms]]. */
   private[graft] def byteSymsLocal(w: String): Vector[String] =
     w.getBytes(java.nio.charset.StandardCharsets.UTF_8).toVector
-      .map(b => ByteChar(b & 0xff)) :+ EndOfWord
+      .map(b => ByteChar(b & 0xff)) :+ ByteEndOfWord
 
   /** Invert the byte mapping on a word of mapped chars: char → hex
     * pair → `unhex` → UTF-8 decode. Pure expression; the inverse of
@@ -440,7 +451,7 @@ object Bpe {
       : (DataFrame, DataFrame) =
     stagedTokenizer(spark,
       "target/bpe/graft_bpeb_" + Bucketed.md5hex(
-        s"$dir/m$merges/bytes/${Layout.contentKey(spark, s"$dir/documents.parquet")}")
+        s"$dir/m$merges/bytes-oob-marker/${Layout.contentKey(spark, s"$dir/documents.parquet")}")
         .take(8),
       merges, 2L, byteSymsLocal)(Tables.documents(spark, dir))
 
@@ -568,7 +579,7 @@ object Bpe {
   def byteVocab(wordSegs: DataFrame): DataFrame = {
     val spark = wordSegs.sparkSession
     val base = spark.createDataFrame(
-      (ByteChar :+ EndOfWord).map(s => (s, 0L))).toDF("subword", "n")
+      (ByteChar :+ ByteEndOfWord).map(s => (s, 0L))).toDF("subword", "n")
     subwordVocab(wordSegs).unionByName(base)
       .groupBy("subword").agg(sum("n").as("n"))
   }
@@ -617,7 +628,7 @@ object Bpe {
             split(concat_ws("", transform(
               array_sort(collect_list(struct(col("pos"),
                 coalesce(col("subword"), lit("")).as("s")))),
-              t => t("s"))), EndOfWord),
+              t => t("s"))), ByteEndOfWord),
             w => length(w) > 0),
           w => unmapWord(w)),
         " ").as("text"))

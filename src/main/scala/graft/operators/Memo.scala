@@ -26,9 +26,19 @@ package graft.operators
   * never a wrong result. */
 final class KeyedMemo[V](capacity: Int, onEvict: V => Unit = null) {
 
-  private final class Cell(compute: () => V) {
+  private final class Cell(compute0: () => V) {
+    // dropped after initialization: the closure captures its caller's
+    // environment (a Dataset, its analyzed plan, session state) and
+    // holding it for the cached entry's lifetime would pin all of that
+    // beyond the memoized value itself
+    private var compute = compute0
     @volatile var done = false
-    lazy val value: V = { val v = compute(); done = true; v }
+    lazy val value: V = {
+      val v = compute()
+      compute = null
+      done = true
+      v
+    }
   }
 
   private val lru = new java.util.LinkedHashMap[String, Cell](16, 0.75f, true) {
@@ -53,8 +63,14 @@ final class KeyedMemo[V](capacity: Int, onEvict: V => Unit = null) {
       case e: Throwable =>
         // a failed cell holds the FAILING caller's closure — drop it so
         // the next request installs a fresh cell (its own closure)
-        // instead of replaying the dead one forever
-        lru.synchronized { if (lru.get(key) eq cell) lru.remove(key) }
+        // instead of replaying the dead one forever. The `!done` guard
+        // covers the waiter-retry interleaving: a thread blocked on the
+        // failing cell retries the initialization (lazy-val semantics),
+        // and if ITS attempt succeeded between our throw and this
+        // removal, the now-finished cell must stay cached.
+        lru.synchronized {
+          if (!cell.done && (lru.get(key) eq cell)) lru.remove(key)
+        }
         throw e
     }
   }

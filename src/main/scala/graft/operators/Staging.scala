@@ -84,6 +84,10 @@ object Staging {
       // whole build to two adjacent metadata ops; a commit landing
       // inside THAT window is the residual race documented below.
       if (fs.exists(root) && !fs.exists(ok)) fs.delete(root, true)
+      // if the re-check saw a concurrent commit, serve it instead of
+      // running a full build only to discard it at the pre-rename check
+      // (a staged build can be minutes of training at scale)
+      if (fs.exists(ok)) return out
       // nanoTime + thread id: unique enough for concurrent builders of
       // the same stage without polluting the content-keyed namespace
       val tmp = new Path(

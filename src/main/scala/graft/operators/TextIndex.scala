@@ -255,7 +255,7 @@ object TextIndex {
     * (the stress suite's 10× corpus). */
   private[graft] def bm25SearchAt(spark: org.apache.spark.sql.SparkSession,
       idx: String, terms: Seq[String], k: Int, k1: Double, b: Double): DataFrame = {
-    require(terms.nonEmpty, "bm25SearchIndexed needs at least one term")
+    require(terms.nonEmpty, "bm25SearchAt needs at least one term")
     require(terms.distinct.size == terms.size, s"duplicate query terms: $terms")
     val buckets = terms.map(termBucketLocal).distinct
     val cand = spark.read.parquet(s"$idx/postings")

@@ -59,7 +59,7 @@ object BpeReference {
     * [[refByteChar]] + the end marker. */
   val byteInitial: String => Vector[String] =
     w => w.getBytes(java.nio.charset.StandardCharsets.UTF_8).toVector
-      .map(b => refByteChar(b & 0xff)) :+ Bpe.EndOfWord
+      .map(b => refByteChar(b & 0xff)) :+ Bpe.ByteEndOfWord
 
   def refTokens(text: String): Vector[String] =
     text.replaceAll("\\s+", " ").trim.toLowerCase.split(" ", -1).toVector

@@ -292,6 +292,7 @@ class BpeSpec extends AnyFunSuite {
     * trip compares against the normalized form. */
   private val hostileDocs = Seq(
     (1L, "hello héllo über"),
+    (5L, "a</w>b literal</w> </w>marker"),
     (2L, "日本語 текст ωμέγα"),
     (3L, "🚀🚀 a­b mix🎉ed"),
     (4L, ""))
@@ -326,7 +327,7 @@ class BpeSpec extends AnyFunSuite {
           .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
         assert(enc === refEncode(local, refSegs, wf,
           initial = BpeReference.byteInitial,
-          baseSymbols = BpeReference.refByteChar :+ Bpe.EndOfWord))
+          baseSymbols = BpeReference.refByteChar :+ Bpe.ByteEndOfWord))
       }
   }
 

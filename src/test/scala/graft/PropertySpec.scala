@@ -331,7 +331,7 @@ class PropertySpec extends AnyFunSuite {
         initial = BpeReference.byteInitial)
       assert(got === BpeReference.refEncode(rows, refSegs, wf,
         initial = BpeReference.byteInitial,
-        baseSymbols = BpeReference.refByteChar :+ Bpe.EndOfWord), s"run $run")
+        baseSymbols = BpeReference.refByteChar :+ Bpe.ByteEndOfWord), s"run $run")
       // universal round trip on the random corpus
       val dec = Bpe.decodeBytes(enc, ids).as[(Long, String)].collect().toMap
       val want = rows.map { case (id, t) =>
