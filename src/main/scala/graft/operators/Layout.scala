@@ -121,6 +121,25 @@ object Layout {
     }
   }
 
+  /** Idempotently stage the documents table as ORC — the second
+    * columnar interchange format next to parquet (the engine's native
+    * one) and JSONL (the text boundary, q120). ORC files carry their
+    * schema in the footer, so unlike JSONL no schema-first declaration
+    * is needed to avoid an inference pass, and Spark's ORC reader
+    * participates in the same scan-level optimizations as parquet:
+    * column pruning via ReadSchema and predicate pushdown into the
+    * stripe/row-group index (`OrcSpec`/`LayoutSpec` assert both on the
+    * executed plan). Content-keyed write-once like every layout stage. */
+  def orcDocuments(spark: SparkSession, dir: String): String = synchronized {
+    val out = "target/orc/graft_documents_" +
+      md5hex(s"$dir/${contentKey(spark, s"$dir/documents.parquet")}").take(8)
+    Staging.ensure(spark, out) { tmp =>
+      Tables.documents(spark, dir)
+        .repartition(4)
+        .write.mode("overwrite").orc(tmp)
+    }
+  }
+
   /** Box-predicate scan over the Z-ordered layout: per-part row counts
     * and decimal-exact quantity totals inside a 2-D key box. On the
     * clustered layout the parquet reader's min/max stats skip every
@@ -233,6 +252,31 @@ object Layout {
                CAST(LENGTH(text) AS INT) AS n_chars,
                md5(text) AS text_md5
         FROM documents
+        ORDER BY doc_id"""))
+    ,
+    Query(
+      "q128_orc_roundtrip",
+      "ORC interchange boundary: the documents table staged out once as " +
+        "ORC (the warehouse-ecosystem columnar format next to parquet) " +
+        "and queried back through a filtered projection. Unlike the JSONL " +
+        "boundary (q120) the schema rides in the ORC footer — no " +
+        "schema-first declaration, no inference pass — and the scan keeps " +
+        "the columnar economics: the lang predicate is pushed into the " +
+        "ORC stripe index and only the projected columns are read " +
+        "(ReadSchema + PushedFilters plan-asserted in LayoutSpec). The " +
+        "oracle compares md5(text) per surviving document against the " +
+        "parquet original, proving the format hop is byte-exact — the " +
+        "engine is source-format-agnostic end to end.",
+      (s, dir) =>
+        s.read.orc(orcDocuments(s, dir))
+          .filter(col("lang").isin("en", "zh"))
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            md5(col("text").cast("binary")).as("text_md5"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        FROM documents
+        WHERE lang IN ('en', 'zh')
         ORDER BY doc_id"""))
   )
 }

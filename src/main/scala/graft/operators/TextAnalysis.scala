@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for the training-data pipeline: normalization,
@@ -142,6 +142,86 @@ object TextAnalysis {
       col("punct_ratio"))
       .withColumn("quality",
         (col("len_score") + col("stop_score") + (lit(1.0) - col("punct_ratio"))) / lit(3.0))
+  }
+
+  /** Blocklist terms for q129 — a stand-in for the LDNOOBW-style unsafe
+    * word lists every web-corpus pipeline applies before training; on
+    * the synthetic vocabulary the "unwanted" terms are arbitrary but
+    * the machinery is the production one. */
+  val blocklist: Seq[String] = Seq("slow", "dup", "big")
+
+  /** Per-document blocklist hit count as ONE codegen'd regex pass: the
+    * term list compiles into a boundary-anchored alternation evaluated
+    * by `regexp_extract_all` over the space-padded normalized text — no
+    * token explode, no shuffle, no HOF (`filter`/`aggregate` lambdas
+    * are CodegenFallback and would eject the projection from
+    * whole-stage codegen). The lookarounds don't consume the separator,
+    * so adjacent hits ("slow slow") both count. For lists too large to
+    * compile into one automaton (≳10⁴ terms) the scalable alternative
+    * is token explode + broadcast-hash join + doc-keyed count (one
+    * shuffle); at list sizes that fit a regex the fused map-only pass
+    * wins on every axis. */
+  def blocklistHits(text: Column, terms: Seq[String]): Column = {
+    val pat = terms.map(java.util.regex.Pattern.quote)
+      .mkString("(?<= )(?:", "|", ")(?= )")
+    size(regexp_extract_all(
+      concat(lit(" "), norm(text), lit(" ")), lit(pat), lit(0)))
+  }
+
+  /** True when `text` contains no code point above U+00FF — the
+    * precondition for even attempting a mojibake repair: a char outside
+    * Latin-1 cannot have come from reading bytes through ISO-8859-1,
+    * and (since Spark 4's strict charset mode) `encode(_, 'ISO-8859-1')`
+    * on such a char raises rather than substituting '?'. Every consumer
+    * evaluates the encode only under this guard. */
+  def mojibakeCandidate(text: Column): Column =
+    !text.rlike("[^\\x00-\\xff]")
+
+  /** ftfy-shaped mojibake detection: text is flagged iff it looks like
+    * UTF-8 bytes that were mis-decoded as Latin-1 — all chars ≤ U+00FF,
+    * the Latin-1 re-encoding is VALID UTF-8 (`is_valid_utf8`, so the
+    * repair can't manufacture replacement chars), the round trip
+    * actually changes the text, and it strictly shortens it (every
+    * repaired char collapses ≥2 mojibake chars — rejecting legitimate
+    * Latin-1 prose like "héllo", whose re-encoding is invalid UTF-8
+    * anyway). Pure built-in expressions, short-circuit-guarded so the
+    * UTF-8 decode only ever runs on validated bytes; map-only. */
+  def mojibakeIsBroken(text: Column): Column = {
+    val latin = encode(text, "ISO-8859-1")
+    val fixed = decode(latin, "UTF-8")
+    when(mojibakeCandidate(text),
+      is_valid_utf8(latin) && fixed =!= text && length(fixed) < length(text))
+      .otherwise(lit(false))
+  }
+
+  /** The repaired text when [[mojibakeIsBroken]], the original
+    * otherwise — conditional evaluation keeps the decode off the
+    * non-mojibake rows. */
+  def mojibakeFix(text: Column): Column =
+    when(mojibakeIsBroken(text), decode(encode(text, "ISO-8859-1"), "UTF-8"))
+      .otherwise(text)
+
+  /** Stage a mojibake-corrupted copy of documents for q130: plant
+    * non-ASCII deterministically (the all-ASCII synthetic corpus gets
+    * accented token variants — mirrored verbatim in the oracle), then
+    * re-read every text through the classic ingest failure: its UTF-8
+    * bytes interpreted as Latin-1 ("fâst" → "fÃ¢st"). The corruption is
+    * total and lossless (every byte has a Latin-1 char), so repair ∘
+    * corrupt == identity — which is exactly what the oracle checks
+    * against the UNCORRUPTED originals. Content-keyed write-once. */
+  def mojibakeDocuments(spark: SparkSession, dir: String): String = synchronized {
+    val out = "target/mojibake/graft_documents_" +
+      Bucketed.md5hex(s"$dir/${Layout.contentKey(spark, s"$dir/documents.parquet")}").take(8)
+    Staging.ensure(spark, out) { tmp =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          decode(
+            encode(replace(replace(col("text"), lit("fast"), lit("fâst")),
+              lit("slow"), lit("slöw")), "UTF-8"),
+            "ISO-8859-1").as("text"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(tmp)
+    }
   }
 
   val queries: Seq[Query] = Seq(
@@ -397,5 +477,79 @@ object TextAnalysis {
           .select(col("doc_id"), col("ds.n_bytes").as("n_bytes"),
             col("ds.n_deflate").as("n_deflate"))
           .orderBy("doc_id"))
+    ,
+    Query(
+      "q129_blocklist_filter",
+      "Term-blocklist safety filter (the LDNOOBW-shaped cut every " +
+        "web-corpus pipeline applies): per document the token count, " +
+        "blocked-term occurrence count and blocked density, plus the " +
+        "keep decision at a 12% density threshold. The list compiles " +
+        "into ONE boundary-anchored alternation regex evaluated inside " +
+        "whole-stage codegen (blocklistHits) — no token explode, no " +
+        "shuffle, no CodegenFallback HOF; a corpus-scale pass is " +
+        "map-only plus the presentation sort. Oracle: DuckDB " +
+        "list_filter over the same whitespace tokens.",
+      (s, dir) => {
+        val hits = blocklistHits(col("text"), blocklist)
+        val nTok = size(tokens(col("text")))
+        Tables.rebalanced(Tables.documents(s, dir))
+          .select(col("doc_id"),
+            nTok.cast("int").as("n_tokens"),
+            hits.cast("int").as("n_blocked"),
+            (hits.cast("double") / nTok.cast("double")).as("blocked_ratio"))
+          .withColumn("keep", col("blocked_ratio") <= lit(0.12))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH ws AS (
+          SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(w) AS INT) AS n_tokens,
+               CAST(len(list_filter(w, x -> x IN ('slow', 'dup', 'big'))) AS INT) AS n_blocked,
+               CAST(len(list_filter(w, x -> x IN ('slow', 'dup', 'big'))) AS DOUBLE)
+                 / CAST(len(w) AS DOUBLE) AS blocked_ratio,
+               CAST(len(list_filter(w, x -> x IN ('slow', 'dup', 'big'))) AS DOUBLE)
+                 / CAST(len(w) AS DOUBLE) <= 0.12 AS keep
+        FROM ws
+        ORDER BY doc_id"""))
+    ,
+    Query(
+      "q130_mojibake_repair",
+      "Mojibake detection + repair (the ftfy-shaped encoding fixer run " +
+        "over every web crawl): the staged fixture plants accented " +
+        "tokens then corrupts each text through the classic failure — " +
+        "UTF-8 bytes mis-decoded as Latin-1 ('fâst' → 'fÃ¢st') — and " +
+        "the entry detects (all chars ≤ U+00FF, Latin-1 re-encoding is " +
+        "valid UTF-8, round trip shrinks the text) and repairs with " +
+        "pure encode/decode/is_valid_utf8 expressions, no UDF, " +
+        "map-only. The oracle rebuilds the PRE-corruption text in " +
+        "DuckDB and compares md5 per doc: repair ∘ corrupt == identity, " +
+        "and only the docs that gained non-ASCII are flagged. Unit " +
+        "gates in MojibakeSpec cover CJK/emoji pass-through (the guard " +
+        "that keeps strict-mode encode from raising) and legitimate " +
+        "Latin-1 prose left untouched.",
+      (s, dir) => {
+        val bad = s.read.parquet(mojibakeDocuments(s, dir))
+        bad.select(col("doc_id"),
+            mojibakeIsBroken(col("text")).as("was_mojibake"),
+            mojibakeFix(col("text")).as("t"))
+          .select(col("doc_id"), col("was_mojibake"),
+            length(col("t")).as("n_chars"),
+            md5(col("t").cast("binary")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT doc_id,
+                 replace(replace(text, 'fast', 'fâst'), 'slow', 'slöw') AS t
+          FROM documents)
+        SELECT doc_id,
+               regexp_matches(t, '[^\x00-\x7F]') AS was_mojibake,
+               CAST(LENGTH(t) AS INT) AS n_chars,
+               md5(t) AS text_md5
+        FROM e
+        ORDER BY doc_id"""))
   )
 }

@@ -168,6 +168,55 @@ class LayoutSpec extends AnyFunSuite {
     fs.delete(new Path(out), true)
   }
 
+  test("ORC round trip is byte-exact on hostile strings (escapes, unicode)") {
+    import spark.implicits._
+    val nasty = Seq(
+      (1L, "plain text"),
+      (2L, "quotes \" and \\ backslash \\\" mixed"),
+      (3L, "newline\nand\ttab\rand\fcontrolchars"),
+      (4L, "unicode: café 中文 😀 ß"),
+      (5L, "{\"looks\":\"like json\",\"n\":[1,2]}"),
+      (6L, ""),
+      (7L, "trailing backslash \\"))
+      .toDF("doc_id", "text")
+    val out = "target/orc/spec_nasty"
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(out), true)
+    nasty.write.mode("overwrite").orc(out)
+    // no schema declaration: ORC carries it in the footer
+    val back = spark.read.orc(out)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    nasty.collect().foreach { r =>
+      assert(back(r.getLong(0)) === r.getString(1),
+        s"doc ${r.getLong(0)} mutated in the ORC round trip")
+    }
+    fs.delete(new Path(out), true)
+  }
+
+  test("q128 matches the parquet originals and pushes the lang filter into ORC") {
+    val df = SparkEntry.queries("q128_orc_roundtrip")(spark, sf)
+    val viaOrc = df.collect().map(r => (r.getLong(0), r.getString(4))).toMap
+    val direct = Tables.documents(spark, sf)
+      .filter(col("lang").isin("en", "zh"))
+      .select(col("doc_id"), md5(col("text").cast("binary")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(viaOrc === direct)
+    assert(viaOrc.nonEmpty)
+    // the lang predicate must reach the ORC scan, not run as a post-filter
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(lang"),
+      s"lang filter not pushed into the ORC scan:\n$plan")
+  }
+
+  test("ORC scans prune columns: a narrow projection never reads text") {
+    val path = Layout.orcDocuments(spark, sf)
+    val narrow = spark.read.orc(path).select("doc_id", "lang")
+    val scan = narrow.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"narrow ORC projection still reads more than (doc_id, lang):\n$scan")
+    assert(narrow.count() === Tables.documents(spark, sf).count())
+  }
+
   test("q120 reads the staged JSONL schema-first and matches the parquet md5s") {
     val out = SparkEntry.queries("q120_jsonl_roundtrip")(spark, sf)
     val viaJson = out.collect().map(r => (r.getLong(0), r.getString(4))).toMap
