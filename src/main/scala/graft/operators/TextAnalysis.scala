@@ -168,6 +168,25 @@ object TextAnalysis {
       concat(lit(" "), norm(text), lit(" ")), lit(pat), lit(0)))
   }
 
+  /** Dictionary for the q131 hit profile — a 12-term subset of the
+    * corpus vocabulary standing in for a production safety/PII/topic
+    * term list; the machinery (one Aho–Corasick automaton matching all
+    * terms simultaneously) is what changes at 10⁴+ terms, not the
+    * semantics. */
+  val dictionary: Seq[String] = Seq("scan", "join", "merge", "filter",
+    "window", "hash", "stream", "vector", "slow", "fast", "dup", "customer")
+
+  /** Token-boundary dictionary hit profile via the native Aho–Corasick
+    * expression ([[graft.functions.MultiMatchStats]]): pad the
+    * normalized text and every term with the separator, so term
+    * boundaries anchor exactly like [[blocklistHits]]'s lookarounds
+    * (adjacent hits share the separator and both count). One codegen'd
+    * map pass, O(text + hits) regardless of dictionary size — the
+    * ≳10⁴-term path blocklistHits' design names. */
+  def dictHitStats(text: Column, terms: Seq[String]): Column =
+    graft.functions.MultiMatchStats.multi_match_stats(
+      concat(lit(" "), norm(text), lit(" ")), terms.map(t => s" $t "))
+
   /** True when `text` contains no code point above U+00FF — the
     * precondition for even attempting a mojibake repair: a char outside
     * Latin-1 cannot have come from reading bytes through ISO-8859-1,
@@ -550,6 +569,41 @@ object TextAnalysis {
                CAST(LENGTH(t) AS INT) AS n_chars,
                md5(t) AS text_md5
         FROM e
+        ORDER BY doc_id"""))
+    ,
+    Query(
+      "q131_dict_hits",
+      "Dictionary hit profile at blocklist scale: total occurrences and " +
+        "distinct terms hit per document for a multi-term dictionary, " +
+        "matched by a native Aho–Corasick Catalyst expression " +
+        "(multi_match_stats) — ALL terms matched simultaneously in " +
+        "O(text + hits) per row, independent of dictionary size, inside " +
+        "whole-stage codegen; the automaton is built once per executor " +
+        "(lazy transient), terms ride the expression, and a 10⁴-term " +
+        "deployment changes nothing but the list (differential-gated at " +
+        "that size in MultiMatchSpec vs plain-Scala counting; the regex " +
+        "path q129 uses is the small-list tool, cross-checked " +
+        "term-for-term). Map-only plus the presentation sort. Oracle: " +
+        "DuckDB list_filter over the same whitespace tokens.",
+      (s, dir) =>
+        Tables.rebalanced(Tables.documents(s, dir))
+          .select(col("doc_id"), dictHitStats(col("text"), dictionary).as("h"))
+          .select(col("doc_id"), col("h.n_hits").as("n_hits"),
+            col("h.n_terms").as("n_terms"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH ws AS (
+          SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(list_filter(w, x -> x IN ('scan', 'join', 'merge', 'filter',
+                 'window', 'hash', 'stream', 'vector', 'slow', 'fast', 'dup',
+                 'customer'))) AS BIGINT) AS n_hits,
+               CAST(len(list_distinct(list_filter(w, x -> x IN ('scan', 'join',
+                 'merge', 'filter', 'window', 'hash', 'stream', 'vector', 'slow',
+                 'fast', 'dup', 'customer')))) AS BIGINT) AS n_terms
+        FROM ws
         ORDER BY doc_id"""))
   )
 }
