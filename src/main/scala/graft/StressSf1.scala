@@ -367,6 +367,41 @@ object StressSf1 {
       "q115_nb_classify" -> (d => Vocab.nbEvidence(
         d.filter(col("doc_id") % 3 === 0),
         Vocab.nbModel(d.filter(col("doc_id") % 3 =!= 0), "lang"))),
+      // map-only blocklist regex (q129): the ~k suffixes keep blocked
+      // tokens in copy 0 only, so the 10x tier gates the pure
+      // scan+alternation cost; rows (= docs) exactly 10x
+      "q129_blocklist_filter" -> (d => {
+        val hits = operators.TextAnalysis.blocklistHits(col("text"),
+          operators.TextAnalysis.blocklist)
+        val nTok = size(operators.TextAnalysis.tokens(col("text")))
+        d.select(col("doc_id"), nTok.cast("int").as("n_tokens"),
+          hits.cast("int").as("n_blocked"))
+          .withColumn("keep", col("n_blocked") * 100 <= col("n_tokens") * 12)
+      }),
+      // native Aho-Corasick dictionary profile (q131), map-only: same
+      // copy-0-only hit structure as q129; the row gates the automaton
+      // scan's linearity at 10x the text; rows exactly 10x
+      "q131_dict_hits" -> (d => d
+        .select(col("doc_id"), operators.TextAnalysis.dictHitStats(col("text"),
+          operators.TextAnalysis.dictionary).as("h"))
+        .select(col("doc_id"), col("h.n_hits"), col("h.n_terms"))),
+      // mojibake plant+corrupt+detect+repair (q130), compute form: the
+      // 'fast'/'slow' SUBSTRINGS survive the ~k token suffixing, so
+      // every family plants and repairs like the base corpus; the
+      // encode/validate/decode chain is map-only; rows exactly 10x
+      "q130_mojibake_repair" -> (d => d
+        .select(col("doc_id"),
+          operators.TextAnalysis.mojibakeCorruptPlanted(col("text")).as("text"))
+        .select(col("doc_id"),
+          operators.TextAnalysis.mojibakeIsBroken(col("text")).as("was_mojibake"),
+          md5(operators.TextAnalysis.mojibakeFix(col("text")).cast("binary"))
+            .as("text_md5"))),
+      // trained IRLS gate (q132), compute form: one feature pass + 12
+      // Hessian/gradient aggregates over the persisted features + one
+      // scoring pass, all corpus-sized with O(1) driver traffic per
+      // step; scored rows exactly 10x
+      "q132_logreg_gate" -> (d => operators.Logit.scored(
+        operators.Logit.featuresOf(d))),
       // the streaming gate's one-sided prefix filter (probe = FULL hash
       // set) trades candidate volume for statelessness — this is the
       // check that the trade stays LINEAR at 10x: same %3 split per
@@ -452,6 +487,18 @@ object StressSf1 {
         Similarity.assignToCentroids(e, cent)
           .write.mode("overwrite").partitionBy("cluster").parquet(s"$tmp/lists")
         cent.unpersist()
+      }
+      out
+    }
+
+    // ORC copies of both document tiers, staged untimed like the
+    // indexes — the q128 row measures the pushed-down scan, not the
+    // one-time format conversion
+    val orcSfRoot = operators.Layout.orcDocuments(spark, sfDir)
+    val orcStressRoot = {
+      val out = s"$stressRoot/docs_orc"
+      operators.Staging.ensure(spark, out) { tmp =>
+        stress.write.mode("overwrite").orc(tmp)
       }
       out
     }
@@ -600,6 +647,15 @@ object StressSf1 {
             Seq("spark", "join", "filter"), k = 20, k1 = 1.2, b = 0.75),
           () => operators.TextIndex.bm25SearchAt(spark, bm25StressRoot,
             Seq("spark", "join", "filter"), k = 20, k1 = 1.2, b = 0.75)),
+        // ORC interchange scan (q128): both tiers read a pre-staged ORC
+        // copy (ensured untimed); the timed query is the pushed-down
+        // lang filter + projection + md5 — filtered rows exactly 10x
+        // (lang rides every copy family verbatim)
+        ("q128_orc_roundtrip",
+          () => spark.read.orc(orcSfRoot).filter(col("lang").isin("en", "zh"))
+            .select(col("doc_id"), md5(col("text").cast("binary")).as("m")),
+          () => spark.read.orc(orcStressRoot).filter(col("lang").isin("en", "zh"))
+            .select(col("doc_id"), md5(col("text").cast("binary")).as("m"))),
         // q109/q77 probe form — the steady-state query cost against the
         // persisted single-segment index (both indexes pre-built
         // untimed): constant 10-query/top-5 output, the gate is the

@@ -53,10 +53,15 @@ object Logit {
     * y = the q129 keep decision as exact integer arithmetic, and
     * integer-derived features scaled by the exact binary factor 1/128:
     * x1 = tokens/128, x2 = blocked hits, x3 = distinct tokens/128. */
-  def features(spark: SparkSession, dir: String): DataFrame = {
+  def features(spark: SparkSession, dir: String): DataFrame =
+    featuresOf(Tables.rebalanced(Tables.documents(spark, dir)))
+
+  /** As [[features]] over an arbitrary `(doc_id, text)` frame — the
+    * stress suite's entry point. */
+  def featuresOf(docs: DataFrame): DataFrame = {
     val t = TextAnalysis.tokens(col("text"))
     val hits = TextAnalysis.blocklistHits(col("text"), TextAnalysis.blocklist)
-    Tables.rebalanced(Tables.documents(spark, dir))
+    docs
       .select(col("doc_id"), size(t).as("nt"), hits.as("nb"),
         size(array_distinct(t)).as("nd"))
       .select(col("doc_id"),
@@ -64,6 +69,15 @@ object Logit {
         (col("nt").cast("double") / 128.0d).as("x1"),
         col("nb").cast("double").as("x2"),
         (col("nd").cast("double") / 128.0d).as("x3"))
+  }
+
+  /** Train on `f` and score every row with the learned model — the
+    * entry's body, shared with the stress suite. */
+  def scored(f: DataFrame): DataFrame = {
+    val w = train(f)
+    f.select(col("doc_id"), col("y").cast("int").as("label"),
+      prob(w).as("p_keep"),
+      (prob(w) >= 0.5d).cast("int").as("pred"))
   }
 
   /** The margin w·x in a FIXED left-associated evaluation order — the
@@ -177,13 +191,6 @@ object Logit {
         "weight (LogitSpec, which also gates 100% rule recovery and a " +
         "planted-separable 100%). Output: per-doc label, learned " +
         "keep-probability, prediction.",
-      (s, dir) => {
-        val f = features(s, dir)
-        val w = train(f)
-        f.select(col("doc_id"), col("y").cast("int").as("label"),
-            prob(w).as("p_keep"),
-            (prob(w) >= 0.5d).cast("int").as("pred"))
-          .orderBy("doc_id")
-      })
+      (s, dir) => scored(features(s, dir)).orderBy("doc_id"))
   )
 }

@@ -228,16 +228,24 @@ object TextAnalysis {
     * total and lossless (every byte has a Latin-1 char), so repair ∘
     * corrupt == identity — which is exactly what the oracle checks
     * against the UNCORRUPTED originals. Content-keyed write-once. */
+  /** The q130 fixture transform in one expression: plant accented token
+    * variants (the all-ASCII corpus needs non-ASCII to corrupt), then
+    * mis-decode the UTF-8 bytes as Latin-1 — total and lossless, so
+    * repair ∘ corrupt == identity. Shared by the staged fixture and the
+    * stress suite's compute-form row. */
+  def mojibakeCorruptPlanted(text: Column): Column =
+    decode(
+      encode(replace(replace(text, lit("fast"), lit("fâst")),
+        lit("slow"), lit("slöw")), "UTF-8"),
+      "ISO-8859-1")
+
   def mojibakeDocuments(spark: SparkSession, dir: String): String = synchronized {
     val out = "target/mojibake/graft_documents_" +
       Bucketed.md5hex(s"$dir/${Layout.contentKey(spark, s"$dir/documents.parquet")}").take(8)
     Staging.ensure(spark, out) { tmp =>
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang"), col("source"),
-          decode(
-            encode(replace(replace(col("text"), lit("fast"), lit("fâst")),
-              lit("slow"), lit("slöw")), "UTF-8"),
-            "ISO-8859-1").as("text"))
+          mojibakeCorruptPlanted(col("text")).as("text"))
         .repartition(4)
         .write.mode("overwrite").parquet(tmp)
     }
