@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Query
+
+/** Classifier evaluation over a scored corpus: exact tie-aware ROC AUC
+  * (the Mann–Whitney/rank-sum statistic every model-quality gate ships)
+  * plus a 10-bin reliability (calibration) table — the audit a trained
+  * curation filter (q132's logistic gate, q115's NB classifier) needs
+  * before its threshold is trusted to cut a 100 TB corpus.
+  *
+  * Scale design — AUC is a GLOBAL-rank statistic, and global ranks are
+  * the q31 single-task pathology if computed with a bare corpus-wide
+  * window. This operator never ranks rows:
+  *
+  *   1. ONE score-keyed map-side-combining aggregate collapses the
+  *      corpus to the distinct-score table `(s, n_pos, n_neg)` — for
+  *      discrete-feature models (q132's integer-derived features) this
+  *      is orders of magnitude below corpus size; ties are handled
+  *      EXACTLY by construction (the ½·n_pos·n_neg midrank term is a
+  *      per-group product, never a rank comparison).
+  *   2. The exclusive "negatives below this score" prefix is a
+  *      distributed scan, not a window: scores shard into 65,536
+  *      equal-width buckets; per-bucket totals (a constant-bounded
+  *      frame, ≤ 65,537 rows) get their exclusive prefix in one
+  *      constant-width window (the q85 convention: windows only over
+  *      constant-bounded frames), broadcast-joined back; within-bucket
+  *      prefixes run in windows PARTITIONED BY bucket, whose input is
+  *      the distinct-score table — never per-document rows. Bucket
+  *      width is the knob for pathological continuous-score models;
+  *      equal-width on [0,1] is exact for any probability output.
+  *   3. AUC = Σ_s n_pos(s)·(2·cumneg(s) + n_neg(s)) over 2·P·N — the
+  *      numerator and denominator are INTEGER aggregates (order-free,
+  *      engine-exact; the q96/q71 rule), and the final division is one
+  *      IEEE double op on exactly-represented integers, so the double
+  *      is bit-identical in any engine. (At corpus sizes where P·N
+  *      exceeds 2⁵³ the two integer columns are the contract and the
+  *      ratio derives downstream in wider arithmetic.)
+  *
+  * The reliability table is one bin-keyed aggregate: per decile bin of
+  * the predicted probability, document count, positive count, and the
+  * predicted-probability sum in integer micro-units (`round(p·1e6)` —
+  * HALF_UP on positive doubles is identical in Spark and DuckDB, and
+  * the micro-unit sum keeps the oracle integer-exact where a double
+  * sum would be partial-aggregation-order-dependent).
+  *
+  * Oracle: the q105 staged convention — the scored frame (whose
+  * p_keep doubles come from the bit-deterministic q132 training, gated
+  * in LogitSpec) is staged write-once; DuckDB recomputes AUC and the
+  * bins from the SAME staged parquet with a naive single-window
+  * cumulative, so the bucket-decomposed scan is checked against the
+  * textbook form hash-exactly. EvalSpec adds a hand-computed tied AUC,
+  * perfect/inverted separation, a plain-Scala midrank twin, and the
+  * no-corpus-window plan guard.
+  */
+object Eval {
+
+  /** Distinct-score shard count for the prefix scan — the constant
+    * bound on the one unpartitioned (bucket-totals) window. */
+  val PrefixBuckets = 65536
+
+  /** Exact tie-aware ROC AUC + decile reliability bins over a scored
+    * frame with columns (`label` ∈ {0,1} int, `score` ∈ [0,1] double).
+    * Returns one row per TOUCHED decile bin, each carrying the global
+    * AUC columns (broadcast one-row attach, the q46 pattern):
+    * (bin, n_docs, n_pos, sum_p_u, auc_num, auc_den, auc,
+    * n_pos_total, n_neg_total). Degenerate single-class input yields
+    * auc_den = 0 and auc = NaN rather than an error — the caller's
+    * gate (EvalSpec / the q129 non-degenerate-split gate) owns that
+    * contract. */
+  def aucReliability(scored: DataFrame, score: String = "p_keep",
+      label: String = "label"): DataFrame = {
+    val s = col(score)
+    // 1. corpus -> distinct-score table (the only corpus-wide pass
+    //    besides the independent bin aggregate below)
+    val groups = scored
+      .groupBy(s.as("s"))
+      .agg(count(lit(1)).as("n"), sum(col(label)).cast("long").as("npos"))
+      .withColumn("nneg", col("n") - col("npos"))
+      .withColumn("b", least(floor(col("s") * PrefixBuckets).cast("int"),
+        lit(PrefixBuckets - 1)))
+    // 2. distributed exclusive prefix of nneg in score order:
+    //    constant-bounded bucket-total window + partitioned in-bucket
+    //    windows (input = distinct scores, never documents)
+    val bucketTotals = groups.groupBy("b").agg(sum("nneg").as("bneg"))
+    val bucketOffsets = bucketTotals.withColumn("boff",
+      coalesce(sum("bneg").over(Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("b", "boff")
+    val inBucket = Window.partitionBy("b").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCum = groups
+      .join(broadcast(bucketOffsets), "b")
+      .withColumn("cumneg",
+        col("boff") + coalesce(sum("nneg").over(inBucket), lit(0L)))
+    // 3. integer AUC aggregate
+    val tot = withCum.agg(
+      sum(col("npos") * (lit(2L) * col("cumneg") + col("nneg")))
+        .cast("long").as("auc_num"),
+      (lit(2L) * sum("npos") * sum("nneg")).cast("long").as("auc_den"),
+      sum("npos").cast("long").as("n_pos_total"),
+      sum("nneg").cast("long").as("n_neg_total"))
+    // reliability bins: one independent bin-keyed aggregate
+    val bins = scored
+      .groupBy(least(floor(s * 10).cast("int"), lit(9)).as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(label)).cast("long").as("n_pos"),
+        sum(round(s * 1e6d).cast("long")).as("sum_p_u"))
+    bins.crossJoin(broadcast(tot))
+      .withColumn("auc",
+        // the degenerate single-class corpus yields NaN, not an ANSI
+        // divide-by-zero error (the guard never fires on real input —
+        // the q129 split is non-degenerate, EvalSpec-gated)
+        when(col("auc_den") === 0L, lit(Double.NaN))
+          .otherwise(
+            col("auc_num").cast("double") / col("auc_den").cast("double")))
+      .orderBy("bin")
+  }
+
+  /** Write-once content-keyed staging of the q132 scored corpus — the
+    * frame both the entry and the DuckDB oracle read, so the two sides
+    * share the training output bit-for-bit (training itself is the
+    * LogitSpec-gated deterministic IRLS). */
+  def stagedScored(spark: SparkSession, dir: String): String = {
+    val out = "target/gate_eval/scored_" +
+      Bucketed.md5hex(
+        s"$dir/${Layout.contentKey(spark, s"$dir/documents.parquet")}").take(8)
+    Staging.ensure(spark, out) { tmp =>
+      Logit.scored(Logit.features(spark, dir))
+        .repartition(4)
+        .write.mode("overwrite").parquet(tmp)
+    }
+    out
+  }
+
+  @volatile private[graft] var stagedOracleRoot: Option[String] = None
+
+  // `def`, not `val`: the oracle SQL embeds [[stagedOracleRoot]], which
+  // the entry's run sets (the q105/q121 staged-oracle convention)
+  def queries: Seq[Query] = Seq(
+    Query(
+      "q133_gate_eval",
+      "Exact tie-aware ROC AUC + decile reliability table for the " +
+        "trained q132 curation gate — the model-quality audit before a " +
+        "learned filter's threshold cuts a corpus. Global ranks are " +
+        "never computed: one score-keyed aggregate collapses the " +
+        "corpus to the distinct-score table (midrank tie term is a " +
+        "per-group product), and the negatives-below prefix is a " +
+        "distributed scan — 65,536 score buckets, one constant-bounded " +
+        "bucket-totals window, partitioned in-bucket windows — not a " +
+        "corpus-wide bare window (the q31 pathology). AUC numerator " +
+        "and denominator are integer aggregates; the division is one " +
+        "IEEE op on exact integers, bit-identical across engines. " +
+        "Oracle: DuckDB recomputes from the SAME staged scored parquet " +
+        "with a naive single-window cumulative (the q105 staged " +
+        "convention), checking the decomposed scan against the " +
+        "textbook form hash-exactly.",
+      (s, dir) => {
+        val root = stagedScored(s, dir)
+        stagedOracleRoot = Some(new java.io.File(root).getAbsolutePath)
+        aucReliability(s.read.parquet(root))
+      },
+      stagedOracleRoot.map(root => s"""
+        WITH sc AS (
+          SELECT label, p_keep FROM read_parquet('$root/*.parquet')
+        ), g AS (
+          SELECT p_keep AS s, COUNT(*) AS n,
+                 CAST(SUM(label) AS BIGINT) AS npos
+          FROM sc GROUP BY 1
+        ), w AS (
+          SELECT s, npos, n - npos AS nneg,
+                 CAST(COALESCE(SUM(n - npos) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cumneg
+          FROM g
+        ), tot AS (
+          SELECT CAST(SUM(npos * (2 * cumneg + nneg)) AS BIGINT) AS auc_num,
+                 CAST(2 * SUM(npos) * SUM(nneg) AS BIGINT) AS auc_den,
+                 CAST(SUM(npos) AS BIGINT) AS n_pos_total,
+                 CAST(SUM(nneg) AS BIGINT) AS n_neg_total
+          FROM w
+        ), bins AS (
+          SELECT CAST(LEAST(CAST(FLOOR(p_keep * 10) AS INT), 9) AS INT) AS bin,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(label) AS BIGINT) AS n_pos,
+                 CAST(SUM(CAST(ROUND(p_keep * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_p_u
+          FROM sc GROUP BY 1
+        )
+        SELECT bin, n_docs, n_pos, sum_p_u, auc_num, auc_den,
+               CAST(auc_num AS DOUBLE) / CAST(auc_den AS DOUBLE) AS auc,
+               n_pos_total, n_neg_total
+        FROM bins CROSS JOIN tot
+        ORDER BY bin"""))
+  )
+}
