@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Query
+import graft.sources.Tables
+
+/** Deterministic distributed PCA whitening for the embedding column —
+  * the preprocessing a production vector store runs before quantized
+  * indexing (the OPQ idea, Ge et al. 2013: rotate so variance is
+  * axis-aligned before product quantization) and before semantic-dedup
+  * thresholds are calibrated: whitened space makes cosine/L2 contrasts
+  * comparable across dimensions, and truncating to the top components
+  * is the standard 4× storage/compute cut on the ANN path (q19/q29/q74).
+  *
+  * Scale design — the classic two-phase split, each phase the right
+  * size for where it runs:
+  *   1. Moments are ONE corpus-wide map-side-combining aggregate: the
+  *      d(d+1)/2 = 2,080 upper-triangle second moments, d = 64 means
+  *      and the count, every term cast to DECIMAL(30,15) BEFORE the
+  *      sum (the Logit/q132 trick) — the collected moment row is
+  *      bit-identical at any partition count, so everything derived
+  *      from it is too. No row-by-row data ever reaches the driver;
+  *      the aggregate ships ONE 2,145-field row regardless of corpus
+  *      size.
+  *   2. The 64×64 eigendecomposition is driver arithmetic (cyclic
+  *      Jacobi with a fixed sweep order and convergence threshold —
+  *      deterministic, no randomized init), exactly like the 4×4
+  *      Newton solve in q132: O(d³) work is constant-sized, so it
+  *      belongs on the driver, broadcast back as plan literals.
+  *   3. Projection is one map pass: each of the top-k whitened
+  *      coordinates is a FIXED left-associated 64-term expression over
+  *      `element_at`, fully codegen'd (no UDF, no CodegenFallback
+  *      HOF), so per-row outputs are bit-identical between the engine
+  *      and PcaSpec's plain-Scala twin.
+  *
+  * No oracle (DuckDB cannot replay an eigendecomposition); PcaSpec
+  * gates: the moment aggregate equals a plain-Scala decimal twin
+  * digit-for-digit, eigenvectors are orthonormal and satisfy
+  * ‖Σv − λv‖ ≤ 1e-9, whitened sample covariance is the identity to
+  * 1e-6, a planted low-rank frame recovers its subspace, and the
+  * projection equals the twin per row bit-for-bit.
+  */
+object Pca {
+
+  /** Embedding dimensionality of the test corpus (asserted at read). */
+  val Dim = 64
+
+  /** Whitened output components (the 4× cut). */
+  val TopK = 16
+
+  /** Eigenvalue floor added before the inverse square root, so a
+    * zero-variance direction cannot produce an infinite scale. */
+  val Eps = 1e-9
+
+  /** The moment aggregate: count, per-dimension sums, upper-triangle
+    * second-moment sums — all decimal-cast-then-summed. Returns the
+    * single collected row's fields as (n, s: Array[d], ss upper
+    * triangle row-major: Array[d(d+1)/2]) in DOUBLE (exact decimal →
+    * shortest double; the same conversion the twin applies). */
+  def moments(vecs: DataFrame, embCol: String = "embedding")
+      : (Long, Array[Double], Array[Double]) = {
+    val x = (i: Int) =>
+      element_at(col(embCol), i + 1).cast("double")
+    def dec(c: Column) = sum(c.cast("decimal(30,15)"))
+    val sAggs = (0 until Dim).map(i => dec(x(i)).as(s"s$i"))
+    val ssAggs = for { i <- 0 until Dim; j <- i until Dim }
+      yield dec(x(i) * x(j)).as(s"ss${i}_$j")
+    val aggs = (count(lit(1)).as("n") +: sAggs) ++ ssAggs
+    val row = vecs.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    require(n > 0, "PCA needs a non-empty vector frame")
+    val s = Array.tabulate(Dim)(i => row.getDecimal(1 + i).doubleValue)
+    val ss = Array.tabulate(Dim * (Dim + 1) / 2)(k =>
+      row.getDecimal(1 + Dim + k).doubleValue)
+    (n, s, ss)
+  }
+
+  /** Covariance from the moment row: Σ_ij = SS_ij/n − μ_i·μ_j, fixed
+    * operation order (shared with the twin via this very function). */
+  def covariance(n: Long, s: Array[Double], ss: Array[Double])
+      : (Array[Double], Array[Array[Double]]) = {
+    val mu = s.map(_ / n.toDouble)
+    val cov = Array.ofDim[Double](Dim, Dim)
+    var k = 0
+    for { i <- 0 until Dim; j <- i until Dim } {
+      val c = ss(k) / n.toDouble - mu(i) * mu(j)
+      cov(i)(j) = c; cov(j)(i) = c
+      k += 1
+    }
+    (mu, cov)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix — fixed
+    * (p,q) sweep order, fixed convergence threshold, no randomness:
+    * deterministic on identical input (which the decimal moment
+    * aggregate guarantees). Returns eigenpairs sorted by eigenvalue
+    * DESCENDING, each eigenvector sign-canonicalized (largest-|·|
+    * component positive, earliest index winning ties) so the basis is
+    * unique even under λ ties. O(d³) per sweep — driver-sized for the
+    * d=64 constant, like the q132 4×4 solve. */
+  def jacobiEigen(mat: Array[Array[Double]])
+      : Array[(Double, Array[Double])] = {
+    val d = mat.length
+    val a = Array.tabulate(d, d)((i, j) => mat(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0d else 0.0d)
+    var sweep = 0
+    var off = offDiag(a)
+    while (off > 1e-14 && sweep < 64) {
+      for { p <- 0 until d - 1; q <- p + 1 until d } {
+        if (math.abs(a(p)(q)) > 1e-18) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0d * a(p)(q))
+          // smaller-magnitude root of t² + 2θt − 1 = 0, branch-wise for
+          // numerical stability (θ = 0 correctly yields t = 1, tan 45°)
+          val t =
+            if (theta >= 0.0d) 1.0d / (theta + math.sqrt(theta * theta + 1.0d))
+            else 1.0d / (theta - math.sqrt(theta * theta + 1.0d))
+          val c = 1.0d / math.sqrt(t * t + 1.0d)
+          val sn = t * c
+          for (k <- 0 until d) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - sn * akq
+            a(k)(q) = sn * akp + c * akq
+          }
+          for (k <- 0 until d) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - sn * aqk
+            a(q)(k) = sn * apk + c * aqk
+          }
+          for (k <- 0 until d) {
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = c * vkp - sn * vkq
+            v(k)(q) = sn * vkp + c * vkq
+          }
+        }
+      }
+      off = offDiag(a)
+      sweep += 1
+    }
+    val pairs = Array.tabulate(d) { j =>
+      val vec = Array.tabulate(d)(i => v(i)(j))
+      // sign canonicalization: the largest-|·| component (earliest
+      // index on ties) is made positive
+      var best = 0
+      for (i <- 1 until d)
+        if (math.abs(vec(i)) > math.abs(vec(best))) best = i
+      val flip = if (vec(best) < 0.0d) -1.0d else 1.0d
+      (a(j)(j), vec.map(_ * flip))
+    }
+    // stable sort: equal eigenvalues keep Jacobi column order
+    pairs.sortBy(-_._1)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0d
+    for { i <- a.indices; j <- a.indices if i != j } s += a(i)(j) * a(i)(j)
+    math.sqrt(s)
+  }
+
+  /** The fitted whitening model: mean, eigenvalues (desc) and the
+    * top-k scaled projection rows w_j = v_j / sqrt(λ_j + ε). */
+  final case class Model(mu: Array[Double], eigenvalues: Array[Double],
+      rows: Array[Array[Double]])
+
+  /** Fit on a vector frame: one moment aggregate + driver Jacobi. */
+  def fit(vecs: DataFrame, k: Int = TopK, embCol: String = "embedding")
+      : Model = {
+    val (n, s, ss) = moments(vecs, embCol)
+    val (mu, cov) = covariance(n, s, ss)
+    val eig = jacobiEigen(cov)
+    val rows = Array.tabulate(k) { j =>
+      val (lam, vec) = eig(j)
+      val scale = 1.0d / math.sqrt(lam + Eps)
+      vec.map(_ * scale)
+    }
+    Model(mu, eig.map(_._1), rows)
+  }
+
+  /** Whitened top-k projection as columns y0..y{k-1}: each component a
+    * fixed left-associated 64-term codegen'd expression — the twin
+    * mirrors the order term-for-term. */
+  def project(vecs: DataFrame, model: Model, embCol: String = "embedding")
+      : DataFrame = {
+    val x = (i: Int) => element_at(col(embCol), i + 1).cast("double")
+    val ys = model.rows.zipWithIndex.map { case (w, j) =>
+      (0 until Dim).map(i => lit(w(i)) * (x(i) - lit(model.mu(i))))
+        .reduceLeft(_ + _).as(s"y$j")
+    }
+    vecs.select(col("vec_id") +: ys.toSeq: _*)
+  }
+
+  /** The twin's per-row projection arithmetic, shared verbatim with
+    * the spec so engine-vs-twin equality is about the DISTRIBUTED
+    * parts (moment sums, codegen), not a reimplementation gap. */
+  def projectRow(x: Array[Float], model: Model): Array[Double] =
+    model.rows.map { w =>
+      var acc = 0.0d
+      var i = 0
+      while (i < Dim) {
+        acc += w(i) * (x(i).toDouble - model.mu(i))
+        i += 1
+      }
+      acc
+    }
+
+  val queries: Seq[Query] = Seq(
+    Query(
+      "q135_pca_whiten",
+      "Deterministic distributed PCA whitening of the embedding " +
+        "column (the OPQ-shaped preprocessing before quantized ANN " +
+        "indexing, and the space where semantic-dedup thresholds are " +
+        "calibrated): ONE map-side-combining moment aggregate ships a " +
+        "single 2,145-field decimal row (count, means, upper-triangle " +
+        "second moments — decimal-cast-then-summed, so bit-identical " +
+        "at any partition count), the 64x64 eigendecomposition is " +
+        "constant-sized driver arithmetic (fixed-order cyclic Jacobi, " +
+        "the q132 pattern scaled up), and the top-16 whitened " +
+        "projection is one codegen'd map pass. No oracle (an " +
+        "eigendecomposition has no SQL twin); PcaSpec gates moment-" +
+        "twin digit equality, orthonormality, eigen residuals, " +
+        "identity whitened covariance, planted-subspace recovery and " +
+        "per-row projection bit-equality.",
+      (s, dir) => {
+        val vecs = Tables.embeddings(s, dir)
+        val model = fit(vecs)
+        project(vecs, model).orderBy("vec_id")
+      })
+  )
+}

@@ -1,0 +1,140 @@
+package graft
+
+import java.math.{BigDecimal => JBigDecimal}
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Logit, Pca}
+
+/** q135 deterministic PCA whitening.
+  *
+  * Load-bearing gates: (1) the distributed moment aggregate equals a
+  * plain-Scala decimal twin digit-for-digit (the determinism anchor —
+  * everything downstream is driver arithmetic on that row); (2) the
+  * Jacobi basis is orthonormal and satisfies the eigen equation;
+  * (3) whitening actually whitens (identity covariance); (4) a planted
+  * low-rank frame recovers its subspace; (5) per-row engine projection
+  * equals the twin bit-for-bit.
+  */
+class PcaSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def corpus(): DataFrame =
+    graft.sources.Tables.embeddings(spark, sf)
+
+  private def collected(): Array[(Long, Array[Float])] =
+    corpus().select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  /** Plain-Scala decimal moment twin (same castDecimal15 per-term
+    * rounding, exact order-free decimal adds). */
+  private def twinMoments(rows: Array[Array[Float]])
+      : (Long, Array[Double], Array[Double]) = {
+    val d = Pca.Dim
+    val s = Array.fill(d)(JBigDecimal.ZERO)
+    val ss = Array.fill(d * (d + 1) / 2)(JBigDecimal.ZERO)
+    rows.foreach { x =>
+      var i = 0
+      while (i < d) {
+        s(i) = s(i).add(Logit.castDecimal15(x(i).toDouble))
+        i += 1
+      }
+      var k = 0
+      for { i <- 0 until d; j <- i until d } {
+        ss(k) = ss(k).add(Logit.castDecimal15(x(i).toDouble * x(j).toDouble))
+        k += 1
+      }
+    }
+    (rows.length.toLong, s.map(_.doubleValue), ss.map(_.doubleValue))
+  }
+
+  test("the distributed moment aggregate equals the decimal twin " +
+    "digit-for-digit") {
+    val (n, s, ss) = Pca.moments(corpus())
+    val (tn, tsv, tss) = twinMoments(collected().map(_._2))
+    assert(n === tn)
+    assert(s.toSeq === tsv.toSeq)
+    assert(ss.toSeq === tss.toSeq)
+  }
+
+  test("the Jacobi basis is orthonormal and solves the eigen equation") {
+    val (nn, s, ss) = Pca.moments(corpus())
+    val (_, cov) = Pca.covariance(nn, s, ss)
+    val eig = Pca.jacobiEigen(cov)
+    val d = Pca.Dim
+    // orthonormality to 1e-12
+    for { a <- 0 until d; b <- a until d } {
+      val dot = (0 until d).map(i => eig(a)._2(i) * eig(b)._2(i)).sum
+      val expect = if (a == b) 1.0d else 0.0d
+      assert(math.abs(dot - expect) < 1e-12, s"v${a}.v${b} = $dot")
+    }
+    // residual ‖Σv − λv‖∞ ≤ 1e-9 and descending eigenvalues
+    eig.foreach { case (lam, v) =>
+      for (i <- 0 until d) {
+        val sv = (0 until d).map(j => cov(i)(j) * v(j)).sum
+        assert(math.abs(sv - lam * v(i)) < 1e-9)
+      }
+    }
+    assert(eig.map(_._1).toSeq === eig.map(_._1).sortBy(-_).toSeq)
+  }
+
+  test("whitened sample covariance is the identity (top-k block)") {
+    val model = Pca.fit(corpus())
+    val ys = Pca.project(corpus(), model).drop("vec_id").collect()
+      .map(r => Array.tabulate(Pca.TopK)(j => r.getDouble(j)))
+    val n = ys.length.toDouble
+    val mean = Array.tabulate(Pca.TopK)(j => ys.map(_(j)).sum / n)
+    for { a <- 0 until Pca.TopK; b <- a until Pca.TopK } {
+      val c = ys.map(y => (y(a) - mean(a)) * (y(b) - mean(b))).sum / n
+      val expect = if (a == b) 1.0d else 0.0d
+      assert(math.abs(c - expect) < 1e-6, s"whitened cov[$a][$b] = $c")
+    }
+  }
+
+  test("a planted rank-2 frame recovers its subspace") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val u = Array.tabulate(Pca.Dim)(i => if (i % 2 == 0) 0.5f else -0.5f)
+    val w = Array.tabulate(Pca.Dim)(i => if (i < 32) 0.25f else 0.0f)
+    val rows = (0 until 400).map { id =>
+      val a = rnd.nextGaussian().toFloat * 3f
+      val b = rnd.nextGaussian().toFloat
+      val vec = Array.tabulate(Pca.Dim)(i =>
+        a * u(i) + b * w(i) + rnd.nextGaussian().toFloat * 0.001f)
+      (id.toLong, vec.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (n, s, ss) = Pca.moments(df)
+    val (_, cov) = Pca.covariance(n, s, ss)
+    val eig = Pca.jacobiEigen(cov)
+    assert(eig(1)._1 > 100.0d * eig(2)._1,
+      s"rank-2 structure not recovered: ${eig.take(4).map(_._1).mkString(",")}")
+  }
+
+  test("engine projection equals the twin per row bit-for-bit") {
+    val model = Pca.fit(corpus())
+    val engine = Pca.project(corpus(), model).collect()
+      .map(r => (r.getLong(0),
+        Array.tabulate(Pca.TopK)(j => r.getDouble(j + 1)))).toMap
+    collected().foreach { case (id, x) =>
+      val twin = Pca.projectRow(x, model)
+      assert(engine(id).toSeq === twin.toSeq, s"vec $id")
+    }
+  }
+
+  test("fitting twice is bit-identical (no hidden nondeterminism)") {
+    val m1 = Pca.fit(corpus())
+    val m2 = Pca.fit(corpus())
+    assert(m1.mu.toSeq === m2.mu.toSeq)
+    assert(m1.eigenvalues.toSeq === m2.eigenvalues.toSeq)
+    assert(m1.rows.map(_.toSeq).toSeq === m2.rows.map(_.toSeq).toSeq)
+  }
+
+  test("the catalog entry projects every vector") {
+    val out = SparkEntry.queries("q135_pca_whiten")(spark, sf)
+    assert(out.count() === corpus().count())
+    assert(out.columns.length === Pca.TopK + 1)
+  }
+}
