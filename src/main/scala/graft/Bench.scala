@@ -68,7 +68,8 @@ object Bench {
     "q122_bpe_byte_learn", "q123_bpe_byte_encode", "q124_knn_ivf_compact",
     "q125_knn_ivf_retrain", "q126_bm25_indexed", "q127_bm25_append",
     "q128_orc_roundtrip", "q129_blocklist_filter", "q130_mojibake_repair",
-    "q131_dict_hits", "q132_logreg_gate")
+    "q131_dict_hits", "q132_logreg_gate", "q133_gate_eval",
+    "q134_dsir_select", "q135_pca_whiten")
 
   /** `build` is by-name and runs AFTER the cache clear: queries that
     * persist (and eagerly materialize) intermediate frames — e.g. q17's

@@ -402,6 +402,24 @@ object StressSf1 {
       // step; scored rows exactly 10x
       "q132_logreg_gate" -> (d => operators.Logit.scored(
         operators.Logit.featuresOf(d))),
+      // gate evaluation (q133), compute form: the q132 training chain
+      // plus the score-keyed aggregate and the bucket-decomposed
+      // prefix scan; output bins are constant — the row gates the
+      // corpus-sized aggregates' linearity
+      "q133_gate_eval" -> (d => operators.Eval.aucReliability(
+        operators.Logit.scored(operators.Logit.featuresOf(d)))),
+      // DSIR selection (q134), compute form: the tokenize-explode
+      // bucket aggregate and the broadcast λ join are corpus-sized;
+      // the λ table is 4,096 rows at ANY scale (closed alphabet), the
+      // bounded collect + selection constant — timed end to end
+      // including the eager λ fit
+      "q134_dsir_select" -> (d => {
+        val gb = operators.Dsir.gramBuckets(d, col("lang") === "en")
+        val w = operators.Dsir.docWeights(gb,
+          operators.Dsir.bucketLogRatios(spark, gb))
+          .withColumn("w_u", lit(0L))
+        operators.Dsir.selectTopK(w)
+      }),
       // the streaming gate's one-sided prefix filter (probe = FULL hash
       // set) trades candidate volume for statelessness — this is the
       // check that the trade stays LINEAR at 10x: same %3 split per
@@ -647,6 +665,19 @@ object StressSf1 {
             Seq("spark", "join", "filter"), k = 20, k1 = 1.2, b = 0.75),
           () => operators.TextIndex.bm25SearchAt(spark, bm25StressRoot,
             Seq("spark", "join", "filter"), k = 20, k1 = 1.2, b = 0.75)),
+        // PCA whitening at 10x (q135): the moment aggregate is the
+        // corpus-sized piece (one 2,145-field decimal row shipped per
+        // partition's partial); the 64x64 Jacobi fit is constant
+        // driver work at both tiers; projected rows exactly 10x
+        ("q135_pca_whiten",
+          () => {
+            val m = operators.Pca.fit(embBase)
+            operators.Pca.project(embBase, m)
+          },
+          () => {
+            val m = operators.Pca.fit(embStress)
+            operators.Pca.project(embStress, m)
+          }),
         // ORC interchange scan (q128): both tiers read a pre-staged ORC
         // copy (ensured untimed); the timed query is the pushed-down
         // lang filter + projection + md5 — filtered rows exactly 10x
