@@ -678,6 +678,13 @@ object StressSf1 {
             val m = operators.Pca.fit(embStress)
             operators.Pca.project(embStress, m)
           }),
+        // two-stage rerank at 10x (q136): constant 10-query/top-5
+        // output; the gated cost is the 16-d candidate scan (corpus-
+        // sized, 10x) + the constant-size rerank — fit included in the
+        // timed window at both tiers (one moment aggregate)
+        ("q136_knn_pca_rerank",
+          () => operators.Pca.knnPcaRerank(embBase, nQueries = 10, k = 5),
+          () => operators.Pca.knnPcaRerank(embStress, nQueries = 10, k = 5)),
         // ORC interchange scan (q128): both tiers read a pre-staged ORC
         // copy (ensured untimed); the timed query is the pushed-down
         // lang filter + projection + md5 — filtered rows exactly 10x

@@ -158,10 +158,13 @@ object Pca {
     math.sqrt(s)
   }
 
-  /** The fitted whitening model: mean, eigenvalues (desc) and the
-    * top-k scaled projection rows w_j = v_j / sqrt(λ_j + ε). */
+  /** The fitted model: mean, eigenvalues (desc), the top-k WHITENED
+    * projection rows w_j = v_j / sqrt(λ_j + ε), and the top-k UNSCALED
+    * basis rows v_j (the L2-optimal truncated linear map — what the
+    * two-stage retrieval candidate generator projects with, since
+    * whitening deliberately distorts distances). */
   final case class Model(mu: Array[Double], eigenvalues: Array[Double],
-      rows: Array[Array[Double]])
+      rows: Array[Array[Double]], basis: Array[Array[Double]])
 
   /** Fit on a vector frame: one moment aggregate + driver Jacobi. */
   def fit(vecs: DataFrame, k: Int = TopK, embCol: String = "embedding")
@@ -169,25 +172,75 @@ object Pca {
     val (n, s, ss) = moments(vecs, embCol)
     val (mu, cov) = covariance(n, s, ss)
     val eig = jacobiEigen(cov)
+    val basis = Array.tabulate(k)(j => eig(j)._2)
     val rows = Array.tabulate(k) { j =>
       val (lam, vec) = eig(j)
       val scale = 1.0d / math.sqrt(lam + Eps)
       vec.map(_ * scale)
     }
-    Model(mu, eig.map(_._1), rows)
+    Model(mu, eig.map(_._1), rows, basis)
   }
 
-  /** Whitened top-k projection as columns y0..y{k-1}: each component a
-    * fixed left-associated 64-term codegen'd expression — the twin
-    * mirrors the order term-for-term. */
-  def project(vecs: DataFrame, model: Model, embCol: String = "embedding")
-      : DataFrame = {
+  /** y0..y{k-1} projection columns for the given row matrix: each
+    * component a fixed left-associated 64-term codegen'd expression —
+    * the twin mirrors the order term-for-term. */
+  private def projCols(rows: Array[Array[Double]], mu: Array[Double],
+      embCol: String): Seq[Column] = {
     val x = (i: Int) => element_at(col(embCol), i + 1).cast("double")
-    val ys = model.rows.zipWithIndex.map { case (w, j) =>
-      (0 until Dim).map(i => lit(w(i)) * (x(i) - lit(model.mu(i))))
+    rows.zipWithIndex.map { case (w, j) =>
+      (0 until Dim).map(i => lit(w(i)) * (x(i) - lit(mu(i))))
         .reduceLeft(_ + _).as(s"y$j")
-    }
-    vecs.select(col("vec_id") +: ys.toSeq: _*)
+    }.toSeq
+  }
+
+  /** Whitened top-k projection as columns y0..y{k-1}. */
+  def project(vecs: DataFrame, model: Model, embCol: String = "embedding")
+      : DataFrame =
+    vecs.select(col("vec_id") +: projCols(model.rows, model.mu, embCol): _*)
+
+  /** Unscaled (plain-PCA) top-k projection — the candidate-generation
+    * space of [[knnPcaRerank]]. */
+  def projectBasis(vecs: DataFrame, model: Model,
+      embCol: String = "embedding"): DataFrame =
+    vecs.select(col("vec_id") +: projCols(model.basis, model.mu, embCol): _*)
+
+  /** Two-stage exact-rerank kNN — the production retrieve-then-rerank
+    * shape: candidates come from squared-L2 in the 16-d truncated PCA
+    * space (a 4× cheaper corpus scan than full-width cosine — at real
+    * embedding widths, 1024→64, the dominant cost cut), then ONLY the
+    * ≤ nCand·|Q| candidate pairs are reranked by exact full-space
+    * cosine. Setting nCand ≥ corpus size makes stage 1 a no-op filter,
+    * so the operator degrades EXACTLY to q19's brute answer — the
+    * differential PcaSpec gates, alongside the measured recall floor
+    * at the production setting. Both stages rank with the salted
+    * tournament (never a bare corpus-wide window). */
+  def knnPcaRerank(emb: DataFrame, nQueries: Int, k: Int,
+      nCand: Int = 50): DataFrame = {
+    val model = fit(emb)
+    val proj = projectBasis(emb, model)
+    val q = proj.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id") +:
+        (0 until TopK).map(j => col(s"y$j").as(s"qy$j")): _*)
+    val l2 = (0 until TopK)
+      .map(j => (col(s"y$j") - col(s"qy$j")) * (col(s"y$j") - col(s"qy$j")))
+      .reduceLeft(_ + _)
+    val cands = Similarity.topK(
+      proj.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (lit(0.0d) - l2).as("score")),
+      nCand)
+      .select("query_id", "neighbor_id")
+    val e = Similarity.prepared(emb)
+    val qe = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val exact = cands
+      .join(e, cands("neighbor_id") === e("vec_id"))
+      .join(broadcast(qe), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("q_emb"), col("q_nrm"), col("emb"),
+          col("nrm")).as("score"))
+    Similarity.topK(exact, k)
   }
 
   /** The twin's per-row projection arithmetic, shared verbatim with
@@ -225,6 +278,21 @@ object Pca {
         val vecs = Tables.embeddings(s, dir)
         val model = fit(vecs)
         project(vecs, model).orderBy("vec_id")
-      })
+      }),
+
+    Query(
+      "q136_knn_pca_rerank",
+      "Two-stage exact-rerank kNN: candidates from squared-L2 in the " +
+        "16-d truncated-PCA space (the corpus scan runs at a quarter " +
+        "of full width — at production embedding sizes the dominant " +
+        "retrieval cost), exact full-space cosine reranks only the " +
+        "candidate pairs, both stages ranked by the salted tournament. " +
+        "nCand >= corpus collapses stage 1 to a no-op, so the operator " +
+        "degrades exactly to q19's brute answer — the PcaSpec " +
+        "differential, next to the measured recall floor at the " +
+        "production setting. No oracle (the candidate space is " +
+        "eigendecomposition-derived); design-gated in PcaSpec.",
+      (s, dir) => knnPcaRerank(Tables.embeddings(s, dir),
+        nQueries = 10, k = 5))
   )
 }

@@ -59,6 +59,14 @@ class PcaSpec extends AnyFunSuite {
     assert(ss.toSeq === tss.toSeq)
   }
 
+  test("the moment row is partition-count invariant (mergeable partials)") {
+    val (n1, s1, ss1) = Pca.moments(corpus().repartition(1))
+    val (n32, s32, ss32) = Pca.moments(corpus().repartition(32))
+    assert(n1 === n32)
+    assert(s1.toSeq === s32.toSeq)
+    assert(ss1.toSeq === ss32.toSeq)
+  }
+
   test("the Jacobi basis is orthonormal and solves the eigen equation") {
     val (nn, s, ss) = Pca.moments(corpus())
     val (_, cov) = Pca.covariance(nn, s, ss)
@@ -136,5 +144,37 @@ class PcaSpec extends AnyFunSuite {
     val out = SparkEntry.queries("q135_pca_whiten")(spark, sf)
     assert(out.count() === corpus().count())
     assert(out.columns.length === Pca.TopK + 1)
+  }
+
+  // ---- q136 two-stage exact-rerank kNN ---------------------------------
+
+  private def asPairs(df: DataFrame): Seq[(Long, Long, Int, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getInt(2), r.getDouble(3))).toSeq
+
+  test("with nCand >= corpus the rerank degrades exactly to q19 brute") {
+    val exact = asPairs(graft.operators.Similarity
+      .knnBrute(corpus(), nQueries = 10, k = 5))
+    val twoStage = asPairs(Pca.knnPcaRerank(corpus(), nQueries = 10,
+      k = 5, nCand = 600))
+    assert(twoStage === exact)
+  }
+
+  test("recall@5 vs exact clears the floor at the production setting") {
+    val exact = asPairs(graft.operators.Similarity
+      .knnBrute(corpus(), nQueries = 10, k = 5))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = asPairs(Pca.knnPcaRerank(corpus(), nQueries = 10, k = 5))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = exact.keys.toSeq.map(q => (got(q) & exact(q)).size).sum
+    val recall = hits.toDouble / (exact.size * 5)
+    info(s"pca-rerank recall@5 = $recall")
+    assert(recall >= 0.60, s"recall@5 $recall below floor")
+  }
+
+  test("the two-stage result is deterministic across runs") {
+    val a = asPairs(Pca.knnPcaRerank(corpus(), nQueries = 10, k = 5))
+    val b = asPairs(Pca.knnPcaRerank(corpus(), nQueries = 10, k = 5))
+    assert(a === b)
   }
 }
