@@ -344,6 +344,49 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.logical: LogicalPlan
       }))
 
+    ext.injectTableFunction((FunctionIdentifier("graft_auc"),
+      info("graft_auc",
+        "graft_auc(scoredView, scoreCol, labelCol) - exact tie-aware " +
+          "ROC AUC + decile reliability bins over a scored view (the " +
+          "q133 shape): one row per touched bin carrying the global " +
+          "integer AUC ratio; global ranks are never computed (score-" +
+          "keyed aggregate + bucket-decomposed prefix scan)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_auc(scoredView, scoreCol, labelCol)")
+        val t = SparkSession.active.table(
+          strArg("graft_auc", "scoredView", args.head))
+        graft.operators.Eval.aucReliability(t,
+          score = strArg("graft_auc", "scoreCol", args(1)),
+          label = strArg("graft_auc", "labelCol", args(2)))
+          .queryExecution.logical: LogicalPlan
+      }))
+
+    ext.injectTableFunction((FunctionIdentifier("graft_dsir"),
+      info("graft_dsir",
+        "graft_dsir(docsView, targetLang, k) - importance-resampling " +
+          "selection (the q134 DSIR shape) over a (doc_id, lang, text) " +
+          "view: hashed unigram+bigram LMs fit on the lang-slice vs " +
+          "the rest, top-k raw docs by log-likelihood-ratio weight; " +
+          "(doc_id, w_u) with the weight in micro-units. The lambda " +
+          "fit (one bounded 4,096-row aggregate) runs at resolution " +
+          "time, like the index-building TVFs"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_dsir(docsView, targetLang, k)")
+        val spark = SparkSession.active
+        val t = spark.table(strArg("graft_dsir", "docsView", args.head))
+        val lang = strArg("graft_dsir", "targetLang", args(1))
+        val gb = graft.operators.Dsir.gramBuckets(t,
+          org.apache.spark.sql.functions.col("lang") === lang)
+        val w = graft.operators.Dsir.docWeights(gb,
+          graft.operators.Dsir.bucketLogRatios(spark, gb))
+        graft.operators.Dsir.selectTopK(
+          w.withColumn("w_u", org.apache.spark.sql.functions.floor(
+            w("w").cast("decimal(22,15)") *
+              org.apache.spark.sql.functions.lit(1000000)).cast("long")),
+          k = intArg("graft_dsir", "k", args(2)))
+          .queryExecution.logical: LogicalPlan
+      }))
+
     // aggregate function: the analyzer wraps a bare AggregateFunction in
     // an AggregateExpression itself, same as built-in registry entries
     ext.injectFunction((FunctionIdentifier("frequent_items"),

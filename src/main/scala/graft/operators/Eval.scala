@@ -137,7 +137,57 @@ object Eval {
     out
   }
 
+  // ---- q137: dedup-pipeline recall evaluation -------------------------
+
+  /** Write-once staging of a DELIBERATELY miscalibrated MinHash-LSH
+    * pass: b=4 bands × r=24 rows puts the banding S-curve's midpoint
+    * at (1/4)^(1/24) ≈ 0.94 — far above the τ=0.7 contract, so even
+    * the corpus's 0.90–0.96 near-twin pairs get missed with real
+    * probability. This is exactly the misconfiguration the audit
+    * below exists to expose ("what recall is this banding actually
+    * buying at my τ?") — q17's production b=64×r=3 misses at ~1e-12,
+    * which would make the audit vacuous. Deterministic
+    * (structural-hash permutations), so the miss set is a fixed fact
+    * of the corpus, not a sample. */
+  def lshPairsStaged(spark: SparkSession, dir: String): String = {
+    val out = "target/dedup_eval/lsh_b4r24_" +
+      Bucketed.md5hex(
+        s"$dir/${Layout.contentKey(spark, s"$dir/documents.parquet")}").take(8)
+    Staging.ensure(spark, out) { tmp =>
+      Dedup.nearDuplicates(graft.sources.Tables.documents(spark, dir),
+        n = 3, k = 96, b = 4, r = 24, threshold = 0.7)
+        .select("doc_a", "doc_b")
+        .repartition(1)
+        .write.mode("overwrite").parquet(tmp)
+    }
+    out
+  }
+
+  /** Recall evaluation of an approximate dedup candidate generator
+    * against the exact ground truth: one row with the confusion counts
+    * (n_true from the lossless q28 prefix-filter join, n_found/n_hit/
+    * n_missed against the approximate pair set) and the largest missed
+    * pair's Jaccard in integer micro-units — misses concentrate just
+    * above τ, and this column proves it. All corpus-sized work is the
+    * two generators themselves; the comparison is a left join on the
+    * (small) true-pair set. Integer columns only (the q96/q71 rule). */
+  def dedupRecallEval(truth: DataFrame, approx: DataFrame): DataFrame = {
+    val t = truth
+      .join(approx.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"), "left")
+      .select(col("jaccard"), coalesce(col("hit"), lit(0)).as("hit"))
+    val agg = t.agg(
+      count(lit(1)).cast("long").as("n_true"),
+      sum(col("hit")).cast("long").as("n_hit"),
+      sum(lit(1) - col("hit")).cast("long").as("n_missed"),
+      coalesce(max(when(col("hit") === 0,
+        floor(col("jaccard") * 1e6d).cast("long"))), lit(-1L))
+        .as("j_missed_max_u"))
+    val nf = approx.agg(count(lit(1)).cast("long").as("n_found"))
+    agg.crossJoin(broadcast(nf))
+  }
+
   @volatile private[graft] var stagedOracleRoot: Option[String] = None
+  @volatile private[graft] var stagedLshRoot: Option[String] = None
 
   // `def`, not `val`: the oracle SQL embeds [[stagedOracleRoot]], which
   // the entry's run sets (the q105/q121 staged-oracle convention)
@@ -194,6 +244,65 @@ object Eval {
                CAST(auc_num AS DOUBLE) / CAST(auc_den AS DOUBLE) AS auc,
                n_pos_total, n_neg_total
         FROM bins CROSS JOIN tot
-        ORDER BY bin"""))
+        ORDER BY bin""")),
+
+    Query(
+      "q137_dedup_recall_eval",
+      "Recall audit of an approximate dedup candidate generator " +
+        "against exact ground truth — the measurement a dedup owner " +
+        "runs before trusting a banding at 100 TB: ground truth from " +
+        "the lossless q28 prefix-filter Jaccard join, the candidate " +
+        "under audit a deliberately miscalibrated MinHash-LSH pass " +
+        "(b=4 x r=24 - S-curve midpoint ~0.94, far above the tau=0.7 " +
+        "contract, so the corpus's near-twin pairs get missed with " +
+        "real probability; q17's production banding misses at 1e-12, " +
+        "which would make the audit vacuous), compared by one left " +
+        "join on the small true-pair set. One row: confusion counts " +
+        "+ the largest missed pair's " +
+        "Jaccard in micro-units (misses concentrate just above tau). " +
+        "Oracle: DuckDB recomputes the exact pairs from documents " +
+        "(the q28 SQL) and the confusion against the STAGED candidate " +
+        "parquet (the q105 convention) — integer-exact.",
+      (s, dir) => {
+        val root = lshPairsStaged(s, dir)
+        stagedLshRoot = Some(new java.io.File(root).getAbsolutePath)
+        val truth = Dedup.jaccardJoin(
+          graft.sources.Tables.documents(s, dir), n = 3, tau = 0.7)
+          .select("doc_a", "doc_b", "jaccard")
+        dedupRecallEval(truth, s.read.parquet(root))
+      },
+      stagedLshRoot.map(root => s"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+                                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+          FROM (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+                FROM documents)
+        ), sz AS (
+          SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), truth AS (
+          SELECT doc_a, doc_b,
+                 CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) AS jaccard
+          FROM inter
+          JOIN sz za ON za.doc_id = doc_a
+          JOIN sz zb ON zb.doc_id = doc_b
+          WHERE CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) >= 0.7
+        ), found AS (
+          SELECT doc_a, doc_b FROM read_parquet('$root/*.parquet')
+        ), m AS (
+          SELECT t.jaccard, (f.doc_a IS NOT NULL) AS hit
+          FROM truth t LEFT JOIN found f USING (doc_a, doc_b)
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+               CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               CAST(SUM(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS n_missed,
+               CAST(COALESCE(MAX(CASE WHEN NOT hit
+                 THEN CAST(FLOOR(jaccard * 1000000.0) AS BIGINT) END), -1)
+                 AS BIGINT) AS j_missed_max_u,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM found) AS n_found
+        FROM m"""))
   )
 }

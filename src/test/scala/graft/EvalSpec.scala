@@ -136,4 +136,48 @@ class EvalSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.contains("q133_gate_eval"))
     assert(SparkEntry.oracleSql("q133_gate_eval").contains("read_parquet"))
   }
+
+  // ---- q137 dedup recall evaluation ------------------------------------
+
+  test("confusion counts are exact on a crafted truth/candidate pair") {
+    import spark.implicits._
+    val truth = Seq((1L, 2L, 1.0), (3L, 4L, 0.75), (5L, 6L, 0.82))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val approx = Seq((1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val r = Eval.dedupRecallEval(truth, approx).collect().head
+    assert(r.getAs[Long]("n_true") === 3L)
+    assert(r.getAs[Long]("n_hit") === 2L)
+    assert(r.getAs[Long]("n_missed") === 1L)
+    assert(r.getAs[Long]("n_found") === 2L)
+    assert(r.getAs[Long]("j_missed_max_u") === 750000L)
+  }
+
+  test("a fully-caught truth set reports -1 for the missed maximum") {
+    import spark.implicits._
+    val truth = Seq((1L, 2L, 0.9)).toDF("doc_a", "doc_b", "jaccard")
+    val approx = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val r = Eval.dedupRecallEval(truth, approx).collect().head
+    assert(r.getAs[Long]("n_missed") === 0L)
+    assert(r.getAs[Long]("j_missed_max_u") === -1L)
+  }
+
+  test("on the corpus the under-banded LSH is a subset of the exact truth") {
+    val r = SparkEntry.queries("q137_dedup_recall_eval")(spark, sf)
+      .collect().head
+    val (nTrue, nHit, nMissed, nFound) =
+      (r.getAs[Long]("n_true"), r.getAs[Long]("n_hit"),
+        r.getAs[Long]("n_missed"), r.getAs[Long]("n_found"))
+    assert(nHit + nMissed === nTrue)
+    // precision 1: every found pair is a true pair (both sides verify
+    // exactly at the same τ; a shingle-hash collision would break this)
+    assert(nFound === nHit)
+    assert(nTrue > 0L)
+    // the under-banding is the POINT — recall must be high but the
+    // audit only means something if the machinery can count misses
+    // (the planted tests above prove the counting; the corpus may or
+    // may not have borderline pairs at this tier)
+    assert(nHit.toDouble / nTrue >= 0.5, s"recall collapsed: $nHit/$nTrue")
+    assert(SparkEntry.oracleSql("q137_dedup_recall_eval")
+      .contains("read_parquet"))
+  }
 }

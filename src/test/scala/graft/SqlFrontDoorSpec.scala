@@ -160,4 +160,31 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(viaSql === viaApi)
     assert(viaSql.length === 15)
   }
+
+  test("graft_auc TVF equals Eval.aucReliability row for row") {
+    val scored = operators.Logit.scored(operators.Logit.features(spark, sf))
+    scored.createOrReplaceTempView("graft_scored")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_auc('graft_scored', 'p_keep', 'label')")
+    assert(sorted(viaSql) ===
+      sorted(operators.Eval.aucReliability(scored)))
+    assert(viaSql.count() > 0)
+  }
+
+  test("graft_dsir TVF equals the staged q134 selection id for id") {
+    registered()
+    val viaSql = spark.sql("SELECT * FROM graft_dsir('graft_docs', 'en', 50)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the API twin: same weights (DsirSpec proves them twin-exact),
+    // same ordering and quota
+    val gb = operators.Dsir.gramBuckets(docs, col("lang") === "en")
+    val w = operators.Dsir.docWeights(gb,
+      operators.Dsir.bucketLogRatios(spark, gb))
+    val viaApi = operators.Dsir.selectTopK(
+      w.withColumn("w_u",
+        floor(w("w").cast("decimal(22,15)") * lit(1000000)).cast("long")),
+      k = 50).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql === viaApi)
+    assert(viaSql.length === 50)
+  }
 }
