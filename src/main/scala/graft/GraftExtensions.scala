@@ -395,5 +395,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "frequent_items(item, k)")
         FrequentItemsSketch(args.head, intArg("frequent_items", "k", args(1)))
       }))
+
+    ext.injectFunction((FunctionIdentifier("moment_sketch"),
+      info("moment_sketch",
+        "moment_sketch(vec, d) - exact decimal first/second-moment row " +
+          "of a d-wide vector column as array<decimal(38,15)>: " +
+          "[count, sums, upper-triangle second moments] - order-free " +
+          "and bit-deterministic at any partition count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "moment_sketch(vec, d)")
+        graft.functions.MomentSketch(args.head,
+          intArg("moment_sketch", "d", args(1)))
+      }))
   }
 }

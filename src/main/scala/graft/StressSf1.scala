@@ -685,6 +685,23 @@ object StressSf1 {
         ("q136_knn_pca_rerank",
           () => operators.Pca.knnPcaRerank(embBase, nQueries = 10, k = 5),
           () => operators.Pca.knnPcaRerank(embStress, nQueries = 10, k = 5)),
+        // cluster-quality audit at 10x (q138), compute form: train +
+        // assign + the n x C silhouette aggregate all inside the timed
+        // window; C = 256 at both tiers, so cost is corpus-linear and
+        // cluster rows stay bounded by C
+        ("q138_cluster_quality",
+          () => {
+            val e = operators.Similarity.prepared(embBase)
+            val c = operators.Similarity.ivfCentroids(e, 256, 3)
+            operators.AnnIndex.clusterQualityOf(
+              operators.Similarity.assignToCentroids(e, c), c)
+          },
+          () => {
+            val e = operators.Similarity.prepared(embStress)
+            val c = operators.Similarity.ivfCentroids(e, 256, 3)
+            operators.AnnIndex.clusterQualityOf(
+              operators.Similarity.assignToCentroids(e, c), c)
+          }),
         // ORC interchange scan (q128): both tiers read a pre-staged ORC
         // copy (ensured untimed); the timed query is the pushed-down
         // lang filter + projection + md5 — filtered rows exactly 10x

@@ -271,7 +271,55 @@ object AnnIndex {
       k, m, d / m, kCent, candidates)
   }
 
-  val queries: Seq[Query] = Seq(
+  /** Simplified-silhouette cluster-quality audit over a persisted IVF
+    * index's own frames — the "when to retrain" monitor next to the
+    * q125 retrain op: appends under frozen centroids (q109) erode
+    * assignment quality, and this audit is the signal that triggers
+    * the repair. Per vector (cosine-distance simplified silhouette,
+    * Hruschka et al.'s centroid form of Rousseeuw 1987):
+    * a = 1 − cos(x, own centroid), b = 1 − max cos(x, other centroid),
+    * s = (b − a)/max(a, b) — computed from the broadcast C-row
+    * centroid frame in the same n×C map-side-combining shape as
+    * assignment itself (no vector-pair product ever forms; the exact
+    * pairwise silhouette would be the q31-style corpus² pathology).
+    * Per-cluster output keeps INTEGER columns only (count, micro-unit
+    * silhouette sum and min — the q96/q71 rule); means derive
+    * downstream. Contract: C ≥ 2 (with one centroid no "other"
+    * distance exists). */
+  def clusterQualityOf(lists: DataFrame, cent: DataFrame): DataFrame = {
+    val scored = lists.join(broadcast(cent), lit(true))
+      .withColumn("cs", Similarity.cosine(col("emb"), col("nrm"),
+        col("c_emb"), col("c_nrm")))
+    val per = scored.groupBy(col("vec_id"), col("cluster"))
+      .agg(max(when(col("cent_id") === col("cluster"), col("cs"))).as("own"),
+        max(when(col("cent_id") =!= col("cluster"), col("cs"))).as("oth"))
+    val a = lit(1.0d) - col("own")
+    val b = lit(1.0d) - col("oth")
+    val sil = when(greatest(a, b) === 0.0d, lit(0.0d))
+      .otherwise((col("own") - col("oth")) / greatest(a, b))
+    per.select(col("cluster").cast("long").as("cluster"),
+        round(sil * 1e6d).cast("long").as("sil_u"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("sil_u").as("sum_sil_u"),
+        min("sil_u").as("min_sil_u"))
+      .orderBy("cluster")
+  }
+
+  /** [[clusterQualityOf]] against the persisted q77 index of `dir`. */
+  def clusterQuality(spark: SparkSession, dir: String,
+      centroids: Int = 256, lloydIters: Int = 3): (String, DataFrame) = {
+    val idx = ivfIndex(spark, dir, centroids, lloydIters)
+    (idx, clusterQualityOf(
+      spark.read.parquet(s"$idx/lists"),
+      spark.read.parquet(s"$idx/centroids")))
+  }
+
+  @volatile private[graft] var stagedQualityRoot: Option[String] = None
+
+  // `def`, not `val`: q138's oracle SQL embeds [[stagedQualityRoot]]
+  // (the q105/q121 staged-oracle convention)
+  def queries: Seq[Query] = Seq(
 
     Query(
       "q77_knn_ivf_indexed",
@@ -341,6 +389,52 @@ object AnnIndex {
         "erode. No oracle: approximate by design — gated in " +
         "AnnIndexSpec by frame-for-frame equality with the q77 index " +
         "and probe bit-equality.",
-      (s, dir) => knnIvfRetrained(s, dir, nQueries = 10, k = 5))
+      (s, dir) => knnIvfRetrained(s, dir, nQueries = 10, k = 5)),
+
+    Query(
+      "q138_cluster_quality",
+      "Simplified-silhouette quality audit of the persisted IVF index " +
+        "- the 'when to retrain' monitor next to q125: per vector, " +
+        "cosine-distance silhouette against its own vs best-other " +
+        "centroid, computed from the broadcast C-row centroid frame " +
+        "in the same n x C map-side-combining shape as assignment " +
+        "(never a vector-pair product); per-cluster counts and " +
+        "micro-unit silhouette sum/min, integer columns only. Oracle: " +
+        "DuckDB recomputes the silhouettes from the persisted index's " +
+        "OWN parquet frames (lists + centroids - already staged, " +
+        "content-keyed artifacts) via list_dot_product, hash-exact.",
+      (s, dir) => {
+        val (idx, out) = clusterQuality(s, dir)
+        stagedQualityRoot = Some(new java.io.File(idx).getAbsolutePath)
+        out
+      },
+      stagedQualityRoot.map(root => s"""
+        WITH lists AS (
+          SELECT vec_id, emb, nrm, CAST(cluster AS BIGINT) AS cluster
+          FROM read_parquet('$root/lists/*/*.parquet', hive_partitioning = 1)
+        ), cent AS (
+          SELECT cent_id, c_emb, c_nrm FROM read_parquet('$root/centroids/*.parquet')
+        ), s AS (
+          SELECT l.vec_id, l.cluster, c.cent_id,
+                 list_dot_product(l.emb, c.c_emb) / (l.nrm * c.c_nrm) AS cs
+          FROM lists l CROSS JOIN cent c
+        ), p AS (
+          SELECT vec_id, cluster,
+                 MAX(CASE WHEN cent_id = cluster THEN cs END) AS own,
+                 MAX(CASE WHEN cent_id <> cluster THEN cs END) AS oth
+          FROM s GROUP BY 1, 2
+        ), r AS (
+          SELECT cluster,
+                 CASE WHEN GREATEST(1.0 - own, 1.0 - oth) = 0
+                      THEN CAST(0 AS BIGINT)
+                      ELSE CAST(ROUND((own - oth) / GREATEST(1.0 - own, 1.0 - oth) * 1000000.0)
+                                AS BIGINT) END AS sil_u
+          FROM p
+        )
+        SELECT cluster, COUNT(*) AS n_vecs,
+               CAST(SUM(sil_u) AS BIGINT) AS sum_sil_u,
+               CAST(MIN(sil_u) AS BIGINT) AS min_sil_u
+        FROM r GROUP BY 1
+        ORDER BY cluster"""))
   )
 }

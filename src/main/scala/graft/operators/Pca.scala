@@ -16,14 +16,18 @@ import graft.sources.Tables
   *
   * Scale design — the classic two-phase split, each phase the right
   * size for where it runs:
-  *   1. Moments are ONE corpus-wide map-side-combining aggregate: the
-  *      d(d+1)/2 = 2,080 upper-triangle second moments, d = 64 means
-  *      and the count, every term cast to DECIMAL(30,15) BEFORE the
-  *      sum (the Logit/q132 trick) — the collected moment row is
-  *      bit-identical at any partition count, so everything derived
-  *      from it is too. No row-by-row data ever reaches the driver;
-  *      the aggregate ships ONE 2,145-field row regardless of corpus
-  *      size.
+  *   1. Moments are ONE corpus-wide map-side-combining aggregate — the
+  *      native [[graft.functions.MomentSketch]], one opaque buffer
+  *      holding the d(d+1)/2 = 2,080 upper-triangle second moments,
+  *      d = 64 means and the count (2,145 separate `sum(cast)`
+  *      aggregate expressions measured ~20 s of per-query Catalyst
+  *      planning+codegen — constant-cost planning was the point of
+  *      going native). Every term is rounded to DECIMAL(30,15) BEFORE
+  *      the exact order-free decimal add (the Logit/q132 trick) — the
+  *      collected moment row is bit-identical at any partition count,
+  *      so everything derived from it is too. No row-by-row data ever
+  *      reaches the driver; the aggregate ships ONE 2,145-field row
+  *      regardless of corpus size.
   *   2. The 64×64 eigendecomposition is driver arithmetic (cyclic
   *      Jacobi with a fixed sweep order and convergence threshold —
   *      deterministic, no randomized init), exactly like the 4×4
@@ -55,25 +59,27 @@ object Pca {
   val Eps = 1e-9
 
   /** The moment aggregate: count, per-dimension sums, upper-triangle
-    * second-moment sums — all decimal-cast-then-summed. Returns the
-    * single collected row's fields as (n, s: Array[d], ss upper
-    * triangle row-major: Array[d(d+1)/2]) in DOUBLE (exact decimal →
-    * shortest double; the same conversion the twin applies). */
+    * second-moment sums — one native [[graft.functions.MomentSketch]]
+    * aggregate (ONE buffer; the original 2,145-separate-`sum(cast)`
+    * formulation cost ~20 s of per-query Catalyst planning+codegen,
+    * dominating the data pass). Every per-row term is rounded to
+    * DECIMAL(30,15) with Spark's double→decimal semantics before the
+    * exact order-free decimal add, so the collected row — and
+    * everything derived from it — is bit-identical at any partition
+    * count. Returns (n, s: Array[d], ss upper triangle row-major:
+    * Array[d(d+1)/2]) in DOUBLE (exact decimal → shortest double; the
+    * same conversion point the spec twin applies). */
   def moments(vecs: DataFrame, embCol: String = "embedding")
       : (Long, Array[Double], Array[Double]) = {
-    val x = (i: Int) =>
-      element_at(col(embCol), i + 1).cast("double")
-    def dec(c: Column) = sum(c.cast("decimal(30,15)"))
-    val sAggs = (0 until Dim).map(i => dec(x(i)).as(s"s$i"))
-    val ssAggs = for { i <- 0 until Dim; j <- i until Dim }
-      yield dec(x(i) * x(j)).as(s"ss${i}_$j")
-    val aggs = (count(lit(1)).as("n") +: sAggs) ++ ssAggs
-    val row = vecs.agg(aggs.head, aggs.tail: _*).head()
-    val n = row.getLong(0)
+    val row = vecs
+      .agg(graft.functions.MomentSketch.momentSketch(col(embCol), Dim).as("m"))
+      .head()
+    val arr = row.getSeq[java.math.BigDecimal](0)
+    val n = arr(0).longValueExact()
     require(n > 0, "PCA needs a non-empty vector frame")
-    val s = Array.tabulate(Dim)(i => row.getDecimal(1 + i).doubleValue)
+    val s = Array.tabulate(Dim)(i => arr(1 + i).doubleValue)
     val ss = Array.tabulate(Dim * (Dim + 1) / 2)(k =>
-      row.getDecimal(1 + Dim + k).doubleValue)
+      arr(1 + Dim + k).doubleValue)
     (n, s, ss)
   }
 

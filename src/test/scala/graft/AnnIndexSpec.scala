@@ -225,4 +225,49 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(badAggs.isEmpty,
       s"indexed PQ plan must not train/encode:\n${badAggs.mkString("\n")}")
   }
+
+  // ---- q138 cluster-quality audit ---------------------------------------
+
+  test("cluster quality: hand-computed simplified silhouettes are exact") {
+    import spark.implicits._
+    // unit-norm 2-d fixture: p1 sits ON its centroid (sil = 1), p2 at
+    // cos 0.8 to its own and 0.6 to the other (sil = 0.5)
+    val lists = Seq(
+      (1L, Seq(1.0, 0.0), 1.0, 10L),
+      (2L, Seq(0.6, 0.8), 1.0, 20L))
+      .toDF("vec_id", "emb", "nrm", "cluster")
+    val cent = Seq(
+      (10L, Seq(1.0, 0.0), 1.0),
+      (20L, Seq(0.0, 1.0), 1.0))
+      .toDF("cent_id", "c_emb", "c_nrm")
+    val out = AnnIndex.clusterQualityOf(lists, cent).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((10L, 1L, 1000000L), (20L, 1L, 500000L)))
+  }
+
+  test("cluster quality: a vector equal to both centroids yields 0, not NaN") {
+    import spark.implicits._
+    val lists = Seq((1L, Seq(1.0, 0.0), 1.0, 10L))
+      .toDF("vec_id", "emb", "nrm", "cluster")
+    val cent = Seq(
+      (10L, Seq(1.0, 0.0), 1.0),
+      (20L, Seq(1.0, 0.0), 1.0)).toDF("cent_id", "c_emb", "c_nrm")
+    val out = AnnIndex.clusterQualityOf(lists, cent).collect()
+    assert(out.head.getLong(2) === 0L)
+  }
+
+  test("q138 audits every indexed vector and stays inside silhouette bounds") {
+    val out = SparkEntry.queries("q138_cluster_quality")(spark, sf).collect()
+    val total = Tables.embeddings(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum === total)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_vecs")
+      val sum = r.getAs[Long]("sum_sil_u")
+      val min = r.getAs[Long]("min_sil_u")
+      assert(min >= -1000000L && min <= 1000000L)
+      assert(sum >= -1000000L * n && sum <= 1000000L * n)
+      assert(min * n <= sum)
+    }
+    assert(SparkEntry.oracleSql("q138_cluster_quality").contains("read_parquet"))
+  }
 }

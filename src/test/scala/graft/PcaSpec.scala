@@ -59,6 +59,35 @@ class PcaSpec extends AnyFunSuite {
     assert(ss.toSeq === tss.toSeq)
   }
 
+  test("moment_sketch: null vectors are skipped, width mismatch refuses, " +
+    "SQL registration serves the same row") {
+    import spark.implicits._
+    import graft.functions.MomentSketch.momentSketch
+    val df = Seq(
+      (1L, Some(Seq(1.0f, 2.0f))),
+      (2L, None),
+      (3L, Some(Seq(3.0f, 4.0f)))).toDF("vec_id", "v")
+    val arr = df.agg(momentSketch(org.apache.spark.sql.functions.col("v"), 2))
+      .head().getSeq[java.math.BigDecimal](0)
+    // [count, s0, s1, ss00, ss01, ss11] — the null row doesn't count
+    assert(arr(0).longValueExact === 2L)
+    assert(arr(1).doubleValue === 4.0d) // 1 + 3
+    assert(arr(2).doubleValue === 6.0d) // 2 + 4
+    assert(arr(3).doubleValue === 10.0d) // 1 + 9
+    assert(arr(4).doubleValue === 14.0d) // 2 + 12
+    assert(arr(5).doubleValue === 20.0d) // 4 + 16
+    val bad = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "v")
+    val e = intercept[Exception] {
+      bad.agg(momentSketch(org.apache.spark.sql.functions.col("v"), 2)).head()
+    }
+    assert(e.getMessage != null)
+    df.createOrReplaceTempView("moment_vecs")
+    val viaSql = spark.sql(
+      "SELECT moment_sketch(v, 2) FROM moment_vecs")
+      .head().getSeq[java.math.BigDecimal](0)
+    assert(viaSql === arr)
+  }
+
   test("the moment row is partition-count invariant (mergeable partials)") {
     val (n1, s1, ss1) = Pca.moments(corpus().repartition(1))
     val (n32, s32, ss32) = Pca.moments(corpus().repartition(32))
