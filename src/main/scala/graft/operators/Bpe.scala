@@ -700,6 +700,30 @@ object Bpe {
       .agg(count(lit(1)).as("n_docs"), sum("n_subwords").as("n_subwords"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
 
+  /** Attention-boundary table of the q105 shard layout — what a
+    * pretraining packer actually EMITS next to the shards: per shard,
+    * each document's LOCAL token offset and length, so the training
+    * loader can build block-diagonal attention masks (no cross-document
+    * attention — the packing detail every production pretraining stack
+    * ships; cf. the `attention_mask` resets in public packed-sequence
+    * implementations) without re-tokenizing anything. Derivation: the
+    * q105 global prefix offsets, rebased per shard by a window MIN
+    * PARTITIONED BY shard_id — per-shard state only, never a bare
+    * corpus window (the q41 two-pass prefix sum remains the only
+    * cross-shard coordination). Output: (shard_id, doc_id, start_tok,
+    * n_tok), boundaries tiling each shard gaplessly from 0. */
+  def packBoundaries(docs: DataFrame, wordSegs: DataFrame,
+      budget: Long): DataFrame = {
+    val (off, _) = Shards.prefixOffsets(docSubwordCounts(docs, wordSegs),
+      Seq(col("doc_id")), col("n_subwords"))
+    val sh = off.withColumn("shard_id",
+      floor(col("start_off") / lit(budget.toDouble)).cast("long"))
+    val w = Window.partitionBy("shard_id")
+    sh.select(col("shard_id"), col("doc_id"),
+      (col("start_off") - min("start_off").over(w)).as("start_tok"),
+      col("n_subwords").as("n_tok"))
+  }
+
   /** Materialize the subword-budget shard layout — [[Shards.writeShards]]
     * in model-token units: one file per shard, rows sorted by doc_id. */
   def writeSubwordShards(docs: DataFrame, wordSegs: DataFrame, budget: Long,
@@ -907,6 +931,54 @@ object Bpe {
         encodeBytes(Tables.documents(s, dir), segs,
           subwordIds(byteVocab(segs)))
           .orderBy("doc_id")
-      })
+      }),
+
+    Query(
+      "q139_pack_boundaries",
+      "Attention-boundary table of the q105 shard layout - what a " +
+        "pretraining packer actually emits next to the shards: per " +
+        "shard, each document's LOCAL token offset and length, so the " +
+        "training loader builds block-diagonal attention masks (no " +
+        "cross-document attention) without re-tokenizing. The q105 " +
+        "global prefix offsets rebased per shard by a window MIN " +
+        "partitioned by shard_id - per-shard state only; boundaries " +
+        "tile each shard gaplessly from 0 (BpeSpec-gated). Oracle: " +
+        "DuckDB replays the whole composition from documents + the " +
+        "staged segmentation parquet (the q105 convention).",
+      (s, dir) => {
+        val (_, segs) = learnStaged(s, dir, merges = 32)
+        stagedOracleRoot =
+          Some(new java.io.File(bpeRoot(s, dir, 32)).getAbsolutePath)
+        packBoundaries(Tables.documents(s, dir), segs, budget = 2048L)
+          .orderBy("shard_id", "start_tok")
+      },
+      stagedOracleRoot.map(root => s"""
+        WITH segs AS (
+          SELECT word, CAST(len(syms) AS BIGINT) AS n_sub
+          FROM read_parquet('$root/segments/*.parquet')
+        ), tok AS (
+          SELECT doc_id,
+                 unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS word
+          FROM documents
+        ), dc AS (
+          SELECT t.doc_id,
+                 CAST(SUM(COALESCE(s.n_sub, length(t.word) + 1)) AS BIGINT) AS n_subwords
+          FROM tok t LEFT JOIN segs s USING (word)
+          GROUP BY t.doc_id
+        ), pref AS (
+          SELECT doc_id, n_subwords,
+                 SUM(n_subwords) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_subwords AS start_off
+          FROM dc
+        ), sh AS (
+          SELECT doc_id, n_subwords, start_off,
+                 CAST(FLOOR(CAST(start_off AS DOUBLE) / 2048.0) AS BIGINT) AS shard_id
+          FROM pref
+        )
+        SELECT shard_id, doc_id,
+               CAST(start_off - MIN(start_off) OVER (PARTITION BY shard_id) AS BIGINT) AS start_tok,
+               n_subwords AS n_tok
+        FROM sh
+        ORDER BY shard_id, start_tok"""))
   )
 }

@@ -362,4 +362,31 @@ class BpeSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     assert(got === want)
   }
+
+  test("q139 boundaries tile every shard gaplessly and sum to the manifest") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val (_, segs) = Bpe.learnStaged(spark, sf, merges = 32)
+    val bounds = Bpe.packBoundaries(docs, segs, budget = 2048L)
+      .collect()
+      .map(r => (r.getAs[Long]("shard_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("n_tok")))
+    assert(bounds.nonEmpty)
+    bounds.groupBy(_._1).foreach { case (shard, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.head._3 === 0L, s"shard $shard does not start at 0")
+      sorted.sliding(2).foreach {
+        case Array((_, _, s1, n1), (_, _, s2, _)) =>
+          assert(s2 === s1 + n1, s"gap in shard $shard at $s2")
+        case _ => ()
+      }
+    }
+    // totals agree with the q105 manifest shard for shard
+    val manifest = Bpe.subwordShardManifest(docs, segs, budget = 2048L)
+      .collect()
+      .map(r => (r.getAs[Long]("shard_id"),
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_subwords")))).toMap
+    val fromBounds = bounds.groupBy(_._1).view.mapValues(rs =>
+      (rs.length.toLong, rs.map(_._4).sum)).toMap
+    assert(fromBounds === manifest)
+  }
 }
