@@ -161,6 +161,21 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("the staged model equals the in-flight fit bit-for-bit") {
+    val staged = Pca.modelStaged(spark, sf)
+    val live = Pca.fit(corpus())
+    assert(staged.mu.toSeq === live.mu.toSeq)
+    assert(staged.eigenvalues.toSeq === live.eigenvalues.toSeq)
+    assert(staged.rows.map(_.toSeq).toSeq === live.rows.map(_.toSeq).toSeq)
+    assert(staged.basis.map(_.toSeq).toSeq === live.basis.map(_.toSeq).toSeq)
+    // and the entry form (staged model) matches the in-flight rerank
+    val viaStaged = Pca.knnPcaRerankWith(corpus(), staged, 10, 5, 50)
+      .collect().map(_.toString).toSeq
+    val viaLive = Pca.knnPcaRerank(corpus(), 10, 5, 50)
+      .collect().map(_.toString).toSeq
+    assert(viaStaged === viaLive)
+  }
+
   test("fitting twice is bit-identical (no hidden nondeterminism)") {
     val m1 = Pca.fit(corpus())
     val m2 = Pca.fit(corpus())
