@@ -70,11 +70,33 @@ object Pca {
     * Array[d(d+1)/2]) in DOUBLE (exact decimal → shortest double; the
     * same conversion point the spec twin applies). */
   def moments(vecs: DataFrame, embCol: String = "embedding")
-      : (Long, Array[Double], Array[Double]) = {
+      : (Long, Array[Double], Array[Double]) =
+    momentsOf(momentDecimals(vecs, embCol))
+
+  /** The raw decimal moment row — kept in the decimal domain so
+    * partials MERGE exactly: decimal addition is associative and
+    * order-free, so moments(base) + moments(delta) == moments(base ∪
+    * delta) digit-for-digit, which is what makes the q140 incremental
+    * model refresh bit-identical to a full re-fit. */
+  def momentDecimals(vecs: DataFrame, embCol: String = "embedding")
+      : Array[java.math.BigDecimal] = {
     val row = vecs
       .agg(graft.functions.MomentSketch.momentSketch(col(embCol), Dim).as("m"))
       .head()
-    val arr = row.getSeq[java.math.BigDecimal](0)
+    row.getSeq[java.math.BigDecimal](0).toArray
+  }
+
+  /** Element-wise exact decimal merge of two moment rows. */
+  def mergeMoments(a: Array[java.math.BigDecimal],
+      b: Array[java.math.BigDecimal]): Array[java.math.BigDecimal] = {
+    require(a.length == b.length, "moment rows must have equal layout")
+    Array.tabulate(a.length)(i => a(i).add(b(i)))
+  }
+
+  /** (n, s, ss) doubles from a decimal moment row — the single
+    * conversion point shared by every fit path and the spec twin. */
+  def momentsOf(arr: Array[java.math.BigDecimal])
+      : (Long, Array[Double], Array[Double]) = {
     val n = arr(0).longValueExact()
     require(n > 0, "PCA needs a non-empty vector frame")
     val s = Array.tabulate(Dim)(i => arr(1 + i).doubleValue)
@@ -174,8 +196,16 @@ object Pca {
 
   /** Fit on a vector frame: one moment aggregate + driver Jacobi. */
   def fit(vecs: DataFrame, k: Int = TopK, embCol: String = "embedding")
-      : Model = {
-    val (n, s, ss) = moments(vecs, embCol)
+      : Model =
+    fitFromMoments(moments(vecs, embCol), k)
+
+  /** Driver fit from a converted moment row — every fit path (full,
+    * staged, incremental q140 refresh) funnels through this one
+    * function, so "merged moments == full moments" lifts directly to
+    * "refreshed model == re-fit model". */
+  def fitFromMoments(m: (Long, Array[Double], Array[Double]),
+      k: Int = TopK): Model = {
+    val (n, s, ss) = m
     val (mu, cov) = covariance(n, s, ss)
     val eig = jacobiEigen(cov)
     val basis = Array.tabulate(k)(j => eig(j)._2)
@@ -206,6 +236,28 @@ object Pca {
   def project(vecs: DataFrame, model: Model, embCol: String = "embedding")
       : DataFrame =
     vecs.select(col("vec_id") +: projCols(model.rows, model.mu, embCol): _*)
+
+  /** Write-once content-keyed BASE moment row (the `vec_id % 10 != 0`
+    * slice, the q109/q127 split convention): the statistics a q140
+    * incremental refresh reuses instead of rescanning the base corpus.
+    * Stored as one parquet row of DECIMAL(38,15) — decimals round-trip
+    * digit-exactly, so the merged fit stays bit-identical. */
+  def baseMomentsStaged(spark: SparkSession, dir: String)
+      : Array[java.math.BigDecimal] = {
+    val out = "target/pca/base_moments_" + Bucketed.md5hex(
+      s"$dir/split10/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}").take(8)
+    Staging.ensure(spark, out) { tmp =>
+      val base = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % 10 =!= 0)
+      import spark.implicits._
+      Seq(Tuple1(momentDecimals(base).toSeq))
+        .toDF("m")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+    }
+    spark.read.parquet(out).head()
+      .getSeq[java.math.BigDecimal](0).toArray
+  }
 
   /** Write-once content-keyed persisted model — the q77/q126 economics
     * applied to the PCA fit: training (the corpus moment pass + Jacobi)
@@ -334,6 +386,34 @@ object Pca {
         "production setting. No oracle (the candidate space is " +
         "eigendecomposition-derived); design-gated in PcaSpec.",
       (s, dir) => knnPcaRerankWith(Tables.embeddings(s, dir),
-        modelStaged(s, dir), nQueries = 10, k = 5, nCand = 50))
+        modelStaged(s, dir), nQueries = 10, k = 5, nCand = 50)),
+
+    Query(
+      "q140_pca_refresh",
+      "Incremental PCA model refresh at DELTA cost - the maintenance " +
+        "op completing the pattern the vector store already has (IVF " +
+        "append/compact/retrain, BM25 append) for the learned " +
+        "projection: the base slice's decimal moment row is a staged " +
+        "write-once artifact, an arriving batch contributes only ITS " +
+        "moment pass, and because decimal addition is exact and " +
+        "associative, merged-moments == full-corpus-moments digit for " +
+        "digit - so the refreshed model is BIT-IDENTICAL to a full " +
+        "re-fit without ever rescanning the base corpus (PcaSpec-" +
+        "gated). Output: per-component eigenvalue audit in nano-units " +
+        "+ the base/delta row counts. No oracle (eigendecomposition); " +
+        "design-gated.",
+      (s, dir) => {
+        val base = baseMomentsStaged(s, dir)
+        val delta = momentDecimals(
+          Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0))
+        val model = fitFromMoments(momentsOf(mergeMoments(base, delta)))
+        val nBase = base(0).longValueExact()
+        val nDelta = delta(0).longValueExact()
+        import s.implicits._
+        model.eigenvalues.take(TopK).zipWithIndex.map { case (ev, j) =>
+          (j, math.floor(ev * 1e9d).toLong, nBase, nDelta)
+        }.toSeq.toDF("component", "ev_nano", "n_base", "n_delta")
+          .orderBy("component")
+      })
   )
 }

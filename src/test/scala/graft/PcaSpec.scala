@@ -176,6 +176,33 @@ class PcaSpec extends AnyFunSuite {
     assert(viaStaged === viaLive)
   }
 
+  test("q140: merged base+delta moments equal the full corpus digit for " +
+    "digit, so the refreshed model is bit-identical to a re-fit") {
+    import org.apache.spark.sql.functions.col
+    val full = Pca.momentDecimals(corpus())
+    val base = Pca.baseMomentsStaged(spark, sf)
+    val delta = Pca.momentDecimals(corpus().filter(col("vec_id") % 10 === 0))
+    val merged = Pca.mergeMoments(base, delta)
+    assert(merged.length === full.length)
+    merged.zip(full).zipWithIndex.foreach { case ((m, f), i) =>
+      assert(m.compareTo(f) === 0, s"moment field $i: $m vs $f")
+    }
+    val refreshed = Pca.fitFromMoments(Pca.momentsOf(merged))
+    val refit = Pca.fit(corpus())
+    assert(refreshed.mu.toSeq === refit.mu.toSeq)
+    assert(refreshed.eigenvalues.toSeq === refit.eigenvalues.toSeq)
+    assert(refreshed.rows.map(_.toSeq).toSeq === refit.rows.map(_.toSeq).toSeq)
+    assert(refreshed.basis.map(_.toSeq).toSeq === refit.basis.map(_.toSeq).toSeq)
+    // staged base moments are stable across reads
+    val again = Pca.baseMomentsStaged(spark, sf)
+    base.zip(again).foreach { case (a, b) => assert(a.compareTo(b) === 0) }
+    // and the catalog entry emits one audit row per kept component
+    val out = SparkEntry.queries("q140_pca_refresh")(spark, sf).collect()
+    assert(out.length === Pca.TopK)
+    assert(out.head.getAs[Long]("n_base") + out.head.getAs[Long]("n_delta")
+      === corpus().count())
+  }
+
   test("fitting twice is bit-identical (no hidden nondeterminism)") {
     val m1 = Pca.fit(corpus())
     val m2 = Pca.fit(corpus())
