@@ -71,14 +71,17 @@ object Logit {
         (col("nd").cast("double") / 128.0d).as("x3"))
   }
 
-  /** Train on `f` and score every row with the learned model — the
-    * entry's body, shared with the stress suite. */
-  def scored(f: DataFrame): DataFrame = {
-    val w = train(f)
+  /** Score a pre-featurized frame under FIXED weights — the projection
+    * the trained entry and the streaming deployment twin share (all
+    * expressions stateless, so the same plan runs on a micro-batch). */
+  def scoreWith(f: DataFrame, w: Array[Double]): DataFrame =
     f.select(col("doc_id"), col("y").cast("int").as("label"),
       prob(w).as("p_keep"),
       (prob(w) >= 0.5d).cast("int").as("pred"))
-  }
+
+  /** Train on `f` and score every row with the learned model — the
+    * entry's body, shared with the stress suite. */
+  def scored(f: DataFrame): DataFrame = scoreWith(f, train(f))
 
   /** The margin w·x in a FIXED left-associated evaluation order — the
     * driver twin mirrors this order exactly, so per-row doubles are
