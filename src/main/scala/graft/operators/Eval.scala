@@ -247,6 +247,47 @@ object Eval {
         ORDER BY bin""")),
 
     Query(
+      "q141_gate_divergence",
+      "Model-vs-rule divergence monitor - the per-segment disagreement " +
+        "audit a deployed learned filter needs continuously (the batch " +
+        "twin of the signal the streaming gate emits): per language, " +
+        "document count, rule-keep count, model-keep count, and the " +
+        "two disagreement directions (model keeps what the rule drops " +
+        "/ drops what the rule keeps), from ONE join of the staged " +
+        "scored frame back to the documents table and one group " +
+        "aggregate - integer columns only. Oracle: DuckDB recomputes " +
+        "the audit from documents + the SAME staged parquet (the q105 " +
+        "convention; the scores themselves are LogitSpec/EvalSpec-" +
+        "gated).",
+      (s, dir) => {
+        val root = stagedScored(s, dir)
+        stagedOracleRoot = Some(new java.io.File(root).getAbsolutePath)
+        val sc = s.read.parquet(root).select("doc_id", "label", "pred")
+        graft.sources.Tables.documents(s, dir).select("doc_id", "lang")
+          .join(sc, "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("label")).cast("long").as("n_rule_keep"),
+            sum(col("pred")).cast("long").as("n_model_keep"),
+            sum(when(col("pred") === 1 && col("label") === 0, 1L)
+              .otherwise(0L)).as("n_model_only"),
+            sum(when(col("pred") === 0 && col("label") === 1, 1L)
+              .otherwise(0L)).as("n_rule_only"))
+          .orderBy("lang")
+      },
+      stagedOracleRoot.map(root => s"""
+        SELECT d.lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(s.label) AS BIGINT) AS n_rule_keep,
+               CAST(SUM(s.pred) AS BIGINT) AS n_model_keep,
+               CAST(SUM(CASE WHEN s.pred = 1 AND s.label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_model_only,
+               CAST(SUM(CASE WHEN s.pred = 0 AND s.label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rule_only
+        FROM documents d
+        JOIN read_parquet('$root/*.parquet') s USING (doc_id)
+        GROUP BY d.lang
+        ORDER BY d.lang""")),
+
+    Query(
       "q137_dedup_recall_eval",
       "Recall audit of an approximate dedup candidate generator " +
         "against exact ground truth — the measurement a dedup owner " +

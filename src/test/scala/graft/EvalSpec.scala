@@ -137,6 +137,29 @@ class EvalSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql("q133_gate_eval").contains("read_parquet"))
   }
 
+  test("q141 divergence audit: per-language counts are internally " +
+    "consistent and cover the corpus") {
+    val out = SparkEntry.queries("q141_gate_divergence")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val scored = operators.Logit.scored(operators.Logit.features(spark, sf))
+    assert(out.map(_.getAs[Long]("n_docs")).sum === scored.count())
+    out.foreach { r =>
+      val (n, rule, model, mOnly, rOnly) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_rule_keep"), r.getAs[Long]("n_model_keep"),
+        r.getAs[Long]("n_model_only"), r.getAs[Long]("n_rule_only"))
+      // keep sets decompose: model = (rule ∩ model) + model-only, and
+      // rule = (rule ∩ model) + rule-only ⇒ model − mOnly == rule − rOnly
+      assert(model - mOnly === rule - rOnly, r.toString)
+      assert(mOnly >= 0 && rOnly >= 0 && model <= n && rule <= n)
+    }
+    // LogitSpec proves 100% rule recovery, so divergence is zero HERE —
+    // the audit's value is the continuous monitoring shape, and the
+    // decomposition identity above is what a diverged model would trip
+    assert(out.map(_.getAs[Long]("n_model_only")).sum === 0L)
+    assert(out.map(_.getAs[Long]("n_rule_only")).sum === 0L)
+    assert(SparkEntry.oracleSql("q141_gate_divergence").contains("read_parquet"))
+  }
+
   // ---- q137 dedup recall evaluation ------------------------------------
 
   test("confusion counts are exact on a crafted truth/candidate pair") {
