@@ -71,7 +71,8 @@ object Bench {
     "q131_dict_hits", "q132_logreg_gate", "q133_gate_eval",
     "q134_dsir_select", "q135_pca_whiten", "q136_knn_pca_rerank",
     "q137_dedup_recall_eval", "q138_cluster_quality",
-    "q139_pack_boundaries", "q140_pca_refresh", "q141_gate_divergence")
+    "q139_pack_boundaries", "q140_pca_refresh", "q141_gate_divergence",
+    "q142_schema_drift")
 
   /** `build` is by-name and runs AFTER the cache clear: queries that
     * persist (and eagerly materialize) intermediate frames — e.g. q17's

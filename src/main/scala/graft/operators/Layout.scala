@@ -140,6 +140,34 @@ object Layout {
     }
   }
 
+  /** Idempotently stage a SCHEMA-EVOLVED two-segment corpus: segment
+    * `seg=v1` holds the even-doc slice under the ORIGINAL schema
+    * (doc_id, lang, text); `seg=v2` holds the odd-doc slice under the
+    * EVOLVED schema — the same columns plus a new integer `quality`
+    * signal (n_chars stands in). This is the long-lived-corpus reality
+    * at 100 TB: shards written across schema versions coexist forever
+    * (rewriting petabytes to backfill one column is not a plan), so
+    * every reader must union the schemas and treat the pre-evolution
+    * segments' missing column as NULL with an explicit default. The
+    * Hive-style segment directories double as a free `seg` partition
+    * column, so per-version audits are partition-pruned scans. */
+  def evolvedDocuments(spark: SparkSession, dir: String): String = {
+    val out = "target/evolved/graft_documents_" +
+      md5hex(s"$dir/${contentKey(spark, s"$dir/documents.parquet")}").take(8)
+    Staging.ensure(spark, out) { tmp =>
+      val docs = Tables.documents(spark, dir)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "lang", "text")
+        .repartition(2)
+        .write.mode("overwrite").parquet(s"$tmp/seg=v1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("n_chars").cast("int").as("quality"))
+        .repartition(2)
+        .write.mode("overwrite").parquet(s"$tmp/seg=v2")
+    }
+  }
+
   /** Box-predicate scan over the Z-ordered layout: per-part row counts
     * and decimal-exact quantity totals inside a 2-D key box. On the
     * clustered layout the parquet reader's min/max stats skip every
@@ -278,5 +306,40 @@ object Layout {
         FROM documents
         WHERE lang IN ('en', 'zh')
         ORDER BY doc_id"""))
+    ,
+    Query(
+      "q142_schema_drift",
+      "Schema-evolution read discipline: two corpus segments written " +
+        "under DIFFERENT schema versions (seg=v1 pre-dates the " +
+        "`quality` column, seg=v2 carries it) are read back as ONE " +
+        "corpus with mergeSchema — the long-lived-corpus reality at " +
+        "100 TB, where shards written across schema versions coexist " +
+        "forever and rewriting petabytes to backfill a column is not " +
+        "a plan. The missing column reads as NULL and the audit " +
+        "applies an explicit default; the Hive-style segment " +
+        "directory doubles as a free partition column, so " +
+        "per-version audits are partition-pruned. Oracle: DuckDB " +
+        "recomputes the per-(segment, language) audit from the " +
+        "ORIGINAL documents table (segment parity from doc_id), so " +
+        "the whole write -> merged-read -> NULL-fill loop is checked " +
+        "against the source, hash-exact.",
+      (s, dir) =>
+        s.read.option("mergeSchema", "true")
+          .parquet(evolvedDocuments(s, dir))
+          .groupBy(col("seg"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("quality").isNotNull.cast("long")).as("n_with_quality"),
+            sum(coalesce(col("quality").cast("long"), lit(0L)))
+              .as("sum_quality"))
+          .orderBy("seg", "lang"),
+      Some("""
+        SELECT CASE WHEN doc_id % 2 = 0 THEN 'v1' ELSE 'v2' END AS seg,
+               lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_quality,
+               CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS sum_quality
+        FROM documents
+        GROUP BY 1, 2
+        ORDER BY seg, lang"""))
   )
 }

@@ -229,4 +229,31 @@ class LayoutSpec extends AnyFunSuite {
     assert(out.schema.fieldNames.toSeq ===
       Seq("doc_id", "lang", "source", "n_chars", "text_md5"))
   }
+
+  test("q142: schema-evolved segments union into one corpus with " +
+    "NULL-filled pre-evolution columns") {
+    import org.apache.spark.sql.functions.col
+    val root = Layout.evolvedDocuments(spark, sf)
+    val m = spark.read.option("mergeSchema", "true").parquet(root)
+    assert(m.columns.toSet ===
+      Set("doc_id", "lang", "text", "quality", "seg"))
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(m.count() === docs.count())
+    // v1 rows (no quality at write time) read as NULL; v2 rows carry it
+    assert(m.filter(col("seg") === "v1")
+      .filter(col("quality").isNotNull).count() === 0L)
+    assert(m.filter(col("seg") === "v2")
+      .filter(col("quality").isNull).count() === 0L)
+    // the evolved column round-trips its source signal exactly
+    val v2 = m.filter(col("seg") === "v2")
+      .select("doc_id", "quality").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("n_chars").cast("int")).collect()
+      .foreach(r => assert(v2(r.getLong(0)) === r.getInt(1)))
+    // per-version audits prune to their segment directory
+    val pruned = m.filter(col("seg") === "v2")
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(!pruned.contains("seg=v1"))
+  }
 }
