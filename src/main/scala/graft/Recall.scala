@@ -38,11 +38,12 @@ object Recall {
     // SQ8 barely perturbs cosine ordering (8-bit per dim, asymmetric
     // scoring): measures ~0.95+; 0.8 still catches an encode bug
     "q116_knn_sq8" -> 0.8,
-    // two-stage truncated-PCA candidates + exact rerank: nCand=50 of
-    // 2,000 (2.5% candidate volume) through a 16-of-64-dim screen on
-    // near-isotropic synthetic data — the floor is half the measured
-    // value, which is deterministic (no RNG anywhere in the chain)
-    "q136_knn_pca_rerank" -> 0.2)
+    // two-stage truncated-PCA candidates + exact rerank, round-12
+    // production point (explained-variance k + proportional 10% quota,
+    // the round-11 verdict fix): measures 0.98 at sf0.1 — the floor is
+    // the verdict's >= 0.6 shippability bar, still ~0.6x the measured
+    // value and deterministic (no RNG anywhere in the chain)
+    "q136_knn_pca_rerank" -> 0.6)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -98,6 +99,10 @@ object Recall {
     }
     def sweep(tag: String, emb: org.apache.spark.sql.DataFrame,
         ref: Map[Long, Set[Long]]): Seq[String] = {
+      // corpus size for the pca family's proportional quota points —
+      // one count action per sweep (harness-side only; the catalog
+      // entry reads n from the staged model instead)
+      val nEmb = emb.count()
       val defs: Seq[(String, String, () => org.apache.spark.sql.DataFrame)] = Seq(
         ("lsh", "probeHamming=0", () => Similarity.knnLsh(emb, 10, 5, probeHamming = 0)),
         ("lsh", "probeHamming=1", () => Similarity.knnLsh(emb, 10, 5, probeHamming = 1)),
@@ -108,9 +113,16 @@ object Recall {
         ("pq", "candidates=64",  () => Similarity.knnPq(emb, 10, 5, candidates = 64)),
         ("pq", "candidates=256", () => Similarity.knnPq(emb, 10, 5, candidates = 256)),
         ("pq", "candidates=512", () => Similarity.knnPq(emb, 10, 5, candidates = 512)),
-        ("pca", "nCand=25",  () => graft.operators.Pca.knnPcaRerank(emb, 10, 5, nCand = 25)),
-        ("pca", "nCand=50",  () => graft.operators.Pca.knnPcaRerank(emb, 10, 5, nCand = 50)),
-        ("pca", "nCand=100", () => graft.operators.Pca.knnPcaRerank(emb, 10, 5, nCand = 100)))
+        // round-12: the pca knob is now a candidate FRACTION (the
+        // round-11 finding — an absolute quota's recall decays with
+        // corpus growth), swept around the 10% production default;
+        // the fit is the explained-variance-k production fit
+        ("pca", "candFrac=0.025", () => graft.operators.Pca.knnPcaRerank(
+          emb, 10, 5, nCand = graft.operators.Pca.proportionalCand(nEmb, 0.025))),
+        ("pca", "candFrac=0.05", () => graft.operators.Pca.knnPcaRerank(
+          emb, 10, 5, nCand = graft.operators.Pca.proportionalCand(nEmb, 0.05))),
+        ("pca", "candFrac=0.10", () => graft.operators.Pca.knnPcaRerank(
+          emb, 10, 5, nCand = graft.operators.Pca.proportionalCand(nEmb, 0.10))))
       defs.groupBy(_._1).toSeq.sortBy(_._1).map { case (fam, points) =>
         // one UNTIMED pass per family before its timed points: the first
         // executed point otherwise absorbs the family's one-time costs
@@ -156,13 +168,15 @@ object Recall {
         "inverted lists exceed memory/scan bandwidth, i.e. at cluster " +
         "scale; per-family untimed warm-up removes the first-point " +
         "JIT/file-cache skew that previously inverted the axis outright. " +
-        "The pca family's knob is an ABSOLUTE candidate quota, so its " +
-        "recall falls roughly with corpus growth at fixed nCand (0.28 " +
-        "at 2k vectors vs ~0.1 at 20k) — a production deployment scales " +
-        "nCand with N (a fixed candidate FRACTION), unlike the " +
-        "probe-width knobs whose selectivity is already proportional; " +
-        "near-isotropic synthetic data is also the 16-of-64-dim " +
-        "screen's worst case (real embeddings have decaying spectra)"
+        "The pca family's knob is a candidate FRACTION since round 12 " +
+        "(max(50, frac*N) capped at 4096 — the round-11 fix: the old " +
+        "absolute nCand=50 decayed from 0.28 recall at 2k vectors to " +
+        "~0.1 at 20k), and the fit picks k by a 60% explained-variance " +
+        "threshold instead of a fixed 16 of 64: near-isotropic " +
+        "synthetic data is the fixed-truncation screen's worst case " +
+        "(~25% variance kept, candidates ranked on noise), so the " +
+        "adaptive fit widens k here while a decaying real-embedding " +
+        "spectrum would get the small k and the full scan cut"
     val json =
       s"""{"metric":"ann_recall","k":5,"n_queries":${brute.size},"sf":"$sfDir",""" +
         s""""methods":${rows.mkString("{", ",", "}")},""" +

@@ -92,6 +92,11 @@ case class MomentSketch(
     val x = new Array[Double](d)
     var i = 0
     while (i < d) {
+      // parquet vectors are ArrayType(_, containsNull=true) even when
+      // clean, so the gate is per-element: a null element read via
+      // getDouble would silently become 0.0 and corrupt the moments
+      require(!arr.isNullAt(i),
+        s"$prettyName: null element at index $i of a width-$d vector")
       x(i) = if (childIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       i += 1
     }

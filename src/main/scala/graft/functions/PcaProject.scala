@@ -85,6 +85,10 @@ object PcaProject {
     val x = new Array[Double](d)
     var i = 0
     while (i < d) {
+      // per-element null gate (same contract as MomentSketch.update):
+      // getDouble on a null slot reads 0.0 and corrupts the projection
+      require(!a.isNullAt(i),
+        s"pca_project(d=$d) got a null element at index $i")
       x(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
       i += 1
     }

@@ -122,16 +122,27 @@ object Dsir {
     Staging.ensure(spark, out) { tmp =>
       val docs = Tables.rebalanced(Tables.documents(spark, dir))
       val gb = gramBuckets(docs, col("lang") === "en")
-      docWeights(gb, bucketLogRatios(spark, gb))
+      val weighted = docWeights(gb, bucketLogRatios(spark, gb))
         // micro-unit projection happens ONCE here (exact decimal
-        // shift: cast keeps 15-digit headroom so the multiply never
-        // rounds) — the oracle then replays ordering and quota only,
-        // with no cross-engine decimal arithmetic to disagree on
+        // shift) — the oracle then replays ordering and quota only,
+        // with no cross-engine decimal arithmetic to disagree on.
+        // decimal(27,15) × decimal(10,0) lands on decimal(38,15)
+        // EXACTLY (27+10+1 = 38): no precision clamp, no scale
+        // adjustment, 12 integer digits of headroom — the earlier
+        // decimal(22,15) form overflowed to NULL (non-ANSI cast) for
+        // any |Σ n·λ| > ~10^7, silently demoting that doc in the top-k
         .select(col("doc_id"), col("w"),
-          floor(col("w").cast("decimal(22,15)") * lit(1000000))
+          floor(col("w").cast("decimal(27,15)") * lit(1000000))
             .cast("long").as("w_u"))
-        .repartition(4)
-        .write.mode("overwrite").parquet(tmp)
+      weighted.repartition(4).write.mode("overwrite").parquet(tmp)
+      // loud overflow gate on the write-once path: a weight beyond the
+      // 10^12 headroom would surface as w_u NULL with w non-NULL (the
+      // silent-demotion failure the decimal widening is there to stop)
+      val overflowed = spark.read.parquet(tmp)
+        .filter(col("w_u").isNull && col("w").isNotNull).count()
+      require(overflowed == 0L,
+        s"DSIR micro-unit projection overflowed on $overflowed docs " +
+          "(|w| beyond decimal(27,15) headroom)")
     }
     out
   }

@@ -81,8 +81,17 @@ object Eval {
       .groupBy(s.as("s"))
       .agg(count(lit(1)).as("n"), sum(col(label)).cast("long").as("npos"))
       .withColumn("nneg", col("n") - col("npos"))
-      .withColumn("b", least(floor(col("s") * PrefixBuckets).cast("int"),
-        lit(PrefixBuckets - 1)))
+      // clamp in LONG space before the int cast: via the graft_auc TVF
+      // the score column is arbitrary, and floor(s*65536) beyond int
+      // range would wrap under the non-ANSI cast, scrambling bucket
+      // order and the cumneg prefix. Clamping to [0, buckets-1] keeps
+      // out-of-[0,1] scores CORRECT — every s<0 lands in bucket 0 and
+      // every s>1 in the top bucket, and the in-bucket window still
+      // orders by the raw score, so the global score order (all AUC
+      // needs) is preserved exactly.
+      .withColumn("b", greatest(lit(0L), least(
+        floor(col("s") * PrefixBuckets), lit((PrefixBuckets - 1).toLong)))
+        .cast("int"))
     // 2. distributed exclusive prefix of nneg in score order:
     //    constant-bounded bucket-total window + partitioned in-bucket
     //    windows (input = distinct scores, never documents)
@@ -104,12 +113,18 @@ object Eval {
       (lit(2L) * sum("npos") * sum("nneg")).cast("long").as("auc_den"),
       sum("npos").cast("long").as("n_pos_total"),
       sum("nneg").cast("long").as("n_neg_total"))
-    // reliability bins: one independent bin-keyed aggregate
+    // reliability bins: one independent bin-keyed aggregate. Bin id
+    // and the micro-unit mean are CALIBRATION-of-a-probability
+    // readings, so out-of-[0,1] scores (reachable via the graft_auc
+    // TVF) clamp to the edge bins/micro-units — same discipline as
+    // the prefix bucket above, and it keeps the ANSI int/long casts
+    // from overflowing on arbitrary score magnitudes
+    val sCal = greatest(lit(0.0d), least(s, lit(1.0d)))
     val bins = scored
-      .groupBy(least(floor(s * 10).cast("int"), lit(9)).as("bin"))
+      .groupBy(least(floor(sCal * 10).cast("int"), lit(9)).as("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(label)).cast("long").as("n_pos"),
-        sum(round(s * 1e6d).cast("long")).as("sum_p_u"))
+        sum(round(sCal * 1e6d).cast("long")).as("sum_p_u"))
     bins.crossJoin(broadcast(tot))
       .withColumn("auc",
         // the degenerate single-class corpus yields NaN, not an ANSI

@@ -20,10 +20,15 @@ package graft.operators
   * LRU-capped at `capacity` (access-ordered); `onEvict` runs on the
   * evicted value so cache-holding values (persisted DataFrames) release
   * their storage on the way out. An entry evicted while its computation
-  * is still in flight skips `onEvict` (the value does not exist yet) —
-  * with the small capacities used here that race needs 1+capacity
-  * concurrent distinct keys, and the cost is one unreleased cache entry,
-  * never a wrong result. */
+  * is still in flight can't run `onEvict` at eviction time (the value
+  * does not exist yet); instead, the completing thread re-checks
+  * membership after the lazy val initializes and runs `onEvict` itself
+  * (exactly once, flag-guarded under the map lock) when its cell is no
+  * longer the mapped one — so a persisted DataFrame computed after
+  * eviction is still released instead of leaking (round-11 advice).
+  * `onEvict` on a value a waiter just received is safe for the uses
+  * here: Spark `unpersist` drops cached blocks without invalidating
+  * the DataFrame. */
 final class KeyedMemo[V](capacity: Int, onEvict: V => Unit = null) {
 
   private final class Cell(compute0: () => V) {
@@ -33,6 +38,10 @@ final class KeyedMemo[V](capacity: Int, onEvict: V => Unit = null) {
     // beyond the memoized value itself
     private var compute = compute0
     @volatile var done = false
+    // set under the map lock by whichever thread (evictor at eviction
+    // time for done cells, completer post-initialization for cells
+    // evicted in flight) takes responsibility for onEvict
+    var evictNotified = false
     lazy val value: V = {
       val v = compute()
       compute = null
@@ -45,7 +54,12 @@ final class KeyedMemo[V](capacity: Int, onEvict: V => Unit = null) {
     override def removeEldestEntry(e: java.util.Map.Entry[String, Cell]): Boolean =
       if (size() > capacity) {
         val c = e.getValue
-        if (onEvict != null && c.done) onEvict(c.value)
+        // in-flight cells (!done) are handled by the completing thread's
+        // post-initialization membership check in getOrCompute
+        if (onEvict != null && c.done && !c.evictNotified) {
+          c.evictNotified = true
+          onEvict(c.value)
+        }
         true
       } else false
   }
@@ -58,8 +72,22 @@ final class KeyedMemo[V](capacity: Int, onEvict: V => Unit = null) {
       if (hit != null) hit
       else { val c = new Cell(() => compute); lru.put(key, c); c }
     }
-    try cell.value
-    catch {
+    try {
+      val v = cell.value
+      // the cell may have been LRU-evicted while the computation was
+      // in flight (removeEldestEntry saw !done and could not release
+      // it); now that the value exists, whichever reader gets here
+      // first releases it — flag-guarded so exactly one does
+      if (onEvict != null) {
+        val mustEvict = lru.synchronized {
+          if ((lru.get(key) ne cell) && !cell.evictNotified) {
+            cell.evictNotified = true; true
+          } else false
+        }
+        if (mustEvict) onEvict(v)
+      }
+      v
+    } catch {
       case e: Throwable =>
         // a failed cell holds the FAILING caller's closure — drop it so
         // the next request installs a fresh cell (its own closure)

@@ -187,12 +187,22 @@ object Pca {
   }
 
   /** The fitted model: mean, eigenvalues (desc), the top-k WHITENED
-    * projection rows w_j = v_j / sqrt(λ_j + ε), and the top-k UNSCALED
+    * projection rows w_j = v_j / sqrt(λ_j + ε), the top-k UNSCALED
     * basis rows v_j (the L2-optimal truncated linear map — what the
     * two-stage retrieval candidate generator projects with, since
-    * whitening deliberately distorts distances). */
+    * whitening deliberately distorts distances), and the fitted corpus
+    * size `n` (free from the moment row) — what lets retrieval derive
+    * a PROPORTIONAL candidate quota without an extra count action. */
   final case class Model(mu: Array[Double], eigenvalues: Array[Double],
-      rows: Array[Array[Double]], basis: Array[Array[Double]])
+      rows: Array[Array[Double]], basis: Array[Array[Double]], n: Long) {
+
+    /** Fraction of total variance the truncated basis keeps. */
+    def explainedVariance: Double = {
+      val tot = eigenvalues.map(math.max(_, 0.0d)).sum
+      if (tot <= 0.0d) 1.0d
+      else eigenvalues.take(basis.length).map(math.max(_, 0.0d)).sum / tot
+    }
+  }
 
   /** Fit on a vector frame: one moment aggregate + driver Jacobi. */
   def fit(vecs: DataFrame, k: Int = TopK, embCol: String = "embedding")
@@ -214,8 +224,50 @@ object Pca {
       val scale = 1.0d / math.sqrt(lam + Eps)
       vec.map(_ * scale)
     }
-    Model(mu, eig.map(_._1), rows, basis)
+    Model(mu, eig.map(_._1), rows, basis, n)
   }
+
+  /** Fit with k chosen by EXPLAINED-VARIANCE threshold instead of a
+    * fixed count — the round-11 verdict fix for the q136 production
+    * point: a fixed TopK=16 of 64 keeps ~25% of variance on a
+    * near-isotropic spectrum (the synthetic corpus — real embeddings
+    * decay much faster), so the candidate screen ranked on noise.
+    * k = the smallest prefix of the descending eigenvalues whose
+    * cumulative share of the (negative-clamped) trace reaches
+    * `varFrac`, clamped to [kMin, kMax]. Deterministic: eigenvalues
+    * derive from the bit-stable decimal moment row, and the prefix
+    * rule has no ties to break (a tie on the threshold still yields
+    * the same smallest prefix). On a fast-decaying real spectrum this
+    * picks a SMALL k (the 4x scan cut); on isotropic data it refuses
+    * to over-truncate — adaptive where the fixed count was wrong. */
+  def fitFromMomentsByVariance(m: (Long, Array[Double], Array[Double]),
+      varFrac: Double = 0.6, kMin: Int = 8, kMax: Int = Dim): Model = {
+    require(varFrac > 0.0d && varFrac <= 1.0d, s"varFrac $varFrac not in (0,1]")
+    val (n, s, ss) = m
+    val (_, cov) = covariance(n, s, ss)
+    val ev = jacobiEigen(cov).map(p => math.max(p._1, 0.0d))
+    val tot = ev.sum
+    var k = kMin
+    var cum = ev.take(kMin).sum
+    while (k < kMax && (tot <= 0.0d || cum < varFrac * tot)) {
+      cum += ev(k)
+      k += 1
+    }
+    fitFromMoments(m, k)
+  }
+
+  /** Proportional candidate quota for the two-stage rerank:
+    * max(`floor`, ceil(`frac`·n)) capped at `cap`. The floor keeps
+    * tiny corpora exact-ish; the FRACTION is what a production
+    * deployment scales (an absolute quota's recall decays as the
+    * corpus grows — the round-11 finding); the cap bounds the exact-
+    * rerank cost per query at cluster scale, where screen QUALITY
+    * (explained-variance k) — not unbounded candidate growth — is the
+    * recall knob. */
+  def proportionalCand(n: Long, frac: Double = 0.10, floor: Int = 50,
+      cap: Int = 4096): Int =
+    math.min(cap.toLong, math.max(floor.toLong,
+      math.ceil(frac * n.toDouble).toLong)).toInt
 
   /** y0..y{k-1} projection columns for the given row matrix — the
     * native [[graft.functions.PcaProject]] kernel (ONE static call
@@ -265,15 +317,32 @@ object Pca {
     * retrieval batch loads four small double arrays instead of
     * re-fitting. Parquet round-trips doubles bit-exactly, so the loaded
     * model equals the in-flight fit bit-for-bit (PcaSpec-gated). */
-  def modelStaged(spark: SparkSession, dir: String, k: Int = TopK): Model = {
-    val out = "target/pca/model_" + Bucketed.md5hex(
-      s"$dir/$k/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}").take(8)
+  def modelStaged(spark: SparkSession, dir: String, k: Int = TopK): Model =
+    stagedModel(spark, dir, s"k$k",
+      () => fit(Tables.embeddings(spark, dir), k))
+
+  /** Write-once staged model with explained-variance k selection —
+    * the q136 production fit. Keyed by the variance threshold, not a
+    * k, since k is data-derived. */
+  def modelStagedByVariance(spark: SparkSession, dir: String,
+      varFrac: Double = 0.6): Model =
+    stagedModel(spark, dir, s"var$varFrac",
+      () => fitFromMomentsByVariance(moments(Tables.embeddings(spark, dir)),
+        varFrac))
+
+  // "model2": the round-12 schema adds the fitted corpus size `n`
+  // (proportional-quota input) — a fresh path prefix so a stale
+  // 4-column round-11 artifact can never satisfy the 5-column read
+  private def stagedModel(spark: SparkSession, dir: String, tag: String,
+      fitNow: () => Model): Model = {
+    val out = "target/pca/model2_" + Bucketed.md5hex(
+      s"$dir/$tag/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}").take(8)
     Staging.ensure(spark, out) { tmp =>
-      val m = fit(Tables.embeddings(spark, dir), k)
+      val m = fitNow()
       import spark.implicits._
       Seq((m.mu.toSeq, m.eigenvalues.toSeq,
-          m.rows.map(_.toSeq).toSeq, m.basis.map(_.toSeq).toSeq))
-        .toDF("mu", "ev", "rows", "basis")
+          m.rows.map(_.toSeq).toSeq, m.basis.map(_.toSeq).toSeq, m.n))
+        .toDF("mu", "ev", "rows", "basis", "n")
         .coalesce(1)
         .write.mode("overwrite").parquet(tmp)
     }
@@ -281,7 +350,7 @@ object Pca {
     def mat(i: Int): Array[Array[Double]] =
       r.getSeq[scala.collection.Seq[Double]](i).map(_.toArray).toArray
     Model(r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray,
-      mat(2), mat(3))
+      mat(2), mat(3), r.getLong(4))
   }
 
   /** Unscaled (plain-PCA) top-k projection — the candidate-generation
@@ -301,18 +370,27 @@ object Pca {
     * at the production setting. Both stages rank with the salted
     * tournament (never a bare corpus-wide window). */
   def knnPcaRerank(emb: DataFrame, nQueries: Int, k: Int,
-      nCand: Int = 50): DataFrame =
-    knnPcaRerankWith(emb, fit(emb), nQueries, k, nCand)
+      nCand: Int = 0): DataFrame =
+    knnPcaRerankWith(emb,
+      fitFromMomentsByVariance(moments(emb)), nQueries, k, nCand)
 
   /** [[knnPcaRerank]] with a pre-fitted (e.g. [[modelStaged]]) model —
-    * the deployment form: fit cost amortized across query batches. */
+    * the deployment form: fit cost amortized across query batches.
+    * `nCand <= 0` means the PROPORTIONAL production quota,
+    * [[proportionalCand]] of the model's fitted corpus size (the
+    * round-11 fix: an absolute default quota's recall decayed with
+    * corpus growth). */
   def knnPcaRerankWith(emb: DataFrame, model: Model, nQueries: Int, k: Int,
-      nCand: Int): DataFrame = {
+      nCand0: Int): DataFrame = {
+    val nCand = if (nCand0 > 0) nCand0 else proportionalCand(model.n)
     val proj = projectBasis(emb, model)
+    // width comes from the MODEL, not the TopK default — a model fitted
+    // with k != TopK (fit's k is a parameter) must rerank correctly
+    val kDims = model.basis.length
     val q = proj.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id") +:
-        (0 until TopK).map(j => col(s"y$j").as(s"qy$j")): _*)
-    val l2 = (0 until TopK)
+        (0 until kDims).map(j => col(s"y$j").as(s"qy$j")): _*)
+    val l2 = (0 until kDims)
       .map(j => (col(s"y$j") - col(s"qy$j")) * (col(s"y$j") - col(s"qy$j")))
       .reduceLeft(_ + _)
     val cands = Similarity.topK(
@@ -376,17 +454,24 @@ object Pca {
     Query(
       "q136_knn_pca_rerank",
       "Two-stage exact-rerank kNN: candidates from squared-L2 in the " +
-        "16-d truncated-PCA space (the corpus scan runs at a quarter " +
-        "of full width — at production embedding sizes the dominant " +
-        "retrieval cost), exact full-space cosine reranks only the " +
-        "candidate pairs, both stages ranked by the salted tournament. " +
-        "nCand >= corpus collapses stage 1 to a no-op, so the operator " +
-        "degrades exactly to q19's brute answer — the PcaSpec " +
-        "differential, next to the measured recall floor at the " +
-        "production setting. No oracle (the candidate space is " +
-        "eigendecomposition-derived); design-gated in PcaSpec.",
+        "truncated-PCA space, exact full-space cosine reranks only " +
+        "the candidate pairs, both stages ranked by the salted " +
+        "tournament. Round-12 production point (the round-11 verdict " +
+        "fix): k is chosen by EXPLAINED-VARIANCE threshold (60% - a " +
+        "fixed 16 of 64 kept ~25% on the near-isotropic synthetic " +
+        "spectrum, so the screen ranked on noise; real embeddings " +
+        "decay faster and get a small k and the full scan cut), and " +
+        "the candidate quota is PROPORTIONAL - max(50, 10% of the " +
+        "fitted corpus) capped at 4096, carried by the staged model's " +
+        "n so no extra count action (an absolute quota's recall " +
+        "decays as the corpus grows). nCand >= corpus collapses stage " +
+        "1 to a no-op, so the operator degrades exactly to q19's " +
+        "brute answer - the PcaSpec differential, next to the " +
+        "measured recall floor at the production setting. No oracle " +
+        "(the candidate space is eigendecomposition-derived); " +
+        "design-gated in PcaSpec.",
       (s, dir) => knnPcaRerankWith(Tables.embeddings(s, dir),
-        modelStaged(s, dir), nQueries = 10, k = 5, nCand = 50)),
+        modelStagedByVariance(s, dir), nQueries = 10, k = 5, nCand0 = 0)),
 
     Query(
       "q140_pca_refresh",

@@ -68,6 +68,20 @@ class EvalSpec extends AnyFunSuite {
     assert(aucOf(inv) === 0.0d)
   }
 
+  test("arbitrary scores beyond [0,1] keep the AUC exact (round-11 " +
+    "advice: the int bucket cast used to wrap and scramble the prefix)") {
+    // via the graft_auc TVF the score column is arbitrary; |s|·65536
+    // far past Int.MaxValue exercises the wraparound the long-domain
+    // clamp removed. Out-of-range scores land in the edge buckets but
+    // the in-bucket window still orders by the raw score, so the
+    // engine must equal the rank-sum twin exactly.
+    val rows = Seq((1, 0, -9.9e12), (2, 0, 0.25), (3, 1, 0.25),
+      (4, 1, 0.75), (5, 0, 4.4e13), (6, 1, 8.8e14))
+    val engine = aucOf(frame(rows))
+    val twin = twinAuc(rows.map(r => (r._2, r._3)))
+    assert(engine === twin, s"engine $engine vs twin $twin")
+  }
+
   test("single-class input yields auc_den 0 and NaN, not an error") {
     val one = frame(Seq((1, 1, 0.4), (2, 1, 0.6)))
     val r = Eval.aucReliability(one).collect().head

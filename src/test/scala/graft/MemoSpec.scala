@@ -84,6 +84,39 @@ class MemoSpec extends AnyFunSuite {
     assert(evicted.result() === Seq(1, 3))
   }
 
+  test("a cell evicted mid-flight still gets the release hook on completion") {
+    // round-11 advice: eviction of an in-flight cell used to skip
+    // onEvict permanently — a persisted frame computed after eviction
+    // leaked. Now the completing thread re-checks membership and
+    // releases the value itself, exactly once.
+    val evicted = Seq.newBuilder[Int]
+    val memo = new KeyedMemo[Int](1, v => evicted.synchronized { evicted += v })
+    val started = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val slow = pool.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int = memo.getOrCompute("slow") {
+        started.countDown()
+        release.await(10, TimeUnit.SECONDS)
+        11
+      }
+    })
+    assert(started.await(5, TimeUnit.SECONDS))
+    // capacity 1: inserting a second key evicts "slow" while in flight
+    memo.getOrCompute("b")(22)
+    assert(evicted.synchronized(evicted.result()) === Seq(),
+      "in-flight value cannot be released before it exists")
+    release.countDown()
+    assert(slow.get(10, TimeUnit.SECONDS) === 11)
+    assert(evicted.synchronized(evicted.result()) === Seq(11),
+      "the completer must release a value whose cell was evicted mid-flight")
+    // and never twice: a second read of the (re-computed) key installs
+    // a FRESH cell; the old one's flag stays set
+    assert(memo.getOrCompute("slow")(33) === 33)
+    assert(evicted.synchronized(evicted.result()) === Seq(11, 22))
+    pool.shutdown()
+  }
+
   test("repeat containmentJoinMemo call on an equivalent view HITS the memo") {
     // the q79 adjudication hook: the TVF path memoizes on the view's
     // canonicalized analyzed plan — a repeat call over the same view

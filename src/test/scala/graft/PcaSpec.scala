@@ -168,12 +168,34 @@ class PcaSpec extends AnyFunSuite {
     assert(staged.eigenvalues.toSeq === live.eigenvalues.toSeq)
     assert(staged.rows.map(_.toSeq).toSeq === live.rows.map(_.toSeq).toSeq)
     assert(staged.basis.map(_.toSeq).toSeq === live.basis.map(_.toSeq).toSeq)
-    // and the entry form (staged model) matches the in-flight rerank
-    val viaStaged = Pca.knnPcaRerankWith(corpus(), staged, 10, 5, 50)
+    // and the entry form (staged variance-fit model + proportional
+    // quota) matches the in-flight rerank with the same production fit
+    val stagedVar = Pca.modelStagedByVariance(spark, sf)
+    val liveVar = Pca.fitFromMomentsByVariance(Pca.moments(corpus()))
+    assert(stagedVar.basis.length === liveVar.basis.length)
+    assert(stagedVar.n === liveVar.n)
+    val viaStaged = Pca.knnPcaRerankWith(corpus(), stagedVar, 10, 5, 0)
       .collect().map(_.toString).toSeq
-    val viaLive = Pca.knnPcaRerank(corpus(), 10, 5, 50)
+    val viaLive = Pca.knnPcaRerank(corpus(), 10, 5)
       .collect().map(_.toString).toSeq
     assert(viaStaged === viaLive)
+  }
+
+  test("variance-threshold k: isotropic spectrum widens k, decaying " +
+    "spectrum truncates, and the quota scales with n") {
+    // the explained-variance rule on the real (near-isotropic) corpus
+    // must keep >= the 60% threshold it was asked for
+    val m = Pca.fitFromMomentsByVariance(Pca.moments(corpus()))
+    assert(m.explainedVariance >= 0.6d,
+      s"variance fit kept only ${m.explainedVariance}")
+    assert(m.basis.length > Pca.TopK,
+      "near-isotropic data must widen k past the fixed 16 — that was " +
+        "the round-11 0.28-recall root cause")
+    // proportional quota: floor at small n, fraction in the middle,
+    // cap at the top
+    assert(Pca.proportionalCand(100) === 50)
+    assert(Pca.proportionalCand(2000) === 200)
+    assert(Pca.proportionalCand(10000000) === 4096)
   }
 
   test("q140: merged base+delta moments equal the full corpus digit for " +
@@ -241,6 +263,15 @@ class PcaSpec extends AnyFunSuite {
     val recall = hits.toDouble / (exact.size * 5)
     info(s"pca-rerank recall@5 = $recall")
     assert(recall >= 0.60, s"recall@5 $recall below floor")
+  }
+
+  test("rerank width follows the model, not the TopK default " +
+    "(round-11 advice: a k=8 fit used to break with missing columns)") {
+    val m8 = Pca.fit(corpus(), k = 8)
+    assert(m8.basis.length === 8)
+    val out = Pca.knnPcaRerankWith(corpus(), m8, nQueries = 3, k = 5,
+      nCand0 = 25)
+    assert(out.count() === 15)
   }
 
   test("the two-stage result is deterministic across runs") {
