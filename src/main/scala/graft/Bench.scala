@@ -72,7 +72,14 @@ object Bench {
     "q134_dsir_select", "q135_pca_whiten", "q136_knn_pca_rerank",
     "q137_dedup_recall_eval", "q138_cluster_quality",
     "q139_pack_boundaries", "q140_pca_refresh", "q141_gate_divergence",
-    "q142_schema_drift")
+    "q142_schema_drift", "q143_unigram_learn", "q144_unigram_encode",
+    "q145_tokenizer_compare",
+    // the nine sub-second parity/scan entries below were excluded by
+    // curation through r11; the r11 verdict asked the artifact to
+    // cover the full catalog (they cost ~3 s of bench time total)
+    "q2_scan_prune", "q3_join_broadcast", "q6_distinct", "q8_window",
+    "q10_binary_scan", "q15_lang_quality", "q21_embed_neardup",
+    "q23_multimodal", "q25_bpe_tokens")
 
   /** `build` is by-name and runs AFTER the cache clear: queries that
     * persist (and eagerly materialize) intermediate frames — e.g. q17's
