@@ -43,7 +43,10 @@ object Recall {
     // the round-11 verdict fix): measures 0.98 at sf0.1 — the floor is
     // the verdict's >= 0.6 shippability bar, still ~0.6x the measured
     // value and deterministic (no RNG anywhere in the chain)
-    "q136_knn_pca_rerank" -> 0.6)
+    "q136_knn_pca_rerank" -> 0.6,
+    // NN-descent kNN graph (r12): the spec pins >= 0.72 (the IVF bar)
+    // at sf0.001; the floor here is the family convention (~half)
+    "q146_knn_graph" -> 0.4)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -122,7 +125,15 @@ object Recall {
         ("pca", "candFrac=0.05", () => graft.operators.Pca.knnPcaRerank(
           emb, 10, 5, nCand = graft.operators.Pca.proportionalCand(nEmb, 0.05))),
         ("pca", "candFrac=0.10", () => graft.operators.Pca.knnPcaRerank(
-          emb, 10, 5, nCand = graft.operators.Pca.proportionalCand(nEmb, 0.10))))
+          emb, 10, 5, nCand = graft.operators.Pca.proportionalCand(nEmb, 0.10))),
+        // NN-descent: the knob is refinement rounds (candidate volume
+        // per round is fixed at N*cap^2)
+        ("graph", "rounds=1", () => graft.operators.NnDescent
+          .knnGraphQueries(emb, 10, 5, rounds = 1)),
+        ("graph", "rounds=2", () => graft.operators.NnDescent
+          .knnGraphQueries(emb, 10, 5, rounds = 2)),
+        ("graph", "rounds=3", () => graft.operators.NnDescent
+          .knnGraphQueries(emb, 10, 5, rounds = 3)))
       defs.groupBy(_._1).toSeq.sortBy(_._1).map { case (fam, points) =>
         // one UNTIMED pass per family before its timed points: the first
         // executed point otherwise absorbs the family's one-time costs

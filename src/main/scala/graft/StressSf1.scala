@@ -685,6 +685,12 @@ object StressSf1 {
         ("q136_knn_pca_rerank",
           () => operators.Pca.knnPcaRerank(embBase, nQueries = 10, k = 5),
           () => operators.Pca.knnPcaRerank(embStress, nQueries = 10, k = 5)),
+        // NN-descent graph build at 10x (q146): per-round candidate
+        // volume is N*cap^2 — linear in N (the published economics);
+        // degree, cap and rounds fixed at both tiers
+        ("q146_knn_graph",
+          () => operators.NnDescent.build(embBase),
+          () => operators.NnDescent.build(embStress)),
         // cluster-quality audit at 10x (q138), compute form: train +
         // assign + the n x C silhouette aggregate all inside the timed
         // window; C = 256 at both tiers, so cost is corpus-linear and
