@@ -80,8 +80,8 @@ object StressSf1 {
   private val EmbDim = 64
 
   private def buildCorpus(spark: org.apache.spark.sql.SparkSession,
-      base: DataFrame, path: String): Unit = {
-    val corpus = (0 until Copies).map { k =>
+      base: DataFrame, path: String, copies: Int = Copies): Unit = {
+    val corpus = (0 until copies).map { k =>
       if (k == 0) base
       else base.select(
         (col("doc_id") + lit(k * IdStride)).as("doc_id"),
@@ -147,6 +147,16 @@ object StressSf1 {
     val embStressPath = ensureStressEmbeddings(spark)
     val stress = spark.read.parquet(stressPath)
     val embStress = spark.read.parquet(embStressPath)
+
+    // MID tier (round-11 verdict task 5): the two-point (1, 10)-copy
+    // fit ASSUMES linearity; a third point at 4 copies tests it. Only
+    // the five largest-marginal rows carry the extra tier — the fit
+    // residual at the mid point is the check, reported per row.
+    val MidCopies = 4
+    val midPath = s"$stressRoot/documents_mid$MidCopies.parquet"
+    if (!Files.exists(Paths.get(midPath, "_SUCCESS")))
+      buildCorpus(spark, base, midPath, copies = MidCopies)
+    val docsMid = spark.read.parquet(midPath)
 
     // lineitem at 10x under remapped order AND part keys: the key
     // columns' distinct counts grow 10x (the profile's exchange must
@@ -447,13 +457,14 @@ object StressSf1 {
     // offset by an EVEN stride so the 2k/2k+1 parity encoding holds and
     // families stay disjoint)
     val prEdges = operators.Graph.purchaseEdges(spark, sfDir)
-    val prEdgesStress = (0 until Copies).map { k =>
+    def prEdgesCopies(copies: Int): DataFrame = (0 until copies).map { k =>
       if (k == 0) prEdges
       else prEdges.select(
         (col("src") + lit(2L * k * IdStride)).as("src"),
         (col("dst") + lit(2L * k * IdStride)).as("dst"),
         col("weight"))
     }.reduce(_ unionByName _)
+    val prEdgesStress = prEdgesCopies(Copies)
 
     // the q118 merge shape with the batch selected on the FAMILY-LOCAL
     // key (pmod(key, IdStride) == the base key in every family), so the
@@ -756,6 +767,28 @@ object StressSf1 {
         f"sf1 $s1%6.1f s / $rows1%,d rows  (time x${s1 / s01}%.1f, rows x${rows1.toDouble / math.max(rows01, 1)}%.1f)")
       (name, s01, rows01, s1, rows1)
     }
+
+    // third point at MidCopies for the five largest-marginal rows
+    // (r10: q114 2.83 s/copy, q76 1.61, then q17/q100/q40) — timed
+    // AFTER the full two-tier pass so the JVM is equally hot
+    val docFn = docCases.toMap
+    val midCases: Seq[(String, () => DataFrame)] = Seq(
+      "q17_dedup_minhash" -> (() => docFn("q17_dedup_minhash")(docsMid)),
+      "q40_dup_clusters" -> (() => docFn("q40_dup_clusters")(docsMid)),
+      "q100_clean_manifest" -> (() => docFn("q100_clean_manifest")(docsMid)),
+      "q76_pipeline" -> (() => Shards.shardManifest(
+        TrainingPipeline.curatedCorpus(docsMid), budget = 2048L)),
+      "q114_pagerank" -> (() =>
+        operators.Graph.pageRank(prEdgesCopies(MidCopies), 0.85, 15)))
+    val midSec: Map[String, Double] = midCases.map { case (n, b) =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      b().count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] $n%-18s mid(${MidCopies}x) $s%6.1f s")
+      n -> s
+    }.toMap
+
     // two-point linear fit t(c) = floor + c·marginal over the 1-copy and
     // 10-copy tiers (round-10 verdict: four of five >2.5x ratios were
     // the same fixed-overhead pattern explained in prose — the artifact
@@ -768,7 +801,17 @@ object StressSf1 {
       val marginal = math.max(0.0, (s1 - s01) / (Copies - 1).toDouble)
       val floor = math.max(0.0, s01 - marginal)
       val floorFrac = if (s01 > 0) floor / s01 else 0.0
-      s""""$name":{"sf0.1_sec":$s01,"sf0.1_rows":$rows01,"sf1_sec":$s1,"sf1_rows":$rows1,"time_ratio":${s1 / s01},"fit_floor_sec":$floor,"fit_marginal_sec_per_copy":$marginal,"floor_frac":$floorFrac}"""
+      // mid-tier residual (r11 task 5): measured t(MidCopies) vs the
+      // two-point fit's prediction — |frac| well under ~0.3 says the
+      // linearity the (1,10) fit assumes actually holds between the
+      // endpoints; a large positive residual would mark hidden
+      // super-linearity the endpoints alone cannot see
+      val midPart = midSec.get(name).map { m =>
+        val pred = floor + MidCopies * marginal
+        val frac = if (m > 0) (m - pred) / m else 0.0
+        s""","mid_copies":$MidCopies,"mid_sec":$m,"fit_pred_mid_sec":$pred,"fit_residual_frac":$frac"""
+      }.getOrElse("")
+      s""""$name":{"sf0.1_sec":$s01,"sf0.1_rows":$rows01,"sf1_sec":$s1,"sf1_rows":$rows1,"time_ratio":${s1 / s01},"fit_floor_sec":$floor,"fit_marginal_sec_per_copy":$marginal,"floor_frac":$floorFrac$midPart}"""
     }.mkString("{", ",", "}")
     val out =
       s"""{"metric":"stress_sf1","copies":$Copies,"queries":$json,"loadavg_start":$loadStart,"loadavg_end":${Bench.loadavgJson()}}"""
