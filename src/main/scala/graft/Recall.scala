@@ -46,7 +46,10 @@ object Recall {
     "q136_knn_pca_rerank" -> 0.6,
     // NN-descent kNN graph (r12): the spec pins >= 0.72 (the IVF bar)
     // at sf0.001; the floor here is the family convention (~half)
-    "q146_knn_graph" -> 0.4)
+    "q146_knn_graph" -> 0.4,
+    // beam search over the persisted graph index (r12): same family
+    // bar; the spec pins >= 0.72 at sf0.001
+    "q147_knn_graph_search" -> 0.4)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

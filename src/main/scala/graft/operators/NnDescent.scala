@@ -148,6 +148,151 @@ object NnDescent {
   def meanScoreMicro(edges: DataFrame): Long =
     edges.agg(floor(avg("score") * 1e6d).cast("long")).head().getLong(0)
 
+  // ---- persisted graph index + beam-search probe (the serving path) --
+
+  /** Node-id partition buckets of the persisted graph/vector tables.
+    * Plain `id mod buckets` — trivially identical between the Spark
+    * build side and the driver-computed pruning literals (the q126
+    * CRC32 argument, with an even simpler hash since the key is
+    * already a long). 64 suits the test tiers; production sizes this
+    * so a bucket's row groups prune well under the id-sorted layout
+    * ([[graphIndexStaged]] sorts within partitions for exactly that). */
+  val NodeBuckets = 64
+
+  /** Write-once content-keyed graph index: `edges/` (the NN-descent
+    * top-K graph) and `vecs/` (prepared vectors), both partitioned by
+    * `nbucket = id mod` [[NodeBuckets]] and sorted by id within
+    * partitions (row-group pruning for point lookups), plus a one-row
+    * `meta/` with the corpus size. The q77/q126 economics: the
+    * O(N·cap²·rounds) build runs once per (dataset, content); every
+    * query batch afterwards touches only the buckets its traversal
+    * actually visits. */
+  def graphIndexStaged(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val out = "target/nndescent/graft_nng_" + Bucketed.md5hex(
+      s"$dir/k$K/r$Rounds/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
+      .take(8)
+    Staging.ensure(spark, out) { tmp =>
+      val emb = Tables.embeddings(spark, dir)
+      val e = Similarity.prepared(emb)
+      val n = e.count()
+      build(emb, nKnown = n)
+        .withColumn("nbucket", pmod(col("src"), lit(NodeBuckets)))
+        .repartition(col("nbucket"))
+        .sortWithinPartitions("src")
+        .write.mode("overwrite").partitionBy("nbucket")
+        .parquet(s"$tmp/edges")
+      e.withColumn("nbucket", pmod(col("vec_id"), lit(NodeBuckets)))
+        .repartition(col("nbucket"))
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite").partitionBy("nbucket")
+        .parquet(s"$tmp/vecs")
+      import spark.implicits._
+      Seq(Tuple1(n)).toDF("n").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/meta")
+    }
+    out
+  }
+
+  /** Batched best-first beam search over the persisted graph — the
+    * HNSW-layer-0-shaped SERVING path, whose per-query cost is
+    * independent of corpus size (the property IVF/PQ scans lack):
+    * start each query at `beam` deterministic hash-chosen entry
+    * nodes, then `hops` rounds of expand-frontier-adjacency → score →
+    * keep the per-query best `beam`. Orchestration state (frontier,
+    * visited, scores) is CONSTANT-bounded at nQueries·beam·(hops·K)
+    * rows and lives on the driver — the DSIR/BPE bounded-collect
+    * rule; every corpus-sized touch is a Spark scan of the persisted
+    * tables pruned by DRIVER-COMPUTED literals (bucket partitions +
+    * id pushdown into the id-sorted row groups — the q126 shape), so
+    * a 1000-executor deployment reads a handful of row groups per
+    * hop, never the corpus. Scoring joins are broadcast-tiny against
+    * the pruned scans. Deterministic end to end: hash entries, exact
+    * cosine, (score DESC, id ASC) cuts. */
+  def graphSearchStaged(spark: org.apache.spark.sql.SparkSession,
+      dir: String, nQueries: Int, k: Int, beam: Int = 8,
+      hops: Int = 4): DataFrame = {
+    val root = graphIndexStaged(spark, dir)
+    val edges = spark.read.parquet(s"$root/edges")
+    val vecs = spark.read.parquet(s"$root/vecs")
+    val n = spark.read.parquet(s"$root/meta").head().getLong(0)
+
+    def prunedVecs(ids: Seq[Long]) = vecs.filter(
+      col("nbucket").isin(ids.map(_ % NodeBuckets).distinct: _*) &&
+        col("vec_id").isin(ids: _*))
+
+    // query vectors: one pruned point-lookup scan (query ids are the
+    // 0..nQueries-1 convention shared by every ANN entry)
+    val qIds = (0L until nQueries.toLong).toSeq
+    val qVecs = prunedVecs(qIds)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+
+    // deterministic entry points per query (the init-graph hash rule)
+    var frontier: Map[Long, Seq[Long]] = qIds.map { q =>
+      q -> (1 to beam).map(j =>
+        math.floorMod(
+          scala.util.hashing.MurmurHash3.productHash((q, j, "gs-entry")).toLong,
+          n))
+        .distinct.filter(_ != q)
+    }.toMap
+    var visited: Map[Long, Set[Long]] = qIds.map(q => q -> Set(q)).toMap
+    val scoredAcc = Seq.newBuilder[(Long, Long, Double)]
+
+    var hop = 0
+    while (hop <= hops && frontier.valuesIterator.exists(_.nonEmpty)) {
+      // candidates this hop: the entry nodes themselves (hop 0), then
+      // the frontier's adjacency from the pruned edge scan
+      val pairs: Seq[(Long, Long)] =
+        if (hop == 0) frontier.toSeq.flatMap { case (q, ns) => ns.map(q -> _) }
+        else {
+          val srcIds = frontier.valuesIterator.flatten.toSeq.distinct
+          if (srcIds.isEmpty) Seq.empty
+          else {
+            val adj = edges.filter(
+              col("nbucket").isin(srcIds.map(_ % NodeBuckets).distinct: _*) &&
+                col("src").isin(srcIds: _*))
+              .select("src", "dst").collect()
+              .map(r => (r.getLong(0), r.getLong(1)))
+              .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+            frontier.toSeq.flatMap { case (q, ns) =>
+              ns.flatMap(s => adj.getOrElse(s, Array.empty[Long]))
+                .distinct.map(q -> _)
+            }
+          }
+        }
+      val fresh = pairs.filter { case (q, c) => !visited(q).contains(c) }
+        .distinct
+      if (fresh.isEmpty) { frontier = frontier.map { case (q, _) => q -> Seq.empty[Long] } }
+      else {
+        visited = fresh.foldLeft(visited) { case (v, (q, c)) =>
+          v.updated(q, v(q) + c)
+        }
+        // one pruned scan scores all queries' fresh candidates
+        import spark.implicits._
+        val candDf = broadcast(fresh.toDF("query_id", "vec_id"))
+        val scored = prunedVecs(fresh.map(_._2).distinct)
+          .join(candDf, "vec_id")
+          .join(broadcast(qVecs), "query_id")
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            Similarity.cosine(col("q_emb"), col("q_nrm"), col("emb"),
+              col("nrm")).as("score"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        scoredAcc ++= scored
+        frontier = scored.groupBy(_._1).map { case (q, rows) =>
+          q -> rows.sortBy(r => (-r._3, r._2)).take(beam).map(_._2)
+        }
+      }
+      hop += 1
+    }
+    import spark.implicits._
+    Similarity.topK(
+      scoredAcc.result().distinct
+        .toDF("query_id", "neighbor_id", "score"),
+      k)
+  }
+
   val queries: Seq[Query] = Seq(
     Query(
       "q146_knn_graph",
@@ -168,6 +313,25 @@ object NnDescent {
         "(recall >= the IVF bar, monotone convergence, determinism, " +
         "no-cartesian plan assert, planted-cluster recovery).",
       (s, dir) => knnGraphQueries(Tables.embeddings(s, dir),
-        nQueries = 10, k = 5))
+        nQueries = 10, k = 5)),
+
+    Query(
+      "q147_knn_graph_search",
+      "Graph-ANN SERVING over the persisted NN-descent index — the " +
+        "HNSW-layer-0-shaped path whose per-query cost is independent " +
+        "of corpus size (the property the IVF/PQ scan families lack): " +
+        "batched best-first beam search from deterministic hash " +
+        "entries, each hop one edge-adjacency point lookup + one " +
+        "candidate scoring pass against the persisted tables, BOTH " +
+        "pruned by driver-computed literals (id-mod-64 partition " +
+        "buckets + id pushdown into id-sorted row groups — the q126 " +
+        "persisted-BM25 shape). Traversal state is constant-bounded " +
+        "(nQueries*beam*hops*K) on the driver, the DSIR/BPE bounded-" +
+        "collect rule. The O(N*cap^2*rounds) graph build is staged " +
+        "write-once per (dataset, content) — the q77 economics. No " +
+        "oracle (the trajectory depends on the learned graph); " +
+        "design-gated in NnDescentSpec (recall floor, determinism, " +
+        "no corpus scan: execution-level pruning evidence).",
+      (s, dir) => graphSearchStaged(s, dir, nQueries = 10, k = 5))
   )
 }

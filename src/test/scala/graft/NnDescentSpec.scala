@@ -102,6 +102,43 @@ class NnDescentSpec extends AnyFunSuite {
       "NN-descent must never nested-loop join")
   }
 
+  test("q147 graph search: recall clears the IVF bar, repeats are " +
+    "deterministic, and the probe never scans the corpus (execution-" +
+    "level pruning evidence)") {
+    val exact = Similarity.knnBrute(corpus(), 10, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def run() = SparkEntry.queries("q147_knn_graph_search")(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val first = run()
+    assert(first === run(), "graph search must be deterministic")
+    val got = first.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.keys.toSeq
+      .map(q => (got.getOrElse(q, Set.empty) & exact(q)).size).sum
+      .toDouble / (exact.size * 5)
+    info(s"graph-search recall@5 = $recall")
+    assert(recall >= 0.72d, s"recall@5 $recall below the IVF bar")
+    // execution-level pruning: a point lookup of two known ids must
+    // read only those ids' bucket directories of the persisted tables
+    import spark.implicits._
+    val root = graft.operators.NnDescent.graphIndexStaged(spark, sf)
+    val ids = Seq(3L, 130L)
+    val wantBuckets = ids.map(_ % graft.operators.NnDescent.NodeBuckets).toSet
+    for (table <- Seq("edges" -> "src", "vecs" -> "vec_id")) {
+      val (t, key) = table
+      val files = spark.read.parquet(s"$root/$t")
+        .filter(col("nbucket").isin(wantBuckets.toSeq: _*) &&
+          col(key).isin(ids: _*))
+        .select(input_file_name().as("f")).distinct().as[String].collect()
+      assert(files.nonEmpty)
+      files.foreach(f => assert(
+        wantBuckets.exists(bk => f.contains(s"nbucket=$bk/")),
+        s"$t file outside the pruned buckets: $f"))
+    }
+  }
+
   test("every node keeps at most k edges and no self-loops") {
     val g = NnDescent.build(corpus(), k = 7, rounds = 1)
     assert(g.filter(col("src") === col("dst")).count() === 0L)
