@@ -139,6 +139,59 @@ class NnDescentSpec extends AnyFunSuite {
     }
   }
 
+  test("q148 delta append: the appended rounds reach the scratch " +
+    "build's edge quality, covers every delta node, and the delta " +
+    "nodes' neighbors recall against exact") {
+    val emb = corpus()
+    val base = NnDescent.build(emb.filter(col("vec_id") % 10 =!= 0))
+    val appended = NnDescent.appendToGraph(emb, base,
+      col("vec_id") % 10 === 0)
+    // every node of the union corpus holds a list, delta included
+    val n = emb.count()
+    assert(appended.select("src").distinct().count() === n)
+    assert(appended.filter(col("src") === col("dst")).count() === 0L)
+    assert(appended.groupBy("src").count()
+      .filter(col("count") > NnDescent.K).count() === 0L)
+    // edge quality: the appended rounds must reach the scratch
+    // build's mean score (the erode-then-retrain contract's "good
+    // enough between rebuilds" bar — 98% of scratch in micro units)
+    val scratch = NnDescent.meanScoreMicro(NnDescent.build(emb))
+    val app = NnDescent.meanScoreMicro(appended)
+    info(s"mean edge score micro: scratch=$scratch appended=$app")
+    assert(app >= (scratch * 0.98d).toLong,
+      s"appended graph quality $app fell below 98% of scratch $scratch")
+    // delta-node retrieval quality: the inserted nodes' lists vs the
+    // exact answer over the union corpus
+    val deltaQ = appended.filter(col("src") % 10 === 0 && col("src") < 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = Similarity.knnBrute(emb, nQueries = 100, k = NnDescent.K)
+      .filter(col("query_id") % 10 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(g: Map[Long, Set[Long]]): Double = exact.keys.toSeq
+      .map(k => (g.getOrElse(k, Set.empty) & exact(k)).size).sum
+      .toDouble / exact.values.map(_.size).sum
+    val recall = recallOf(deltaQ)
+    // the bar is RELATIVE: an insert's contract is "as good as the
+    // scratch build would make these nodes", not an absolute recall
+    // the scratch build itself doesn't reach at @K
+    val scratchQ = NnDescent.build(emb)
+      .filter(col("src") % 10 === 0 && col("src") < 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val scratchRecall = recallOf(scratchQ)
+    info(s"delta-node recall@${NnDescent.K}: appended=$recall " +
+      s"scratch=$scratchRecall")
+    assert(recall >= scratchRecall - 0.05d,
+      s"inserted nodes' recall $recall fell below scratch $scratchRecall")
+    // determinism
+    val again = NnDescent.appendToGraph(emb, base, col("vec_id") % 10 === 0)
+      .orderBy("src", "dst").collect().map(_.toString).toSeq
+    assert(again === appended.orderBy("src", "dst").collect()
+      .map(_.toString).toSeq)
+  }
+
   test("every node keeps at most k edges and no self-loops") {
     val g = NnDescent.build(corpus(), k = 7, rounds = 1)
     assert(g.filter(col("src") === col("dst")).count() === 0L)
