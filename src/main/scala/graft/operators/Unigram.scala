@@ -227,10 +227,25 @@ object Unigram {
     * (dense-id'd) and each word's Viterbi segmentation with the
     * [[Bpe.EndOfWord]] marker appended. */
   def learnLocal(wordFreq: Seq[(String, Long)], vocabSize: Int)
+      : (Seq[Piece], Seq[Bpe.WordSeg]) =
+    learnLocalWith(wordFreq, vocabSize, identity, Bpe.EndOfWord)
+
+  /** [[learnLocal]] over a mapped training alphabet: `mapWord` sends
+    * each word into the domain the pieces live in (identity for the
+    * code-point mode; the GPT-2 byte→char mapping for the byte mode,
+    * where mapped chars are single code points by construction), and
+    * `marker` is the mode's end-of-word piece. Words sort by their
+    * MAPPED form (the training-domain key) — identical to the
+    * original order under identity, and the order the byte-mode
+    * reference twin reproduces. Emitted segmentations are keyed by
+    * the ORIGINAL word (the join key every encode path uses). */
+  def learnLocalWith(wordFreq: Seq[(String, Long)], vocabSize: Int,
+      mapWord: String => String, marker: String)
       : (Seq[Piece], Seq[Bpe.WordSeg]) = {
-    val words = wordFreq.filter(_._1.nonEmpty)
-      .sortBy(_._1)(Bpe.Utf8Order)
-      .map { case (w, f) => (cps(w), f) }
+    val wordsKeyed = wordFreq.filter(_._1.nonEmpty)
+      .map { case (w, f) => (w, mapWord(w), f) }
+      .sortBy(_._2)(Bpe.Utf8Order)
+    val words = wordsKeyed.map { case (_, m, f) => (cps(m), f) }
 
     // seed: singles unconditionally; multis by (count desc, piece asc)
     val counts = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -298,12 +313,13 @@ object Unigram {
       .map { case ((p, lp), i) =>
         Piece(i + 1, p, lp, math.floor(lp * 1e9d).toLong)
       }
-    val segs = words.map { case (w, f) =>
+    val segs = wordsKeyed.map { case (orig, m, f) =>
+      val w = cps(m)
       val path = viterbi(w, logp) match {
         case Some((_, p)) => p
         case None => w.toList // unreachable: singles cover everything
       }
-      Bpe.WordSeg(w.mkString, f, path :+ Bpe.EndOfWord)
+      Bpe.WordSeg(orig, f, path :+ marker)
     }
     (pieces, segs)
   }
@@ -328,6 +344,39 @@ object Unigram {
       val wf = Bpe.wordFreqs(Tables.documents(spark, dir)).collect()
         .map(r => (r.getAs[String]("word"), r.getAs[Long]("freq"))).toSeq
       val (pieces, segs) = learnLocal(wf, vocabSize)
+      spark.createDataFrame(pieces).write.mode("overwrite")
+        .parquet(s"$tmp/pieces")
+      spark.createDataFrame(segs).write.mode("overwrite")
+        .parquet(s"$tmp/segments")
+    }
+    (spark.read.parquet(s"$out/pieces"),
+      spark.read.parquet(s"$out/segments"))
+  }
+
+  /** The byte-mode word mapping: UTF-8 bytes through the GPT-2
+    * byte→char bijection ([[Bpe.byteSymsLocal]] minus its marker) —
+    * mapped chars are single code points, so [[learnLocalWith]]'s
+    * lattice machinery applies unchanged and the learned pieces are
+    * mapped-byte sequences. */
+  private[graft] def byteMap(w: String): String =
+    Bpe.byteSymsLocal(w).init.mkString
+
+  /** Write-once staged BYTE-LEVEL unigram tokenizer (the q122/q123
+    * alphabet on the q143 algorithm): pieces live in the mapped byte
+    * domain, segmentations carry [[Bpe.ByteEndOfWord]], so
+    * [[Bpe.byteVocab]] (base-alphabet union) + [[Bpe.encodeBytes]] /
+    * [[Bpe.decodeBytes]] serve it unchanged — and encode is
+    * structurally ZERO-OOV on ANY input, trained scripts or not. */
+  def learnStagedBytes(spark: SparkSession, dir: String,
+      vocabSize: Int = VocabSize): (DataFrame, DataFrame) = {
+    val out = "target/unigram/graft_unib_" + Bucketed.md5hex(
+      s"$dir/v$vocabSize/bytes/${Layout.contentKey(spark, s"$dir/documents.parquet")}")
+      .take(8)
+    Staging.ensure(spark, out) { tmp =>
+      val wf = Bpe.wordFreqs(Tables.documents(spark, dir)).collect()
+        .map(r => (r.getAs[String]("word"), r.getAs[Long]("freq"))).toSeq
+      val (pieces, segs) =
+        learnLocalWith(wf, vocabSize, byteMap, Bpe.ByteEndOfWord)
       spark.createDataFrame(pieces).write.mode("overwrite")
         .parquet(s"$tmp/pieces")
       spark.createDataFrame(segs).write.mode("overwrite")
@@ -434,6 +483,42 @@ object Unigram {
         LEFT JOIN bsegs b USING (word)
         LEFT JOIN usegs u USING (word)
         GROUP BY t.lang
-        ORDER BY lang"""))
+        ORDER BY lang""")),
+
+    Query(
+      "q149_unigram_byte_learn",
+      "BYTE-LEVEL unigram-LM vocabulary (the q122/q123 alphabet on " +
+        "the q143 algorithm — the second production pairing, e.g. " +
+        "Llama's byte-fallback SentencePiece): words map through the " +
+        "GPT-2 byte->char bijection, pieces are EM-trained mapped-" +
+        "byte sequences, the marker is the out-of-band U+0144, and " +
+        "because the base 256-char alphabet is unioned into the id " +
+        "space (Bpe.byteVocab), encode is structurally ZERO-OOV on " +
+        "any input. Same O(1)-job economics and staged artifact as " +
+        "q143. No oracle; UnigramSpec gates reference-EM parity on " +
+        "the mapped domain, zero-OOV and the universal decode round " +
+        "trip on hostile multi-script input.",
+      (s, dir) => {
+        val (pieces, _) = learnStagedBytes(s, dir)
+        pieces.select("id", "piece", "logp_nano").orderBy("id")
+      }),
+
+    Query(
+      "q150_unigram_byte_encode",
+      "Corpus encoding under the staged byte-level unigram tokenizer: " +
+        "the same broadcast word-join plan as q123 (Bpe.encodeBytes " +
+        "serves unchanged — byte-marker segment schema, base-alphabet-" +
+        "unioned ids), so unseen words decompose to base byte symbols " +
+        "that ALWAYS carry ids: id 0 is structurally unreachable on " +
+        "any input. Output: (doc_id, n_words, n_subwords, ids). No " +
+        "oracle; UnigramSpec gates zero-OOV + universal decode round " +
+        "trip (decodeBytes . encodeBytes == whitespace-normalized " +
+        "identity on multi-script text the tokenizer never saw).",
+      (s, dir) => {
+        val (_, segs) = learnStagedBytes(s, dir)
+        val ids = Bpe.subwordIds(Bpe.byteVocab(segs))
+        Bpe.encodeBytes(Tables.documents(s, dir), segs, ids)
+          .orderBy("doc_id")
+      })
   )
 }

@@ -137,6 +137,53 @@ class UnigramSpec extends AnyFunSuite {
     }
   }
 
+  test("byte mode: reference-EM parity on the mapped domain, and " +
+    "mapped pieces stay inside the byte alphabet") {
+    val wf = wordFreq()
+    val (pieces, segs) =
+      Unigram.learnLocalWith(wf, Unigram.VocabSize, Unigram.byteMap,
+        Bpe.ByteEndOfWord)
+    // the reference EM trained on the MAPPED words must agree
+    // piece-for-piece with bit-equal log-probs (the mapped domain is
+    // just another alphabet to the spec)
+    val mapped = wf.map { case (w, f) => (Unigram.byteMap(w), f) }
+    val (refPieces, _) = UnigramReference.learn(mapped, Unigram.VocabSize)
+    assert(pieces.map(_.piece) === refPieces.map(_._1))
+    assert(pieces.map(_.logp) === refPieces.map(_._2))
+    // segmentation keys are ORIGINAL words; syms live in the mapped
+    // domain and reassemble to the mapped word
+    segs.foreach { s =>
+      assert(s.syms.last === Bpe.ByteEndOfWord)
+      assert(s.syms.init.mkString === Unigram.byteMap(s.word), s.word)
+    }
+  }
+
+  test("q150 byte encode: zero OOV and a universal decode round trip " +
+    "on multi-script text the tokenizer never saw") {
+    val (_, segs) = Unigram.learnStagedBytes(spark, sf)
+    val ids = Bpe.subwordIds(Bpe.byteVocab(segs))
+    // the corpus entry never emits id 0
+    val enc = SparkEntry.queries("q150_unigram_byte_encode")(spark, sf)
+    assert(enc.filter(col("ids").rlike("(^| )0( |$)")).count() === 0L,
+      "byte-mode unigram encode emitted the OOV id")
+    // hostile input: scripts, emoji, CJK the training corpus lacks
+    val hostile = Seq(
+      (1L, "Ζεύς ο θεός τοῦ κεραυνοῦ"),
+      (2L, "深圳市 的 天气 很好"),
+      (3L, "emoji 🌍🚀 mixed with ascii"),
+      (4L, "русский текст тоже работает"))
+    val hostileDf = hostile.toDF("doc_id", "text")
+    val hEnc = Bpe.encodeBytes(hostileDf, segs, ids)
+    assert(hEnc.filter(col("ids").rlike("(^| )0( |$)")).count() === 0L,
+      "unseen scripts must fall back to base byte symbols, never OOV")
+    val dec = Bpe.decodeBytes(hEnc, ids)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    for ((id, text) <- hostile) {
+      val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+      assert(dec(id) === norm, s"byte round trip failed on doc $id")
+    }
+  }
+
   test("q145 bake-off is internally consistent and the oracle SQL is " +
     "registered after the entry runs (staged convention)") {
     val out = SparkEntry.queries("q145_tokenizer_compare")(spark, sf)
