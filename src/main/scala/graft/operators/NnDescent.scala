@@ -20,9 +20,10 @@ import graft.sources.Tables
   * Spark shape (the q114/q40 bounded-iteration pattern):
   *   - STATE: an edge frame (src, dst, score) with ≤ K rows per src —
   *     node-keyed, partitioned by src through every round.
-  *   - INIT: K pseudo-random neighbors per node from `xxhash64(src,
-  *     round-salt) mod N` — deterministic by construction (the SRP
-  *     seeding rule), no RNG state to ship.
+  *   - INIT: ~2K pseudo-random partners per node by hash-chained
+  *     rendezvous shuffles ([[rendezvousInit]]) — deterministic by
+  *     construction (the SRP seeding rule), no RNG state to ship,
+  *     and id-AGNOSTIC (never guesses an id that might not exist).
   *   - ROUND: symmetrize (union reversed edges), CAP each node's
   *     adjacency at [[Cap]] by hash order (the published sampling-ρ
   *     trick — bounds the per-node join fan-out), self-join on the
@@ -80,6 +81,55 @@ object NnDescent {
       .drop("rk")
   }
 
+  /** Deterministic random init pairs by hash-chained RENDEZVOUS
+    * shuffles. Id-AGNOSTIC: the first formulation drew `dst = hash
+    * mod n`, which silently assumes vec_ids are the contiguous range
+    * 0..n-1 — on the 10× stress corpus (offset id families, like any
+    * real corpus) ~90% of proposals hit nonexistent ids and were
+    * dropped by the scoring join, leaving init lists near-empty
+    * (135,210 edges for 20,000 nodes where ~200,000 were owed).
+    * Rendezvous pairing only ever names ids that EXIST, at the same
+    * cost class, and keeps the hash-determinism contract. */
+  private def rendezvousInit(e: DataFrame, k: Int, n: Long,
+      salt: String): DataFrame = {
+    // CHAIN pairing: for each of r independent shuffles, hash every
+    // node into E[size]≈16 buckets and pair CONSECUTIVE members in
+    // per-shuffle hash order — two chain partners per shuffle, every
+    // partner an independent draw, no wasted tokens. (All-pairs-
+    // within-bucket instead pairs nodes in shared cliques: measured
+    // recall@5 0.70; tiny E[2] buckets waste ~27% of tokens in
+    // singletons: 0.62.) The in-bucket window is bounded by the
+    // bucket's expected size, never corpus-wide. r = k shuffles
+    // (~2k partners): init is the cheap stage (n·2k scored pairs vs
+    // n·cap² per round) and the extra diversity lifts the fixed
+    // 3-round budget clear of the recall bar (r=k/2 measured 0.72,
+    // zero margin; r=k measures 0.74).
+    val r = k
+    val b = math.max(1L, n / 16L)
+    val toks = e.select(col("vec_id"))
+      .select(col("vec_id"), explode(sequence(lit(1), lit(r))).as("j"))
+      .select(col("vec_id"), col("j"),
+        pmod(xxhash64(col("vec_id"), col("j"), lit(salt)), lit(b)).as("tok"),
+        xxhash64(col("vec_id"), col("j"), lit(salt), lit("h")).as("h"))
+    val w = Window.partitionBy("j", "tok").orderBy(col("h").asc, col("vec_id").asc)
+    val ranked = toks.withColumn("rk", row_number().over(w))
+      .select("j", "tok", "rk", "vec_id")
+    ranked.as("a")
+      .join(ranked.as("b"),
+        col("a.j") === col("b.j") && col("a.tok") === col("b.tok") &&
+          col("a.rk") + 1 === col("b.rk"))
+      .where(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      .unionByName(
+        ranked.as("a")
+          .join(ranked.as("b"),
+            col("a.j") === col("b.j") && col("a.tok") === col("b.tok") &&
+              col("a.rk") + 1 === col("b.rk"))
+          .where(col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("b.vec_id").as("src"), col("a.vec_id").as("dst")))
+      .distinct()
+  }
+
   /** Build the K-NN graph over `emb`: (src, dst, score), ≤ k rows per
     * src, exact-cosine scored. `n` is the corpus size (callers that
     * already know it avoid the count action). */
@@ -88,17 +138,7 @@ object NnDescent {
     val e = Similarity.prepared(emb)
     val n = if (nKnown > 0) nKnown else e.count()
     require(n > k, s"kNN graph needs more than k=$k vectors, got $n")
-
-    // deterministic pseudo-random init: j-th proposal for src is
-    // hash(src, j) mod n, self-loops dropped (a node may start with
-    // < k neighbors — NN-descent repairs that in round 1)
-    val init = e.select(col("vec_id").as("src"))
-      .select(col("src"), explode(sequence(lit(1), lit(k))).as("j"))
-      .select(col("src"),
-        pmod(xxhash64(col("src"), col("j"), lit("nn-init")), lit(n))
-          .as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
+    val init = rendezvousInit(e, k, n, "nn-init")
     var edges = topKPerSrc(scorePairs(init, e), k).localCheckpoint(false)
 
     var r = 0
@@ -155,15 +195,24 @@ object NnDescent {
       refineRounds: Int = 3, nKnown: Long = -1L): DataFrame = {
     val e = Similarity.prepared(embAll)
     val n = if (nKnown > 0) nKnown else e.count()
-    // 2k entry probes per new node (kept top-k after scoring): entry
-    // DIVERSITY is what a layered index buys; doubling the flat
-    // entries is the batch-insert substitute
-    val deltaInit = e.filter(deltaPred).select(col("vec_id").as("src"))
+    // ~2k entry partners per new node (kept top-k after scoring):
+    // entry DIVERSITY is what a layered index buys; the wide flat
+    // entry set is the batch-insert substitute. Rendezvous pairing
+    // (id-agnostic, like the build init): each delta node emits 2k
+    // tokens, EVERY node emits one, and delta pairs with whatever
+    // real ids share its buckets — never a guessed id.
+    val b = math.max(1L, n / 8L)
+    val deltaToks = e.filter(deltaPred).select(col("vec_id").as("src"))
       .select(col("src"), explode(sequence(lit(1), lit(2 * k))).as("j"))
       .select(col("src"),
-        pmod(xxhash64(col("src"), col("j"), lit("nn-append")), lit(n))
-          .as("dst"))
-      .filter(col("src") =!= col("dst"))
+        pmod(xxhash64(col("src"), col("j"), lit("nn-append")), lit(b))
+          .as("tok"))
+    val allToks = e.select(col("vec_id").as("dst"))
+      .select(col("dst"),
+        pmod(xxhash64(col("dst"), lit("nn-append-all")), lit(b)).as("tok"))
+    val deltaInit = deltaToks.join(allToks, "tok")
+      .where(col("src") =!= col("dst"))
+      .select("src", "dst")
       .distinct()
     // WORKING beam: 2k-wide lists during the insert rounds, cut to k
     // at the end — contracting to k mid-walk is greedy and loses the
@@ -254,8 +303,11 @@ object NnDescent {
     * [[appendToGraph]] maintains when the `% 10 == 0` arrivals land. */
   def baseGraphStaged(spark: org.apache.spark.sql.SparkSession,
       dir: String): String = {
+    // "i2": the init algorithm is part of the key — the round-12
+    // rendezvous-chain init must not be satisfied by a stale
+    // contiguous-id-init artifact
     val out = "target/nndescent/graft_nngb_" + Bucketed.md5hex(
-      s"$dir/base10/k$K/r$Rounds/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
+      s"$dir/base10/i2/k$K/r$Rounds/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
       .take(8)
     Staging.ensure(spark, out) { tmp =>
       build(Tables.embeddings(spark, dir).filter(col("vec_id") % 10 =!= 0))
@@ -275,8 +327,9 @@ object NnDescent {
     * actually visits. */
   def graphIndexStaged(spark: org.apache.spark.sql.SparkSession,
       dir: String): String = {
+    // "i2": init-algorithm version rides the key (see baseGraphStaged)
     val out = "target/nndescent/graft_nng_" + Bucketed.md5hex(
-      s"$dir/k$K/r$Rounds/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
+      s"$dir/i2/k$K/r$Rounds/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
       .take(8)
     Staging.ensure(spark, out) { tmp =>
       val emb = Tables.embeddings(spark, dir)
