@@ -131,12 +131,12 @@ object Recall {
           emb, 10, 5, nCand = graft.operators.Pca.proportionalCand(nEmb, 0.10))),
         // NN-descent: the knob is refinement rounds (candidate volume
         // per round is fixed at N*cap^2)
-        ("graph", "rounds=1", () => graft.operators.NnDescent
-          .knnGraphQueries(emb, 10, 5, rounds = 1)),
         ("graph", "rounds=2", () => graft.operators.NnDescent
           .knnGraphQueries(emb, 10, 5, rounds = 2)),
-        ("graph", "rounds=3", () => graft.operators.NnDescent
-          .knnGraphQueries(emb, 10, 5, rounds = 3)))
+        ("graph", "rounds=4", () => graft.operators.NnDescent
+          .knnGraphQueries(emb, 10, 5, rounds = 4)),
+        ("graph", "rounds=auto(log2 n)", () => graft.operators.NnDescent
+          .knnGraphQueries(emb, 10, 5)))
       defs.groupBy(_._1).toSeq.sortBy(_._1).map { case (fam, points) =>
         // one UNTIMED pass per family before its timed points: the first
         // executed point otherwise absorbs the family's one-time costs

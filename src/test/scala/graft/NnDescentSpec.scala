@@ -38,7 +38,8 @@ class NnDescentSpec extends AnyFunSuite {
       ((c * 8 + j).toLong, base.toSeq)
     }
     val emb = rows.toDF("vec_id", "embedding")
-    val g = NnDescent.build(emb, k = 5, rounds = 3, cap = 12, nKnown = 64L)
+    val g = NnDescent.build(emb, k = 5, rounds = 3, cap = 12, nKnown = 64L,
+      dim = dim)
       .collect()
     g.foreach { r =>
       val src = r.getLong(0); val dst = r.getLong(1)
