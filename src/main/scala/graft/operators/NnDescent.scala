@@ -124,19 +124,14 @@ object NnDescent {
     val w = Window.partitionBy("j", "tok").orderBy(col("h").asc, col("vec_id").asc)
     val ranked = toks.withColumn("rk", row_number().over(w))
       .select("j", "tok", "rk", "vec_id")
-    ranked.as("a")
+    val fwd = ranked.as("a")
       .join(ranked.as("b"),
         col("a.j") === col("b.j") && col("a.tok") === col("b.tok") &&
           col("a.rk") + 1 === col("b.rk"))
       .where(col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
-      .unionByName(
-        ranked.as("a")
-          .join(ranked.as("b"),
-            col("a.j") === col("b.j") && col("a.tok") === col("b.tok") &&
-              col("a.rk") + 1 === col("b.rk"))
-          .where(col("a.vec_id") =!= col("b.vec_id"))
-          .select(col("b.vec_id").as("src"), col("a.vec_id").as("dst")))
+    fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
   }
 
@@ -376,15 +371,27 @@ object NnDescent {
     * top-K graph) and `vecs/` (prepared vectors), both partitioned by
     * `nbucket = id mod` [[NodeBuckets]] and sorted by id within
     * partitions (row-group pruning for point lookups), plus a one-row
-    * `meta/` with the corpus size. The q77/q126 economics: the
-    * O(N·cap²·rounds) build runs once per (dataset, content); every
-    * query batch afterwards touches only the buckets its traversal
-    * actually visits. */
+    * `meta/` with the corpus size and an `entries/` table of
+    * [[NodeBuckets]] REAL node ids (the min-hash member of each id
+    * bucket) for beam-search entry selection. The q77/q126 economics:
+    * the O(N·cap²·rounds) build runs once per (dataset, content);
+    * every query batch afterwards touches only the buckets its
+    * traversal actually visits.
+    *
+    * Entry sampling is id-AGNOSTIC (the r12-advice fix, the same bug
+    * class the rendezvous init removed): the old `hash mod n` entry
+    * rule silently assumed contiguous ids and on an offset-id corpus
+    * every probe named a nonexistent node — queries would return
+    * short or empty with no error. `entries/` only ever holds ids
+    * that EXIST, picked per bucket by min (xxhash64, id) so the
+    * sample is deterministic, hash-uniform, and corpus-spread. */
   def graphIndexStaged(spark: org.apache.spark.sql.SparkSession,
       dir: String): String = {
-    // "i2": init-algorithm version rides the key (see baseGraphStaged)
+    // "i3": init algorithm AND index layout ride the key — the
+    // round-13 entries/ table must not be looked for in a stale i2
+    // artifact (see baseGraphStaged for the convention)
     val out = "target/nndescent/graft_nng_" + Bucketed.md5hex(
-      s"$dir/i2/k$K/r$Rounds/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
+      s"$dir/i3/k$K/r$Rounds/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
       .take(8)
     Staging.ensure(spark, out) { tmp =>
       val emb = Tables.embeddings(spark, dir)
@@ -401,12 +408,49 @@ object NnDescent {
         .sortWithinPartitions("vec_id")
         .write.mode("overwrite").partitionBy("nbucket")
         .parquet(s"$tmp/vecs")
+      writeEntrySample(e, s"$tmp/entries")
       import spark.implicits._
       Seq(Tuple1(n)).toDF("n").coalesce(1)
         .write.mode("overwrite").parquet(s"$tmp/meta")
     }
     out
   }
+
+  /** Stage the per-bucket entry sample: for each of [[NodeBuckets]] id
+    * buckets, the member with the smallest (xxhash64, id) — at most
+    * [[NodeBuckets]] rows, one bounded aggregate over the corpus. */
+  private def writeEntrySample(e: DataFrame, path: String): Unit = {
+    val w = Window.partitionBy("ebucket")
+      .orderBy(col("eh").asc, col("vec_id").asc)
+    e.select(col("vec_id"),
+        pmod(col("vec_id"), lit(NodeBuckets)).as("ebucket"),
+        xxhash64(col("vec_id"), lit("gs-entry-sample")).as("eh"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("ebucket"), col("vec_id").as("entry_id"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Driver-side twin of the SQL `xxhash64(query_id, j, 'gs-entry')`
+    * slot hash — the SAME Catalyst expression evaluated on literals,
+    * so the driver-orchestrated path (q147) and the distributed batch
+    * path (q151) pick IDENTICAL entry nodes by construction (the q126
+    * same-function-both-sides argument). */
+  private[graft] def entrySlotHash(q: Long, j: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    new XxHash64(Seq(Literal(q), Literal(j), Literal("gs-entry")))
+      .eval(null).asInstanceOf[Long]
+  }
+
+  /** Deterministic per-query entry nodes drawn from the staged entry
+    * sample (REAL ids only): `beam` hash slots over the sample list,
+    * the query's own id excluded. */
+  private[graft] def entriesFor(entryIds: IndexedSeq[Long], q: Long,
+      beam: Int): Seq[Long] =
+    (1 to beam).map { j =>
+      entryIds(math.floorMod(entrySlotHash(q, j), entryIds.length.toLong).toInt)
+    }.distinct.filter(_ != q)
 
   /** Batched best-first beam search over the persisted graph — the
     * HNSW-layer-0-shaped SERVING path, whose per-query cost is
@@ -429,32 +473,69 @@ object NnDescent {
     val root = graphIndexStaged(spark, dir)
     val edges = spark.read.parquet(s"$root/edges")
     val vecs = spark.read.parquet(s"$root/vecs")
-    val n = spark.read.parquet(s"$root/meta").head().getLong(0)
-
-    def prunedVecs(ids: Seq[Long]) = vecs.filter(
-      col("nbucket").isin(ids.map(_ % NodeBuckets).distinct: _*) &&
-        col("vec_id").isin(ids: _*))
+    // the staged entry sample: ≤ NodeBuckets real ids, a bounded read
+    val entryIds = readEntrySample(spark, root)
 
     // query vectors: one pruned point-lookup scan (query ids are the
     // 0..nQueries-1 convention shared by every ANN entry)
     val qIds = (0L until nQueries.toLong).toSeq
-    val qVecs = prunedVecs(qIds)
+    val qVecs = prunedByIds(vecs, "vec_id", qIds)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"))
+    val entries = qIds.map(q => q -> entriesFor(entryIds, q, beam)).toMap
 
-    // deterministic entry points per query (the init-graph hash rule)
-    var frontier: Map[Long, Seq[Long]] = qIds.map { q =>
-      q -> (1 to beam).map(j =>
-        math.floorMod(
-          scala.util.hashing.MurmurHash3.productHash((q, j, "gs-entry")).toLong,
-          n))
-        .distinct.filter(_ != q)
-    }.toMap
-    var visited: Map[Long, Set[Long]] = qIds.map(q => q -> Set(q)).toMap
+    import spark.implicits._
+    val res = beamLoop(spark, edges, vecs, qVecs, entries, beam, hops,
+      converge = false)
+    Similarity.topK(
+      res.scored.distinct.toDF("query_id", "neighbor_id", "score"), k)
+  }
+
+  /** The staged entry sample as an in-order id list (≤ [[NodeBuckets]]
+    * rows — the bounded-collect rule). */
+  private[operators] def readEntrySample(
+      spark: org.apache.spark.sql.SparkSession, root: String): IndexedSeq[Long] =
+    spark.read.parquet(s"$root/entries").orderBy("ebucket")
+      .select("entry_id").collect().map(_.getLong(0)).toIndexedSeq
+
+  /** Bucket + id pushdown point lookup over an id-partitioned staged
+    * table (the q126 driver-computed-literals shape). */
+  private[operators] def prunedByIds(t: DataFrame, key: String,
+      ids: Seq[Long]): DataFrame =
+    t.filter(col("nbucket").isin(ids.map(_ % NodeBuckets).distinct: _*) &&
+      col(key).isin(ids: _*))
+
+  /** Result of a driver-orchestrated beam loop: every (query, node,
+    * score) triple the traversal scored, plus the hop count consumed —
+    * the telemetry the hierarchy's log-diameter claim is audited on. */
+  private[operators] final case class BeamTrace(
+      scored: Seq[(Long, Long, Double)], hops: Int)
+
+  /** The shared best-first beam loop over ONE edge table (layer) —
+    * the q147 serving body, extracted so the hierarchical descent
+    * (q152) can run it per layer. Per hop: expand the frontier's
+    * adjacency from a PRUNED edge lookup, drop visited, score the
+    * fresh candidates in one pruned vector scan, keep the per-query
+    * top-`beam` of this hop's scores as the next frontier. State is
+    * constant-bounded (nQueries·beam·hops·K) on the driver — the
+    * DSIR/BPE bounded-collect rule. With `converge` the loop also
+    * stops once NO query's running top-`beam`-by-score improved this
+    * hop (the adaptive hops-to-converge measure); without it the
+    * fixed `maxHops` budget applies (the q147 contract). */
+  private[operators] def beamLoop(spark: org.apache.spark.sql.SparkSession,
+      edges: DataFrame, vecs: DataFrame, qVecs: DataFrame,
+      entries: Map[Long, Seq[Long]], beam: Int, maxHops: Int,
+      converge: Boolean): BeamTrace = {
+    var frontier: Map[Long, Seq[Long]] = entries
+    var visited: Map[Long, Set[Long]] =
+      entries.keysIterator.map(q => q -> Set(q)).toMap
+    var best: Map[Long, Seq[(Long, Double)]] = Map.empty
     val scoredAcc = Seq.newBuilder[(Long, Long, Double)]
 
     var hop = 0
-    while (hop <= hops && frontier.valuesIterator.exists(_.nonEmpty)) {
+    var improved = true
+    while (hop <= maxHops && frontier.valuesIterator.exists(_.nonEmpty) &&
+        (!converge || improved)) {
       // candidates this hop: the entry nodes themselves (hop 0), then
       // the frontier's adjacency from the pruned edge scan
       val pairs: Seq[(Long, Long)] =
@@ -463,9 +544,7 @@ object NnDescent {
           val srcIds = frontier.valuesIterator.flatten.toSeq.distinct
           if (srcIds.isEmpty) Seq.empty
           else {
-            val adj = edges.filter(
-              col("nbucket").isin(srcIds.map(_ % NodeBuckets).distinct: _*) &&
-                col("src").isin(srcIds: _*))
+            val adj = prunedByIds(edges, "src", srcIds)
               .select("src", "dst").collect()
               .map(r => (r.getLong(0), r.getLong(1)))
               .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
@@ -485,7 +564,7 @@ object NnDescent {
         // one pruned scan scores all queries' fresh candidates
         import spark.implicits._
         val candDf = broadcast(fresh.toDF("query_id", "vec_id"))
-        val scored = prunedVecs(fresh.map(_._2).distinct)
+        val scored = prunedByIds(vecs, "vec_id", fresh.map(_._2).distinct)
           .join(candDf, "vec_id")
           .join(broadcast(qVecs), "query_id")
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -497,14 +576,20 @@ object NnDescent {
         frontier = scored.groupBy(_._1).map { case (q, rows) =>
           q -> rows.sortBy(r => (-r._3, r._2)).take(beam).map(_._2)
         }
+        // convergence: did any query's running top-beam set change?
+        val nextBest = scored.groupBy(_._1).foldLeft(best) {
+          case (acc, (q, rows)) =>
+            val merged = (acc.getOrElse(q, Seq.empty) ++
+              rows.map(r => (r._2, r._3)))
+              .distinct.sortBy(r => (-r._2, r._1)).take(beam)
+            acc.updated(q, merged)
+        }
+        improved = nextBest != best
+        best = nextBest
       }
       hop += 1
     }
-    import spark.implicits._
-    Similarity.topK(
-      scoredAcc.result().distinct
-        .toDF("query_id", "neighbor_id", "score"),
-      k)
+    BeamTrace(scoredAcc.result(), hop)
   }
 
   val queries: Seq[Query] = Seq(
@@ -556,11 +641,13 @@ object NnDescent {
         "retrain) on the graph path: the staged CONVERGED base graph " +
         "(vec_id % 10 != 0, the split convention) absorbs the % 10 " +
         "== 0 arrivals via hash-random init over the union id space " +
-        "+ two NN-descent refinement rounds — the converged base " +
+        "+ three DIRECTED walk rounds (each expands every delta " +
+        "node's list one hop through the converged graph) + one " +
+        "final symmetric NN-descent round — the converged base " +
         "adjacency routes each new node to its true neighborhood and " +
         "base nodes adopt new arrivals symmetrically (the reverse-" +
-        "edge half of an insert). Delta-sized init + two rounds " +
-        "replace the 3+ scratch rounds and their corpus-sized init; fully distributed node-" +
+        "edge half of an insert). Delta-sized walk rounds replace " +
+        "the scratch rounds and their corpus-sized init; fully distributed node-" +
         "keyed joins, no per-insert traversal, so a 100M-row delta " +
         "batches like the corpus. Output: the 10 smallest delta " +
         "nodes' neighbors, canonical ANN emit. No oracle; design-" +

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{GraphServe, NnDescent, Similarity}
+import graft.sources.Tables
+
+/** q151/q152 — serving paths over the persisted NN-descent graph.
+  * No oracle (the trajectory depends on the learned graph), so the
+  * gates are structural: the batch path must be ROW-FOR-ROW identical
+  * to the driver-orchestrated q147 on the same inputs (same staged
+  * index, same entry hash — the whole point of the re-expression is
+  * changing the execution shape, not the answer), both new paths must
+  * clear the family recall bar (≥ 0.72, the IVF criterion), repeats
+  * must be deterministic, and the hierarchy's hop telemetry must stay
+  * within its levels·maxHops budget. */
+class GraphServeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  private def recallVsBrute(nQ: Int,
+      got: Map[Long, Set[Long]]): Double = {
+    val exact = pairsOf(Similarity.knnBrute(Tables.embeddings(spark, sf), nQ, 5))
+    exact.keys.toSeq
+      .map(q => (got.getOrElse(q, Set.empty) & exact(q)).size).sum
+      .toDouble / (exact.size * 5)
+  }
+
+  test("q151 batch serving is row-for-row identical to the q147 " +
+    "driver-orchestrated search on the same inputs") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSeq
+    val interactive = rows(
+      NnDescent.graphSearchStaged(spark, sf, nQueries = 10, k = 5))
+    val batch = rows(
+      GraphServe.graphSearchBatch(spark, sf, nQueries = 10, k = 5))
+    assert(batch === interactive,
+      "the batch re-expression changed the answer — the execution " +
+        "shape moved but the traversal semantics must not")
+  }
+
+  test("q151 recall over the 100-query batch clears the IVF bar and " +
+    "repeats are deterministic") {
+    def run() = SparkEntry.queries("q151_knn_graph_batch")(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val first = run()
+    assert(first === run(), "batch serving must be deterministic")
+    val recall = recallVsBrute(100,
+      first.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap)
+    info(s"q151 batch recall@5 over 100 queries = $recall")
+    assert(recall >= 0.72d, s"recall@5 $recall below the IVF bar")
+  }
+
+  test("q151 plan holds no cartesian/nested-loop join and no bare " +
+    "query window below the tournament") {
+    val plan = GraphServe.graphSearchBatch(spark, sf, nQueries = 10, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q152 hierarchical search: recall clears the IVF bar, repeats " +
+    "are deterministic, and hop telemetry stays within budget") {
+    val tr = GraphServe.graphSearchHierTrace(spark, sf, nQueries = 10,
+      k = 5, beam = 8, maxHops = 8)
+    val got = pairsOf(tr.result)
+    val recall = recallVsBrute(10, got)
+    info(s"q152 hier recall@5 = $recall  hops = ${tr.hops}  " +
+      s"levels = ${tr.levels}")
+    assert(recall >= 0.72d, s"recall@5 $recall below the IVF bar")
+    // the sf0.001 corpus (500 nodes, 1/8 decimation, min 24 nodes)
+    // must yield exactly one upper level
+    assert(tr.levels === 1, s"expected 1 upper level at 500 nodes")
+    // hop budget: each of (levels + base) loops is capped at maxHops+1
+    assert(tr.hops <= (tr.levels + 1) * 9,
+      s"hops ${tr.hops} exceeded the descent budget")
+    // determinism
+    val again = GraphServe.graphSearchHierTrace(spark, sf, 10, 5, 8, 8)
+    assert(again.hops === tr.hops)
+    assert(pairsOf(again.result) === got)
+  }
+
+  test("q147 entries are real node ids drawn from the staged sample " +
+    "(the id-agnostic r12-advice fix) — every entry exists even on an " +
+    "offset-id corpus") {
+    import spark.implicits._
+    // an offset-id corpus: ids 1_000_000.., the shape that broke the
+    // old floorMod(hash, n) rule (~90% of probes named nonexistent ids)
+    val dim = 8
+    val emb = (0 until 64).map { i =>
+      (1_000_000L + i * 7L,
+        Seq.tabulate(dim)(d => if (d == i % dim) 1.0f else 0.01f * i))
+    }.toDF("vec_id", "embedding")
+    val e = Similarity.prepared(emb)
+    val ids = e.select("vec_id").collect().map(_.getLong(0)).toSet
+    // the entry SAMPLE rule: min-(xxhash64, id) per id-mod bucket —
+    // recompute it the staged writer's way and check membership
+    val sample = e
+      .select(col("vec_id"),
+        pmod(col("vec_id"), lit(NnDescent.NodeBuckets)).as("ebucket"),
+        xxhash64(col("vec_id"), lit("gs-entry-sample")).as("eh"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("ebucket")
+          .orderBy(col("eh").asc, col("vec_id").asc)))
+      .filter(col("rk") === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toIndexedSeq
+    assert(sample.nonEmpty)
+    sample.foreach(id => assert(ids.contains(id)))
+    // entriesFor only ever returns sample members
+    val picked = NnDescent.entriesFor(sample, q = 42L, beam = 8)
+    assert(picked.nonEmpty)
+    picked.foreach(id => assert(ids.contains(id),
+      s"entry $id is not a real node id"))
+  }
+
+  test("the driver-side entry slot hash equals the SQL xxhash64 twin " +
+    "(the batch/interactive identity precondition)") {
+    import spark.implicits._
+    val rows = Seq((3L, 1), (3L, 5), (77L, 2), (1_000_003L, 8))
+    val sql = rows.toDF("q", "j")
+      .select(xxhash64(col("q"), col("j"), lit("gs-entry")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    val driver = rows.map { case (q, j) => NnDescent.entrySlotHash(q, j) }
+    assert(driver === sql)
+  }
+}
