@@ -140,6 +140,25 @@ object Layout {
     }
   }
 
+  /** Idempotently stage the documents table as Avro container files —
+    * the row-oriented warehouse interchange format next to ORC/JSONL,
+    * written through the public Avro-on-Hadoop stack (no `spark-avro`
+    * module on this classpath — see [[graft.sources.AvroInterchange]]).
+    * Map-only write, one block-sync-splittable container per
+    * partition. */
+  def avroDocuments(spark: SparkSession, dir: String): String = {
+    val out = "target/avro/graft_documents_" +
+      md5hex(s"$dir/${contentKey(spark, s"$dir/documents.parquet")}").take(8)
+    Staging.ensure(spark, out) { tmp =>
+      graft.sources.AvroInterchange.write(
+        Tables.documents(spark, dir)
+          .select("doc_id", "lang", "source", "n_chars", "text")
+          .repartition(4),
+        s"$tmp/data")
+    }
+    s"$out/data"
+  }
+
   /** Idempotently stage a SCHEMA-EVOLVED two-segment corpus: segment
     * `seg=v1` holds the even-doc slice under the ORIGINAL schema
     * (doc_id, lang, text); `seg=v2` holds the odd-doc slice under the
@@ -305,6 +324,41 @@ object Layout {
         SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         FROM documents
         WHERE lang IN ('en', 'zh')
+        ORDER BY doc_id"""))
+    ,
+    Query(
+      "q153_avro_roundtrip",
+      "Avro interchange boundary — the remaining common warehouse " +
+        "format next to parquet (native), ORC (q128), JSONL (q120), " +
+        "CSV and fixed-width binary (the reference formats): the " +
+        "documents table staged once as Avro container files and read " +
+        "back SCHEMA-FIRST. No spark-avro module ships on this " +
+        "classpath, so the boundary is built on the PUBLIC Avro-on-" +
+        "Hadoop stack Spark does ship (avro + avro-mapred): map-only " +
+        "AvroKeyOutputFormat write (one container per partition, " +
+        "schema in every file header), AvroKeyInputFormat read — " +
+        "container files are block-structured with sync markers, so " +
+        "the scan SPLITS like any Hadoop source and a 100 TB drop " +
+        "parallelizes without writer-side file sizing; the declared " +
+        "reader schema projects via Avro schema resolution (no " +
+        "inference pass, unused writer columns never decoded). " +
+        "Oracle: md5(text) per document against the parquet original " +
+        "— the format hop must be byte-exact (the q120/q128 " +
+        "convention).",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", StringType),
+          StructField("source", StringType), StructField("n_chars", LongType),
+          StructField("text", StringType)))
+        graft.sources.AvroInterchange.read(s, avroDocuments(s, dir), schema)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            md5(col("text").cast("binary")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        FROM documents
         ORDER BY doc_id"""))
     ,
     Query(

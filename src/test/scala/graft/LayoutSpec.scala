@@ -230,6 +230,51 @@ class LayoutSpec extends AnyFunSuite {
       Seq("doc_id", "lang", "source", "n_chars", "text_md5"))
   }
 
+  test("q153 reads the staged Avro schema-first and matches the " +
+    "parquet md5s") {
+    val out = SparkEntry.queries("q153_avro_roundtrip")(spark, sf)
+    val viaAvro = out.collect().map(r => (r.getLong(0), r.getString(4))).toMap
+    val direct = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text").cast("binary")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(viaAvro === direct)
+    assert(viaAvro.nonEmpty)
+    assert(out.schema.fieldNames.toSeq ===
+      Seq("doc_id", "lang", "source", "n_chars", "text_md5"))
+  }
+
+  test("avro interchange: reader-schema projection decodes a column " +
+    "subset, and nulls/binary survive the round trip") {
+    import org.apache.spark.sql.types._
+    import graft.sources.AvroInterchange
+    // null + binary round trip on a hand-built frame
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("b", BinaryType), StructField("d", DoubleType)))
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "a", Array[Byte](1, 2, 3), 0.5),
+      org.apache.spark.sql.Row(2L, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val tmp = s"target/avro/spec_rt_${System.nanoTime()}"
+    AvroInterchange.write(df, tmp)
+    val back = AvroInterchange.read(spark, tmp, schema)
+      .orderBy("id").collect()
+    assert(back.length === 2)
+    assert(back(0).getLong(0) === 1L && back(0).getString(1) === "a" &&
+      back(0).getAs[Array[Byte]](2).toSeq === Seq[Byte](1, 2, 3) &&
+      back(0).getDouble(3) === 0.5)
+    assert(back(1).isNullAt(1) && back(1).isNullAt(2) && back(1).isNullAt(3))
+    // schema-first projection: a narrower reader schema resolves
+    // against the writer schema by field NAME (unused columns never
+    // decoded into rows)
+    val narrow = StructType(Seq(
+      StructField("id", LongType), StructField("d", DoubleType)))
+    val proj = AvroInterchange.read(spark, tmp, narrow).orderBy("id").collect()
+    assert(proj.map(_.toSeq).toSeq ===
+      Seq(Seq(1L, 0.5), Seq(2L, null)))
+  }
+
   test("q142: schema-evolved segments union into one corpus with " +
     "NULL-filled pre-evolution columns") {
     import org.apache.spark.sql.functions.col
