@@ -98,8 +98,8 @@ object StressSf1 {
   }
 
   private def buildEmbCorpus(spark: org.apache.spark.sql.SparkSession,
-      base: DataFrame, path: String): Unit = {
-    val corpus = (0 until Copies).map { k =>
+      base: DataFrame, path: String, copies: Int = Copies): Unit = {
+    val corpus = (0 until copies).map { k =>
       if (k == 0) base
       else {
         // family-keyed ±1 diagonal: orthogonal, so within-family cosines
@@ -157,6 +157,12 @@ object StressSf1 {
     if (!Files.exists(Paths.get(midPath, "_SUCCESS")))
       buildCorpus(spark, base, midPath, copies = MidCopies)
     val docsMid = spark.read.parquet(midPath)
+    // mid-tier embeddings (round-12 verdict task 6: the graph family's
+    // (1, 10) fits were untested between the endpoints)
+    val embMidPath = s"$stressRoot/embeddings_mid$MidCopies.parquet"
+    if (!Files.exists(Paths.get(embMidPath, "_SUCCESS")))
+      buildEmbCorpus(spark, embBase, embMidPath, copies = MidCopies)
+    val embMid = spark.read.parquet(embMidPath)
 
     // lineitem at 10x under remapped order AND part keys: the key
     // columns' distinct counts grow 10x (the profile's exchange must
@@ -543,6 +549,8 @@ object StressSf1 {
       embBase.filter(col("vec_id") % 10 =!= 0)).localCheckpoint(true)
     val nnAppendBase10 = operators.NnDescent.build(
       embStress.filter(col("vec_id") % 10 =!= 0)).localCheckpoint(true)
+    val nnAppendBaseMid = operators.NnDescent.build(
+      embMid.filter(col("vec_id") % 10 =!= 0)).localCheckpoint(true)
 
     val cases: Seq[(String, () => DataFrame, () => DataFrame)] =
       docCases.map { case (n, f) => (n, () => f(base), () => f(stress)) } ++ Seq(
@@ -796,7 +804,12 @@ object StressSf1 {
       "q76_pipeline" -> (() => Shards.shardManifest(
         TrainingPipeline.curatedCorpus(docsMid), budget = 2048L)),
       "q114_pagerank" -> (() =>
-        operators.Graph.pageRank(prEdgesCopies(MidCopies), 0.85, 15)))
+        operators.Graph.pageRank(prEdgesCopies(MidCopies), 0.85, 15)),
+      // graph family (round-12 verdict task 6): the newest fits get the
+      // same three-point linearity test as the dedup family
+      "q146_knn_graph" -> (() => operators.NnDescent.build(embMid)),
+      "q148_knn_graph_append" -> (() => operators.NnDescent.appendToGraph(
+        embMid, nnAppendBaseMid, col("vec_id") % 10 === 0)))
     val midSec: Map[String, Double] = midCases.map { case (n, b) =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
@@ -805,6 +818,34 @@ object StressSf1 {
       println(f"[stress] $n%-18s mid(${MidCopies}x) $s%6.1f s")
       n -> s
     }.toMap
+
+    // graph-search hop telemetry at 1x and 10x (round-12 verdict task
+    // 4: "hops, not just time"): flat layer-0 search vs the q152
+    // hierarchical descent, BOTH under the same adaptive hops-to-
+    // converge rule, over the persisted indexes (staged untimed — the
+    // rows measure the SEARCH). The claim under test: flat hops grow
+    // with the layer-0 diameter as the corpus grows; hier hops grow
+    // with the LEVEL count (logarithmic), so the hier column must stay
+    // ~flat (within +levels) while the corpus grows 10x.
+    val hierHops = Seq("sf0.1" -> sfDir, "sf1" -> stressRoot).map {
+      case (tag, d) =>
+        operators.NnDescent.graphIndexStaged(spark, d) // staged untimed
+        operators.GraphServe.graphHierStaged(spark, d)
+        spark.catalog.clearCache()
+        val tF0 = System.nanoTime()
+        val flat = operators.GraphServe.graphSearchFlatTrace(spark, d, 10, 5)
+        val flatSec = (System.nanoTime() - tF0) / 1e9
+        spark.catalog.clearCache()
+        val tH0 = System.nanoTime()
+        val hier = operators.GraphServe.graphSearchHierTrace(spark, d, 10, 5)
+        val hierSec = (System.nanoTime() - tH0) / 1e9
+        println(f"[stress] hier-hops $tag%-6s flat=${flat.hops}%2d hops " +
+          f"($flatSec%5.1f s)  hier=${hier.hops}%2d hops over " +
+          f"${hier.levels} levels ($hierSec%5.1f s)")
+        s""""$tag":{"flat_hops":${flat.hops},"flat_sec":$flatSec,""" +
+          s""""hier_hops":${hier.hops},"hier_levels":${hier.levels},""" +
+          s""""hier_sec":$hierSec}"""
+    }
 
     // two-point linear fit t(c) = floor + c·marginal over the 1-copy and
     // 10-copy tiers (round-10 verdict: four of five >2.5x ratios were
@@ -831,7 +872,9 @@ object StressSf1 {
       s""""$name":{"sf0.1_sec":$s01,"sf0.1_rows":$rows01,"sf1_sec":$s1,"sf1_rows":$rows1,"time_ratio":${s1 / s01},"fit_floor_sec":$floor,"fit_marginal_sec_per_copy":$marginal,"floor_frac":$floorFrac$midPart}"""
     }.mkString("{", ",", "}")
     val out =
-      s"""{"metric":"stress_sf1","copies":$Copies,"queries":$json,"loadavg_start":$loadStart,"loadavg_end":${Bench.loadavgJson()}}"""
+      s"""{"metric":"stress_sf1","copies":$Copies,"queries":$json,""" +
+        s""""graph_search_hops":${hierHops.mkString("{", ",", "}")},""" +
+        s""""loadavg_start":$loadStart,"loadavg_end":${Bench.loadavgJson()}}"""
     Files.writeString(Paths.get("target/stress_sf1.json"), out + "\n")
     spark.stop()
     println(out)

@@ -741,6 +741,48 @@ object Bpe {
     * with the learned segmentations as shared input. */
   @volatile private[graft] var stagedOracleRoot: Option[String] = None
 
+  /** Staged-TWIN oracle roots for the three BPE learn entries
+    * (round-13 upgrade): the independent plain-Scala reference BPE's
+    * merge table, staged write-once next to each engine artifact. The
+    * oracles read it back through DuckDB, so the merge-for-merge
+    * differential that was previously only a ScalaTest assertion
+    * becomes a driver-visible hash compare: engine output vs the
+    * independently-computed twin. One var per entry — the three learn
+    * variants stage under different keys. */
+  @volatile private[graft] var twinOracleRoot: Option[String] = None
+  @volatile private[graft] var twinFullOracleRoot: Option[String] = None
+  @volatile private[graft] var twinByteOracleRoot: Option[String] = None
+
+  /** Write-once staged reference-BPE merge table (a learn entry's
+    * oracle twin) — same collected word table, the deliberately NAIVE
+    * [[graft.BpeReference]] learner (full pair recount per round, no
+    * incremental structure), schema-identical emit. `corpus` is
+    * by-name — evaluated only on a build miss. */
+  private[graft] def twinMergesStaged(spark: SparkSession, key: String,
+      merges: Int, minCount: Long,
+      initial: String => Vector[String] = graft.BpeReference.cpInitial)
+      (corpus: => DataFrame): String = {
+    val out = "target/bpe/graft_bpetwin_" + Bucketed.md5hex(key).take(8)
+    Staging.ensure(spark, out) { tmp =>
+      val wf = wordFreqs(corpus).collect()
+        .map(r => (r.getAs[String]("word"), r.getAs[Long]("freq"))).toMap
+      val (rules, _) = graft.BpeReference.refLearn(wf, merges, minCount, initial)
+      spark.createDataFrame(rules.map { case (rank, a, b, c) =>
+          (rank, a, b, a + b, c)
+        }).toDF("rank", "left", "right", "merged", "pair_count")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/merges")
+    }
+    out
+  }
+
+  /** The shared twin-oracle SQL (the staged twin read back in rank
+    * order, schema-identical to the engine's merge table). */
+  private def twinOracleSql(root: Option[String]): Option[String] =
+    root.map(r => s"""
+      SELECT rank, "left", "right", merged, pair_count
+      FROM read_parquet('$r/merges/*.parquet')
+      ORDER BY rank""")
+
   // `def`, not `val`: q105's oracle SQL embeds [[stagedOracleRoot]],
   // which exists only after the query has run — SparkEntry.catalog is
   // re-evaluated at oracle-dump time (after all queries), so the SQL
@@ -758,14 +800,24 @@ object Bpe {
         "right ASC) in UTF-8 order — fully deterministic). The learned " +
         "tokenizer (merges + word segmentations) is a write-once " +
         "fingerprinted parquet artifact committed by atomic rename — " +
-        "trained once per corpus content, read thereafter. No oracle: " +
-        "the iterative argmax is not a recursive CTE; gated instead by " +
-        "exact merge-for-merge parity with BOTH a plain-Scala reference " +
-        "BPE and the distributed per-round aggregate twin in BpeSpec " +
-        "(planted corpus + sf0.001 + sf0.1), the q80 differential " +
-        "pattern.",
-      (s, dir) => learnStaged(s, dir, merges = 32)._1
-        .orderBy("rank")),
+        "trained once per corpus content, read thereafter. The " +
+        "iterative argmax is not a recursive CTE, so the oracle " +
+        "(round-13 upgrade) is the STAGED-TWIN differential made " +
+        "driver-visible: the independent plain-Scala reference BPE " +
+        "(naive full-recount formulation, zero shared machinery) is " +
+        "staged write-once from the same word table and DuckDB " +
+        "hash-compares the engine's merge table against it merge for " +
+        "merge; BpeSpec additionally gates the distributed per-round " +
+        "aggregate twin (planted corpus + sf0.001 + sf0.1).",
+      (s, dir) => {
+        twinOracleRoot = Some(new java.io.File(twinMergesStaged(s,
+          s"$dir/m32/${Layout.contentKey(s, s"$dir/documents.parquet")}",
+          merges = 32, minCount = 2L)(Tables.documents(s, dir)))
+          .getAbsolutePath)
+        learnStaged(s, dir, merges = 32)._1
+          .orderBy("rank")
+      },
+      twinOracleSql(twinOracleRoot)),
 
     Query(
       "q103_bpe_encode",
@@ -776,16 +828,63 @@ object Bpe {
         "Per-word segmentations are decided ONCE in the word table and " +
         "joined in (size-gated join; the corpus never re-applies merge " +
         "rounds per occurrence) — the q101 explode/reassemble shape at " +
-        "subword granularity. No oracle (vocabulary depends on the " +
-        "iterative learn); gated by full-chain id-for-id parity with " +
-        "the plain-Scala reference in BpeSpec, plus the decode round " +
-        "trip (decode(encode(x)) == normalized x).",
+        "subword granularity. Oracle (round-13 upgrade, the q105 " +
+        "convention): DuckDB recomputes the ENTIRE encode composition " +
+        "from the documents table + the staged segment parquet — " +
+        "derives the dense id map itself (freq-weighted subword " +
+        "counts, (n DESC, subword ASC) rank), re-tokenizes, replays " +
+        "the char-symbol fallback, and reassembles the per-doc id " +
+        "string in (word, subword) position order, hash-exact; the " +
+        "segmentations themselves are differential-gated in BpeSpec " +
+        "(id-for-id parity with the plain-Scala reference + decode " +
+        "round trip), so the oracle sharply checks everything BUT the " +
+        "iterative learn.",
       (s, dir) => {
         val (_, segs) = learnStaged(s, dir, merges = 32)
+        stagedOracleRoot =
+          Some(new java.io.File(bpeRoot(s, dir, 32)).getAbsolutePath)
         encode(Tables.documents(s, dir), segs,
           subwordIds(subwordVocab(segs)))
           .orderBy("doc_id")
-      }),
+      },
+      stagedOracleRoot.map(root => s"""
+        WITH seg AS (
+          SELECT word, freq, syms
+          FROM read_parquet('$root/segments/*.parquet')
+        ), vocab AS (
+          SELECT subword, SUM(freq) AS n
+          FROM (SELECT freq, unnest(syms) AS subword FROM seg)
+          GROUP BY subword
+        ), tid AS (
+          SELECT subword,
+                 CAST(row_number() OVER (ORDER BY n DESC, subword ASC) AS INT) AS tid
+          FROM vocab
+        ), tok AS (
+          SELECT doc_id,
+                 generate_subscripts(w, 1) AS wpos,
+                 unnest(w) AS word
+          FROM (SELECT doc_id,
+                       string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+                FROM documents)
+        ), withsyms AS (
+          SELECT t.doc_id, t.wpos,
+                 COALESCE(s.syms,
+                   list_append(list_transform(range(1, length(t.word) + 1),
+                     i -> t.word[i]), '</w>')) AS syms
+          FROM tok t LEFT JOIN seg s USING (word)
+        ), sub AS (
+          SELECT doc_id, wpos,
+                 generate_subscripts(syms, 1) AS spos,
+                 unnest(syms) AS subword
+          FROM withsyms
+        )
+        SELECT s.doc_id,
+               CAST(COUNT(CASE WHEN s.spos = 1 THEN 1 END) AS BIGINT) AS n_words,
+               COUNT(*) AS n_subwords,
+               string_agg(CAST(COALESCE(i.tid, 0) AS VARCHAR), ' ' ORDER BY s.wpos, s.spos) AS ids
+        FROM sub s LEFT JOIN tid i USING (subword)
+        GROUP BY s.doc_id
+        ORDER BY s.doc_id""")),
 
     Query(
       "q104_bpe_learn_1k",
@@ -801,12 +900,22 @@ object Bpe {
         "entry that proves job count does not scale with merge count " +
         "(the round-9 finding: 32k merges as sequential cluster rounds " +
         "would be hours of scheduler overhead over a table that fits in " +
-        "one process). No oracle (iterative argmax); gated in BpeSpec " +
-        "by merge-for-merge parity with the plain-Scala reference at " +
-        "1,024 merges AND a SparkListener job-count assertion: learning " +
-        "1,024 merges costs exactly as many Spark jobs as learning 32.",
-      (s, dir) => learnStagedFull(s, dir, merges = 1024)._1
-        .orderBy("rank")),
+        "one process). Oracle (round-13 upgrade): the q102 staged-twin " +
+        "convention at the production merge budget — the naive " +
+        "reference BPE staged from the same lake-wide word table, " +
+        "DuckDB hash-compares all 1,024 merges; BpeSpec keeps the " +
+        "in-suite parity AND the SparkListener job-count assertion: " +
+        "learning 1,024 merges costs exactly as many Spark jobs as 32.",
+      (s, dir) => {
+        val key = Seq("documents", "customer", "supplier", "part", "events")
+          .map(t => Layout.contentKey(s, s"$dir/$t.parquet")).mkString("/")
+        twinFullOracleRoot = Some(new java.io.File(twinMergesStaged(s,
+          s"$dir/m1024/mc1/$key", merges = 1024, minCount = 1L)(
+          unionTextCorpus(s, dir))).getAbsolutePath)
+        learnStagedFull(s, dir, merges = 1024)._1
+          .orderBy("rank")
+      },
+      twinOracleSql(twinFullOracleRoot)),
 
     Query(
       "q105_pack_subword_shards",
@@ -905,13 +1014,23 @@ object Bpe {
         "any input — no OOV path exists, structurally. Same O(1)-job " +
         "learn as q102 (one corpus aggregate, one Heaps'-bounded " +
         "collect, incremental driver loop); the byte mapping is a pure " +
-        "hex/conv/lookup expression, no UDF. No oracle (iterative " +
-        "argmax); gated in BpeSpec by merge-for-merge parity with a " +
-        "plain-Scala byte-level reference on the planted corpus and " +
-        "sf0.001, plus byteSyms expression==driver-twin equality on " +
-        "hostile multi-script strings.",
-      (s, dir) => learnStagedBytes(s, dir, merges = 32)._1
-        .orderBy("rank")),
+        "hex/conv/lookup expression, no UDF. Oracle (round-13 " +
+        "upgrade): the q102 staged-twin convention on the byte " +
+        "alphabet — the naive reference BPE with its independently-" +
+        "constructed byte-to-unicode table, DuckDB hash-compares the " +
+        "merge tables; BpeSpec keeps in-suite parity plus byteSyms " +
+        "expression==driver-twin equality on hostile multi-script " +
+        "strings.",
+      (s, dir) => {
+        twinByteOracleRoot = Some(new java.io.File(twinMergesStaged(s,
+          s"$dir/m32/bytes/${Layout.contentKey(s, s"$dir/documents.parquet")}",
+          merges = 32, minCount = 2L,
+          initial = graft.BpeReference.byteInitial)(Tables.documents(s, dir)))
+          .getAbsolutePath)
+        learnStagedBytes(s, dir, merges = 32)._1
+          .orderBy("rank")
+      },
+      twinOracleSql(twinByteOracleRoot)),
 
     Query(
       "q123_bpe_byte_encode",

@@ -649,7 +649,26 @@ object Dedup {
         coalesce(col("text_kept"), lit("")).as("text_kept"))
   }
 
-  val queries: Seq[Query] = Seq(
+  /** Staged-fingerprint oracle root for q22 (round-13 upgrade — the
+    * q110 convention; see the entry doc). */
+  @volatile private[graft] var simhashOracleRoot: Option[String] = None
+
+  /** Write-once staged SimHash fingerprints (doc_id, fp). */
+  private[graft] def simhashStaged(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val out = "target/dedup/graft_simhash_" + Bucketed.md5hex(
+      s"$dir/${Layout.contentKey(spark, s"$dir/documents.parquet")}").take(8)
+    Staging.ensure(spark, out) { tmp =>
+      simhash64(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("simhash").as("fp"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/fp")
+    }
+    out
+  }
+
+  // `def`, not `val`: q22's oracle SQL embeds the staged root set by
+  // the entry's run (the q105 convention)
+  def queries: Seq[Query] = Seq(
 
     Query(
       "q16_dedup_exact",
@@ -770,9 +789,28 @@ object Dedup {
       "q22_simhash",
       "SimHash near-dup pairs (Hamming ≤ 3 over 64-bit token-set SimHash): " +
         "4×16-bit chunk banding guarantees full recall at this radius via an " +
-        "equi-join; bit_count(xor) verifies. No oracle (xxhash64 is " +
-        "Spark-specific); cross-checked against the MinHash pairs in ScalaTest.",
-      (s, dir) => simhashNearDups(Tables.documents(s, dir), maxDist = 3)),
+        "equi-join; bit_count(xor) verifies. Oracle (round-13 upgrade, the " +
+        "q110 convention): the fingerprint hash family is Spark-specific " +
+        "(xxhash64), so the deterministic spec-gated fingerprints are " +
+        "staged as parquet and DuckDB recomputes the ENTIRE downstream " +
+        "dedup from them — brute all-pairs bit_count(xor) <= 3 vs the " +
+        "engine's banded equi-join, the banding losslessness theorem as " +
+        "a driver-checked hash compare; the fingerprints themselves stay " +
+        "cross-checked against the MinHash pairs in ScalaTest.",
+      (s, dir) => {
+        simhashOracleRoot =
+          Some(new java.io.File(simhashStaged(s, dir)).getAbsolutePath)
+        simhashNearDups(Tables.documents(s, dir), maxDist = 3)
+      },
+      simhashOracleRoot.map(root => s"""
+        WITH fp AS (
+          SELECT doc_id, fp FROM read_parquet('$root/fp/*.parquet')
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        ORDER BY doc_a, doc_b""")),
 
     Query(
       "q70_cross_dedup",

@@ -253,6 +253,32 @@ object GraphServe {
       totalHops, levels.size)
   }
 
+  /** FLAT search under the same adaptive hops-to-converge rule as the
+    * hierarchical path — layer-0 only, sample entries — so the stress
+    * artifact can compare hops(flat) vs hops(hier) at 1× and 10×
+    * corpus size on equal terms (the r12-verdict "hops, not just
+    * time" evidence: flat hops grow with the layer-0 diameter, hier
+    * hops with the level count). Not a catalog entry; the q147
+    * serving contract keeps its fixed hop budget. */
+  def graphSearchFlatTrace(spark: SparkSession, dir: String,
+      nQueries: Int, k: Int, beam: Int = 8, maxHops: Int = 32): HierTrace = {
+    val root0 = NnDescent.graphIndexStaged(spark, dir)
+    val vecs = spark.read.parquet(s"$root0/vecs")
+    val qIds = (0L until nQueries.toLong).toSeq
+    val qVecs = NnDescent.prunedByIds(vecs, "vec_id", qIds)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val entryIds = NnDescent.readEntrySample(spark, root0)
+    val entries = qIds.map(q => q -> NnDescent.entriesFor(entryIds, q, beam)).toMap
+    val tr = NnDescent.beamLoop(spark, spark.read.parquet(s"$root0/edges"),
+      vecs, qVecs, entries, beam, maxHops, converge = true)
+    import spark.implicits._
+    HierTrace(
+      Similarity.topK(
+        tr.scored.distinct.toDF("query_id", "neighbor_id", "score"), k),
+      tr.hops, 0)
+  }
+
   val queries: Seq[Query] = Seq(
     Query(
       "q151_knn_graph_batch",

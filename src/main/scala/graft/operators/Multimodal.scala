@@ -349,7 +349,32 @@ object Multimodal {
 
   private val frameBytes = 64
 
-  val queries: Seq[Query] = Seq(
+  /** Staged-fingerprint oracle root for q110 (round-13 upgrade): the
+    * per-image dHash values, write-once parquet. DuckDB cannot decode
+    * PNGs, but the fingerprints are deterministic and spec-gated
+    * (MultimodalSpec: decode parity, perturbation distance, stub
+    * isolation) — staging them lets the oracle recompute the whole
+    * DOWNSTREAM dedup (all-pairs bit_count(xor) ≤ maxDist at oracle
+    * scale, where the engine uses the banded equi-join) hash-exactly,
+    * so the banding's lossless-recall claim is driver-checked. */
+  @volatile private[graft] var stagedOracleRoot: Option[String] = None
+
+  /** Write-once staged dHash fingerprints over the planted-image
+    * corpus (doc_id, fp, is_image). */
+  private[graft] def fingerprintsStaged(spark: SparkSession,
+      dir: String): String = {
+    val out = "target/multimodal/graft_imgfp_" + Bucketed.md5hex(
+      s"$dir/${Layout.contentKey(spark, s"$dir/documents.parquet")}").take(8)
+    Staging.ensure(spark, out) { tmp =>
+      imageFingerprints(plantedImagePayloads(Tables.documents(spark, dir)))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/fp")
+    }
+    out
+  }
+
+  // `def`, not `val`: q110's oracle SQL embeds the staged root set by
+  // the entry's run (the q105 convention)
+  def queries: Seq[Query] = Seq(
     Query(
       "q23_multimodal",
       "Multimodal payload statistics: binary size and frame count per document " +
@@ -379,11 +404,29 @@ object Multimodal {
         "q22 banded-Hamming equi-join (4x16-bit chunks, no all-pairs " +
         "product); non-image payloads take the stub splitmix64 " +
         "fingerprint, which cannot land within Hamming 3 of anything. " +
-        "No oracle (DuckDB cannot decode PNGs): planted-pair recall, " +
-        "perturbation distance, stub-path isolation and fingerprint " +
-        "determinism are gated in MultimodalSpec.",
-      (s: SparkSession, dir: String) =>
+        "Oracle (round-13 upgrade): DuckDB cannot decode PNGs, so the " +
+        "deterministic spec-gated dHash fingerprints are staged as " +
+        "parquet and the oracle recomputes the ENTIRE downstream " +
+        "dedup from them — brute-force all-pairs bit_count(xor) <= 3 " +
+        "at oracle scale vs the engine's banded equi-join — making " +
+        "the banding's lossless-recall theorem a driver-checked hash " +
+        "compare; planted-pair recall, perturbation distance, stub-" +
+        "path isolation and decode determinism stay gated in " +
+        "MultimodalSpec.",
+      (s: SparkSession, dir: String) => {
+        stagedOracleRoot =
+          Some(new java.io.File(fingerprintsStaged(s, dir)).getAbsolutePath)
         imageNearDups(plantedImagePayloads(Tables.documents(s, dir)),
-          maxDist = 3))
+          maxDist = 3)
+      },
+      stagedOracleRoot.map(root => s"""
+        WITH fp AS (
+          SELECT doc_id, fp FROM read_parquet('$root/fp/*.parquet')
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        ORDER BY doc_a, doc_b"""))
   )
 }

@@ -388,6 +388,34 @@ object Unigram {
 
   @volatile private[graft] var stagedOracleRoot: Option[String] = None
 
+  /** Staged-TWIN oracle root for q143 (round-13 upgrade, the q102
+    * convention): the independent reference EM's trained vocabulary,
+    * staged write-once, read back by the q143 oracle through DuckDB —
+    * the bit-equal-logp differential becomes a driver-visible hash
+    * compare instead of only a ScalaTest assertion. */
+  @volatile private[graft] var twinOracleRoot: Option[String] = None
+
+  /** Write-once staged reference-EM vocabulary (the q143 oracle's
+    * independent side): same collected word table, the edge-list
+    * [[graft.UnigramReference]] learner, (id, piece, logp_nano) emit
+    * matching the engine's integer form. */
+  private[graft] def twinPiecesStaged(spark: SparkSession, dir: String,
+      vocabSize: Int = VocabSize): String = {
+    val out = "target/unigram/graft_unitwin_" + Bucketed.md5hex(
+      s"$dir/v$vocabSize/${Layout.contentKey(spark, s"$dir/documents.parquet")}")
+      .take(8)
+    Staging.ensure(spark, out) { tmp =>
+      val wf = Bpe.wordFreqs(Tables.documents(spark, dir)).collect()
+        .map(r => (r.getAs[String]("word"), r.getAs[Long]("freq"))).toSeq
+      val (ranked, _) = graft.UnigramReference.learn(wf, vocabSize)
+      spark.createDataFrame(ranked.zipWithIndex.map { case ((p, lp), i) =>
+          (i + 1, p, math.floor(lp * 1e9d).toLong)
+        }).toDF("id", "piece", "logp_nano")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/pieces")
+    }
+    out
+  }
+
   // `def`, not `val`: q145's oracle SQL embeds the staged roots set by
   // the entry's run (the q105/q121 convention)
   def queries: Seq[Query] = Seq(
@@ -402,14 +430,25 @@ object Unigram {
         "the driver in a FIXED accumulation order, so the trained " +
         "vocabulary is bit-reproducible; the artifact is staged " +
         "write-once. Output: (id, piece, logp_nano) — integer emit " +
-        "(the q96 rule). No oracle (an EM fixed point has no SQL " +
-        "twin); UnigramSpec gates vocab+logp parity against an " +
-        "independently-written reference EM, determinism, and " +
-        "training-set coverage.",
+        "(the q96 rule). An EM fixed point has no SQL twin, so the " +
+        "oracle (round-13 upgrade, the q102 convention) is the " +
+        "STAGED-TWIN differential made driver-visible: the " +
+        "independently-written reference EM (edge-list lattices, " +
+        "different machinery end to end) is staged from the same word " +
+        "table and DuckDB hash-compares the engine vocabulary against " +
+        "it piece for piece INCLUDING the floor-nano log-probs — " +
+        "bit-equal doubles or the hash trips; UnigramSpec keeps the " +
+        "in-suite parity, determinism, and coverage gates.",
       (s, dir) => {
+        twinOracleRoot =
+          Some(new java.io.File(twinPiecesStaged(s, dir)).getAbsolutePath)
         val (pieces, _) = learnStaged(s, dir)
         pieces.select("id", "piece", "logp_nano").orderBy("id")
-      }),
+      },
+      twinOracleRoot.map(root => s"""
+        SELECT id, piece, logp_nano
+        FROM read_parquet('$root/pieces/*.parquet')
+        ORDER BY id""")),
 
     Query(
       "q144_unigram_encode",
@@ -420,14 +459,58 @@ object Unigram {
         "unchanged because the unigram word table emits the " +
         "identical (word, freq, syms) schema with the EndOfWord " +
         "marker piece. Output: (doc_id, n_words, n_subwords, ids). " +
-        "No oracle (segmentations are EM-derived); UnigramSpec gates " +
-        "id-for-id parity vs the reference twin's Viterbi and the " +
-        "decode round trip over the corpus.",
+        "Oracle (round-13 upgrade, the q103 convention): DuckDB " +
+        "recomputes the whole encode composition from documents + the " +
+        "staged segment parquet — derives the dense id map itself, " +
+        "re-tokenizes, replays the char-symbol fallback, reassembles " +
+        "the per-doc id string in position order, hash-exact; the " +
+        "segmentations are differential-gated in UnigramSpec (Viterbi " +
+        "parity vs the reference twin + decode round trip).",
       (s, dir) => {
         val (_, segs) = learnStaged(s, dir)
+        stagedOracleRoot = Some(
+          new java.io.File(unigramRoot(s, dir, VocabSize)).getAbsolutePath)
         val ids = Bpe.subwordIds(Bpe.subwordVocab(segs))
         Bpe.encode(Tables.documents(s, dir), segs, ids).orderBy("doc_id")
-      }),
+      },
+      stagedOracleRoot.map(root => s"""
+        WITH seg AS (
+          SELECT word, freq, syms
+          FROM read_parquet('$root/segments/*.parquet')
+        ), vocab AS (
+          SELECT subword, SUM(freq) AS n
+          FROM (SELECT freq, unnest(syms) AS subword FROM seg)
+          GROUP BY subword
+        ), tid AS (
+          SELECT subword,
+                 CAST(row_number() OVER (ORDER BY n DESC, subword ASC) AS INT) AS tid
+          FROM vocab
+        ), tok AS (
+          SELECT doc_id,
+                 generate_subscripts(w, 1) AS wpos,
+                 unnest(w) AS word
+          FROM (SELECT doc_id,
+                       string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+                FROM documents)
+        ), withsyms AS (
+          SELECT t.doc_id, t.wpos,
+                 COALESCE(s.syms,
+                   list_append(list_transform(range(1, length(t.word) + 1),
+                     i -> t.word[i]), '</w>')) AS syms
+          FROM tok t LEFT JOIN seg s USING (word)
+        ), sub AS (
+          SELECT doc_id, wpos,
+                 generate_subscripts(syms, 1) AS spos,
+                 unnest(syms) AS subword
+          FROM withsyms
+        )
+        SELECT s.doc_id,
+               CAST(COUNT(CASE WHEN s.spos = 1 THEN 1 END) AS BIGINT) AS n_words,
+               COUNT(*) AS n_subwords,
+               string_agg(CAST(COALESCE(i.tid, 0) AS VARCHAR), ' ' ORDER BY s.wpos, s.spos) AS ids
+        FROM sub s LEFT JOIN tid i USING (subword)
+        GROUP BY s.doc_id
+        ORDER BY s.doc_id""")),
 
     Query(
       "q145_tokenizer_compare",
