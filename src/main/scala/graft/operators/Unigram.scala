@@ -395,18 +395,26 @@ object Unigram {
     * compare instead of only a ScalaTest assertion. */
   @volatile private[graft] var twinOracleRoot: Option[String] = None
 
-  /** Write-once staged reference-EM vocabulary (the q143 oracle's
-    * independent side): same collected word table, the edge-list
-    * [[graft.UnigramReference]] learner, (id, piece, logp_nano) emit
-    * matching the engine's integer form. */
+  /** Staged-TWIN oracle root for q149 — the q143 machinery on the
+    * byte-mapped word domain. */
+  @volatile private[graft] var twinByteOracleRoot: Option[String] = None
+
+  /** Write-once staged reference-EM vocabulary (the q143/q149 oracles'
+    * independent side): same collected word table (optionally mapped —
+    * byte mode maps each word through the GPT-2 bijection first), the
+    * edge-list [[graft.UnigramReference]] learner, (id, piece,
+    * logp_nano) emit matching the engine's integer form. */
   private[graft] def twinPiecesStaged(spark: SparkSession, dir: String,
-      vocabSize: Int = VocabSize): String = {
+      vocabSize: Int = VocabSize,
+      mapWord: String => String = identity,
+      keySuffix: String = ""): String = {
     val out = "target/unigram/graft_unitwin_" + Bucketed.md5hex(
-      s"$dir/v$vocabSize/${Layout.contentKey(spark, s"$dir/documents.parquet")}")
+      s"$dir/v$vocabSize$keySuffix/${Layout.contentKey(spark, s"$dir/documents.parquet")}")
       .take(8)
     Staging.ensure(spark, out) { tmp =>
       val wf = Bpe.wordFreqs(Tables.documents(spark, dir)).collect()
-        .map(r => (r.getAs[String]("word"), r.getAs[Long]("freq"))).toSeq
+        .map(r => (mapWord(r.getAs[String]("word")), r.getAs[Long]("freq")))
+        .toSeq
       val (ranked, _) = graft.UnigramReference.learn(wf, vocabSize)
       spark.createDataFrame(ranked.zipWithIndex.map { case ((p, lp), i) =>
           (i + 1, p, math.floor(lp * 1e9d).toLong)
@@ -415,6 +423,13 @@ object Unigram {
     }
     out
   }
+
+  /** The shared twin-oracle SQL (staged twin read back in id order). */
+  private def twinOracleSql(root: Option[String]): Option[String] =
+    root.map(r => s"""
+      SELECT id, piece, logp_nano
+      FROM read_parquet('$r/pieces/*.parquet')
+      ORDER BY id""")
 
   // `def`, not `val`: q145's oracle SQL embeds the staged roots set by
   // the entry's run (the q105/q121 convention)
@@ -445,10 +460,7 @@ object Unigram {
         val (pieces, _) = learnStaged(s, dir)
         pieces.select("id", "piece", "logp_nano").orderBy("id")
       },
-      twinOracleRoot.map(root => s"""
-        SELECT id, piece, logp_nano
-        FROM read_parquet('$root/pieces/*.parquet')
-        ORDER BY id""")),
+      twinOracleSql(twinOracleRoot)),
 
     Query(
       "q144_unigram_encode",
@@ -578,13 +590,19 @@ object Unigram {
         "because the base 256-char alphabet is unioned into the id " +
         "space (Bpe.byteVocab), encode is structurally ZERO-OOV on " +
         "any input. Same O(1)-job economics and staged artifact as " +
-        "q143. No oracle; UnigramSpec gates reference-EM parity on " +
-        "the mapped domain, zero-OOV and the universal decode round " +
-        "trip on hostile multi-script input.",
+        "q143, and the same STAGED-TWIN oracle (round-13 upgrade): " +
+        "the independent reference EM trained on the byte-mapped word " +
+        "table is staged and DuckDB hash-compares piece-for-piece " +
+        "with floor-nano log-probs; UnigramSpec keeps reference-EM " +
+        "parity on the mapped domain, zero-OOV and the universal " +
+        "decode round trip on hostile multi-script input.",
       (s, dir) => {
+        twinByteOracleRoot = Some(new java.io.File(twinPiecesStaged(
+          s, dir, mapWord = byteMap, keySuffix = "/bytes")).getAbsolutePath)
         val (pieces, _) = learnStagedBytes(s, dir)
         pieces.select("id", "piece", "logp_nano").orderBy("id")
-      }),
+      },
+      twinOracleSql(twinByteOracleRoot)),
 
     Query(
       "q150_unigram_byte_encode",
