@@ -160,14 +160,19 @@ object Recall {
           emb, 10, 5, nCand = graft.operators.Pca.proportionalCand(nEmb, 0.05))),
         ("pca", "candFrac=0.10", () => graft.operators.Pca.knnPcaRerank(
           emb, 10, 5, nCand = graft.operators.Pca.proportionalCand(nEmb, 0.10))),
-        // NN-descent: the knob is refinement rounds (candidate volume
-        // per round is fixed at N*cap^2)
-        ("graph", "rounds=2", () => graft.operators.NnDescent
-          .knnGraphQueries(emb, 10, 5, rounds = 2)),
-        ("graph", "rounds=4", () => graft.operators.NnDescent
-          .knnGraphQueries(emb, 10, 5, rounds = 4)),
-        ("graph", "rounds=auto(log2 n)", () => graft.operators.NnDescent
-          .knnGraphQueries(emb, 10, 5)))
+        // NN-descent: the knob is the WORKING-BEAM width (round-13 —
+        // the binding constraint on hard geometry: at the 10x tier
+        // rounds/cap moves measured 0.16->0.18 while width moved
+        // 0.16->0.76->0.96; per-round cost scales with (wf*cap)^2)
+        ("graph", "workFactor=1", () => graft.operators.NnDescent
+          .knnGraphQueriesOf(graft.operators.NnDescent.build(emb,
+            workFactor = 1), 10, 5)),
+        ("graph", "workFactor=2", () => graft.operators.NnDescent
+          .knnGraphQueriesOf(graft.operators.NnDescent.build(emb,
+            workFactor = 2), 10, 5)),
+        ("graph", "workFactor=3", () => graft.operators.NnDescent
+          .knnGraphQueriesOf(graft.operators.NnDescent.build(emb,
+            workFactor = 3), 10, 5)))
       defs.groupBy(_._1).toSeq.sortBy(_._1).map { case (fam, points) =>
         // one UNTIMED pass per family before its timed points: the first
         // executed point otherwise absorbs the family's one-time costs

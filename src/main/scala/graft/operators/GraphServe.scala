@@ -167,7 +167,7 @@ object GraphServe {
     * is Σ (N/8^ℓ)·cap² ≤ N·cap²/7 — a seventh of one base round. */
   def graphHierStaged(spark: SparkSession, dir: String): String = {
     val out = "target/nndescent/graft_nnh_" + Bucketed.md5hex(
-      s"$dir/h1/k${NnDescent.K}/d$HierDecimation/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
+      s"$dir/h2/k${NnDescent.K}/w${NnDescent.WorkFactor}/d$HierDecimation/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
       .take(8)
     Staging.ensure(spark, out) { tmp =>
       val emb = Tables.embeddings(spark, dir)

@@ -135,18 +135,31 @@ object NnDescent {
       .distinct()
   }
 
-  /** SRP-SEEDED init chains: similar vectors land in the same
-    * sign-projection bucket (the q20 hash family), so chain partners
-    * here are LIKELY NEIGHBORS rather than random draws — the
-    * LSH-seeded NN-descent combination the kNN-graph pipelines use
+  /** SRP-SEEDED init pairs: similar vectors land in the same
+    * sign-projection bucket (the q20 hash family), so partners here
+    * are LIKELY NEIGHBORS rather than random draws — the LSH-seeded
+    * NN-descent combination the kNN-graph pipelines use
     * (random-projection seeding + descent refinement). Purely random
     * init converges too slowly at a fixed round budget as N grows:
     * recall@5 measured 0.74 at 600 nodes but 0.32 at 2,000 under 3
-    * rounds. Each SRP bucket is SUB-BUCKETED to E[16] members before
-    * chaining, so the ranking window stays constant-bounded at any
-    * corpus size (an un-split bucket is n/2^bits — corpus-scale). */
+    * rounds. Each SRP bucket is SUB-BUCKETED to E[16] members so the
+    * ranking window stays constant-bounded at any corpus size (an
+    * un-split bucket is n/2^bits — corpus-scale), and members pair
+    * ALL-WITHIN-SUB-BUCKET (bounded window: ≤ pairCap successors in
+    * hash-rank order, E[16·15/2] ≈ 120 pairs per sub-bucket, ~n·45
+    * scored pairs per table set). Consecutive-CHAIN pairing (2
+    * partners per table, the r12 design) under-seeds as N grows: on
+    * the 10× stress corpus (20k near-isotropic vectors, where the
+    * neighbor-of-neighbor gradient is flat and descent cannot recover
+    * a bad start) chains measured recall@5 0.16 at the auto budget
+    * while the same SRP buckets scanned q20-style reach 0.98 — the
+    * information was IN the buckets, the chains just sampled ~2 pairs
+    * from each. All-pairs seeding is the LSH-candidate-generation
+    * semantics at init-stage cost. (Random cliques would waste
+    * diversity — rendezvousInit keeps chains; likely-neighbor cliques
+    * are exactly the pairs worth scoring.) */
   private def srpChains(e: DataFrame, n: Long, dim: Int, salt: String,
-      tables: Int = 6, bits: Int = 8): DataFrame = {
+      tables: Int = 6, bits: Int = 8, pairCap: Int = 15): DataFrame = {
     val subBuckets = math.max(1L, n / ((1L << bits) * 16L))
     val b = Similarity.srpBuckets(e, tables, bits, dim)
       .select(col("vec_id"), col("table"), col("bucket"),
@@ -159,49 +172,73 @@ object NnDescent {
         col("a.table") === col("b.table") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.subb") === col("b.subb") &&
-          col("a.rk") + 1 === col("b.rk"))
+          col("b.rk") > col("a.rk") &&
+          col("b.rk") <= col("a.rk") + pairCap)
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
     fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
   }
 
+  /** WORKING-BEAM factor: the build refines lists `WorkFactor`× wider
+    * than the served degree and cuts to k at the very end — the q148
+    * mid-walk-contraction lesson applied to the build itself.
+    * Motivation (round-13, measured on the 10× stress corpus — 20k
+    * near-isotropic 64-d vectors, the flat-gradient worst case for
+    * every graph-ANN method): at serve-width lists the descent
+    * plateaus just short of the global top (query recall@5 0.16 at
+    * the auto budget; stronger seeding and +50% rounds both left it
+    * ≤ 0.18 — the lists are too narrow to hold exploration mass), at
+    * 2× width it reaches 0.76 and at 3× 0.96. Per-round cost scales
+    * with (WorkFactor·cap)² = 4× at the default — the price of
+    * convergence on hard geometry; on structured corpora (planted
+    * clusters, real embeddings) narrow lists already converge and the
+    * wide build just converges sooner. */
+  val WorkFactor = 2
+
   /** Build the K-NN graph over `emb`: (src, dst, score), ≤ k rows per
     * src, exact-cosine scored. `n` is the corpus size (callers that
     * already know it avoid the count action); `dim` is the embedding
-    * width (the SRP seeding planes need it). */
+    * width (the SRP seeding planes need it); `workFactor` is the
+    * working-beam width multiplier ([[WorkFactor]]). */
   def build(emb: DataFrame, k: Int = K, rounds: Int = -1,
-      cap: Int = Cap, nKnown: Long = -1L, dim: Int = 64): DataFrame = {
+      cap: Int = Cap, nKnown: Long = -1L, dim: Int = 64,
+      workFactor: Int = WorkFactor): DataFrame = {
     val e = Similarity.prepared(emb)
     val n = if (nKnown > 0) nKnown else e.count()
     require(n > k, s"kNN graph needs more than k=$k vectors, got $n")
     val nRounds = if (rounds >= 0) rounds else autoRounds(n)
-    // seeded + random union: SRP chains supply likely-neighbor seeds,
+    val kW = math.max(k, workFactor * k)
+    val capW = math.max(cap, workFactor * cap)
+    // seeded + random union: SRP pairs supply likely-neighbor seeds,
     // random chains keep the graph connected across hash regions
-    val init = rendezvousInit(e, k, n, "nn-init")
+    val init = rendezvousInit(e, kW, n, "nn-init")
       .unionByName(srpChains(e, n, dim, "nn-init-srp"))
       .distinct()
-    var edges = topKPerSrc(scorePairs(init, e), k).localCheckpoint(false)
+    var edges = topKPerSrc(scorePairs(init, e), kW).localCheckpoint(false)
 
     var r = 0
     while (r < nRounds) {
-      edges = refineOnce(edges, e, k, cap, roundSalt = r)
+      edges = refineOnce(edges, e, kW, capW, roundSalt = r)
       r += 1
     }
-    edges
+    // the working beam cuts to the degree the graph contract serves
+    if (kW == k) edges else topKPerSrc(edges, k)
   }
 
   /** ANN-query view of the graph: the query nodes' top-k neighbors in
     * the canonical (query_id, neighbor_id, rank, score) emit form. */
   def knnGraphQueries(emb: DataFrame, nQueries: Int, k: Int,
-      graphK: Int = K, rounds: Int = -1): DataFrame = {
-    val g = build(emb, graphK, rounds)
+      graphK: Int = K, rounds: Int = -1): DataFrame =
+    knnGraphQueriesOf(build(emb, graphK, rounds), nQueries, k)
+
+  /** The query view over an ALREADY-BUILT graph. */
+  def knnGraphQueriesOf(g: DataFrame, nQueries: Int, k: Int): DataFrame =
     Similarity.topK(
       g.filter(col("src") < nQueries)
         .select(col("src").as("query_id"), col("dst").as("neighbor_id"),
           col("score")),
       k)
-  }
 
   /** Mean edge score of a graph — the monotone NN-descent progress
     * measure (micro-units, integer emit). */
@@ -353,11 +390,11 @@ object NnDescent {
     * [[appendToGraph]] maintains when the `% 10 == 0` arrivals land. */
   def baseGraphStaged(spark: org.apache.spark.sql.SparkSession,
       dir: String): String = {
-    // "i2": the init algorithm is part of the key — the round-12
-    // rendezvous-chain init must not be satisfied by a stale
-    // contiguous-id-init artifact
+    // "i3": the init/build algorithm is part of the key — the
+    // round-13 working-beam build must not be satisfied by a stale
+    // narrow-list artifact (the r12 convention)
     val out = "target/nndescent/graft_nngb_" + Bucketed.md5hex(
-      s"$dir/base10/i2/k$K/r$Rounds/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
+      s"$dir/base10/i3/k$K/w$WorkFactor/r$Rounds/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
       .take(8)
     Staging.ensure(spark, out) { tmp =>
       build(Tables.embeddings(spark, dir).filter(col("vec_id") % 10 =!= 0))
@@ -387,11 +424,11 @@ object NnDescent {
     * sample is deterministic, hash-uniform, and corpus-spread. */
   def graphIndexStaged(spark: org.apache.spark.sql.SparkSession,
       dir: String): String = {
-    // "i3": init algorithm AND index layout ride the key — the
-    // round-13 entries/ table must not be looked for in a stale i2
-    // artifact (see baseGraphStaged for the convention)
+    // "i4": init/build algorithm AND index layout ride the key — the
+    // round-13 entries/ table and working-beam graph must not be
+    // looked for in a stale artifact (see baseGraphStaged)
     val out = "target/nndescent/graft_nng_" + Bucketed.md5hex(
-      s"$dir/i3/k$K/r$Rounds/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
+      s"$dir/i4/k$K/w$WorkFactor/r$Rounds/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
       .take(8)
     Staging.ensure(spark, out) { tmp =>
       val emb = Tables.embeddings(spark, dir)
@@ -603,7 +640,10 @@ object NnDescent {
         "each adjacency (the sampling trick that bounds fan-out), " +
         "self-join on the CENTER node, exact-cosine score the " +
         "proposed pairs (two node-keyed equi-joins, never a cross " +
-        "join), keep top-K per node. Per-round cost is N*cap^2 " +
+        "join), keep top-K per node over a 2x WORKING BEAM cut to K " +
+        "at the end (r13: serve-width lists plateau on flat-gradient " +
+        "isotropic data — 10x recall 0.16 vs 0.76 at 2x width). " +
+        "Per-round cost is N*(2cap)^2 " +
         "scored pairs - linear in N, the published economics; state " +
         "is node-keyed with localCheckpoint truncation (the q114 " +
         "pattern). Output: the 10 query nodes' graph neighbors in " +
