@@ -449,10 +449,7 @@ object Bpe {
     * and encode has no OOV path. */
   def learnStagedBytes(spark: SparkSession, dir: String, merges: Int)
       : (DataFrame, DataFrame) =
-    stagedTokenizer(spark,
-      "target/bpe/graft_bpeb_" + Bucketed.md5hex(
-        s"$dir/m$merges/bytes-oob-marker/${Layout.contentKey(spark, s"$dir/documents.parquet")}")
-        .take(8),
+    stagedTokenizer(spark, bpeByteRoot(spark, dir, merges),
       merges, 2L, byteSymsLocal)(Tables.documents(spark, dir))
 
   /** Every textual column in the `dir` lake as one (text) corpus — the
@@ -783,6 +780,91 @@ object Bpe {
       FROM read_parquet('$r/merges/*.parquet')
       ORDER BY rank""")
 
+  /** The shared BYTE-mode encode oracle SQL (q123/q150 — round-13
+    * upgrade, the q103/q144 convention on the byte alphabet): DuckDB
+    * recomputes the whole encode composition from documents + a staged
+    * byte-mode segment parquet. The GPT-2 byte→unicode bijection rides
+    * as a 256-row VALUES table generated from the SAME [[ByteChar]]
+    * constant the engine uses, so the id map (subword counts UNIONed
+    * with the base alphabet at count 0 — the [[byteVocab]] semantics)
+    * and the unseen-word byte fallback (hex pairs through the LUT,
+    * marker appended) are replayed exactly; empty words fall back to
+    * the bare marker like [[byteSyms]]. */
+  private[graft] def byteEncodeOracleSql(root: String): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val lut = ByteChar.zipWithIndex
+      .map { case (c, b) => f"('$b%02X', '${esc(c)}')" }.mkString(", ")
+    val marker = esc(ByteEndOfWord)
+    s"""
+    WITH byte_map(h, c) AS (VALUES $lut),
+    seg AS (
+      SELECT word, freq, syms FROM read_parquet('$root/segments/*.parquet')
+    ), vocab AS (
+      SELECT subword, SUM(n) AS n FROM (
+        SELECT subword, SUM(freq) AS n
+        FROM (SELECT freq, unnest(syms) AS subword FROM seg)
+        GROUP BY subword
+        UNION ALL
+        SELECT c AS subword, 0 AS n FROM byte_map
+        UNION ALL
+        SELECT '$marker' AS subword, 0 AS n
+      ) GROUP BY subword
+    ), tid AS (
+      SELECT subword,
+             CAST(row_number() OVER (ORDER BY n DESC, subword ASC) AS INT) AS tid
+      FROM vocab
+    ), tok AS (
+      SELECT doc_id,
+             generate_subscripts(w, 1) AS wpos,
+             unnest(w) AS word
+      FROM (SELECT doc_id,
+                   string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+            FROM documents)
+    ), missing AS (
+      SELECT DISTINCT t.word FROM tok t
+      LEFT JOIN seg s USING (word) WHERE s.word IS NULL
+    ), missing_bytes AS (
+      SELECT word, unnest(range(1, octet_length(encode(word)) + 1)) AS i
+      FROM missing
+    ), missing_syms AS (
+      SELECT mb.word,
+             list_append(list(bm.c ORDER BY mb.i), '$marker') AS syms
+      FROM (SELECT word, i,
+                   substring(hex(encode(word)), CAST(2 * i - 1 AS INT), 2) AS h
+            FROM missing_bytes) mb
+      JOIN byte_map bm USING (h)
+      GROUP BY mb.word
+    ), withsyms AS (
+      SELECT t.doc_id, t.wpos,
+             COALESCE(s.syms, ms.syms, list_value('$marker')) AS syms
+      FROM tok t LEFT JOIN seg s USING (word)
+      LEFT JOIN missing_syms ms USING (word)
+    ), sub AS (
+      SELECT doc_id, wpos,
+             generate_subscripts(syms, 1) AS spos,
+             unnest(syms) AS subword
+      FROM withsyms
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(CASE WHEN s.spos = 1 THEN 1 END) AS BIGINT) AS n_words,
+           COUNT(*) AS n_subwords,
+           string_agg(CAST(COALESCE(i.tid, 0) AS VARCHAR), ' ' ORDER BY s.wpos, s.spos) AS ids
+    FROM sub s LEFT JOIN tid i USING (subword)
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id"""
+  }
+
+  /** The q123 byte-encode oracle root (set by the entry's run). */
+  @volatile private[graft] var byteEncodeOracleRoot: Option[String] = None
+
+  /** Content-keyed root of the staged byte-level documents tokenizer
+    * (shared by [[learnStagedBytes]] and the q123 oracle). */
+  private[graft] def bpeByteRoot(spark: SparkSession, dir: String,
+      merges: Int): String =
+    "target/bpe/graft_bpeb_" + Bucketed.md5hex(
+      s"$dir/m$merges/bytes-oob-marker/${Layout.contentKey(spark, s"$dir/documents.parquet")}")
+      .take(8)
+
   // `def`, not `val`: q105's oracle SQL embeds [[stagedOracleRoot]],
   // which exists only after the query has run — SparkEntry.catalog is
   // re-evaluated at oracle-dump time (after all queries), so the SQL
@@ -1041,16 +1123,24 @@ object Bpe {
         "decode(encode(x)) == normalized x for EVERY string, not just " +
         "the training corpus (code-point mode can only promise that " +
         "for seen characters). Same size-gated word join + broadcast " +
-        "id map as q103. No oracle (vocabulary depends on the " +
-        "iterative learn); gated in BpeSpec by id-for-id parity with " +
-        "the plain-Scala byte-level reference, the universal decode " +
-        "round trip on hostile input, and a zero-OOV assertion.",
+        "id map as q103, and since round 13 the same ORACLE shape: " +
+        "DuckDB recomputes the whole encode composition from " +
+        "documents + the staged byte-mode segments, replaying the " +
+        "byteVocab base-alphabet union and the byte fallback through " +
+        "a 256-row VALUES copy of the same GPT-2 bijection the " +
+        "engine compiles in, hash-exact; BpeSpec keeps id-for-id " +
+        "parity with the plain-Scala byte-level reference, the " +
+        "universal decode round trip on hostile input, and the " +
+        "zero-OOV assertion.",
       (s, dir) => {
         val (_, segs) = learnStagedBytes(s, dir, merges = 32)
+        byteEncodeOracleRoot = Some(
+          new java.io.File(bpeByteRoot(s, dir, 32)).getAbsolutePath)
         encodeBytes(Tables.documents(s, dir), segs,
           subwordIds(byteVocab(segs)))
           .orderBy("doc_id")
-      }),
+      },
+      byteEncodeOracleRoot.map(byteEncodeOracleSql)),
 
     Query(
       "q139_pack_boundaries",

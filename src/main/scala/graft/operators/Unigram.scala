@@ -367,11 +367,17 @@ object Unigram {
     * [[Bpe.byteVocab]] (base-alphabet union) + [[Bpe.encodeBytes]] /
     * [[Bpe.decodeBytes]] serve it unchanged — and encode is
     * structurally ZERO-OOV on ANY input, trained scripts or not. */
-  def learnStagedBytes(spark: SparkSession, dir: String,
-      vocabSize: Int = VocabSize): (DataFrame, DataFrame) = {
-    val out = "target/unigram/graft_unib_" + Bucketed.md5hex(
+  /** Content-keyed root of the staged byte-level unigram tokenizer
+    * (shared by [[learnStagedBytes]] and the q150 oracle). */
+  private[graft] def unigramByteRoot(spark: SparkSession, dir: String,
+      vocabSize: Int): String =
+    "target/unigram/graft_unib_" + Bucketed.md5hex(
       s"$dir/v$vocabSize/bytes/${Layout.contentKey(spark, s"$dir/documents.parquet")}")
       .take(8)
+
+  def learnStagedBytes(spark: SparkSession, dir: String,
+      vocabSize: Int = VocabSize): (DataFrame, DataFrame) = {
+    val out = unigramByteRoot(spark, dir, vocabSize)
     Staging.ensure(spark, out) { tmp =>
       val wf = Bpe.wordFreqs(Tables.documents(spark, dir)).collect()
         .map(r => (r.getAs[String]("word"), r.getAs[Long]("freq"))).toSeq
@@ -611,15 +617,27 @@ object Unigram {
         "serves unchanged — byte-marker segment schema, base-alphabet-" +
         "unioned ids), so unseen words decompose to base byte symbols " +
         "that ALWAYS carry ids: id 0 is structurally unreachable on " +
-        "any input. Output: (doc_id, n_words, n_subwords, ids). No " +
-        "oracle; UnigramSpec gates zero-OOV + universal decode round " +
-        "trip (decodeBytes . encodeBytes == whitespace-normalized " +
-        "identity on multi-script text the tokenizer never saw).",
+        "any input. Output: (doc_id, n_words, n_subwords, ids). " +
+        "Oracle (round-13 upgrade, the q123 shape): DuckDB " +
+        "recomputes the whole encode composition from documents + " +
+        "the staged byte-mode unigram segments, replaying the " +
+        "byteVocab base-alphabet union and the byte fallback through " +
+        "a 256-row VALUES copy of the engine's GPT-2 bijection, " +
+        "hash-exact; UnigramSpec keeps zero-OOV + the universal " +
+        "decode round trip (decodeBytes . encodeBytes == whitespace-" +
+        "normalized identity on multi-script text never seen in " +
+        "training).",
       (s, dir) => {
         val (_, segs) = learnStagedBytes(s, dir)
+        byteEncodeOracleRoot = Some(new java.io.File(
+          unigramByteRoot(s, dir, VocabSize)).getAbsolutePath)
         val ids = Bpe.subwordIds(Bpe.byteVocab(segs))
         Bpe.encodeBytes(Tables.documents(s, dir), segs, ids)
           .orderBy("doc_id")
-      })
+      },
+      byteEncodeOracleRoot.map(Bpe.byteEncodeOracleSql))
   )
+
+  /** The q150 byte-encode oracle root (set by the entry's run). */
+  @volatile private[graft] var byteEncodeOracleRoot: Option[String] = None
 }
