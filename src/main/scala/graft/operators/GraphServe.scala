@@ -61,7 +61,7 @@ object GraphServe {
     * top-`beam`, visited nodes are never re-scored, and the answer is
     * the top-`k` of everything scored. */
   def graphSearchBatch(spark: SparkSession, dir: String, nQueries: Int,
-      k: Int, beam: Int = 8, hops: Int = 4): DataFrame = {
+      k: Int, beam: Int = 8, hops: Int = 8): DataFrame = {
     val root = NnDescent.graphIndexStaged(spark, dir)
     val edges = spark.read.parquet(s"$root/edges").select("src", "dst")
     val vecs = spark.read.parquet(s"$root/vecs")

@@ -506,7 +506,7 @@ object NnDescent {
     * cosine, (score DESC, id ASC) cuts. */
   def graphSearchStaged(spark: org.apache.spark.sql.SparkSession,
       dir: String, nQueries: Int, k: Int, beam: Int = 8,
-      hops: Int = 4): DataFrame = {
+      hops: Int = 8): DataFrame = {
     val root = graphIndexStaged(spark, dir)
     val edges = spark.read.parquet(s"$root/edges")
     val vecs = spark.read.parquet(s"$root/vecs")
