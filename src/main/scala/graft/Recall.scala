@@ -56,7 +56,10 @@ object Recall {
     "q151_knn_graph_batch" -> 0.4,
     // hierarchical descent (r13): adaptive hops-to-converge per level;
     // spec pins >= 0.72 at sf0.001, measured 0.94
-    "q152_knn_graph_hier" -> 0.4)
+    "q152_knn_graph_hier" -> 0.4,
+    // hierarchical entries composed with the batch loop (r13): spec
+    // pins >= 0.72 over the 100-query batch at sf0.001
+    "q154_knn_graph_hier_batch" -> 0.4)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

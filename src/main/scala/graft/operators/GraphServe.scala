@@ -88,11 +88,10 @@ object GraphServe {
     val entryIds = NnDescent.readEntrySample(spark, root)
     val entryDf = broadcast(entryIds.zipWithIndex
       .map { case (id, i) => (i.toLong, id) }.toDF("slot", "entry_id"))
-    val qKeys = queries.select("query_id")
     // entry slots: the SAME xxhash64(query_id, j, 'gs-entry') the
     // driver path evaluates on literals — identical entries by
     // construction
-    val entries = qKeys
+    val entries = queries.select("query_id")
       .select(col("query_id"), explode(sequence(lit(1), lit(beam))).as("j"))
       .select(col("query_id"),
         pmod(xxhash64(col("query_id"), col("j"), lit("gs-entry")),
@@ -101,9 +100,24 @@ object GraphServe {
       .where(col("entry_id") =!= col("query_id"))
       .select(col("query_id"), col("entry_id").as("node"))
       .distinct()
+    val acc = batchBeam(edges, vecs, queries, entries, beam, hops)
+    Similarity.topK(
+      acc.select(col("query_id"), col("node").as("neighbor_id"),
+        col("score")),
+      k)
+  }
 
+  /** The distributed beam loop body over ONE edge table: expand /
+    * anti-join visited / score / tournament-cut per hop, all state in
+    * query-keyed frames. Returns every (query_id, node, score) the
+    * traversal scored — callers cut to top-k or carry a per-query
+    * top-beam into the next layer (the q154 descent). */
+  private def batchBeam(edges: DataFrame, vecs: DataFrame,
+      queries: DataFrame, entries: DataFrame, beam: Int,
+      hops: Int): DataFrame = {
     var frontier = entries.localCheckpoint(false)
-    var visited = qKeys.select(col("query_id"), col("query_id").as("node"))
+    var visited = queries
+      .select(col("query_id"), col("query_id").as("node"))
       .localCheckpoint(false)
     var acc: DataFrame = null
     var hop = 0
@@ -135,9 +149,62 @@ object GraphServe {
         .localCheckpoint(false)
       hop += 1
     }
+    acc
+  }
+
+  /** Batched HIERARCHICAL serving (q154) — the composition of the two
+    * r13 paths, and the production shape for bulk query tables: the
+    * q152 layer descent computes each query's entry nodes and the
+    * q151 machinery executes every step as query-keyed equi-joins, so
+    * a query TABLE descends the hierarchy in O(levels·hopsPerLevel +
+    * hops) jobs with no per-query driver state. Per layer, a short
+    * fixed hop budget (upper layers have constant expected diameter,
+    * so 2 hops from the carried-down beam suffice) and the per-query
+    * top-beam of everything scored so far carries down as the next
+    * layer's entries; the base layer gets the full `hops` budget.
+    * Every layer's scored nodes are real corpus nodes and compete in
+    * the final top-k. */
+  def graphSearchHierBatch(spark: SparkSession, dir: String,
+      nQueries: Int, k: Int, beam: Int = 8, hopsPerLevel: Int = 2,
+      hops: Int = 8): DataFrame = {
+    import spark.implicits._
+    val root0 = NnDescent.graphIndexStaged(spark, dir)
+    val hroot = graphHierStaged(spark, dir)
+    val vecs = spark.read.parquet(s"$root0/vecs")
+    val queries = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val levels = spark.read.parquet(s"$hroot/meta")
+      .select("level").collect().map(_.getInt(0)).sorted.reverse.toSeq
+    val tops = spark.read.parquet(s"$hroot/top").orderBy("entry_id")
+      .collect().map(_.getLong(0)).toIndexedSeq
+    // every query starts at the staged top entries — a ≤ TopEntries
+    // literal array exploded per query (no join at all)
+    var entries = queries.select("query_id")
+      .select(col("query_id"), explode(typedlit(tops)).as("node"))
+      .where(col("node") =!= col("query_id"))
+    var acc: DataFrame = null
+    val layerPaths = levels.map(l => s"$hroot/layer_$l" -> hopsPerLevel) :+
+      (s"$root0/edges" -> hops)
+    layerPaths.foreach { case (path, budget) =>
+      // checkpoint each layer's scores before the cross-layer union:
+      // consecutive layers reuse the queries/entries lineage, and a
+      // Union whose branches share attribute ids trips Catalyst's
+      // constraint rewrite; the checkpoint gives each branch fresh
+      // attributes (and truncates the per-hop union chain anyway)
+      val scored = batchBeam(spark.read.parquet(path), vecs, queries,
+        entries, beam, budget).localCheckpoint(false)
+      acc = if (acc == null) scored else acc.unionByName(scored)
+      // carry the per-query best nodes seen SO FAR down a level
+      entries = Skew.groupTopK(acc, col("query_id"),
+          Seq(col("score").desc, col("node").asc),
+          Seq(col("score"), col("node")), n = beam, nSalts = 8)
+        .select("query_id", "node")
+        .localCheckpoint(false)
+    }
     Similarity.topK(
       acc.select(col("query_id"), col("node").as("neighbor_id"),
-        col("score")),
+        col("score")).distinct(),
       k)
   }
 
@@ -321,6 +388,24 @@ object GraphServe {
         "and 10x corpus (the verdict's hops-not-time evidence). No " +
         "oracle; design-gated (recall >= the IVF bar, determinism, " +
         "hop telemetry <= levels*maxHops, layered-vs-flat hop audit).",
-      (s, dir) => graphSearchHierTrace(s, dir, nQueries = 10, k = 5).result)
+      (s, dir) => graphSearchHierTrace(s, dir, nQueries = 10, k = 5).result),
+
+    Query(
+      "q154_knn_graph_hier_batch",
+      "Batched HIERARCHICAL graph serving — the composition of q151 " +
+        "and q152 and the production shape for bulk query tables: " +
+        "the layer descent computes each query's entry nodes and the " +
+        "batch machinery executes every step as query-keyed equi-" +
+        "joins (expand / anti-join visited / score / tournament beam " +
+        "cut), so a query TABLE descends the hierarchy in " +
+        "O(levels*hopsPerLevel + hops) jobs with no per-query driver " +
+        "state. Upper layers have constant expected diameter, so 2 " +
+        "hops per layer from the carried-down beam suffice; the " +
+        "nested-by-divisibility levels guarantee every carried entry " +
+        "exists in the next layer's graph. No oracle (learned-graph " +
+        "trajectory); design-gated in GraphServeSpec (recall >= the " +
+        "IVF bar over the 100-query batch, determinism, no-cartesian " +
+        "plan assert).",
+      (s, dir) => graphSearchHierBatch(s, dir, nQueries = 100, k = 5))
   )
 }

@@ -90,6 +90,24 @@ class GraphServeSpec extends AnyFunSuite {
     assert(pairsOf(again.result) === got)
   }
 
+  test("q154 hierarchical batch serving: recall clears the IVF bar " +
+    "over the 100-query batch, repeats are deterministic, and the " +
+    "plan holds no cartesian join") {
+    def run() = SparkEntry.queries("q154_knn_graph_hier_batch")(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val first = run()
+    assert(first === run(), "hier batch serving must be deterministic")
+    val recall = recallVsBrute(100,
+      first.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap)
+    info(s"q154 hier-batch recall@5 over 100 queries = $recall")
+    assert(recall >= 0.72d, s"recall@5 $recall below the IVF bar")
+    val plan = GraphServe.graphSearchHierBatch(spark, sf, 10, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q147 entries are real node ids drawn from the staged sample " +
     "(the id-agnostic r12-advice fix) — every entry exists even on an " +
     "offset-id corpus") {
