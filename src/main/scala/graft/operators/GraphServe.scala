@@ -138,15 +138,19 @@ object GraphServe {
             col("nrm")).as("score"))
         .localCheckpoint(false)
       acc = if (acc == null) scored else acc.unionByName(scored)
+      // ONLY `scored` is checkpointed (it closes the per-hop cycle);
+      // visited and frontier are shallow derivations over already-
+      // checkpointed frames (a union chain of LogicalRDDs / one
+      // tournament), and checkpointing them too tripled the per-hop
+      // job count for no lineage benefit — measured ~22 s of pure
+      // scheduling floor on the hierarchical path at the local tier
       visited = visited.unionByName(scored.select("query_id", "node"))
-        .localCheckpoint(false)
       // next frontier: this hop's per-query top-beam (the q43 salted
       // tournament — never a bare corpus-wide window)
       frontier = Skew.groupTopK(scored, col("query_id"),
           Seq(col("score").desc, col("node").asc),
           Seq(col("score"), col("node")), n = beam, nSalts = 8)
         .select("query_id", "node")
-        .localCheckpoint(false)
       hop += 1
     }
     acc
