@@ -27,4 +27,17 @@ final case class Query(
     name: String,
     doc: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    oracle: Option[String] = None,
+    oracleFn: Option[() => Option[String]] = None) {
+
+  /** The oracle SQL as of NOW: the static `oracle` if present, else the
+    * late-bound thunk (entries whose SQL embeds a staged artifact root
+    * set by their own `run` — the q110/q102 staged-fingerprint/twin
+    * conventions). A thunk (rather than a var read at catalog-assembly
+    * time) keeps the catalog SNAPSHOT-SAFE: a harness that enumerates
+    * the catalog once before running entries still sees the staged
+    * oracle afterwards (round-13 advice). `Verify` asserts after a full
+    * run that every thunk-bearing entry actually resolved — an entry
+    * documented as oracle-gated can't silently degrade to rows-only. */
+  def oracleNow: Option[String] = oracle.orElse(oracleFn.flatMap(_()))
+}

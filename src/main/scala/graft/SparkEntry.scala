@@ -40,7 +40,10 @@ object SparkEntry {
     catalog.map(q => q.name -> q.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * Late-bound oracles ([[Query.oracleFn]] thunks over staged roots)
+    * resolve HERE, at dump time — so this works on any catalog
+    * snapshot, taken before or after the entries ran. */
   def oracleSql: Map[String, String] =
-    catalog.collect { case Query(n, _, _, Some(sql)) => n -> sql.stripMargin.trim }.toMap
+    catalog.flatMap(q => q.oracleNow.map(sql => q.name -> sql.stripMargin.trim)).toMap
 }

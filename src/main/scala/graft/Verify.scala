@@ -57,6 +57,22 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Dump-time audit (round-13 advice): every entry whose oracle is a
+    // late-bound thunk over a staged root (Query.oracleFn) must have
+    // RESOLVED by now — its run stages the artifact and sets the root,
+    // so a None here means the oracle silently degraded to a rows-only
+    // check. Record it as a failure (the driver's CORRECTNESS json then
+    // carries an err row, not a quiet no_oracle downgrade). Entries
+    // that already failed their run are exempt — the run failure is the
+    // signal there.
+    selected.keySet.foreach { name =>
+      SparkEntry.catalog.find(_.name == name).foreach { entry =>
+        if (entry.oracleFn.isDefined && entry.oracleNow.isEmpty &&
+            !failed.contains(name))
+          failed(name) = "oracle-gated entry resolved no oracle SQL after " +
+            "its run (staged root never set — see Query.oracleFn)"
+      }
+    }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

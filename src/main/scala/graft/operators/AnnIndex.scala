@@ -408,7 +408,7 @@ object AnnIndex {
         stagedQualityRoot = Some(new java.io.File(idx).getAbsolutePath)
         out
       },
-      stagedQualityRoot.map(root => s"""
+      oracleFn = Some(() => stagedQualityRoot.map(root => s"""
         WITH lists AS (
           SELECT vec_id, emb, nrm, CAST(cluster AS BIGINT) AS cluster
           FROM read_parquet('$root/lists/*/*.parquet', hive_partitioning = 1)
@@ -435,6 +435,6 @@ object AnnIndex {
                CAST(SUM(sil_u) AS BIGINT) AS sum_sil_u,
                CAST(MIN(sil_u) AS BIGINT) AS min_sil_u
         FROM r GROUP BY 1
-        ORDER BY cluster"""))
+        ORDER BY cluster""")))
   )
 }

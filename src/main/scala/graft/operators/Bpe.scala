@@ -929,7 +929,7 @@ object Bpe {
           subwordIds(subwordVocab(segs)))
           .orderBy("doc_id")
       },
-      stagedOracleRoot.map(root => s"""
+      oracleFn = Some(() => stagedOracleRoot.map(root => s"""
         WITH seg AS (
           SELECT word, freq, syms
           FROM read_parquet('$root/segments/*.parquet')
@@ -966,7 +966,7 @@ object Bpe {
                string_agg(CAST(COALESCE(i.tid, 0) AS VARCHAR), ' ' ORDER BY s.wpos, s.spos) AS ids
         FROM sub s LEFT JOIN tid i USING (subword)
         GROUP BY s.doc_id
-        ORDER BY s.doc_id""")),
+        ORDER BY s.doc_id"""))),
 
     Query(
       "q104_bpe_learn_1k",
@@ -1020,7 +1020,7 @@ object Bpe {
         subwordShardManifest(Tables.documents(s, dir), segs, budget = 2048L)
           .orderBy("shard_id")
       },
-      stagedOracleRoot.map(root => s"""
+      oracleFn = Some(() => stagedOracleRoot.map(root => s"""
         WITH segs AS (
           SELECT word, CAST(len(syms) AS BIGINT) AS n_sub
           FROM read_parquet('$root/segments/*.parquet')
@@ -1046,7 +1046,7 @@ object Bpe {
                MAX(doc_id) AS last_doc
         FROM pref
         GROUP BY 1
-        ORDER BY shard_id"""))
+        ORDER BY shard_id""")))
     ,
     Query(
       "q121_bpe_fertility",
@@ -1068,7 +1068,7 @@ object Bpe {
           .withColumnRenamed("grp", "lang")
           .orderBy("lang")
       },
-      stagedOracleRoot.map(root => s"""
+      oracleFn = Some(() => stagedOracleRoot.map(root => s"""
         WITH segs AS (
           SELECT word, CAST(len(syms) AS BIGINT) AS n_sub
           FROM read_parquet('$root/segments/*.parquet')
@@ -1084,7 +1084,7 @@ object Bpe {
                CAST(SUM(length(t.word)) AS BIGINT) AS n_chars
         FROM tok t LEFT JOIN segs s USING (word)
         GROUP BY t.lang
-        ORDER BY lang""")),
+        ORDER BY lang"""))),
 
     Query(
       "q122_bpe_byte_learn",
@@ -1140,7 +1140,7 @@ object Bpe {
           subwordIds(byteVocab(segs)))
           .orderBy("doc_id")
       },
-      byteEncodeOracleRoot.map(byteEncodeOracleSql)),
+      oracleFn = Some(() => byteEncodeOracleRoot.map(byteEncodeOracleSql))),
 
     Query(
       "q139_pack_boundaries",
@@ -1161,7 +1161,7 @@ object Bpe {
         packBoundaries(Tables.documents(s, dir), segs, budget = 2048L)
           .orderBy("shard_id", "start_tok")
       },
-      stagedOracleRoot.map(root => s"""
+      oracleFn = Some(() => stagedOracleRoot.map(root => s"""
         WITH segs AS (
           SELECT word, CAST(len(syms) AS BIGINT) AS n_sub
           FROM read_parquet('$root/segments/*.parquet')
@@ -1188,6 +1188,6 @@ object Bpe {
                CAST(start_off - MIN(start_off) OVER (PARTITION BY shard_id) AS BIGINT) AS start_tok,
                n_subwords AS n_tok
         FROM sh
-        ORDER BY shard_id, start_tok"""))
+        ORDER BY shard_id, start_tok""")))
   )
 }

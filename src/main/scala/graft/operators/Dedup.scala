@@ -802,7 +802,7 @@ object Dedup {
           Some(new java.io.File(simhashStaged(s, dir)).getAbsolutePath)
         simhashNearDups(Tables.documents(s, dir), maxDist = 3)
       },
-      simhashOracleRoot.map(root => s"""
+      oracleFn = Some(() => simhashOracleRoot.map(root => s"""
         WITH fp AS (
           SELECT doc_id, fp FROM read_parquet('$root/fp/*.parquet')
         )
@@ -810,7 +810,7 @@ object Dedup {
                CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.fp, b.fp)) <= 3
-        ORDER BY doc_a, doc_b""")),
+        ORDER BY doc_a, doc_b"""))),
 
     Query(
       "q70_cross_dedup",

@@ -180,10 +180,10 @@ object Dsir {
         stagedOracleRoot = Some(new java.io.File(root).getAbsolutePath)
         selectTopK(s.read.parquet(root))
       },
-      stagedOracleRoot.map(root => s"""
+      oracleFn = Some(() => stagedOracleRoot.map(root => s"""
         SELECT doc_id, w_u
         FROM read_parquet('$root/*.parquet')
         ORDER BY w DESC, doc_id
-        LIMIT $SelectK"""))
+        LIMIT $SelectK""")))
   )
 }

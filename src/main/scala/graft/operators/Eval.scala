@@ -229,7 +229,7 @@ object Eval {
         stagedOracleRoot = Some(new java.io.File(root).getAbsolutePath)
         aucReliability(s.read.parquet(root))
       },
-      stagedOracleRoot.map(root => s"""
+      oracleFn = Some(() => stagedOracleRoot.map(root => s"""
         WITH sc AS (
           SELECT label, p_keep FROM read_parquet('$root/*.parquet')
         ), g AS (
@@ -259,7 +259,7 @@ object Eval {
                CAST(auc_num AS DOUBLE) / CAST(auc_den AS DOUBLE) AS auc,
                n_pos_total, n_neg_total
         FROM bins CROSS JOIN tot
-        ORDER BY bin""")),
+        ORDER BY bin"""))),
 
     Query(
       "q141_gate_divergence",
@@ -290,7 +290,7 @@ object Eval {
               .otherwise(0L)).as("n_rule_only"))
           .orderBy("lang")
       },
-      stagedOracleRoot.map(root => s"""
+      oracleFn = Some(() => stagedOracleRoot.map(root => s"""
         SELECT d.lang,
                COUNT(*) AS n_docs,
                CAST(SUM(s.label) AS BIGINT) AS n_rule_keep,
@@ -300,7 +300,7 @@ object Eval {
         FROM documents d
         JOIN read_parquet('$root/*.parquet') s USING (doc_id)
         GROUP BY d.lang
-        ORDER BY d.lang""")),
+        ORDER BY d.lang"""))),
 
     Query(
       "q137_dedup_recall_eval",
@@ -327,7 +327,7 @@ object Eval {
           .select("doc_a", "doc_b", "jaccard")
         dedupRecallEval(truth, s.read.parquet(root))
       },
-      stagedLshRoot.map(root => s"""
+      oracleFn = Some(() => stagedLshRoot.map(root => s"""
         WITH sh AS (
           SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
                                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
@@ -359,6 +359,6 @@ object Eval {
                  THEN CAST(FLOOR(jaccard * 1000000.0) AS BIGINT) END), -1)
                  AS BIGINT) AS j_missed_max_u,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM found) AS n_found
-        FROM m"""))
+        FROM m""")))
   )
 }

@@ -144,8 +144,10 @@ object Layout {
     * the row-oriented warehouse interchange format next to ORC/JSONL,
     * written through the public Avro-on-Hadoop stack (no `spark-avro`
     * module on this classpath — see [[graft.sources.AvroInterchange]]).
-    * Map-only write, one block-sync-splittable container per
-    * partition. */
+    * One round-robin repartition fans the stage out to 4 tasks (one
+    * block-sync-splittable container each); the WRITE stage itself is
+    * map-only — encode + emit, no further exchange (round-13 advice:
+    * the earlier wording claimed the whole pipeline was map-only). */
   def avroDocuments(spark: SparkSession, dir: String): String = {
     val out = "target/avro/graft_documents_" +
       md5hex(s"$dir/${contentKey(spark, s"$dir/documents.parquet")}").take(8)

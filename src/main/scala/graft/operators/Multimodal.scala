@@ -419,7 +419,7 @@ object Multimodal {
         imageNearDups(plantedImagePayloads(Tables.documents(s, dir)),
           maxDist = 3)
       },
-      stagedOracleRoot.map(root => s"""
+      oracleFn = Some(() => stagedOracleRoot.map(root => s"""
         WITH fp AS (
           SELECT doc_id, fp FROM read_parquet('$root/fp/*.parquet')
         )
@@ -427,6 +427,6 @@ object Multimodal {
                CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.fp, b.fp)) <= 3
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")))
   )
 }

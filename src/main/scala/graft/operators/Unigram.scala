@@ -491,7 +491,7 @@ object Unigram {
         val ids = Bpe.subwordIds(Bpe.subwordVocab(segs))
         Bpe.encode(Tables.documents(s, dir), segs, ids).orderBy("doc_id")
       },
-      stagedOracleRoot.map(root => s"""
+      oracleFn = Some(() => stagedOracleRoot.map(root => s"""
         WITH seg AS (
           SELECT word, freq, syms
           FROM read_parquet('$root/segments/*.parquet')
@@ -528,7 +528,7 @@ object Unigram {
                string_agg(CAST(COALESCE(i.tid, 0) AS VARCHAR), ' ' ORDER BY s.wpos, s.spos) AS ids
         FROM sub s LEFT JOIN tid i USING (subword)
         GROUP BY s.doc_id
-        ORDER BY s.doc_id""")),
+        ORDER BY s.doc_id"""))),
 
     Query(
       "q145_tokenizer_compare",
@@ -635,7 +635,7 @@ object Unigram {
         Bpe.encodeBytes(Tables.documents(s, dir), segs, ids)
           .orderBy("doc_id")
       },
-      byteEncodeOracleRoot.map(Bpe.byteEncodeOracleSql))
+      oracleFn = Some(() => byteEncodeOracleRoot.map(Bpe.byteEncodeOracleSql)))
   )
 
   /** The q150 byte-encode oracle root (set by the entry's run). */
