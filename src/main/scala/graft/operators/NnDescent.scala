@@ -424,22 +424,17 @@ object NnDescent {
     * sample is deterministic, hash-uniform, and corpus-spread. */
   def graphIndexStaged(spark: org.apache.spark.sql.SparkSession,
       dir: String): String = {
-    // "i4": init/build algorithm AND index layout ride the key — the
-    // round-13 entries/ table and working-beam graph must not be
-    // looked for in a stale artifact (see baseGraphStaged)
+    // "i5": init/build algorithm AND index layout ride the key — the
+    // round-14 edge layout embeds each destination's vector (the
+    // serving fusion), so a stale i4 artifact must not be served
     val out = "target/nndescent/graft_nng_" + Bucketed.md5hex(
-      s"$dir/i4/k$K/w$WorkFactor/r$Rounds/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
+      s"$dir/i5/k$K/w$WorkFactor/r$Rounds/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
       .take(8)
     Staging.ensure(spark, out) { tmp =>
       val emb = Tables.embeddings(spark, dir)
       val e = Similarity.prepared(emb)
       val n = e.count()
-      build(emb, nKnown = n)
-        .withColumn("nbucket", pmod(col("src"), lit(NodeBuckets)))
-        .repartition(col("nbucket"))
-        .sortWithinPartitions("src")
-        .write.mode("overwrite").partitionBy("nbucket")
-        .parquet(s"$tmp/edges")
+      writeServingEdges(build(emb, nKnown = n), e, s"$tmp/edges")
       e.withColumn("nbucket", pmod(col("vec_id"), lit(NodeBuckets)))
         .repartition(col("nbucket"))
         .sortWithinPartitions("vec_id")
@@ -452,6 +447,27 @@ object NnDescent {
     }
     out
   }
+
+  /** Write a built graph in the SERVING layout: each edge carries its
+    * destination's vector (`d_emb`/`d_nrm` — one node-keyed join here,
+    * at build time), partitioned by `nbucket = src mod` [[NodeBuckets]]
+    * and sorted by src within partitions. The embedded vectors make
+    * the per-hop expand+score of [[GraphServe.batchBeam]] ONE
+    * equi-join with an inline cosine — no corpus-keyed vector join per
+    * hop (round-14 fusion). Cost: ~K copies of each vector (K·dim·4
+    * bytes per node) — the standard graph-ANN locality trade (HNSW
+    * stores vectors adjacent to adjacency for the same access
+    * pattern); the `vecs/` table stays the single source of truth
+    * (entry scoring, rebuilds). */
+  private[operators] def writeServingEdges(g: DataFrame, e: DataFrame,
+      path: String): Unit =
+    g.join(e.select(col("vec_id").as("dst"), col("emb").as("d_emb"),
+        col("nrm").as("d_nrm")), "dst")
+      .withColumn("nbucket", pmod(col("src"), lit(NodeBuckets)))
+      .repartition(col("nbucket"))
+      .sortWithinPartitions("src")
+      .write.mode("overwrite").partitionBy("nbucket")
+      .parquet(path)
 
   /** Stage the per-bucket entry sample: for each of [[NodeBuckets]] id
     * buckets, the member with the smallest (xxhash64, id) — at most
@@ -489,44 +505,21 @@ object NnDescent {
       entryIds(math.floorMod(entrySlotHash(q, j), entryIds.length.toLong).toInt)
     }.distinct.filter(_ != q)
 
-  /** Batched best-first beam search over the persisted graph — the
-    * HNSW-layer-0-shaped SERVING path, whose per-query cost is
-    * independent of corpus size (the property IVF/PQ scans lack):
-    * start each query at `beam` deterministic hash-chosen entry
-    * nodes, then `hops` rounds of expand-frontier-adjacency → score →
-    * keep the per-query best `beam`. Orchestration state (frontier,
-    * visited, scores) is CONSTANT-bounded at nQueries·beam·(hops·K)
-    * rows and lives on the driver — the DSIR/BPE bounded-collect
-    * rule; every corpus-sized touch is a Spark scan of the persisted
-    * tables pruned by DRIVER-COMPUTED literals (bucket partitions +
-    * id pushdown into the id-sorted row groups — the q126 shape), so
-    * a 1000-executor deployment reads a handful of row groups per
-    * hop, never the corpus. Scoring joins are broadcast-tiny against
-    * the pruned scans. Deterministic end to end: hash entries, exact
-    * cosine, (score DESC, id ASC) cuts. */
+  /** Graph-ANN serving at interactive query counts (q147) — since
+    * round 14 a thin wrapper over the ONE batch traversal
+    * implementation ([[GraphServe.graphSearchBatch]]): maintaining a
+    * second driver-orchestrated loop for the same algorithm invited
+    * drift (r13 verdict), and the batch plan is already right at small
+    * nQueries — AQE broadcasts the tiny query side, every per-hop
+    * touch is an equi-join against the persisted serving tables, and
+    * the traversal state frames are nQueries-bounded. Entries are the
+    * same xxhash64(query_id, slot) draws from the staged REAL-id
+    * sample ([[entrySlotHash]] is the driver-side twin of the column
+    * expression, kept for consumers that need literals). */
   def graphSearchStaged(spark: org.apache.spark.sql.SparkSession,
       dir: String, nQueries: Int, k: Int, beam: Int = 8,
-      hops: Int = 8): DataFrame = {
-    val root = graphIndexStaged(spark, dir)
-    val edges = spark.read.parquet(s"$root/edges")
-    val vecs = spark.read.parquet(s"$root/vecs")
-    // the staged entry sample: ≤ NodeBuckets real ids, a bounded read
-    val entryIds = readEntrySample(spark, root)
-
-    // query vectors: one pruned point-lookup scan (query ids are the
-    // 0..nQueries-1 convention shared by every ANN entry)
-    val qIds = (0L until nQueries.toLong).toSeq
-    val qVecs = prunedByIds(vecs, "vec_id", qIds)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
-        col("nrm").as("q_nrm"))
-    val entries = qIds.map(q => q -> entriesFor(entryIds, q, beam)).toMap
-
-    import spark.implicits._
-    val res = beamLoop(spark, edges, vecs, qVecs, entries, beam, hops,
-      converge = false)
-    Similarity.topK(
-      res.scored.distinct.toDF("query_id", "neighbor_id", "score"), k)
-  }
+      hops: Int = 8): DataFrame =
+    GraphServe.graphSearchBatch(spark, dir, nQueries, k, beam, hops)
 
   /** The staged entry sample as an in-order id list (≤ [[NodeBuckets]]
     * rows — the bounded-collect rule). */
@@ -541,93 +534,6 @@ object NnDescent {
       ids: Seq[Long]): DataFrame =
     t.filter(col("nbucket").isin(ids.map(_ % NodeBuckets).distinct: _*) &&
       col(key).isin(ids: _*))
-
-  /** Result of a driver-orchestrated beam loop: every (query, node,
-    * score) triple the traversal scored, plus the hop count consumed —
-    * the telemetry the hierarchy's log-diameter claim is audited on. */
-  private[operators] final case class BeamTrace(
-      scored: Seq[(Long, Long, Double)], hops: Int)
-
-  /** The shared best-first beam loop over ONE edge table (layer) —
-    * the q147 serving body, extracted so the hierarchical descent
-    * (q152) can run it per layer. Per hop: expand the frontier's
-    * adjacency from a PRUNED edge lookup, drop visited, score the
-    * fresh candidates in one pruned vector scan, keep the per-query
-    * top-`beam` of this hop's scores as the next frontier. State is
-    * constant-bounded (nQueries·beam·hops·K) on the driver — the
-    * DSIR/BPE bounded-collect rule. With `converge` the loop also
-    * stops once NO query's running top-`beam`-by-score improved this
-    * hop (the adaptive hops-to-converge measure); without it the
-    * fixed `maxHops` budget applies (the q147 contract). */
-  private[operators] def beamLoop(spark: org.apache.spark.sql.SparkSession,
-      edges: DataFrame, vecs: DataFrame, qVecs: DataFrame,
-      entries: Map[Long, Seq[Long]], beam: Int, maxHops: Int,
-      converge: Boolean): BeamTrace = {
-    var frontier: Map[Long, Seq[Long]] = entries
-    var visited: Map[Long, Set[Long]] =
-      entries.keysIterator.map(q => q -> Set(q)).toMap
-    var best: Map[Long, Seq[(Long, Double)]] = Map.empty
-    val scoredAcc = Seq.newBuilder[(Long, Long, Double)]
-
-    var hop = 0
-    var improved = true
-    while (hop <= maxHops && frontier.valuesIterator.exists(_.nonEmpty) &&
-        (!converge || improved)) {
-      // candidates this hop: the entry nodes themselves (hop 0), then
-      // the frontier's adjacency from the pruned edge scan
-      val pairs: Seq[(Long, Long)] =
-        if (hop == 0) frontier.toSeq.flatMap { case (q, ns) => ns.map(q -> _) }
-        else {
-          val srcIds = frontier.valuesIterator.flatten.toSeq.distinct
-          if (srcIds.isEmpty) Seq.empty
-          else {
-            val adj = prunedByIds(edges, "src", srcIds)
-              .select("src", "dst").collect()
-              .map(r => (r.getLong(0), r.getLong(1)))
-              .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-            frontier.toSeq.flatMap { case (q, ns) =>
-              ns.flatMap(s => adj.getOrElse(s, Array.empty[Long]))
-                .distinct.map(q -> _)
-            }
-          }
-        }
-      val fresh = pairs.filter { case (q, c) => !visited(q).contains(c) }
-        .distinct
-      if (fresh.isEmpty) { frontier = frontier.map { case (q, _) => q -> Seq.empty[Long] } }
-      else {
-        visited = fresh.foldLeft(visited) { case (v, (q, c)) =>
-          v.updated(q, v(q) + c)
-        }
-        // one pruned scan scores all queries' fresh candidates
-        import spark.implicits._
-        val candDf = broadcast(fresh.toDF("query_id", "vec_id"))
-        val scored = prunedByIds(vecs, "vec_id", fresh.map(_._2).distinct)
-          .join(candDf, "vec_id")
-          .join(broadcast(qVecs), "query_id")
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            Similarity.cosine(col("q_emb"), col("q_nrm"), col("emb"),
-              col("nrm")).as("score"))
-          .collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-        scoredAcc ++= scored
-        frontier = scored.groupBy(_._1).map { case (q, rows) =>
-          q -> rows.sortBy(r => (-r._3, r._2)).take(beam).map(_._2)
-        }
-        // convergence: did any query's running top-beam set change?
-        val nextBest = scored.groupBy(_._1).foldLeft(best) {
-          case (acc, (q, rows)) =>
-            val merged = (acc.getOrElse(q, Seq.empty) ++
-              rows.map(r => (r._2, r._3)))
-              .distinct.sortBy(r => (-r._2, r._1)).take(beam)
-            acc.updated(q, merged)
-        }
-        improved = nextBest != best
-        best = nextBest
-      }
-      hop += 1
-    }
-    BeamTrace(scoredAcc.result(), hop)
-  }
 
   val queries: Seq[Query] = Seq(
     Query(
@@ -656,21 +562,23 @@ object NnDescent {
 
     Query(
       "q147_knn_graph_search",
-      "Graph-ANN SERVING over the persisted NN-descent index — the " +
-        "HNSW-layer-0-shaped path whose per-query cost is independent " +
-        "of corpus size (the property the IVF/PQ scan families lack): " +
-        "batched best-first beam search from deterministic hash " +
-        "entries, each hop one edge-adjacency point lookup + one " +
-        "candidate scoring pass against the persisted tables, BOTH " +
-        "pruned by driver-computed literals (id-mod-64 partition " +
-        "buckets + id pushdown into id-sorted row groups — the q126 " +
-        "persisted-BM25 shape). Traversal state is constant-bounded " +
-        "(nQueries*beam*hops*K) on the driver, the DSIR/BPE bounded-" +
-        "collect rule. The O(N*cap^2*rounds) graph build is staged " +
-        "write-once per (dataset, content) — the q77 economics. No " +
-        "oracle (the trajectory depends on the learned graph); " +
-        "design-gated in NnDescentSpec (recall floor, determinism, " +
-        "no corpus scan: execution-level pruning evidence).",
+      "Graph-ANN SERVING over the persisted NN-descent index at " +
+        "interactive query counts — the HNSW-layer-0-shaped path whose " +
+        "per-query cost is independent of corpus size (the property " +
+        "the IVF/PQ scan families lack): best-first beam search from " +
+        "deterministic hash entries over the staged REAL-id sample. " +
+        "Since round 14 this is a thin wrapper over the q151 batch " +
+        "machinery (ONE traversal implementation — the r13 verdict's " +
+        "two-code-paths-for-one-algorithm item): traversal state lives " +
+        "in nQueries-bounded query-keyed frames, AQE broadcasts the " +
+        "tiny query side, and each hop is one fused expand+score " +
+        "equi-join through the vector-embedding edge table. The " +
+        "O(N*cap^2*rounds) graph build is staged write-once per " +
+        "(dataset, content) — the q77 economics. No oracle (the " +
+        "trajectory depends on the learned graph); design-gated in " +
+        "NnDescentSpec (recall floor, determinism, staged-table " +
+        "bucket-pruning evidence) and GraphServeSpec (wrapper==batch " +
+        "identity).",
       (s, dir) => graphSearchStaged(s, dir, nQueries = 10, k = 5)),
 
     Query(
