@@ -59,7 +59,11 @@ object Recall {
     "q152_knn_graph_hier" -> 0.4,
     // hierarchical entries composed with the batch loop (r13): spec
     // pins >= 0.72 over the 100-query batch at sf0.001
-    "q154_knn_graph_hier_batch" -> 0.4)
+    "q154_knn_graph_hier_batch" -> 0.4,
+    // post-append hierarchical serving (r14): the q148 walk applied
+    // per level + recomputed top entries; spec pins >= 0.72 on both
+    // the mixed and the delta-only query sets at sf0.001
+    "q155_knn_graph_hier_append" -> 0.4)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

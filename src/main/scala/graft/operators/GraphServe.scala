@@ -280,7 +280,7 @@ object GraphServe {
 
   private def pow(b: Int, e: Int): Long = (1 to e).foldLeft(1L)((a, _) => a * b)
 
-  private[operators] def levelMember(l: Int) =
+  private[graft] def levelMember(l: Int) =
     pmod(xxhash64(col("vec_id"), lit("nn-hier")), lit(pow(HierDecimation, l))) === 0
 
   /** Write-once content-keyed layer hierarchy next to the base graph
@@ -290,26 +290,36 @@ object GraphServe {
     * [[TopEntries]] min-hash entry nodes, `meta/` the (level, n)
     * table. Total extra build cost is Σ (N/8^ℓ)·cap² ≤ N·cap²/7 — a
     * seventh of one base round. */
-  def graphHierStaged(spark: SparkSession, dir: String): String = {
+  def graphHierStaged(spark: SparkSession, dir: String): String =
+    hierStaged(spark, dir, tag = "full", pred = None)
+
+  /** Write-once hierarchy over the BASE slice (`vec_id % 10 != 0`, the
+    * q109/q148 split convention) — what [[graphHierAppendStaged]]
+    * maintains when the `% 10 == 0` arrivals land. Same layout as the
+    * full hierarchy. */
+  def graphHierBaseStaged(spark: SparkSession, dir: String): String =
+    hierStaged(spark, dir, tag = "base10",
+      pred = Some(col("vec_id") % 10 =!= 0))
+
+  private def hierStaged(spark: SparkSession, dir: String, tag: String,
+      pred: Option[org.apache.spark.sql.Column]): String = {
     // h3: layer layout gained embedded dst vectors (round 14); the key
     // also folds EVERY layout constant — MinLevelNodes and TopEntries
     // included (r13 advice: changing either must not silently serve a
     // stale level count or entry set)
     val out = "target/nndescent/graft_nnh_" + Bucketed.md5hex(
-      s"$dir/h3/k${NnDescent.K}/w${NnDescent.WorkFactor}/d$HierDecimation" +
+      s"$dir/h3/$tag/k${NnDescent.K}/w${NnDescent.WorkFactor}/d$HierDecimation" +
         s"/m$MinLevelNodes/t$TopEntries" +
         s"/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
       .take(8)
     Staging.ensure(spark, out) { tmp =>
-      val emb = Tables.embeddings(spark, dir)
+      val emb0 = Tables.embeddings(spark, dir)
+      val emb = pred.map(emb0.filter).getOrElse(emb0)
       val e = Similarity.prepared(emb)
       // per-level populations in ONE aggregate pass (probe depth 8 ≫
       // any real level count: level 8 would need 8^8 ≈ 16M-fold data)
-      val maxProbe = 8
-      val cntRow = e.select((1 to maxProbe).map(l =>
-        sum(when(levelMember(l), 1L).otherwise(0L)).as(s"c$l")): _*).head()
-      val counts = (1 to maxProbe).map(l => cntRow.getLong(l - 1))
-      val levels = (1 to maxProbe).takeWhile(l => counts(l - 1) >= MinLevelNodes)
+      val counts = levelCounts(e)
+      val levels = (1 to counts.size).takeWhile(l => counts(l - 1) >= MinLevelNodes)
       val topLevel = levels.lastOption.getOrElse(0)
       levels.foreach { l =>
         NnDescent.writeServingEdges(
@@ -322,11 +332,122 @@ object GraphServe {
       // clears MinLevelNodes the corpus itself is the top level
       val topPool = if (topLevel == 0) e else e.filter(levelMember(topLevel))
       writeTopEntries(topPool, s"$tmp/top")
-      import spark.implicits._
-      levels.map(l => (l, counts(l - 1))).toDF("level", "n")
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+      writeHierMeta(spark, levels.map(l => (l, counts(l - 1))), s"$tmp/meta")
     }
     out
+  }
+
+  /** Per-level populations in one aggregate pass. */
+  private def levelCounts(e: DataFrame, maxProbe: Int = 8): Seq[Long] = {
+    val cntRow = e.select((1 to maxProbe).map(l =>
+      sum(when(levelMember(l), 1L).otherwise(0L)).as(s"c$l")): _*).head()
+    (1 to maxProbe).map(l => cntRow.getLong(l - 1))
+  }
+
+  private def writeHierMeta(spark: SparkSession, rows: Seq[(Int, Long)],
+      path: String): Unit = {
+    import spark.implicits._
+    rows.toDF("level", "n").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  // ---- q155: hierarchical index APPEND (maintenance) ----
+
+  /** Idempotent post-append hierarchy — the maintenance op that was
+    * missing from the graph family (r13 verdict item 3): q148 inserts
+    * delta nodes into the FLAT graph, but the q152/q154 level graphs
+    * were built once with no append path, so after any ingest the
+    * hierarchical probes served a stale level structure that neither
+    * contained nor routed to the new nodes. The IVF family has all
+    * three maintenance ops (q109 append / q124 compact / q125
+    * retrain); this completes the pair for the hierarchy.
+    *
+    * Level membership is a PURE HASH TEST (xxhash64(id) ≡ 0 mod 8^ℓ),
+    * so each delta node's levels are deterministic and id-agnostic —
+    * no coin-flip state to persist, and the nested-divisibility
+    * invariant survives appends by construction. The insert is the
+    * q148 batch walk applied per level:
+    *
+    *   - layer 0: [[NnDescent.appendToGraph]] over the full corpus
+    *     against the staged CONVERGED base graph — delta-sized walk
+    *     rounds, never a scratch rebuild;
+    *   - level ℓ ≥ 1 present in the base hierarchy: the same walk
+    *     INSIDE the level population (base level graph + the delta
+    *     nodes hashing into ℓ — an expected 1/8^ℓ of the delta); a
+    *     level whose delta slice is empty just takes the walk's final
+    *     symmetric refinement round;
+    *   - a level the base hierarchy LACKS (the delta pushed its
+    *     population past [[MinLevelNodes]]): built from scratch at
+    *     level size — N/8^ℓ nodes, a cost that shrinks geometrically;
+    *   - top entries: recomputed over the appended top level (the
+    *     min-hash rule is order-free, so this is one bounded pass).
+    *
+    * Total append cost is delta-sized at layer 0 plus geometrically
+    * shrinking level terms — the base corpus is never rebuilt. Layers
+    * are written in the serving layout (embedded destination vectors),
+    * so [[hierServe]] runs unchanged against the appended root.
+    * Design-gated in GraphServeSpec: post-append recall over a mixed
+    * base+delta query set (delta subset asserted separately), the
+    * staleness differential (the base hierarchy provably contains no
+    * delta node in any table the search reads), determinism, and
+    * idempotent staging. */
+  def graphHierAppendStaged(spark: SparkSession, dir: String): String = {
+    val out = "target/nndescent/graft_nnha_" + Bucketed.md5hex(
+      s"$dir/a1/k${NnDescent.K}/w${NnDescent.WorkFactor}/d$HierDecimation" +
+        s"/m$MinLevelNodes/t$TopEntries" +
+        s"/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
+      .take(8)
+    Staging.ensure(spark, out) { tmp =>
+      val emb = Tables.embeddings(spark, dir)
+      val e = Similarity.prepared(emb)
+      val deltaPred = col("vec_id") % 10 === 0
+      // layer 0: the q148 delta walk against the staged converged base
+      val base0 = spark.read.parquet(NnDescent.baseGraphStaged(spark, dir))
+      NnDescent.writeServingEdges(
+        NnDescent.appendToGraph(emb, base0, deltaPred), e, s"$tmp/edges")
+      // appended level populations (counts over the union corpus)
+      val counts = levelCounts(e)
+      val levels = (1 to counts.size).takeWhile(l => counts(l - 1) >= MinLevelNodes)
+      val baseHroot = graphHierBaseStaged(spark, dir)
+      val baseLevels = spark.read.parquet(s"$baseHroot/meta")
+        .select("level").collect().map(_.getInt(0)).toSet
+      levels.foreach { l =>
+        val levelEmb = emb.filter(levelMember(l))
+        val g =
+          if (baseLevels.contains(l))
+            NnDescent.appendToGraph(levelEmb,
+              spark.read.parquet(s"$baseHroot/layer_$l")
+                .select("src", "dst", "score"),
+              deltaPred, nKnown = counts(l - 1))
+          else
+            NnDescent.build(levelEmb, k = NnDescent.K,
+              nKnown = counts(l - 1))
+        NnDescent.writeServingEdges(g, e, s"$tmp/layer_$l")
+      }
+      val topLevel = levels.lastOption.getOrElse(0)
+      val topPool = if (topLevel == 0) e else e.filter(levelMember(topLevel))
+      writeTopEntries(topPool, s"$tmp/top")
+      writeHierMeta(spark, levels.map(l => (l, counts(l - 1))), s"$tmp/meta")
+    }
+    out
+  }
+
+  /** Hierarchical serving over the APPENDED hierarchy — the exact
+    * q154 descent pointed at the maintained artifact, so post-ingest
+    * queries (delta nodes included) are served by the same machinery
+    * with no code fork. */
+  def graphSearchHierAppended(spark: SparkSession, dir: String,
+      nQueries: Int, k: Int, beam: Int = 8, hopsPerLevel: Int = 2,
+      hops: Int = 8): DataFrame = {
+    val root0 = NnDescent.graphIndexStaged(spark, dir)
+    val aroot = graphHierAppendStaged(spark, dir)
+    val vecs = spark.read.parquet(s"$root0/vecs")
+    val queries = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    hierServe(spark, aroot, spark.read.parquet(s"$aroot/edges"), vecs,
+      queries, k, beam, upperBudget = hopsPerLevel, baseBudget = hops,
+      converge = false)._1
   }
 
   /** The top level's [[TopEntries]] min-(xxhash64, id) nodes. */
@@ -535,6 +656,30 @@ object GraphServe {
         "the next layer's graph. No oracle (learned-graph trajectory); " +
         "design-gated in GraphServeSpec (recall >= the IVF bar over " +
         "the 100-query batch, determinism, no-cartesian plan assert).",
-      (s, dir) => graphSearchHierBatch(s, dir, nQueries = 100, k = 5))
+      (s, dir) => graphSearchHierBatch(s, dir, nQueries = 100, k = 5)),
+
+    Query(
+      "q155_knn_graph_hier_append",
+      "Hierarchical-index APPEND — the maintenance op completing the " +
+        "graph family's parity with IVF (q109/q124/q125): q148 " +
+        "inserts arrivals into the FLAT graph, but the q152/q154 " +
+        "level graphs were built once, so after any ingest the " +
+        "hierarchical probes served a stale structure that neither " +
+        "contained nor routed to new nodes. Level membership is a " +
+        "pure hash test (xxhash64(id) = 0 mod 8^l), so each delta " +
+        "node's levels are deterministic; the insert is the q148 " +
+        "delta-sized batch walk applied per level (base graph at " +
+        "layer 0, each base level graph inside its level population), " +
+        "levels the base lacked build from scratch at their " +
+        "geometrically shrinking size, and the min-hash top entries " +
+        "recompute in one bounded pass. Layers stage in the serving " +
+        "layout, so the q154 descent serves the appended root " +
+        "unchanged — this entry runs it over a mixed base+delta " +
+        "query set. No oracle (learned-graph trajectory); design-" +
+        "gated in GraphServeSpec (post-append recall >= the IVF bar " +
+        "with the delta subset asserted separately, staleness " +
+        "differential — the base hierarchy provably holds no delta " +
+        "node, determinism, idempotent staging).",
+      (s, dir) => graphSearchHierAppended(s, dir, nQueries = 100, k = 5))
   )
 }

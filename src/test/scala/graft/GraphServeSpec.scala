@@ -141,6 +141,64 @@ class GraphServeSpec extends AnyFunSuite {
       s"entry $id is not a real node id"))
   }
 
+  test("q155 hierarchical append: delta nodes enter every level they " +
+    "hash into, the stale base hierarchy provably misses them, " +
+    "recall clears the bar (delta subset included), and staging is " +
+    "idempotent + deterministic") {
+    import spark.implicits._
+    val aroot = GraphServe.graphHierAppendStaged(spark, sf)
+    // idempotent staging: a second call serves the same committed root
+    assert(GraphServe.graphHierAppendStaged(spark, sf) === aroot)
+    val broot = GraphServe.graphHierBaseStaged(spark, sf)
+    val deltaIds = graft.operators.Similarity
+      .prepared(Tables.embeddings(spark, sf))
+      .filter(col("vec_id") % 10 === 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(deltaIds.nonEmpty)
+    def srcs(path: String): Set[Long] =
+      spark.read.parquet(path).select("src").distinct()
+        .as[Long].collect().toSet
+    // staleness differential: NO table the stale search reads holds a
+    // delta node, so a pre-append probe provably cannot return one
+    val baseLevels = spark.read.parquet(s"$broot/meta")
+      .select("level").as[Int].collect().toSeq
+    baseLevels.foreach { l =>
+      assert((srcs(s"$broot/layer_$l") & deltaIds).isEmpty,
+        s"stale base level $l contains delta nodes")
+    }
+    // the appended hierarchy contains every delta node at layer 0 and
+    // at every level its hash admits it to
+    assert(deltaIds.subsetOf(srcs(s"$aroot/edges")),
+      "appended layer 0 is missing delta nodes")
+    val apLevels = spark.read.parquet(s"$aroot/meta")
+      .select("level").as[Int].collect().toSeq
+    apLevels.foreach { l =>
+      val owed = Tables.embeddings(spark, sf)
+        .filter(GraphServe.levelMember(l) && col("vec_id") % 10 === 0)
+        .select("vec_id").as[Long].collect().toSet
+      assert(owed.subsetOf(srcs(s"$aroot/layer_$l")),
+        s"appended level $l is missing delta members: " +
+          s"${(owed -- srcs(s"$aroot/layer_$l")).take(5)}")
+    }
+    // post-append serving: recall over the mixed 100-query set and
+    // over the delta subset both clear the family bar; deterministic
+    def run() = SparkEntry.queries("q155_knn_graph_hier_append")(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val first = run()
+    assert(first === run(), "post-append hier serving must be deterministic")
+    val got = first.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = pairsOf(Similarity.knnBrute(Tables.embeddings(spark, sf), 100, 5))
+    def recallOver(qs: Iterable[Long]): Double =
+      qs.map(q => (got.getOrElse(q, Set.empty) & exact(q)).size).sum
+        .toDouble / (qs.size * 5)
+    val all = recallOver(exact.keys.toSeq)
+    val delta = recallOver(exact.keys.filter(_ % 10 == 0).toSeq)
+    info(s"q155 post-append recall@5: all=$all delta=$delta")
+    assert(all >= 0.72d, s"post-append recall $all below the IVF bar")
+    assert(delta >= 0.72d, s"delta-query recall $delta below the IVF bar")
+  }
+
   test("the driver-side entry slot hash equals the SQL xxhash64 twin " +
     "(the batch/interactive identity precondition)") {
     import spark.implicits._
