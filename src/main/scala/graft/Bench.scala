@@ -75,7 +75,7 @@ object Bench {
     "q145_tokenizer_compare", "q146_knn_graph", "q147_knn_graph_search", "q148_knn_graph_append",
     "q149_unigram_byte_learn", "q150_unigram_byte_encode",
     "q151_knn_graph_batch", "q152_knn_graph_hier", "q153_avro_roundtrip",
-    "q154_knn_graph_hier_batch", "q155_knn_graph_hier_append",
+    "q154_knn_graph_hier_batch", "q155_knn_graph_hier_append", "q156_knn_filtered",
     // the nine sub-second parity/scan entries below were excluded by
     // curation through r11; the r11 verdict asked the artifact to
     // cover the full catalog (they cost ~3 s of bench time total)

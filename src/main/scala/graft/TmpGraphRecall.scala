@@ -23,9 +23,20 @@ object TmpGraphRecall {
       per.sum / per.size
     }
     Seq("q147_knn_graph_search", "q151_knn_graph_batch",
-        "q152_knn_graph_hier", "q154_knn_graph_hier_batch").foreach { n =>
+        "q152_knn_graph_hier", "q154_knn_graph_hier_batch",
+        "q155_knn_graph_hier_append").foreach { n =>
       println(f"[tmp] $n recall@5 = ${recallOf(pairs(n))}%.3f")
     }
+    // q156 vs the FILTERED brute
+    val embT = graft.sources.Tables.embeddings(spark, sfDir)
+    val fexact = operators.Similarity.knnBruteFiltered(embT, 100, 5, 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val fgot = pairs("q156_knn_filtered")
+    val fr = fexact.map { case (q, t) =>
+      (fgot.getOrElse(q, Set.empty) & t).size.toDouble / t.size }
+    println(f"[tmp] q156_knn_filtered recall@5 = ${fr.sum / fr.size}%.3f (filtered brute)")
     spark.stop()
   }
 }

@@ -236,6 +236,71 @@ object AnnIndex {
     probeAt(spark, dir, ivfRetrainIndex(spark, dir, centroids, lloydIters),
       nQueries, k, nProbe)
 
+  // ---- q156: attribute-constrained (filtered) ANN ----
+
+  /** Idempotently materialize the FILTERED-ANN IVF index: the same
+    * deterministic coarse quantizer as q77, but the inverted lists
+    * CARRY the vector's payload attribute (`label`, from the
+    * embeddings table) and are partitioned by (label, cluster) — the
+    * Hive-style layout that makes an attribute-constrained probe a
+    * doubly partition-pruned read: the label predicate prunes to one
+    * label subtree and the probe's cluster equi-join prunes to nProbe
+    * directories inside it, so selectivity cuts BEFORE any vector is
+    * scored (every production vector store's "nearest WHERE lang=…"
+    * query). Label-out layout beats a post-scan row filter at scale:
+    * the label never has to be read to be rejected, and — unlike the
+    * filter-a-fixed-candidate-cut design, whose recall decays with
+    * 1/selectivity — probing lists and THEN keeping the label's
+    * members loses nothing vs the filtered ground truth at a given
+    * probe ratio (cluster rank is independent of label).
+    *
+    * `centroids` defaults lower than q77's 256: per-label sub-lists at
+    * C=256 would be single-digit rows at test scale and the layout
+    * degenerates to one file per vector; at 100 TB both knobs rise
+    * together. */
+  def ivfFilteredIndex(spark: SparkSession, dir: String,
+      centroids: Int = 64, lloydIters: Int = 3): String = {
+    val out = "target/ann/graft_ivff_" + md5hex(
+      s"$dir/f1/$centroids/$lloydIters/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
+      .take(8)
+    Staging.ensure(spark, out) { tmp =>
+      val emb = Tables.embeddings(spark, dir)
+      val e = Similarity.prepared(emb)
+      val cent = Similarity.ivfCentroids(e, centroids, lloydIters)
+      cent.write.mode("overwrite").parquet(s"$tmp/centroids")
+      // one assignment pass + one vec-keyed join attaches the payload
+      // attribute; label-major repartition keeps the file count at
+      // (labels × clusters) directories, one writer task per label
+      Similarity.assignToCentroids(e, cent)
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        .repartition(col("label"))
+        .write.mode("overwrite").partitionBy("label", "cluster")
+        .parquet(s"$tmp/lists")
+      cent.unpersist()
+    }
+  }
+
+  /** Attribute-constrained ANN over the persisted filtered index:
+    * `WHERE label = ?` composed with the IVF probe. The predicate is a
+    * plain filter on the lists scan's partition column, so it reaches
+    * the scan as a PartitionFilter (plan-asserted in AnnIndexSpec) and
+    * non-matching labels are never read; the probe side then prunes to
+    * `nProbe` cluster directories inside the label subtree. Recall is
+    * gated against the FILTERED exact answer
+    * ([[Similarity.knnBruteFiltered]]) — the contract a constrained
+    * query actually has. */
+  def knnIvfFiltered(spark: SparkSession, dir: String, nQueries: Int,
+      k: Int, label: Int, centroids: Int = 64, nProbe: Int = 32,
+      lloydIters: Int = 3): DataFrame = {
+    val idx = ivfFilteredIndex(spark, dir, centroids, lloydIters)
+    val cent = spark.read.parquet(s"$idx/centroids")
+    val lists = spark.read.parquet(s"$idx/lists")
+      .filter(col("label") === lit(label))
+    val q = Similarity.prepared(Tables.embeddings(spark, dir))
+      .filter(col("vec_id") < nQueries)
+    Similarity.ivfProbe(lists, cent, q, nProbe, k)
+  }
+
   /** Idempotently materialize the PQ index for `dir`'s embeddings:
     * `codebooks/` (m·k sub-centroids) + `codes/` (m code bytes per
     * vector). Returns the index root. */
@@ -435,6 +500,27 @@ object AnnIndex {
                CAST(SUM(sil_u) AS BIGINT) AS sum_sil_u,
                CAST(MIN(sil_u) AS BIGINT) AS min_sil_u
         FROM r GROUP BY 1
-        ORDER BY cluster""")))
+        ORDER BY cluster"""))),
+
+    Query(
+      "q156_knn_filtered",
+      "Attribute-constrained (filtered) ANN — 'nearest neighbors WHERE " +
+        "label = ?', the query shape every production vector store " +
+        "serves and the catalog lacked (r13 verdict item 4): the " +
+        "persisted IVF lists CARRY the payload attribute and are " +
+        "partitioned by (label, cluster), so the predicate reaches " +
+        "the scan as a PartitionFilter (plan-asserted — non-matching " +
+        "labels are never read) and the probe's cluster equi-join " +
+        "prunes to nProbe directories inside the label subtree: " +
+        "selectivity cuts BEFORE any vector is scored. Probing lists " +
+        "then keeping the label's members holds recall at a given " +
+        "probe ratio against the FILTERED ground truth (cluster rank " +
+        "is independent of label) — unlike the filter-a-fixed-" +
+        "candidate-cut design whose recall decays with 1/selectivity. " +
+        "No oracle (approximate by design); design-gated in " +
+        "AnnIndexSpec: recall >= the IVF bar vs the filtered exact " +
+        "answer (knnBruteFiltered), every neighbor carries the " +
+        "constraint label, partition-pruning plan assert, determinism.",
+      (s, dir) => knnIvfFiltered(s, dir, nQueries = 100, k = 5, label = 3))
   )
 }

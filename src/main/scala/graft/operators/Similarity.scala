@@ -55,6 +55,24 @@ object Similarity {
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", l2norm(col("emb")))
 
+  /** Exact top-k among the label-constrained corpus for UNCONSTRAINED
+    * query vectors — the ground truth a filtered-ANN probe (q156) is
+    * gated against: the query is any vector, the answer set is the
+    * `label = ?` slice. Same shape as [[knnBrute]] with the corpus
+    * side pre-filtered. */
+  def knnBruteFiltered(emb: DataFrame, nQueries: Int, k: Int,
+      label: Int): DataFrame = {
+    val e = prepared(emb)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val corpus = prepared(emb.filter(col("label") === lit(label)))
+    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("score"))
+    topK(scored, k)
+  }
+
   /** Exact top-k cosine neighbors for the query set `vec_id < nQueries`.
     * Output: (query_id, neighbor_id, rank, score). */
   def knnBrute(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {

@@ -270,4 +270,42 @@ class AnnIndexSpec extends AnyFunSuite {
     }
     assert(SparkEntry.oracleSql("q138_cluster_quality").contains("read_parquet"))
   }
+
+  test("q156 filtered ANN: recall clears the IVF bar vs the FILTERED " +
+    "exact answer, every neighbor carries the constraint label, the " +
+    "predicate reaches the lists scan as a PartitionFilter, and " +
+    "repeats are deterministic") {
+    import org.apache.spark.sql.functions.col
+    val label = 3
+    val emb = Tables.embeddings(spark, sf)
+    def pairs(df: DataFrame) = df.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = pairs(Similarity.knnBruteFiltered(emb, 100, 5, label))
+    val res = AnnIndex.knnIvfFiltered(spark, sf, nQueries = 100, k = 5,
+      label = label)
+    val first = res.collect().map(_.toString).toSeq
+    assert(first === AnnIndex.knnIvfFiltered(spark, sf, 100, 5, label)
+      .collect().map(_.toString).toSeq, "filtered probe must be deterministic")
+    val got = pairs(res)
+    // constraint correctness: no neighbor outside the label slice
+    val labelIds = emb.filter(col("label") === label)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    got.values.flatten.foreach(n => assert(labelIds.contains(n),
+      s"neighbor $n does not carry label $label"))
+    // recall vs the filtered ground truth — the contract a
+    // constrained query actually has
+    val recall = exact.keys.toSeq
+      .map(q => (got.getOrElse(q, Set.empty) & exact(q)).size).sum
+      .toDouble / exact.values.map(_.size).sum
+    info(s"q156 filtered recall@5 over 100 queries = $recall")
+    assert(recall >= 0.72d, s"filtered recall $recall below the IVF bar")
+    // the label predicate must prune PARTITIONS of the lists scan —
+    // non-matching labels are never read
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      """PartitionFilters: \[[^\]]*label""".r.findFirstIn(plan).isDefined,
+      s"label predicate did not reach the lists scan as a partition filter")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
