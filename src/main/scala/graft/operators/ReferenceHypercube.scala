@@ -339,6 +339,37 @@ object ReferenceHypercube {
       broadcastDim = dimBytes <= BroadcastDimMaxCsvBytes)
   }
 
+  /** Staged-fingerprint oracle root for q10/q11 (round-14 upgrade —
+    * the q110 convention, applied to the binary fact): DuckDB cannot
+    * read the 16-byte big-endian format, but the DSv2 decode is
+    * deterministic and independently golden-gated (58,176 records,
+    * FIXTURES totals — `ReferenceParitySpec`), so the decoded fact is
+    * staged once as parquet and the oracle recomputes the ENTIRE
+    * downstream pipeline from it: q10's totals and q11's full
+    * 34k-group hypercube become driver-checked hash compares. The
+    * float32 amounts are converted to exact DECIMAL once, at stage
+    * time (Spark's deterministic float→decimal), so both engines
+    * aggregate bit-identical values — the q63 decimal-differential
+    * convention; the reference's float→double accumulation contract
+    * stays golden-gated on the `fromFolder`/EtlMain path. */
+  @volatile private[graft] var binOracleRoot: Option[String] = None
+
+  /** Write-once staged decode of the reference's `invoices.bin`
+    * (contract, time, amount DECIMAL(20,10), consumption). */
+  private[graft] def invoicesStaged(spark: SparkSession): String = {
+    val bin = "/root/reference/data-sample/invoices.bin"
+    val out = "target/reference/graft_invbin_" + Bucketed.md5hex(
+      s"$bin/v1/${Layout.contentKey(spark, bin)}").take(8)
+    Staging.ensure(spark, out) { tmp =>
+      invoices(spark, bin)
+        .select(col("contract"), col("time"),
+          col("amount").cast(DecimalType(20, 10)).as("amount"),
+          col("consumption"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/fact")
+    }
+    out
+  }
+
   /** Reference-exact `#.00` amount rendering (`ETL.java:255,266`):
     * half-up to 2 decimals, no leading zero before the point (`.50`,
     * `-.50`, `.00` — `DecimalFormat("#.00")` drops it), locale-stable

@@ -396,24 +396,78 @@ object Relational {
     Query(
       "q10_binary_scan",
       "S3: fixed-width big-endian binary source (the reference's invoices.bin layout, " +
-        "README.md:66) via distributed binaryRecords + ByteBuffer decode. Totals over " +
-        "the reference's own fact file; golden-checked in ScalaTest against FIXTURES.md.",
-      (s, _) =>
+        "README.md:66) via the DSv2 record-aligned reader. Totals over the reference's " +
+        "own fact file; golden-checked in ScalaTest against FIXTURES.md. Oracle " +
+        "(round-14 upgrade, the q110 staged-fingerprint convention): DuckDB cannot " +
+        "read the binary format, so the spec-gated deterministic decode is staged " +
+        "once as parquet and the oracle recomputes the totals from it — the " +
+        "aggregation becomes a driver-checked hash compare while the decode stays " +
+        "golden-gated in ReferenceParitySpec.",
+      (s, _) => {
+        ReferenceHypercube.binOracleRoot = Some(
+          new java.io.File(ReferenceHypercube.invoicesStaged(s)).getAbsolutePath)
         FixedWidthBinary.invoices(s, "/root/reference/data-sample/invoices.bin")
           .agg(
             count(lit(1)).as("n_records"),
             sum("consumption").as("sum_consumption"),
             countDistinct(col("contract")).as("d_contracts"),
-            min("time").as("min_time"), max("time").as("max_time"))),
+            min("time").as("min_time"), max("time").as("max_time"))
+      },
+      oracleFn = Some(() => ReferenceHypercube.binOracleRoot.map(root => s"""
+        SELECT COUNT(*) AS n_records,
+               CAST(SUM(consumption) AS BIGINT) AS sum_consumption,
+               COUNT(DISTINCT contract) AS d_contracts,
+               MIN("time") AS min_time, MAX("time") AS max_time
+        FROM read_parquet('$root/fact/*.parquet')"""))),
 
     Query(
       "q11_hypercube_ref",
-      "End-to-end reference parity: the full hypercube pipeline (S1–S4, J1–J2, A1–A6, " +
-        "P3, O1) over the reference's own data-sample; golden-checked in ScalaTest " +
-        "against FIXTURES.md (34,271 groups / Σninvoices 58,176 / Σconsumption 58,294,383). " +
-        "The binary fact file is not DuckDB-readable, so the DIFFERENTIAL twin of this " +
-        "check runs as q63_hypercube_ref_csv over the CSV form of the same fact.",
-      (s, _) => ReferenceHypercube.fromFolder(s, "/root/reference/data-sample")),
+      "End-to-end reference parity over the BINARY fact: the full hypercube pipeline " +
+        "(S1–S4, J1–J2, A1–A6, P3, O1) over the reference's own data-sample, with the " +
+        "fact decoded by the DSv2 binary reader. Oracle (round-14 upgrade — the q110 " +
+        "staged-fingerprint + q63 decimal-differential conventions combined): the " +
+        "spec-gated deterministic decode is staged once as parquet with amounts " +
+        "converted float→exact-DECIMAL at stage time, both engines run the ENTIRE " +
+        "34k-group hypercube from the staged fact, and the whole result row-hash-" +
+        "compares — upgrading the binary path from golden totals to a per-row " +
+        "differential (q63 keeps the CSV twin; the reference's float→double " +
+        "accumulation contract stays golden-gated on fromFolder/EtlMain in " +
+        "ReferenceParitySpec).",
+      (s, _) => {
+        val folder = "/root/reference/data-sample"
+        val root = ReferenceHypercube.invoicesStaged(s)
+        ReferenceHypercube.binOracleRoot =
+          Some(new java.io.File(root).getAbsolutePath)
+        ReferenceHypercube.hypercube(
+          ReferenceHypercube.clients(s, s"$folder/clients.csv"),
+          ReferenceHypercube.contracts(s, s"$folder/contracts.csv"),
+          s.read.parquet(s"$root/fact"),
+          ReferenceHypercube.ReferenceExact, broadcastDim = true)
+          // decimal-exact sum rendered as double for engine-portable hashing
+          .withColumn("amount", col("amount").cast("double"))
+      },
+      oracleFn = Some(() => ReferenceHypercube.binOracleRoot.map(root => s"""
+        WITH i AS (
+          SELECT * FROM read_parquet('$root/fact/*.parquet')
+        ), k AS (
+          SELECT * FROM read_csv('/root/reference/data-sample/contracts.csv', header=true,
+            columns={'id':'INTEGER','id_client':'INTEGER','nature':'INTEGER',
+                     'start':'INTEGER','end':'INTEGER'})
+        ), c AS (
+          SELECT * FROM read_csv('/root/reference/data-sample/clients.csv', header=true,
+            columns={'id':'INTEGER','type':'INTEGER','geo':'INTEGER','misc':'INTEGER'})
+        )
+        SELECT c.geo, c.type, c.misc, k.nature, i."time",
+               CAST(SUM(i.consumption) AS BIGINT) AS consumption,
+               CAST(SUM(i.amount) AS DOUBLE) AS amount,
+               COUNT(DISTINCT k.id_client) AS nclients,
+               COUNT(DISTINCT i.contract) AS ncontrats,
+               COUNT(*) AS ninvoices
+        FROM i
+        JOIN k ON k.id = i.contract
+        JOIN c ON c.id = k.id_client
+        GROUP BY 1, 2, 3, 4, 5
+        ORDER BY 1, 2, 3, 4, 5"""))),
 
     Query(
       "q63_hypercube_ref_csv",
