@@ -83,6 +83,43 @@ object SemanticDedup {
         col("canonical_doc").as("canonical_vec"), col("keep"))
   }
 
+  /** The q80 demo corpus: planted twins over the embeddings table. */
+  private def q80Corpus(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    Similarity.plantedDupCorpus(Tables.embeddings(spark, dir), offset = 100000)
+      .withColumnRenamed("emb", "embedding")
+
+  /** Staged-twin oracle root for q80 (round-14 upgrade — the q102/q143
+    * convention): [[graft.SemanticDedupReference]]'s verdicts staged as
+    * parquet, so DuckDB hash-compares the Spark operator against a full
+    * independent reimplementation instead of the check living only in
+    * ScalaTest. */
+  @volatile private[graft] var twinOracleRoot: Option[String] = None
+
+  /** Write-once staged reference verdicts. Driver-side collects are the
+    * oracle-twin convention (BpeReference/UnigramReference): an oracle
+    * runs at oracle scale — thousands of vectors, single-digit MB — and
+    * the artifact is content-keyed write-once. */
+  private[graft] def twinStaged(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val out = "target/semdedup/graft_sdd_" + Bucketed.md5hex(
+      s"$dir/t1/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}").take(8)
+    Staging.ensure(spark, out) { tmp =>
+      val e = Similarity.prepared(q80Corpus(spark, dir))
+      val cent = Similarity.ivfCentroids(e, centroids = 64, lloydIters = 1)
+      val centRows = cent.collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray, r.getDouble(2)))
+      cent.unpersist()
+      val vecs = e.collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray, r.getDouble(2)))
+      import spark.implicits._
+      graft.SemanticDedupReference.verdicts(vecs, centRows, tau = 0.95)
+        .toDF("vec_id", "component_id", "canonical_vec", "keep")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/verdicts")
+    }
+    out
+  }
+
   val queries: Seq[Query] = Seq(
     Query(
       "q80_semantic_dedup",
@@ -92,13 +129,23 @@ object SemanticDedup {
         "(cluster-keyed self-join, never corpus x corpus), q40 connected " +
         "components, survivor = farthest from centroid (the paper's keep " +
         "policy). Approximate by design (cross-cluster pairs are missed), " +
-        "so no SQL oracle; ScalaTest gates planted recall, a plain-Scala " +
+        "so no SQL twin exists — the oracle (round-14 upgrade, the " +
+        "q102/q143 staged-twin convention) is the independent plain-Scala " +
+        "reimplementation the spec differentials against, staged as " +
+        "parquet and hash-compared by DuckDB: assignment, pair search, " +
+        "union-find transitivity and the election all re-derived from " +
+        "the paper's definitions, sharing only the deterministic " +
+        "centroid frame. ScalaTest keeps planted recall, the in-memory " +
         "differential, and determinism.",
-      (s, dir) =>
-        semanticDedup(
-          Similarity.plantedDupCorpus(Tables.embeddings(s, dir), offset = 100000)
-            .withColumnRenamed("emb", "embedding"),
-          threshold = 0.95)
-          .orderBy("vec_id"))
+      (s, dir) => {
+        twinOracleRoot =
+          Some(new java.io.File(twinStaged(s, dir)).getAbsolutePath)
+        semanticDedup(q80Corpus(s, dir), threshold = 0.95)
+          .orderBy("vec_id")
+      },
+      oracleFn = Some(() => twinOracleRoot.map(root => s"""
+        SELECT vec_id, component_id, canonical_vec, keep
+        FROM read_parquet('$root/verdicts/*.parquet')
+        ORDER BY vec_id""")))
   )
 }

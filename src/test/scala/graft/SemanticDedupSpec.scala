@@ -40,7 +40,11 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(nOrig > 0)
   }
 
-  test("matches an independent plain-Scala reimplementation on the same centroids") {
+  test("matches the independent plain-Scala reimplementation on the same centroids") {
+    // the twin now lives in main (SemanticDedupReference — staged as
+    // q80's DuckDB oracle since round 14); this test keeps the fast
+    // in-memory differential at spec parameters (16 centroids vs the
+    // entry's 64)
     val e = Similarity.prepared(corpus)
     // ivfCentroids is deterministic, so this equals the frame
     // semanticDedup derives internally
@@ -49,43 +53,8 @@ class SemanticDedupSpec extends AnyFunSuite {
         r.getSeq[Double](1).toArray, r.getDouble(2)))
     val vecs = e.collect().map(r => (r.getLong(0),
       r.getSeq[Double](1).toArray, r.getDouble(2)))
-    def dot(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
-    }
-    // nearest centroid, ties to the HIGHER cent_id (the max_by struct order)
-    val assign = vecs.map { case (id, v, n) =>
-      val best = cent.map { case (cid, cv, cn) => (dot(v, cv) / (n * cn), cid) }.max
-      id -> best._2
-    }.toMap
-    val byId = vecs.map(t => t._1 -> t).toMap
-    val centCos = vecs.map { case (id, v, n) =>
-      val (_, cv, cn) = cent.find(_._1 == assign(id)).get
-      id -> dot(v, cv) / (n * cn)
-    }.toMap
-    // within-cluster pairs at cosine >= tau, then union-find
-    val ids = vecs.map(_._1).sorted
-    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
-    def find(x: Long): Long =
-      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
-    var nPairs = 0
-    for (a <- ids; b <- ids if a < b && assign(a) == assign(b)) {
-      val (_, va, na) = byId(a); val (_, vb, nb) = byId(b)
-      if (dot(va, vb) / (na * nb) >= tau) {
-        nPairs += 1
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(ra max rb) = ra min rb
-      }
-    }
-    assert(nPairs > 0, "differential fixture produced no pairs")
-    val byComp = ids.filter(i => find(i) != i || ids.exists(j => j != i && find(j) == find(i)))
-      .groupBy(find)
-    val expected = byComp.toSeq.flatMap { case (c, members) =>
-      // keepList: max_by(doc_id, (score, -doc_id)), score = -centCos
-      // == minimize (centCos, doc_id)
-      val canonical = members.minBy(m => (centCos(m), m))
-      members.map(m => (m, c, canonical, m == canonical))
-    }.toSet
+    val expected = SemanticDedupReference.verdicts(vecs, cent, tau).toSet
+    assert(expected.nonEmpty, "differential fixture produced no components")
     val got = SemanticDedup.semanticDedup(corpus, tau, nCent).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
     assert(got === expected)
