@@ -26,6 +26,32 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(r.getAs[Long]("sc") === 58294383L)
   }
 
+  test("staged binary decode (the q10/q11 oracle root) matches the " +
+    "live reader record for record") {
+    // the round-14 staged-fingerprint oracle feeds BOTH engines from
+    // this parquet — a silent staging bug would make the hash compare
+    // vacuous, so the stage is pinned against the live decode here:
+    // same count, same golden totals, and the decimal amounts
+    // round-trip the float values exactly (cast back == original)
+    val root = ReferenceHypercube.invoicesStaged(spark)
+    val staged = spark.read.parquet(s"$root/fact")
+    assert(staged.count() === 58176L)
+    val r = staged.agg(
+      org.apache.spark.sql.functions.min("time").as("mn"),
+      org.apache.spark.sql.functions.max("time").as("mx"),
+      sum("consumption").as("sc")).head()
+    assert(r.getAs[Int]("mn") === 1)
+    assert(r.getAs[Int]("mx") === 36)
+    assert(r.getAs[Long]("sc") === 58294383L)
+    val live = FixedWidthBinary.invoices(spark, s"$sample/invoices.bin")
+      .select(col("contract"), col("time"),
+        col("amount").cast(org.apache.spark.sql.types.DecimalType(20, 10))
+          .as("amount"),
+        col("consumption"))
+    assert(staged.exceptAll(live).isEmpty && live.exceptAll(staged).isEmpty,
+      "staged decode diverged from the live DSv2 reader")
+  }
+
   test("hypercube: 34,271 non-empty groups") {
     assert(cube.count() === 34271L)
   }
