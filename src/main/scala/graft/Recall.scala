@@ -63,7 +63,8 @@ object Recall {
     // post-append hierarchical serving (r14): the q148 walk applied
     // per level + recomputed top entries; spec pins >= 0.72 on both
     // the mixed and the delta-only query sets at sf0.001
-    "q155_knn_graph_hier_append" -> 0.4)
+    "q155_knn_graph_hier_append" -> 0.4,
+    "q158_knn_graph_sq8" -> 0.4)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -118,28 +119,29 @@ object Recall {
       println(f"[recall] $name%-22s recall@k = $recall%.3f (floor $floor%.2f, delta-node queries)")
       Seq(s""""$name":{"recall":$recall,"floor":$floor,"queries":"delta_nodes"}""")
     } ++ {
-      // q156 filtered ANN (r14): its ground truth is the FILTERED exact
-      // answer (top-k among the label slice for unconstrained queries),
-      // not the q19 unfiltered brute — the contract a constrained query
-      // actually has. Floor = the family convention (~half the 0.78 the
-      // sf0.1 point measures; spec pins >= 0.72 at sf0.001).
-      val name = "q156_knn_filtered"
-      val floor = 0.4
+      // q156/q157 filtered ANN (r14): their ground truth is the
+      // FILTERED exact answer (top-k among the label slice for
+      // unconstrained queries), not the q19 unfiltered brute — the
+      // contract a constrained query actually has. Floor = the family
+      // convention; specs pin >= 0.72 at sf0.001.
       val exact = graft.operators.Similarity
         .knnBruteFiltered(graft.sources.Tables.embeddings(spark, sfDir),
           100, 5, label = 3)
         .select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-      val got = pairs(name)
-      val perQuery = exact.map { case (q, truth) =>
-        (got.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+      Seq("q156_knn_filtered", "q157_knn_graph_filtered").map { name =>
+        val floor = 0.4
+        val got = pairs(name)
+        val perQuery = exact.map { case (q, truth) =>
+          (got.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+        }
+        val recall = perQuery.sum / perQuery.size
+        require(recall >= floor,
+          f"$name filtered recall@k collapsed: $recall%.3f < floor $floor%.2f")
+        println(f"[recall] $name%-22s recall@k = $recall%.3f (floor $floor%.2f, filtered brute)")
+        s""""$name":{"recall":$recall,"floor":$floor,"baseline":"filtered_brute"}"""
       }
-      val recall = perQuery.sum / perQuery.size
-      require(recall >= floor,
-        f"$name filtered recall@k collapsed: $recall%.3f < floor $floor%.2f")
-      println(f"[recall] $name%-22s recall@k = $recall%.3f (floor $floor%.2f, filtered brute)")
-      Seq(s""""$name":{"recall":$recall,"floor":$floor,"baseline":"filtered_brute"}""")
     }
 
     // Recall/latency FRONTIER (round-9, verdict item 5): the catalog

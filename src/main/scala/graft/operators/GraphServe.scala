@@ -69,15 +69,19 @@ object GraphServe {
     * (query_id, node, score) — the final top-k is a prefix of it, and
     * the hierarchical descent carries it down as the next layer's
     * entries — plus the hop count consumed (the telemetry the
-    * hierarchy's log-diameter claim is audited on). */
-  private[operators] final case class BatchTrace(best: DataFrame, hops: Int)
+    * hierarchy's log-diameter claim is audited on). `bestF` is the
+    * running top-beam over PREDICATE-MATCHING nodes only — non-null
+    * exactly when the traversal ran with a `filterLab` (q157). */
+  private[operators] final case class BatchTrace(best: DataFrame, hops: Int,
+      bestF: DataFrame = null)
 
-  /** SQL type of the (ns, node) proposal struct: `ns` is the NEGATED
-    * cosine so `sort_array`'s natural struct order (first field asc,
-    * then second) is exactly the serving order (score DESC, node ASC);
-    * negation is exact in IEEE, so `-ns` recovers the score
-    * bit-for-bit. */
-  private val PropType = "array<struct<ns:double,node:bigint>>"
+  /** SQL type of the (ns, node, lab) proposal struct: `ns` is the
+    * NEGATED cosine so `sort_array`'s natural struct order (first
+    * field asc, then the rest) is exactly the serving order (score
+    * DESC, node ASC — `lab` is functionally dependent on `node`, so it
+    * never decides a comparison); negation is exact in IEEE, so `-ns`
+    * recovers the score bit-for-bit. */
+  private val PropType = "array<struct<ns:double,node:bigint,lab:int>>"
 
   /** The distributed beam loop over ONE edge table. ALL traversal
     * state lives in a single query-keyed frame — one row per query
@@ -116,19 +120,32 @@ object GraphServe {
     * computed as a per-row array comparison during the merge, read
     * back as one bounded emptiness probe per hop on the checkpointed
     * state); the serving entries use the fixed budget and pay zero
-    * extra actions. */
+    * extra actions.
+    *
+    * With `filterLab` (q157 attribute-constrained search), the state
+    * carries a SECOND running top-beam (`bestf`) holding only nodes
+    * whose staged `d_lab` matches: the WALK stays predicate-agnostic —
+    * non-matching nodes still navigate (filtering the traversal
+    * fragments the graph under selective predicates, the known
+    * filtered-HNSW failure mode) — while every matching node folds
+    * into the filtered pool the hop it is first scored, so the answer
+    * is the exact top of ALL matching nodes the walk ever scored. The
+    * predicate test is a per-row array op on the edge-embedded label —
+    * no per-hop attribute join. */
   private[operators] def batchBeam(edges: DataFrame, vecs: DataFrame,
       queries: DataFrame, entries: DataFrame, beam: Int,
-      maxHops: Int, converge: Boolean = false): BatchTrace = {
+      maxHops: Int, converge: Boolean = false,
+      filterLab: Option[Int] = None): BatchTrace = {
     val nb = lit(NnDescent.NodeBuckets)
     // expand view: node = src, destination vector embedded at stage
     // time; nbucket is the partition key of the staged layout — the
     // frontier side computes it too, so the join key includes it and
     // partition pruning can act on the scan
     val edgesN = edges.select(col("nbucket"), col("src").as("node"),
-      col("dst"), col("d_emb"), col("d_nrm"))
+      col("dst"), col("d_emb"), col("d_nrm"), col("d_lab"))
     val vecsN = vecs.select(col("nbucket"), col("vec_id").as("node"),
-      col("emb").as("d_emb"), col("nrm").as("d_nrm"))
+      col("emb").as("d_emb"), col("nrm").as("d_nrm"),
+      col("lab").as("d_lab"))
 
     // state: ONE row per query. Every array is bounded by configuration
     // constants — frontier ≤ beam, best ≤ beam, visited ≤ 1 + (hops+1)·
@@ -142,6 +159,7 @@ object GraphServe {
         col("frontier"),
         array(col("query_id")).as("visited"),
         array().cast(PropType).as("best"),
+        array().cast(PropType).as("bestf"),
         lit(true).as("changed"))
       .localCheckpoint(false)
 
@@ -162,7 +180,8 @@ object GraphServe {
       val props = cand
         .select(col("query_id"), struct(
           (-Similarity.cosine(col("q_emb"), col("q_nrm"), col("d_emb"),
-            col("d_nrm"))).as("ns"), col("node")).as("p"))
+            col("d_nrm"))).as("ns"), col("node"),
+          col("d_lab").as("lab")).as("p"))
         .groupBy("query_id").agg(collect_list(col("p")).as("props"))
       // merge: dedup proposals, drop visited, fold into the running
       // top-beam, cut the next frontier — all per-row array ops over
@@ -172,6 +191,16 @@ object GraphServe {
       val fresh = filter(
         array_distinct(coalesce(col("props"), array().cast(PropType))),
         p => !array_contains(col("visited"), p("node")))
+      // filtered pool fold: matching nodes enter `bestf` the hop they
+      // are first scored (fresh excludes re-visits; a node folds at
+      // most once, and the running merge keeps the exact top of all
+      // matching nodes ever scored). Without a filter the column
+      // stays the empty array — zero per-row work.
+      val bestfNext = filterLab match {
+        case Some(l) => slice(sort_array(concat(col("bestf"),
+          filter(col("fresh"), p => p("lab") === lit(l)))), 1, beam)
+        case None => col("bestf")
+      }
       state = state.join(props, Seq("query_id"), "left")
         .withColumn("fresh", fresh)
         .withColumn("pool",
@@ -182,6 +211,7 @@ object GraphServe {
           concat(col("visited"),
             transform(col("fresh"), p => p("node"))).as("visited"),
           col("pool").as("best"),
+          bestfNext.as("bestf"),
           not(col("pool") === col("best")).as("changed"))
         .localCheckpoint(false)
       // adaptive stop (trace paths only): a hop where no query's
@@ -192,13 +222,14 @@ object GraphServe {
         improved = !state.filter(col("changed")).isEmpty
       hop += 1
     }
-    BatchTrace(bestOf(state), hop)
+    BatchTrace(bestOf(state, "best"), hop,
+      if (filterLab.isDefined) bestOf(state, "bestf") else null)
   }
 
-  /** The running top-beam of a traversal state, exploded back to the
+  /** A running top-beam of a traversal state, exploded back to the
     * relational (query_id, node, score) form callers cut or carry. */
-  private def bestOf(state: DataFrame): DataFrame =
-    state.select(col("query_id"), explode(col("best")).as("p"))
+  private def bestOf(state: DataFrame, pool: String = "best"): DataFrame =
+    state.select(col("query_id"), explode(col(pool)).as("p"))
       .select(col("query_id"), col("p.node").as("node"),
         (-col("p.ns")).as("score"))
 
@@ -219,6 +250,24 @@ object GraphServe {
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"))
     serveBatch(spark, edges, vecs, queries, root, k, beam, hops)
+  }
+
+  /** Serving over an ARBITRARY query frame of (query_id, embedding) —
+    * the entry point the STREAMING deployment feeds each arriving
+    * micro-batch through ([[graft.streaming.AnnServeStream]]): the
+    * index is write-once and the traversal machinery is identical, so
+    * an online query stream and an offline query table get the same
+    * answer by construction (spec-pinned row for row). */
+  def graphSearchBatchOver(spark: SparkSession, dir: String,
+      rawQueries: DataFrame, k: Int, beam: Int = 8,
+      hops: Int = 8): DataFrame = {
+    val root = NnDescent.graphIndexStaged(spark, dir)
+    val queries = Similarity.prepared(
+        rawQueries.select(col("query_id").as("vec_id"), col("embedding")))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    serveBatch(spark, spark.read.parquet(s"$root/edges"),
+      spark.read.parquet(s"$root/vecs"), queries, root, k, beam, hops)
   }
 
   /** Entry selection + the beam loop + the final cut, over an
@@ -303,19 +352,20 @@ object GraphServe {
 
   private def hierStaged(spark: SparkSession, dir: String, tag: String,
       pred: Option[org.apache.spark.sql.Column]): String = {
-    // h3: layer layout gained embedded dst vectors (round 14); the key
-    // also folds EVERY layout constant — MinLevelNodes and TopEntries
+    // h4: layer layout carries embedded dst vectors (round 14) and the
+    // payload attribute d_lab (q157 filtered search); the key also
+    // folds EVERY layout constant — MinLevelNodes and TopEntries
     // included (r13 advice: changing either must not silently serve a
     // stale level count or entry set)
     val out = "target/nndescent/graft_nnh_" + Bucketed.md5hex(
-      s"$dir/h3/$tag/k${NnDescent.K}/w${NnDescent.WorkFactor}/d$HierDecimation" +
+      s"$dir/h4/$tag/k${NnDescent.K}/w${NnDescent.WorkFactor}/d$HierDecimation" +
         s"/m$MinLevelNodes/t$TopEntries" +
         s"/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
       .take(8)
     Staging.ensure(spark, out) { tmp =>
       val emb0 = Tables.embeddings(spark, dir)
       val emb = pred.map(emb0.filter).getOrElse(emb0)
-      val e = Similarity.prepared(emb)
+      val e = Similarity.preparedLab(emb)
       // per-level populations in ONE aggregate pass (probe depth 8 ≫
       // any real level count: level 8 would need 8^8 ≈ 16M-fold data)
       val counts = levelCounts(e)
@@ -393,13 +443,13 @@ object GraphServe {
     * idempotent staging. */
   def graphHierAppendStaged(spark: SparkSession, dir: String): String = {
     val out = "target/nndescent/graft_nnha_" + Bucketed.md5hex(
-      s"$dir/a1/k${NnDescent.K}/w${NnDescent.WorkFactor}/d$HierDecimation" +
+      s"$dir/a2/k${NnDescent.K}/w${NnDescent.WorkFactor}/d$HierDecimation" +
         s"/m$MinLevelNodes/t$TopEntries" +
         s"/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
       .take(8)
     Staging.ensure(spark, out) { tmp =>
       val emb = Tables.embeddings(spark, dir)
-      val e = Similarity.prepared(emb)
+      val e = Similarity.preparedLab(emb)
       val deltaPred = col("vec_id") % 10 === 0
       // layer 0: the q148 delta walk against the staged converged base
       val base0 = spark.read.parquet(NnDescent.baseGraphStaged(spark, dir))
@@ -448,6 +498,131 @@ object GraphServe {
     hierServe(spark, aroot, spark.read.parquet(s"$aroot/edges"), vecs,
       queries, k, beam, upperBudget = hopsPerLevel, baseBudget = hops,
       converge = false)._1
+  }
+
+  // ---- q157: attribute-constrained (filtered) graph search ----
+
+  /** Attribute-constrained graph-ANN serving — "nearest neighbors
+    * WHERE label = ?" over the persisted NN-descent index, the graph
+    * twin of q156's partition-pruned IVF design. The two compose
+    * opposite selectivity regimes: the IVF layout prunes label
+    * subtrees BEFORE scoring (best when the predicate is very
+    * selective and lists are label-partitioned), while the graph walk
+    * must stay PREDICATE-AGNOSTIC — restricting traversal to matching
+    * nodes fragments the graph and strands the walk (the known
+    * filtered-HNSW failure mode; cf. ACORN's predicate-agnostic
+    * traversal) — so the predicate constrains COLLECTION instead:
+    * edge rows carry the staged `d_lab` payload (attribute rides the
+    * index — no per-hop attribute join), every scored matching node
+    * folds into a second running top-beam the hop it is first seen,
+    * and the answer is the exact top-k of all matching nodes the walk
+    * scored. The walk runs at a 2× working beam so matching mass
+    * keeps flowing under 1/|labels| selectivity. Recall is gated
+    * against the FILTERED exact answer
+    * ([[Similarity.knnBruteFiltered]]) — the contract a constrained
+    * query actually has. */
+  def graphSearchFilteredBatch(spark: SparkSession, dir: String,
+      nQueries: Int, k: Int, label: Int, beam: Int = 8,
+      hops: Int = 8): DataFrame = {
+    val root = NnDescent.graphIndexStaged(spark, dir)
+    val edges = spark.read.parquet(s"$root/edges")
+    val vecs = spark.read.parquet(s"$root/vecs")
+    val queries = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val workBeam = DescentWorkFactor * beam
+    require(k <= workBeam,
+      s"top-k $k must fit inside the filtered working beam $workBeam")
+    val entries = entriesBatch(spark, queries, root, workBeam)
+    val tr = batchBeam(edges, vecs, queries, entries, workBeam, hops,
+      filterLab = Some(label))
+    Similarity.topK(
+      tr.bestF.select(col("query_id"), col("node").as("neighbor_id"),
+        col("score")),
+      k)
+  }
+
+  // ---- q158: SQ8-quantized serving index (footprint) ----
+
+  /** Stage the SQ8-QUANTIZED serving edge table next to the
+    * full-precision index: each edge's embedded destination vector is
+    * scalar-quantized to 8-bit codes under ONE global per-dimension
+    * bounds row (the q116 quantizer), with the reconstruction norm
+    * precomputed per edge. The embedded-vector payload is the
+    * DOMINANT index component (K copies of every vector — the
+    * locality trade the round-14 fusion bought), so the 8-byte→1-byte
+    * cut is an ~4–8× footprint reduction of the whole serving
+    * artifact — at 100 TB the difference between an index that fits
+    * the cluster's NVMe tier and one that doesn't (the DiskANN/Faiss
+    * economics: compressed vectors steer traversal, full precision
+    * reranks). The fp `vecs/` table remains the source of truth. */
+  def graphSq8IndexStaged(spark: SparkSession, dir: String): String = {
+    val root = NnDescent.graphIndexStaged(spark, dir)
+    val out = "target/nndescent/graft_nngq_" + Bucketed.md5hex(
+      s"$dir/q1/k${NnDescent.K}/w${NnDescent.WorkFactor}/r${NnDescent.Rounds}" +
+        s"/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
+      .take(8)
+    Staging.ensure(spark, out) { tmp =>
+      val e = Similarity.prepared(Tables.embeddings(spark, dir))
+      val bounds = Similarity.sqBounds(e)
+      bounds.coalesce(1).write.mode("overwrite").parquet(s"$tmp/bounds")
+      // quantize each edge's embedded destination vector — map-only
+      // over the staged fp edges (the bounds frame is ONE broadcast
+      // row; the crossJoin inside sqEncode is the audited one-row-
+      // bounds shape), reconstruction norm precomputed so serving
+      // never recomputes it per hop
+      val enc = Similarity.sqEncode(
+        spark.read.parquet(s"$root/edges").withColumnRenamed("d_emb", "emb"),
+        bounds)
+      enc
+        .withColumn("d_nrm_hat", Similarity.l2norm(
+          Similarity.sqDequant(col("codes"), col("mns"), col("spans"))))
+        .select(col("nbucket"), col("src"), col("dst"),
+          col("codes").as("d_codes"), col("d_nrm_hat"), col("d_lab"))
+        .repartition(col("nbucket"))
+        .sortWithinPartitions("src")
+        .write.mode("overwrite").partitionBy("nbucket")
+        .parquet(s"$tmp/edges")
+    }
+    out
+  }
+
+  /** Batched graph-ANN serving over the QUANTIZED edge table, with a
+    * full-precision rerank: the walk scores dequantized
+    * reconstructions (the bounds row becomes driver literals — dim-
+    * bounded, no join in the serving plan at all), and the final
+    * bounded pool (|Q|·beam rows) reranks against the fp `vecs/`
+    * table, so quantization error steers only the TRAVERSAL, never
+    * the returned scores — asymmetric distance, error enters once.
+    * Same [[batchBeam]] machinery, same O(hops) jobs. */
+  def graphSearchSq8Batch(spark: SparkSession, dir: String,
+      nQueries: Int, k: Int, beam: Int = 8, hops: Int = 8): DataFrame = {
+    val root = NnDescent.graphIndexStaged(spark, dir)
+    val qroot = graphSq8IndexStaged(spark, dir)
+    val b = spark.read.parquet(s"$qroot/bounds").head()
+    val mns = typedlit(b.getSeq[Double](b.fieldIndex("mns")))
+    val spans = typedlit(b.getSeq[Double](b.fieldIndex("spans")))
+    val edges = spark.read.parquet(s"$qroot/edges")
+      .withColumn("d_emb", Similarity.sqDequant(col("d_codes"), mns, spans))
+      .select(col("nbucket"), col("src"), col("dst"), col("d_emb"),
+        col("d_nrm_hat").as("d_nrm"), col("d_lab"))
+    val vecs = spark.read.parquet(s"$root/vecs")
+    val queries = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    require(k <= beam, s"top-k $k must fit inside the running beam $beam")
+    val entries = entriesBatch(spark, queries, root, beam)
+    val tr = batchBeam(edges, vecs, queries, entries, beam, hops)
+    // full-precision rerank of the bounded pool: two query/node-keyed
+    // joins over |Q|·beam rows, then the exact cosine and the cut
+    val exactScored = tr.best.select(col("query_id"), col("node"))
+      .join(vecs.select(col("vec_id").as("node"), col("emb").as("r_emb"),
+        col("nrm").as("r_nrm")), "node")
+      .join(queries, "query_id")
+      .select(col("query_id"), col("node").as("neighbor_id"),
+        Similarity.cosine(col("q_emb"), col("q_nrm"), col("r_emb"),
+          col("r_nrm")).as("score"))
+    Similarity.topK(exactScored, k)
   }
 
   /** The top level's [[TopEntries]] min-(xxhash64, id) nodes. */
@@ -680,6 +855,54 @@ object GraphServe {
         "with the delta subset asserted separately, staleness " +
         "differential — the base hierarchy provably holds no delta " +
         "node, determinism, idempotent staging).",
-      (s, dir) => graphSearchHierAppended(s, dir, nQueries = 100, k = 5))
+      (s, dir) => graphSearchHierAppended(s, dir, nQueries = 100, k = 5)),
+
+    Query(
+      "q157_knn_graph_filtered",
+      "Attribute-constrained GRAPH search — 'nearest neighbors WHERE " +
+        "label = ?' over the persisted NN-descent index, the graph " +
+        "twin of q156's partition-pruned IVF probe (the two cover " +
+        "opposite selectivity regimes of every production vector " +
+        "store's constrained query). The traversal stays PREDICATE-" +
+        "AGNOSTIC — restricting the walk to matching nodes fragments " +
+        "the graph and strands it, the known filtered-HNSW failure " +
+        "mode (cf. ACORN) — while the predicate constrains COLLECTION: " +
+        "the staged edge rows carry the payload attribute d_lab " +
+        "(attribute rides the index; the predicate is a per-row array " +
+        "test, no per-hop attribute join), each matching node folds " +
+        "into a SECOND running top-beam the hop it is first scored, " +
+        "and the answer is the exact top-k of every matching node the " +
+        "walk scored. Runs at a 2x working beam so matching mass " +
+        "keeps flowing under 1/|labels| selectivity; same O(hops) " +
+        "batch jobs and constant-bounded array state as q151. No " +
+        "oracle (learned-graph trajectory); design-gated in " +
+        "GraphServeSpec (recall >= the IVF bar vs the FILTERED exact " +
+        "answer, label-purity of every neighbor, determinism, " +
+        "no-cartesian plan assert) and tracked in RECALL_LOCAL.json.",
+      (s, dir) => graphSearchFilteredBatch(s, dir, nQueries = 100, k = 5,
+        label = 3)),
+
+    Query(
+      "q158_knn_graph_sq8",
+      "SQ8-QUANTIZED graph serving index — the footprint half of the " +
+        "serving story: the embedded destination vectors are the " +
+        "DOMINANT component of the staged graph index (K copies of " +
+        "every vector, the round-14 locality trade), so the staged " +
+        "edge table is re-materialized with 8-bit scalar-quantized " +
+        "codes under one global per-dimension bounds row (the q116 " +
+        "quantizer) plus a precomputed reconstruction norm — measured " +
+        "multi-x smaller on disk (GraphServeSpec audits the byte " +
+        "ratio), the difference between an index that fits the NVMe " +
+        "tier and one that doesn't at 100 TB. Serving dequantizes " +
+        "inline (the bounds row becomes driver literals; no join " +
+        "added to the per-hop plan) so quantization error steers only " +
+        "the TRAVERSAL, and the final bounded pool (|Q|*beam rows) " +
+        "reranks against the full-precision vecs table — asymmetric " +
+        "distance, error enters once, returned scores are exact (the " +
+        "DiskANN compressed-walk + fp-rerank economics). No oracle " +
+        "(learned-graph trajectory); design-gated in GraphServeSpec " +
+        "(recall >= the IVF bar, footprint ratio, determinism, " +
+        "no-cartesian plan assert) and tracked in RECALL_LOCAL.json.",
+      (s, dir) => graphSearchSq8Batch(s, dir, nQueries = 100, k = 5))
   )
 }

@@ -424,15 +424,17 @@ object NnDescent {
     * sample is deterministic, hash-uniform, and corpus-spread. */
   def graphIndexStaged(spark: org.apache.spark.sql.SparkSession,
       dir: String): String = {
-    // "i5": init/build algorithm AND index layout ride the key — the
+    // "i6": init/build algorithm AND index layout ride the key — the
     // round-14 edge layout embeds each destination's vector (the
-    // serving fusion), so a stale i4 artifact must not be served
+    // serving fusion) and its payload attribute `d_lab` (the q157
+    // filtered-search attribute-rides-the-index rule), so a stale
+    // i4/i5 artifact must not be served
     val out = "target/nndescent/graft_nng_" + Bucketed.md5hex(
-      s"$dir/i5/k$K/w$WorkFactor/r$Rounds/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
+      s"$dir/i6/k$K/w$WorkFactor/r$Rounds/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
       .take(8)
     Staging.ensure(spark, out) { tmp =>
       val emb = Tables.embeddings(spark, dir)
-      val e = Similarity.prepared(emb)
+      val e = Similarity.preparedLab(emb)
       val n = e.count()
       writeServingEdges(build(emb, nKnown = n), e, s"$tmp/edges")
       e.withColumn("nbucket", pmod(col("vec_id"), lit(NodeBuckets)))
@@ -450,19 +452,22 @@ object NnDescent {
 
   /** Write a built graph in the SERVING layout: each edge carries its
     * destination's vector (`d_emb`/`d_nrm` — one node-keyed join here,
-    * at build time), partitioned by `nbucket = src mod` [[NodeBuckets]]
-    * and sorted by src within partitions. The embedded vectors make
-    * the per-hop expand+score of [[GraphServe.batchBeam]] ONE
-    * equi-join with an inline cosine — no corpus-keyed vector join per
-    * hop (round-14 fusion). Cost: ~K copies of each vector (K·dim·4
-    * bytes per node) — the standard graph-ANN locality trade (HNSW
-    * stores vectors adjacent to adjacency for the same access
+    * at build time) and payload attribute (`d_lab` — the q157
+    * filtered-search predicate tests edge rows directly, no per-hop
+    * attribute join), partitioned by `nbucket = src mod`
+    * [[NodeBuckets]] and sorted by src within partitions. The embedded
+    * vectors make the per-hop expand+score of [[GraphServe.batchBeam]]
+    * ONE equi-join with an inline cosine — no corpus-keyed vector join
+    * per hop (round-14 fusion). Cost: ~K copies of each vector
+    * (K·dim·4 bytes per node) — the standard graph-ANN locality trade
+    * (HNSW stores vectors adjacent to adjacency for the same access
     * pattern); the `vecs/` table stays the single source of truth
-    * (entry scoring, rebuilds). */
+    * (entry scoring, rebuilds). `e` must be
+    * [[Similarity.preparedLab]]-shaped (vec_id, emb, nrm, lab). */
   private[operators] def writeServingEdges(g: DataFrame, e: DataFrame,
       path: String): Unit =
     g.join(e.select(col("vec_id").as("dst"), col("emb").as("d_emb"),
-        col("nrm").as("d_nrm")), "dst")
+        col("nrm").as("d_nrm"), col("lab").as("d_lab")), "dst")
       .withColumn("nbucket", pmod(col("src"), lit(NodeBuckets)))
       .repartition(col("nbucket"))
       .sortWithinPartitions("src")
@@ -483,6 +488,57 @@ object NnDescent {
       .select(col("ebucket"), col("vec_id").as("entry_id"))
       .coalesce(1)
       .write.mode("overwrite").parquet(path)
+  }
+
+  // ---- q159: graph index HEALTH audit (oracle over the staged bytes) --
+
+  /** Root of the staged index the last [[graphHealth]] run audited —
+    * late-bound into the oracle SQL (the q110 staged-root thunk
+    * convention). */
+  @volatile private[graft] var healthOracleRoot: Option[String] = None
+
+  /** Per-bucket health profile of the persisted serving index — the
+    * graph family's "when to rebuild" monitor, parallel to the IVF
+    * family's cluster-quality audit (q138): for each of the
+    * [[NodeBuckets]] id buckets, the node and edge population, the
+    * degree envelope (a min below K flags truncated adjacency — e.g.
+    * an append walk that under-filled arrivals), the RECIPROCITY
+    * count (mutual edges; NN-descent symmetrization drives this up,
+    * so a collapse after maintenance ops signals a degraded graph),
+    * and the exact edge-score mass (decimal-summed — the monotone
+    * build invariant, now auditable per bucket on the STAGED bytes).
+    * Everything is computed off the staged parquet itself, so the
+    * audit needs no rebuild and — unlike the learned-trajectory
+    * serving entries — is fully SQL-expressible: DuckDB recomputes
+    * the whole profile from the same staged files (the
+    * staged-fingerprint oracle convention). One scan + one
+    * self-equi-join on (src,dst)=(dst,src), both linear in the edge
+    * count; output is bounded by [[NodeBuckets]] rows at any corpus
+    * size. */
+  def graphHealth(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val root = graphIndexStaged(spark, dir)
+    healthOracleRoot = Some(root)
+    val edges = spark.read.parquet(s"$root/edges")
+      .select(col("nbucket").cast("int").as("nbucket"), col("src"),
+        col("dst"), col("score"))
+    val deg = edges.groupBy("nbucket", "src").agg(count(lit(1)).as("deg"))
+    val buckets = deg.groupBy("nbucket").agg(
+      count(lit(1)).as("n_nodes"), sum("deg").as("n_edges"),
+      min("deg").as("min_deg"), max("deg").as("max_deg"))
+    val recip = edges.as("a")
+      .join(edges.select(col("dst").as("r_src"), col("src").as("r_dst")),
+        col("src") === col("r_src") && col("dst") === col("r_dst"))
+      .groupBy("nbucket").agg(count(lit(1)).as("recip_edges"))
+    val scores = edges.groupBy("nbucket").agg(
+      sum(col("score").cast("decimal(20,12)")).cast("double").as("sum_score"))
+    buckets.join(recip, Seq("nbucket"), "left")
+      .join(scores, Seq("nbucket"))
+      .select(col("nbucket"), col("n_nodes"), col("n_edges"),
+        col("min_deg"), col("max_deg"),
+        coalesce(col("recip_edges"), lit(0L)).as("recip_edges"),
+        col("sum_score"))
+      .orderBy("nbucket")
   }
 
   /** Driver-side twin of the SQL `xxhash64(query_id, j, 'gs-entry')`
@@ -613,6 +669,48 @@ object NnDescent {
             .select(col("src").as("query_id"),
               col("dst").as("neighbor_id"), col("score")),
           5)
-      })
+      }),
+
+    Query(
+      "q159_graph_index_health",
+      "Graph-index HEALTH audit — the graph family's when-to-rebuild " +
+        "monitor, parallel to the IVF cluster-quality audit (q138): " +
+        "per staged id bucket, node/edge populations, the degree " +
+        "envelope (a min below K flags truncated adjacency after a " +
+        "maintenance op), the RECIPROCITY count (mutual edges — " +
+        "NN-descent symmetrization drives it up, so a collapse " +
+        "signals a degraded graph), and the exact decimal-summed " +
+        "edge-score mass (the monotone build invariant made " +
+        "auditable on the staged bytes). Computed entirely off the " +
+        "persisted index — one scan plus one (src,dst)=(dst,src) " +
+        "self-equi-join, both linear in edges; output bounded by 64 " +
+        "bucket rows at any corpus size. ORACLE-gated end to end: " +
+        "DuckDB recomputes the whole profile from the SAME staged " +
+        "parquet (the q110 staged-root convention), so the audit " +
+        "semantics, the staged layout, and the decimal-exact score " +
+        "mass are all hash-compared cross-engine.",
+      (s, dir) => graphHealth(s, dir),
+      oracleFn = Some(() => healthOracleRoot.map(root => s"""
+        WITH e AS (
+          SELECT CAST(nbucket AS INT) AS nbucket, src, dst, score
+          FROM read_parquet('$root/edges/*/*.parquet', hive_partitioning=1)
+        ),
+        d AS (SELECT nbucket, src, COUNT(*) AS deg FROM e GROUP BY 1, 2),
+        b AS (SELECT nbucket, COUNT(*) AS n_nodes,
+                     CAST(SUM(deg) AS BIGINT) AS n_edges,
+                     MIN(deg) AS min_deg, MAX(deg) AS max_deg
+              FROM d GROUP BY 1),
+        r AS (SELECT a.nbucket, COUNT(*) AS recip_edges
+              FROM e a JOIN e x ON a.src = x.dst AND a.dst = x.src
+              GROUP BY 1),
+        s AS (SELECT nbucket,
+                     CAST(SUM(CAST(score AS DECIMAL(20,12))) AS DOUBLE)
+                       AS sum_score
+              FROM e GROUP BY 1)
+        SELECT b.nbucket, b.n_nodes, b.n_edges, b.min_deg, b.max_deg,
+               COALESCE(r.recip_edges, 0) AS recip_edges, s.sum_score
+        FROM b LEFT JOIN r ON b.nbucket = r.nbucket
+               JOIN s ON b.nbucket = s.nbucket
+        ORDER BY b.nbucket""")))
   )
 }

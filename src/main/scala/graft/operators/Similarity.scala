@@ -55,6 +55,17 @@ object Similarity {
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", l2norm(col("emb")))
 
+  /** [[prepared]] plus the payload attribute (`lab`) — the frame the
+    * graph serving index stages so attribute-constrained search (q157)
+    * can test the predicate on edge rows without any per-hop join
+    * (the q156 "attribute rides the index" rule, graph form). One
+    * projection over the source table; no join. */
+  def preparedLab(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"),
+        col("label").cast("int").as("lab"))
+      .withColumn("nrm", l2norm(col("emb")))
+
   /** Exact top-k among the label-constrained corpus for UNCONSTRAINED
     * query vectors — the ground truth a filtered-ANN probe (q156) is
     * gated against: the query is any vector, the answer set is the
@@ -638,7 +649,7 @@ object Similarity {
             lit(255.0)).cast("int")))
 
   /** Dequantized vector: x̂_d = mn_d + code_d · span_d / 255. */
-  private def sqDequant(codes: Column, mns: Column, spans: Column): Column =
+  private[operators] def sqDequant(codes: Column, mns: Column, spans: Column): Column =
     zip_with(zip_with(codes, spans, (c, s) => c.cast("double") * s / 255.0),
       mns, (cs, m) => cs + m)
 

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.GraphServe
+
+/** STREAMING ANN serving — the online half of the vector store: query
+  * vectors arrive as a stream (user requests, an ingest-time
+  * near-dup probe, a retrieval front end) and are served from the
+  * SAME persisted NN-descent index the offline entries probe.
+  *
+  * Shape: `foreachBatch`. The graph walk is inherently multi-hop —
+  * O(hops) joins per batch against the staged edge table — which no
+  * single streaming transform expresses, and does not WANT to be
+  * expressed as one: the index is write-once state that lives outside
+  * the stream (no state store, nothing to checkpoint but the source
+  * offsets), so the natural deployment is each micro-batch running
+  * the exact batch traversal ([[GraphServe.graphSearchBatchOver]]).
+  * Stream==batch identity is therefore structural — same staged
+  * index, same per-query entry hash, same machinery — and
+  * AnnServeStreamSpec still proves it row for row across micro-batch
+  * boundaries. Per-batch cost is O(hops) jobs amortized over the
+  * whole arriving batch (the q151 economics), so throughput scales
+  * with batch size, and a replayed batch returns identical answers
+  * (exactly-once by determinism, not by sink transactions).
+  */
+object AnnServeStream {
+
+  /** Attach a serving loop to a streaming (query_id, embedding) frame:
+    * every non-empty micro-batch is served from `dir`'s staged graph
+    * index and handed to `sink` with its batch id. */
+  def serve(spark: SparkSession, queryStream: DataFrame, dir: String,
+      k: Int, beam: Int = 8, hops: Int = 8)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          sink(GraphServe.graphSearchBatchOver(spark, dir, batch, k,
+            beam, hops), id)
+      }
+      .start()
+}

@@ -199,6 +199,78 @@ class GraphServeSpec extends AnyFunSuite {
     assert(delta >= 0.72d, s"delta-query recall $delta below the IVF bar")
   }
 
+  test("q157 filtered graph search: recall clears the IVF bar vs the " +
+    "FILTERED exact answer, every neighbor carries the constraint " +
+    "label, the walk stays predicate-agnostic, repeats are " +
+    "deterministic, and the plan holds no cartesian join") {
+    val label = 3
+    val emb = Tables.embeddings(spark, sf)
+    val exact = pairsOf(Similarity.knnBruteFiltered(emb, 100, 5, label))
+    def run() = SparkEntry.queries("q157_knn_graph_filtered")(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val first = run()
+    assert(first === run(), "filtered graph search must be deterministic")
+    val got = first.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // constraint correctness: no neighbor outside the label slice
+    val labelIds = emb.filter(col("label") === label)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    got.values.flatten.foreach(n => assert(labelIds.contains(n),
+      s"neighbor $n does not carry label $label"))
+    // recall vs the FILTERED ground truth — the contract a constrained
+    // query actually has (q156's criterion, graph form)
+    val recall = exact.keys.toSeq
+      .map(q => (got.getOrElse(q, Set.empty) & exact(q)).size).sum
+      .toDouble / exact.values.map(_.size).sum
+    info(s"q157 filtered graph recall@5 over 100 queries = $recall")
+    assert(recall >= 0.72d, s"filtered recall $recall below the IVF bar")
+    // predicate-agnostic traversal: the UNFILTERED q151 answer over
+    // the same staged index is unchanged by the filtered pool riding
+    // the state (the filter constrains collection, never navigation)
+    val unfiltered = GraphServe.graphSearchBatch(spark, sf, 10, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unfiltered.exists { case (_, n) => !labelIds.contains(n) },
+      "sanity: the unfiltered walk should reach non-matching nodes")
+    val plan = GraphServe.graphSearchFilteredBatch(spark, sf, 10, 5, label)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q158 SQ8 serving: recall clears the IVF bar, the quantized " +
+    "edge table is materially smaller than the fp one, repeats are " +
+    "deterministic, and the plan holds no cartesian join") {
+    def run() = SparkEntry.queries("q158_knn_graph_sq8")(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val first = run()
+    assert(first === run(), "sq8 serving must be deterministic")
+    val recall = recallVsBrute(100,
+      first.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap)
+    info(s"q158 sq8 recall@5 over 100 queries = $recall")
+    assert(recall >= 0.72d, s"recall@5 $recall below the IVF bar")
+    // footprint: the quantized edge table must realize the 8-bit cut
+    // on disk — the whole point of the entry (the embedded vectors
+    // dominate the index, so the ratio should be well under half)
+    def dirBytes(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
+    val fp = dirBytes(new java.io.File(
+      s"${NnDescent.graphIndexStaged(spark, sf)}/edges"))
+    val q8 = dirBytes(new java.io.File(
+      s"${GraphServe.graphSq8IndexStaged(spark, sf)}/edges"))
+    info(s"q158 footprint: fp edges $fp B, sq8 edges $q8 B, " +
+      f"ratio ${q8.toDouble / fp}%.3f")
+    assert(q8 > 0 && fp > 0)
+    assert(q8.toDouble / fp <= 0.5,
+      s"sq8 edge table ($q8 B) is not materially smaller than fp ($fp B)")
+    val plan = GraphServe.graphSearchSq8Batch(spark, sf, 10, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("the driver-side entry slot hash equals the SQL xxhash64 twin " +
     "(the batch/interactive identity precondition)") {
     import spark.implicits._

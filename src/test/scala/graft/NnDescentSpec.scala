@@ -199,4 +199,25 @@ class NnDescentSpec extends AnyFunSuite {
     val over = g.groupBy("src").count().filter(col("count") > 7).count()
     assert(over === 0L)
   }
+
+  test("q159 health audit: bucket populations reconcile with the " +
+    "staged index, the degree envelope is within the serving degree, " +
+    "and reciprocity is bounded by the edge count") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = NnDescent.graphHealth(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= NnDescent.NodeBuckets)
+    val staged = spark.read.parquet(
+      s"${NnDescent.graphIndexStaged(spark, sf)}/edges")
+    assert(rows.map(_.getLong(2)).sum === staged.count(),
+      "per-bucket edge counts must reconcile with the staged table")
+    assert(rows.map(_.getLong(1)).sum ===
+      staged.select("src").distinct().count())
+    rows.foreach { r =>
+      val (minDeg, maxDeg) = (r.getLong(3), r.getLong(4))
+      assert(minDeg >= 1L && maxDeg <= NnDescent.K,
+        s"degree envelope [$minDeg,$maxDeg] outside (0, K]")
+      assert(r.getLong(5) >= 0L && r.getLong(5) <= r.getLong(2),
+        "reciprocity must be bounded by the bucket's edge count")
+    }
+  }
 }
