@@ -51,6 +51,42 @@ object Decontamination {
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
   }
 
+  /** Per-document MEMORIZATION-RISK audit: how many of a document's
+    * distinct word `n`-grams occur in NO other document (corpus
+    * document frequency 1). Deduplication removes repeated text —
+    * the published extraction-risk driver (memorized sequences are
+    * overwhelmingly the highly duplicated ones) — but its complement
+    * matters too: after dedup, the residual risk surface is the long
+    * UNIQUE spans (PII strings, keys, verbatim rare text) that an
+    * extraction attack can regurgitate exactly because nothing else
+    * anchors them. Output per doc: distinct span count and the
+    * unique-span count the risk policy thresholds on.
+    *
+    * Shape: the q39 in-row-distinct gram explode (array_distinct
+    * before the explode, so no corpus-wide distinct shuffle), one
+    * gram-keyed count — the df aggregate, map-side-combinable, linear
+    * in total grams — and one gram-keyed join back; grams travel as
+    * fused xxhash64 chains, never strings (the q39 hashing argument:
+    * a wrong count needs a 2^-64 collision; the oracle joins the
+    * literal gram strings). */
+  def memorizationRisk(docs: DataFrame, n: Int = 8): DataFrame = {
+    val grams = TextAnalysis.shingleHashArray(
+      TextAnalysis.tokensFast(col("text")), n)
+    val docGrams = docs.select(col("doc_id"),
+      explode(array_distinct(grams)).as("g"))
+    val df = docGrams.groupBy("g").agg(count(lit(1)).as("df"))
+    val per = docGrams.join(df, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("uniq_spans"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("uniq_spans"), lit(0L)).as("uniq_spans"))
+      .orderBy("doc_id")
+  }
+
   /** Pairwise source-overlap matrix: for every pair of `source` values,
     * how many distinct word `n`-grams the two sources share — the
     * corpus-level mirror of [[contaminationCounts]]'s per-doc check,
@@ -149,6 +185,46 @@ object Decontamination {
         SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
         FROM sh a JOIN sh b ON a.gram = b.gram AND a.source < b.source
         GROUP BY 1, 2
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    Query(
+      "q161_memorization_risk",
+      "Per-document MEMORIZATION-RISK audit: how many of each " +
+        "document's distinct 8-grams occur in NO other document " +
+        "(corpus df = 1). Dedup removes the repeated-text extraction " +
+        "driver; the residual risk surface is the long UNIQUE spans " +
+        "(PII strings, keys, verbatim rare text) an extraction attack " +
+        "can regurgitate — this emits the per-doc span/unique-span " +
+        "counts the risk policy thresholds on. In-row-distinct gram " +
+        "explode (no corpus-wide distinct shuffle), one map-side-" +
+        "combinable df aggregate, one gram-keyed join back — linear " +
+        "in total grams; grams travel as fused xxhash64 chains (a " +
+        "wrong count needs a 2^-64 collision), while the oracle joins " +
+        "the literal gram strings.",
+      (s, dir) => memorizationRisk(Tables.documents(s, dir), n = 8),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+          FROM documents
+        ), grams AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, len(ws) - 6),
+                                       i -> array_to_string(ws[i:i+7], ' '))) AS g
+          FROM toks
+          WHERE len(ws) >= 8
+        ), df AS (
+          SELECT g, COUNT(*) AS df FROM grams GROUP BY g
+        ), per AS (
+          SELECT doc_id, COUNT(*) AS n_spans,
+                 CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS uniq_spans
+          FROM grams JOIN df USING (g)
+          GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(COALESCE(p.uniq_spans, 0) AS BIGINT) AS uniq_spans
+        FROM documents d LEFT JOIN per p USING (doc_id)
+        ORDER BY doc_id"""))
   )
 }

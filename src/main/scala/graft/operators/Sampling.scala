@@ -176,6 +176,46 @@ object Sampling {
       Seq(col("__h"), key), n = quota, nSalts = 8)
       .drop("__h")
 
+  /** Root of the staged IVF index the last [[diversitySample]] run
+    * sampled from — late-bound into the oracle SQL (the q110
+    * staged-root thunk convention). */
+  @volatile private[graft] var diversityOracleRoot: Option[String] = None
+
+  /** CLUSTER-BALANCED diversity sampling (the D4-style selection
+    * stage, Tirumala et al. 2023): embed → cluster → take an equal
+    * per-cluster quota, so the sample spans the corpus's semantic
+    * modes instead of letting the head topics dominate — the
+    * diversity half of the curation story whose dedup half is
+    * SemDeDup (q80). Reuses the persisted IVF coarse quantizer
+    * (q77's staged, deterministic Lloyd fit) as the cluster
+    * structure: the inverted lists ARE the clusters, so selection is
+    * one scan of the staged lists + the q119 exact-quota machinery
+    * (md5-of-key rank on the salted tournament — reproducible under
+    * any relayout, never a bare corpus-wide window), plus one
+    * broadcast join against the C-row centroid table to emit each
+    * pick's centroid similarity (the per-cluster representativeness
+    * signal a mixture builder thresholds on). Output bounded by
+    * C·quota rows at any corpus size. */
+  def diversitySample(spark: org.apache.spark.sql.SparkSession,
+      dir: String, perCluster: Int = 4, centroids: Int = 64): DataFrame = {
+    val idx = AnnIndex.ivfIndex(spark, dir, centroids)
+    diversityOracleRoot = Some(idx)
+    val lists = spark.read.parquet(s"$idx/lists")
+      .select(col("cluster").cast("int").as("cluster"), col("vec_id"),
+        col("emb"), col("nrm"))
+    val cent = spark.read.parquet(s"$idx/centroids")
+    Skew.groupTopK(
+        lists.withColumn("__h",
+          md5(col("vec_id").cast("string").cast("binary"))),
+        col("cluster"), Seq(col("__h").asc, col("vec_id").asc),
+        Seq(col("__h"), col("vec_id")), n = perCluster, nSalts = 8)
+      .join(broadcast(cent), col("cluster") === col("cent_id"))
+      .select(col("cluster"), col("vec_id"), col("rk").cast("int").as("pick"),
+        Similarity.cosine(col("emb"), col("nrm"), col("c_emb"),
+          col("c_nrm")).as("cent_sim"))
+      .orderBy("cluster", "pick")
+  }
+
   val queries: Seq[Query] = Seq(
     Query(
       "q35_split",
@@ -366,5 +406,46 @@ object Sampling {
           FROM documents)
         WHERE rn <= 10
         ORDER BY lang, rk"""))
+    ,
+    Query(
+      "q160_diversity_sample",
+      "CLUSTER-BALANCED diversity sampling (the D4-style selection " +
+        "stage): embed -> cluster -> equal per-cluster quota, so the " +
+        "sample spans the corpus's semantic modes instead of letting " +
+        "head topics dominate — the diversity half of the curation " +
+        "story whose dedup half is SemDeDup (q80). Reuses the " +
+        "persisted IVF coarse quantizer (deterministic staged Lloyd " +
+        "fit) as the cluster structure — the inverted lists ARE the " +
+        "clusters — so selection is one scan of the staged lists plus " +
+        "the q119 exact-quota machinery (md5-of-key rank on the " +
+        "salted tournament, reproducible under any relayout, never a " +
+        "bare window) and one broadcast join against the C-row " +
+        "centroid table for each pick's centroid similarity. Output " +
+        "bounded by C*quota rows at any corpus size. ORACLE-gated end " +
+        "to end via the staged-root convention: DuckDB re-ranks the " +
+        "SAME staged lists with the naive window and recomputes " +
+        "cent_sim with list_dot_product — selection, layout, and the " +
+        "double-precision similarity all hash-compared cross-engine.",
+      (s, dir) => diversitySample(s, dir),
+      oracleFn = Some(() => diversityOracleRoot.map(idx => s"""
+        WITH l AS (
+          SELECT CAST(cluster AS INT) AS cluster, vec_id, emb, nrm
+          FROM read_parquet('$idx/lists/*/*.parquet', hive_partitioning=1)
+        ),
+        c AS (
+          SELECT cent_id, c_emb, c_nrm
+          FROM read_parquet('$idx/centroids/*.parquet')
+        ),
+        r AS (
+          SELECT cluster, vec_id, emb, nrm,
+                 row_number() OVER (PARTITION BY cluster
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+          FROM l)
+        SELECT r.cluster, r.vec_id, CAST(r.rn AS INT) AS pick,
+               list_dot_product(r.emb, c.c_emb) / (r.nrm * c.c_nrm)
+                 AS cent_sim
+        FROM r JOIN c ON r.cluster = c.cent_id
+        WHERE rn <= 4
+        ORDER BY cluster, pick""")))
   )
 }

@@ -30,6 +30,46 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out === Array((10L, 1L), (11L, 0L), (12L, 0L)))
   }
 
+  test("memorization risk flags only corpus-unique long spans: a " +
+    "duplicated document carries zero unique spans, a singleton " +
+    "document's spans are all unique") {
+    import spark.implicits._
+    // docs 1 and 2 are verbatim duplicates (every 8-gram has df=2);
+    // doc 3 is a singleton (every 8-gram unique); doc 4 is too short
+    // to form any 8-gram
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, txt), (2L, txt),
+      (3L, "one two three four five six seven eight nine"),
+      (4L, "too short for an eight gram"))
+      .toDF("doc_id", "text")
+    val out = Decontamination.memorizationRisk(docs, n = 8)
+      .as[(Long, Long, Long)].collect()
+    // 10 tokens -> 3 distinct 8-grams; 9 -> 2; 6 -> 0
+    assert(out === Array((1L, 3L, 0L), (2L, 3L, 0L), (3L, 2L, 2L),
+      (4L, 0L, 0L)))
+  }
+
+  test("diversity sample keeps at most the quota per cluster, picks " +
+    "are dense ranks, and repeats are deterministic") {
+    val out = graft.operators.Sampling.diversitySample(spark, sf)
+    val rows = out.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_._1)
+    byCluster.foreach { case (c, rs) =>
+      assert(rs.length <= 4, s"cluster $c exceeded the quota")
+      assert(rs.map(_._3).sorted.toSeq === (1 to rs.length).toSeq,
+        s"cluster $c picks are not a dense 1..n rank")
+    }
+    rows.foreach { case (_, _, _, sim) =>
+      assert(sim >= -1.0001 && sim <= 1.0001, "cent_sim outside [-1,1]")
+    }
+    val again = graft.operators.Sampling.diversitySample(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(again === out.collect().map(_.toString).toSeq)
+  }
+
   test("decontamination counts distinct contaminated grams per doc") {
     val bench = Seq((1L, "a b c d e f g h i j"))
       .toDF("doc_id", "text") // bench grams: a..h, b..i, c..j
