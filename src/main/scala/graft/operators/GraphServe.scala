@@ -646,7 +646,7 @@ object GraphServe {
   private def hierServe(spark: SparkSession, hroot: String,
       baseEdges: DataFrame, vecs: DataFrame, queries: DataFrame, k: Int,
       beam: Int, upperBudget: Int, baseBudget: Int,
-      converge: Boolean): (DataFrame, Int, Int) = {
+      converge: Boolean, filterLab: Option[Int] = None): (DataFrame, Int, Int) = {
     import spark.implicits._
     require(k <= DescentWorkFactor * beam,
       s"top-k $k must fit inside the descent working beam")
@@ -661,6 +661,7 @@ object GraphServe {
       .select(col("query_id"), explode(typedlit(tops)).as("node"))
       .where(col("node") =!= col("query_id"))
     var best: DataFrame = null
+    var bestF: DataFrame = null
     var hops = 0
     // EVERY layer (base included) runs at the working width; only the
     // final answer cuts to k. Cutting the frontier below the carried
@@ -669,14 +670,21 @@ object GraphServe {
     // visited, so the walk can never pass THROUGH them again — the
     // measured effect was q154 recall 0.72 → 0.62 when the carry
     // widened without widening the base frontier.
+    // Under a filter, the UPPER layers stay predicate-agnostic (they
+    // only navigate; a matching node good enough to carry re-scores at
+    // the next layer's hop 0 and enters the base layer's filtered pool
+    // there) and only the BASE layer maintains the filtered collection
+    // pool — the q157 design composed with the descent.
     val layerPlan =
       levels.map(l => (spark.read.parquet(s"$hroot/layer_$l"),
-        upperBudget)) :+ ((baseEdges, baseBudget))
-    layerPlan.foreach { case (edges, budget) =>
+        upperBudget, None: Option[Int])) :+
+        ((baseEdges, baseBudget, filterLab))
+    layerPlan.foreach { case (edges, budget, lab) =>
       val tr = batchBeam(edges, vecs, queries, entries, workBeam,
-        budget, converge)
+        budget, converge, lab)
       hops += tr.hops
       best = tr.best
+      bestF = tr.bestF
       // carry each query's best nodes seen SO FAR down a level: each
       // layer re-scores its entries at hop 0 and folds them into its
       // running top-workBeam, so the carried best after layer L is —
@@ -684,11 +692,32 @@ object GraphServe {
       // <= L; no cross-layer accumulator frame is needed at all
       entries = best.select("query_id", "node").localCheckpoint(false)
     }
+    val pool = if (filterLab.isDefined) bestF else best
     val result = Similarity.topK(
-      best.select(col("query_id"), col("node").as("neighbor_id"),
+      pool.select(col("query_id"), col("node").as("neighbor_id"),
         col("score")),
       k)
     (result, hops, levels.size)
+  }
+
+  /** Attribute-constrained HIERARCHICAL serving — the q157 filtered
+    * collection composed with the q154 descent (the production
+    * constrained query over a layered index): upper layers navigate
+    * predicate-agnostically, the base layer maintains the filtered
+    * pool, and the answer is the top-k of every matching node the
+    * base walk scored. Spec-gated next to its flat sibling. */
+  def graphSearchHierFilteredBatch(spark: SparkSession, dir: String,
+      nQueries: Int, k: Int, label: Int, beam: Int = 8,
+      hopsPerLevel: Int = 2, hops: Int = 8): DataFrame = {
+    val root0 = NnDescent.graphIndexStaged(spark, dir)
+    val hroot = graphHierStaged(spark, dir)
+    val vecs = spark.read.parquet(s"$root0/vecs")
+    val queries = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    hierServe(spark, hroot, spark.read.parquet(s"$root0/edges"), vecs,
+      queries, k, beam, upperBudget = hopsPerLevel, baseBudget = hops,
+      converge = false, filterLab = Some(label))._1
   }
 
   /** Batched HIERARCHICAL serving (q154) — the production shape for

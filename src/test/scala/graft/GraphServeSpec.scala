@@ -238,6 +238,31 @@ class GraphServeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("filtered HIERARCHICAL serving composes the q157 collection " +
+    "pool with the q154 descent: recall clears the bar vs the " +
+    "filtered exact answer, neighbors are label-pure, and repeats " +
+    "are deterministic") {
+    val label = 3
+    val emb = Tables.embeddings(spark, sf)
+    val exact = pairsOf(Similarity.knnBruteFiltered(emb, 100, 5, label))
+    def run() = GraphServe.graphSearchHierFilteredBatch(spark, sf,
+        nQueries = 100, k = 5, label = label)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val first = run()
+    assert(first === run(), "filtered hier serving must be deterministic")
+    val got = first.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val labelIds = emb.filter(col("label") === label)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    got.values.flatten.foreach(n => assert(labelIds.contains(n),
+      s"neighbor $n does not carry label $label"))
+    val recall = exact.keys.toSeq
+      .map(q => (got.getOrElse(q, Set.empty) & exact(q)).size).sum
+      .toDouble / exact.values.map(_.size).sum
+    info(s"filtered hier recall@5 over 100 queries = $recall")
+    assert(recall >= 0.72d, s"filtered hier recall $recall below the bar")
+  }
+
   test("q158 SQ8 serving: recall clears the IVF bar, the quantized " +
     "edge table is materially smaller than the fp one, repeats are " +
     "deterministic, and the plan holds no cartesian join") {
