@@ -95,29 +95,31 @@ object Recall {
       println(f"[recall] $name%-22s recall@k = $recall%.3f (floor $floor%.2f)")
       s""""$name":{"recall":$recall,"floor":$floor}"""
     } ++ {
-      // q148 delta insert (r12-verdict task 1): its query set is the
-      // inserted nodes (vec_id % 10 == 0, < 100) rather than the shared
-      // 0..9 convention, so its exact baseline is the same brute pass
-      // restricted to those queries. Floor = the family convention
-      // (~half the 0.97 the spec measures on the delta nodes).
+      // Delta-insert entries (q148 graph walk, q162 PQ frozen-codebook
+      // encode): their query set is the inserted nodes (vec_id % 10 ==
+      // 0, < 100) rather than the shared 0..9 convention, so their
+      // exact baseline is the same brute pass restricted to those
+      // queries. Floors = the family conventions (~half the spec
+      // measurements on the delta nodes).
       import org.apache.spark.sql.functions.col
-      val name = "q148_knn_graph_append"
-      val floor = 0.4
       val exact = graft.operators.Similarity
         .knnBrute(graft.sources.Tables.embeddings(spark, sfDir), 100, 5)
         .filter(col("query_id") % 10 === 0)
         .select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-      val got = pairs(name)
-      val perQuery = exact.map { case (q, truth) =>
-        (got.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+      Seq(("q148_knn_graph_append", 0.4),
+          ("q162_knn_pq_append", 0.5)).map { case (name, floor) =>
+        val got = pairs(name)
+        val perQuery = exact.map { case (q, truth) =>
+          (got.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+        }
+        val recall = perQuery.sum / perQuery.size
+        require(recall >= floor,
+          f"$name delta recall@k collapsed: $recall%.3f < floor $floor%.2f")
+        println(f"[recall] $name%-22s recall@k = $recall%.3f (floor $floor%.2f, delta-node queries)")
+        s""""$name":{"recall":$recall,"floor":$floor,"queries":"delta_nodes"}"""
       }
-      val recall = perQuery.sum / perQuery.size
-      require(recall >= floor,
-        f"$name delta recall@k collapsed: $recall%.3f < floor $floor%.2f")
-      println(f"[recall] $name%-22s recall@k = $recall%.3f (floor $floor%.2f, delta-node queries)")
-      Seq(s""""$name":{"recall":$recall,"floor":$floor,"queries":"delta_nodes"}""")
     } ++ {
       // q156/q157 filtered ANN (r14): their ground truth is the
       // FILTERED exact answer (top-k among the label slice for

@@ -336,6 +336,71 @@ object AnnIndex {
       k, m, d / m, kCent, candidates)
   }
 
+  // ---- q162: PQ delta append (maintenance) ----
+
+  private def pqDeltaKey(spark: SparkSession, dir: String, m: Int,
+      kCent: Int, d: Int): String =
+    s"$dir/pqsplit10/$m/$kCent/$d/" +
+      Layout.contentKey(spark, s"$dir/embeddings.parquet")
+
+  /** Split-convention PQ segments — the maintenance op that completes
+    * the PQ family's parity with IVF (q109/q124/q125) and the graph
+    * (q148/q155): codebooks TRAIN once on the base slice (`vec_id %
+    * 10 != 0`), and arrivals ENCODE under those FROZEN codebooks in
+    * one map-only pass (the Faiss train-vs-add split — training is
+    * the expensive, rarely-run stage; encoding a delta batch touches
+    * only the delta). The base corpus is never re-encoded, no
+    * training runs per batch, and the appended index answers probes
+    * from the union of the two code segments. Assignment drift under
+    * frozen codebooks is the price (same as q109's frozen centroids);
+    * the q138-style quality monitor and the q125-style retrain close
+    * the loop for the IVF family, and PQ retrain IS [[pqIndex]] (a
+    * deterministic scratch build). Returns (baseRoot, deltaRoot). */
+  def pqDeltaIndex(spark: SparkSession, dir: String, m: Int = 8,
+      kCent: Int = 64, d: Int = 64): (String, String) = {
+    val key = pqDeltaKey(spark, dir, m, kCent, d)
+    val baseRoot = "target/ann/graft_pqb_" + md5hex(key).take(8)
+    Staging.ensure(spark, baseRoot) { tmp =>
+      val base = Similarity.pqPrepared(
+        Tables.embeddings(spark, dir).filter(col("vec_id") % 10 =!= 0), d)
+      val cb = Similarity.pqCodebooks(base, m, d / m, kCent)
+      cb.write.mode("overwrite").parquet(s"$tmp/codebooks")
+      Similarity.pqEncode(base, cb, m, d / m, kCent)
+        .select("vec_id", "codes")
+        .write.mode("overwrite").parquet(s"$tmp/codes")
+      cb.unpersist()
+    }
+    val deltaRoot = "target/ann/graft_pqdl_" + md5hex(s"$key/delta").take(8)
+    Staging.ensure(spark, deltaRoot) { tmp =>
+      // delta-only work: one broadcast-codebook encode pass over the
+      // arrivals; the base segment is read-only input to QUERIES
+      Similarity.pqEncode(
+          Similarity.pqPrepared(
+            Tables.embeddings(spark, dir).filter(col("vec_id") % 10 === 0), d),
+          spark.read.parquet(s"$baseRoot/codebooks"), m, d / m, kCent)
+        .select("vec_id", "codes")
+        .write.mode("overwrite").parquet(s"$tmp/codes")
+    }
+    (baseRoot, deltaRoot)
+  }
+
+  /** PQ/ADC query over the appended (base ∪ delta) code segments —
+    * the q78 probe shape fed by the union, under the base-trained
+    * codebooks. Queries follow the q148 delta convention (the
+    * arrivals themselves ask for neighbors). */
+  def knnPqAppended(spark: SparkSession, dir: String, k: Int,
+      m: Int = 8, kCent: Int = 64, candidates: Int = 256,
+      d: Int = 64): DataFrame = {
+    val (baseRoot, deltaRoot) = pqDeltaIndex(spark, dir, m, kCent, d)
+    val cb = spark.read.parquet(s"$baseRoot/codebooks")
+    val codes = spark.read.parquet(s"$baseRoot/codes")
+      .unionByName(spark.read.parquet(s"$deltaRoot/codes"))
+    val e = Similarity.pqPrepared(Tables.embeddings(spark, dir), d)
+    Similarity.pqAdcSearch(codes, cb,
+      e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 100), e,
+      k, m, d / m, kCent, candidates)
+  }
+
   /** Simplified-silhouette cluster-quality audit over a persisted IVF
     * index's own frames — the "when to retrain" monitor next to the
     * q125 retrain op: appends under frozen centroids (q109) erode
@@ -521,6 +586,28 @@ object AnnIndex {
         "AnnIndexSpec: recall >= the IVF bar vs the filtered exact " +
         "answer (knnBruteFiltered), every neighbor carries the " +
         "constraint label, partition-pruning plan assert, determinism.",
-      (s, dir) => knnIvfFiltered(s, dir, nQueries = 100, k = 5, label = 3))
+      (s, dir) => knnIvfFiltered(s, dir, nQueries = 100, k = 5, label = 3)),
+
+    Query(
+      "q162_knn_pq_append",
+      "PQ delta APPEND — the maintenance op completing the PQ " +
+        "family's parity with IVF (q109/q124/q125) and the graph " +
+        "(q148/q155): codebooks TRAIN once on the base slice (vec_id " +
+        "% 10 != 0), arrivals ENCODE under those FROZEN codebooks in " +
+        "one map-only delta-sized pass (the Faiss train-vs-add " +
+        "split), and probes answer from the union of the two code " +
+        "segments — the base corpus is never re-encoded and no " +
+        "training runs per batch, so a 100M-row delta costs one " +
+        "encode scan of itself. Queries are the arrivals (the q148 " +
+        "delta convention). PQ retrain is the deterministic scratch " +
+        "build (q78's staging) by construction. No oracle (iterative " +
+        "codebook fit); design-gated in AnnIndexSpec: the union " +
+        "segments encode BIT-IDENTICALLY to a one-segment encode of " +
+        "the whole corpus under the same frozen codebooks, the " +
+        "stale base segment provably lacks every delta id, delta-" +
+        "query recall clears the PQ floor vs exact, determinism, " +
+        "idempotent staging; tracked in RECALL_LOCAL on the delta " +
+        "query set.",
+      (s, dir) => knnPqAppended(s, dir, k = 5))
   )
 }

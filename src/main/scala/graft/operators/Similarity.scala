@@ -493,7 +493,7 @@ object Similarity {
     * vector would otherwise slice to empty upper subspaces and silently
     * collapse their codes to centroid 0 — fail loudly per row instead
     * (one int compare). */
-  private[operators] def pqPrepared(emb: DataFrame, d: Int): DataFrame = {
+  private[graft] def pqPrepared(emb: DataFrame, d: Int): DataFrame = {
     val e0 = prepared(emb).filter(col("nrm") > 0)
     val dimOk = assert_true(size(col("emb")) === lit(d),
       lit(s"knnPq expects $d-dim embeddings"))
@@ -518,7 +518,7 @@ object Similarity {
     * per-row argmin over nested higher-order functions — the corpus
     * pass is map-only, no shuffle, emitting (vec_id, codes:
     * array<int>). */
-  private[operators] def pqEncode(e: DataFrame, cb: DataFrame, m: Int,
+  private[graft] def pqEncode(e: DataFrame, cb: DataFrame, m: Int,
       subdim: Int, kCent: Int): DataFrame = {
     val cbArr = codebookArray(cb, kCent, "cba")
     val zero = struct(lit(Double.MaxValue).as("bd"), lit(-1).as("bc"))

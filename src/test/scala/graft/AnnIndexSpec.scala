@@ -271,6 +271,56 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql("q138_cluster_quality").contains("read_parquet"))
   }
 
+  test("q162 PQ append: the union segments encode bit-identically to " +
+    "a one-segment encode under the same frozen codebooks, the stale " +
+    "base lacks every delta id, delta-query recall clears the PQ " +
+    "floor, and staging is idempotent + deterministic") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val (baseRoot, deltaRoot) = AnnIndex.pqDeltaIndex(spark, sf)
+    // idempotent staging
+    assert(AnnIndex.pqDeltaIndex(spark, sf) === ((baseRoot, deltaRoot)))
+    val deltaIds = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 10 === 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(deltaIds.nonEmpty)
+    val baseIds = spark.read.parquet(s"$baseRoot/codes")
+      .select("vec_id").as[Long].collect().toSet
+    // staleness differential: the pre-append segment holds no arrival
+    assert((baseIds & deltaIds).isEmpty, "stale base segment holds delta ids")
+    val unionCodes = spark.read.parquet(s"$baseRoot/codes")
+      .unionByName(spark.read.parquet(s"$deltaRoot/codes"))
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(unionCodes.length === baseIds.size + deltaIds.size)
+    // segment-union == one-segment encode of the WHOLE corpus under
+    // the same frozen codebooks (the q124 compaction identity, PQ
+    // form): appending is sound exactly because encode is per-row
+    val oneSegment = Similarity.pqEncode(
+        Similarity.pqPrepared(Tables.embeddings(spark, sf), 64),
+        spark.read.parquet(s"$baseRoot/codebooks"), 8, 8, 64)
+      .select("vec_id", "codes")
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(unionCodes === oneSegment,
+      "union-of-segments diverged from the one-segment encode")
+    // delta-query recall vs exact clears the PQ floor; deterministic
+    def pairs(df: DataFrame) = df.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val res = SparkEntry.queries("q162_knn_pq_append")(spark, sf)
+    val got = pairs(res)
+    assert(rows(res) === rows(AnnIndex.knnPqAppended(spark, sf, k = 5)),
+      "appended probe must be deterministic")
+    val exact = pairs(
+      Similarity.knnBrute(Tables.embeddings(spark, sf), 100, 5))
+    val deltaQs = exact.keys.filter(_ % 10 == 0).toSeq
+    assert(deltaQs.nonEmpty)
+    val recall = deltaQs
+      .map(q => (got.getOrElse(q, Set.empty) & exact(q)).size).sum
+      .toDouble / (deltaQs.size * 5)
+    info(s"q162 delta-query recall@5 = $recall")
+    assert(recall >= 0.5d, s"delta recall $recall below the PQ floor")
+  }
+
   test("q156 filtered ANN: recall clears the IVF bar vs the FILTERED " +
     "exact answer, every neighbor carries the constraint label, the " +
     "predicate reaches the lists scan as a PartitionFilter, and " +
