@@ -555,7 +555,16 @@ object GraphServe {
     * artifact — at 100 TB the difference between an index that fits
     * the cluster's NVMe tier and one that doesn't (the DiskANN/Faiss
     * economics: compressed vectors steer traversal, full precision
-    * reranks). The fp `vecs/` table remains the source of truth. */
+    * reranks). The fp `vecs/` table remains the source of truth.
+    *
+    * Maintenance: the quantized table is a DERIVED artifact — one
+    * map-only encode pass over whatever serving root it shadows — so
+    * after a graph append (q148/q155) the maintenance op is simply
+    * re-deriving from the appended root (content-keyed staging makes
+    * that automatic: a new root re-materializes, a stale one never
+    * serves); the bounds row is corpus-global and append-stable for
+    * in-distribution arrivals, and a drift in it shows up as a
+    * reconstruction-error shift in the q159-style health signals. */
   def graphSq8IndexStaged(spark: SparkSession, dir: String): String = {
     val root = NnDescent.graphIndexStaged(spark, dir)
     val out = "target/nndescent/graft_nngq_" + Bucketed.md5hex(

@@ -24,6 +24,13 @@ import graft.operators.GraphServe
   * whole arriving batch (the q151 economics), so throughput scales
   * with batch size, and a replayed batch returns identical answers
   * (exactly-once by determinism, not by sink transactions).
+  *
+  * The same foreachBatch shape serves any other probe the catalog
+  * ships — point the sink body at the hierarchical, filtered, or SQ8
+  * variants ([[GraphServe.graphSearchHierBatch]] family) for the
+  * corresponding online contract; the flat path is wired here because
+  * it is the identity-pinned baseline the spec proves batch==stream
+  * on.
   */
 object AnnServeStream {
 
