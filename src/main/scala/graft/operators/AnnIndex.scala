@@ -76,10 +76,17 @@ object AnnIndex {
     * against the broadcast probe side prunes the partitioned lists
     * (dynamic partition pruning); no training or corpus-assignment
     * stage exists in this plan at all. */
+  /** Root of the staged IVF index the last [[knnIvfIndexed]] run
+    * probed — late-bound into q77's oracle SQL (the q110 staged-root
+    * thunk convention). */
+  @volatile private[graft] var ivfOracleRoot: Option[String] = None
+
   def knnIvfIndexed(spark: SparkSession, dir: String, nQueries: Int, k: Int,
-      centroids: Int = 256, nProbe: Int = 32, lloydIters: Int = 3): DataFrame =
-    probeAt(spark, dir, ivfIndex(spark, dir, centroids, lloydIters),
-      nQueries, k, nProbe)
+      centroids: Int = 256, nProbe: Int = 32, lloydIters: Int = 3): DataFrame = {
+    val idx = ivfIndex(spark, dir, centroids, lloydIters)
+    ivfOracleRoot = Some(idx)
+    probeAt(spark, dir, idx, nQueries, k, nProbe)
+  }
 
   /** The shared cache-key string of the split-10 delta-index family —
     * ONE definition so the base/delta/compact/retrain artifacts can
@@ -326,9 +333,15 @@ object AnnIndex {
     * fed by the materialized codebooks and codes: the plan contains the
     * LUT build (bounded: queries × m·k), the lookup-only scan, and the
     * candidates-only re-rank — no training, no encode. */
+  /** Root of the staged PQ index the last [[knnPqIndexed]] run probed
+    * — late-bound into q78's oracle SQL (the staged-root thunk
+    * convention). */
+  @volatile private[graft] var pqOracleRoot: Option[String] = None
+
   def knnPqIndexed(spark: SparkSession, dir: String, nQueries: Int, k: Int,
       m: Int = 8, kCent: Int = 64, candidates: Int = 256, d: Int = 64): DataFrame = {
     val idx = pqIndex(spark, dir, m, kCent, d)
+    pqOracleRoot = Some(idx)
     val cb = spark.read.parquet(s"$idx/codebooks")
     val codes = spark.read.parquet(s"$idx/codes")
     val e = Similarity.pqPrepared(Tables.embeddings(spark, dir), d)
@@ -458,9 +471,47 @@ object AnnIndex {
         "partitioned by cluster so each probe is a partition-pruned read " +
         "touching nProbe/C of the corpus; repeated query batches skip " +
         "training and assignment entirely. Bit-identical to q29 " +
-        "(deterministic training; asserted in AnnIndexSpec). No oracle: " +
-        "approximate by design — gated by the q29 equality instead.",
-      (s, dir) => knnIvfIndexed(s, dir, nQueries = 10, k = 5)),
+        "(deterministic training; asserted in AnnIndexSpec). ORACLE " +
+        "since round 14 via the staged-root convention: the TRAINING " +
+        "is the iterative stage with no SQL twin, but the staged index " +
+        "is its spec-gated deterministic output, and the PROBE is pure " +
+        "relational algebra over it — DuckDB replays centroid ranking, " +
+        "the nProbe cut, the cluster-pruned list join, and the exact-" +
+        "cosine top-k from the same staged parquet, hash-exact (the " +
+        "double-precision scores ride list_dot_product, the q19 " +
+        "bit-stability precedent).",
+      (s, dir) => knnIvfIndexed(s, dir, nQueries = 10, k = 5),
+      oracleFn = Some(() => ivfOracleRoot.map(idx => s"""
+        WITH cent AS (
+          SELECT cent_id, c_emb, c_nrm
+          FROM read_parquet('$idx/centroids/*.parquet')
+        ),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS q_emb,
+                     sqrt(list_dot_product(v, v)) AS q_nrm
+              FROM e WHERE vec_id < 10),
+        probes AS (
+          SELECT query_id, q_emb, q_nrm, cent_id AS cluster
+          FROM (SELECT q.query_id, q.q_emb, q.q_nrm, c.cent_id,
+                       row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY list_dot_product(q.q_emb, c.c_emb)
+                                    / (q.q_nrm * c.c_nrm) DESC,
+                                  c.cent_id) AS rn
+                FROM q CROSS JOIN cent c)
+          WHERE rn <= 32),
+        l AS (SELECT CAST(cluster AS INT) AS cluster, vec_id, emb, nrm
+              FROM read_parquet('$idx/lists/*/*.parquet', hive_partitioning=1)),
+        scored AS (
+          SELECT p.query_id, l.vec_id AS neighbor_id,
+                 list_dot_product(p.q_emb, l.emb) / (p.q_nrm * l.nrm)
+                   AS score
+          FROM probes p
+          JOIN l ON p.cluster = l.cluster AND l.vec_id <> p.query_id)
+        SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, score
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rn FROM scored)
+        WHERE rn <= 5
+        ORDER BY query_id, rank"""))),
 
     Query(
       "q78_knn_pq_indexed",
@@ -469,9 +520,61 @@ object AnnIndex {
         "target/; repeated query batches run only the LUT build, the " +
         "lookup-only ADC scan, and the candidates-only re-rank — no " +
         "training or encode stages in the query plan. Bit-identical to " +
-        "q74 (asserted in AnnIndexSpec). No oracle: approximate by " +
-        "design — gated by the q74 equality instead.",
-      (s, dir) => knnPqIndexed(s, dir, nQueries = 10, k = 5)),
+        "q74 (asserted in AnnIndexSpec). ORACLE since round 14 via the " +
+        "staged-root convention: the codebook fit is the iterative " +
+        "stage with no SQL twin, but the staged codebooks+codes are " +
+        "its spec-gated deterministic outputs, and the PROBE is pure " +
+        "relational algebra over them — DuckDB rebuilds each query's " +
+        "sub-distance LUT (squared-L2 via a self-dot of the diff " +
+        "vector, the q19 bit-stability precedent), folds the per-code " +
+        "ADC sum through a dot-with-ones (preserving the engine's " +
+        "left-to-right accumulation bit for bit), replays the " +
+        "candidate cut and the exact-cosine re-rank, hash-exact.",
+      (s, dir) => knnPqIndexed(s, dir, nQueries = 10, k = 5),
+      oracleFn = Some(() => pqOracleRoot.map(idx => s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        q AS (SELECT vec_id AS query_id, v AS q_emb, nrm AS q_nrm,
+                     list_transform(v, x -> x / nrm) AS q_u
+              FROM n WHERE vec_id < 10),
+        cb AS (SELECT sub, cid, c_sv
+               FROM read_parquet('$idx/codebooks/*.parquet')),
+        lut AS (
+          SELECT q.query_id, cb.sub, cb.cid,
+                 list_dot_product(
+                   list_transform(range(1, 9),
+                     i -> q.q_u[cb.sub * 8 + i] - cb.c_sv[i]),
+                   list_transform(range(1, 9),
+                     i -> q.q_u[cb.sub * 8 + i] - cb.c_sv[i])) AS val
+          FROM q CROSS JOIN cb),
+        cx AS (SELECT vec_id, unnest(codes) AS c,
+                      unnest(range(0, 8)) AS sub
+               FROM read_parquet('$idx/codes/*.parquet')),
+        adc AS (
+          SELECT l.query_id, cx.vec_id AS neighbor_id,
+                 list_dot_product(
+                   list(l.val ORDER BY cx.sub),
+                   [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]) AS adc
+          FROM cx JOIN lut l ON cx.sub = l.sub AND cx.c = l.cid
+          WHERE cx.vec_id <> l.query_id
+          GROUP BY l.query_id, cx.vec_id),
+        cand AS (
+          SELECT query_id, neighbor_id
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc, neighbor_id) AS rn FROM adc)
+          WHERE rn <= 256),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 list_dot_product(q.q_emb, n.v) / (q.q_nrm * n.nrm)
+                   AS score
+          FROM cand c
+          JOIN q ON c.query_id = q.query_id
+          JOIN n ON c.neighbor_id = n.vec_id)
+        SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, score
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rn FROM scored)
+        WHERE rn <= 5
+        ORDER BY query_id, rank"""))),
 
     Query(
       "q109_knn_ivf_append",

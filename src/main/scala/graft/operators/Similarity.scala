@@ -207,6 +207,66 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Root of the staged SRP signature table the last q20 run probed —
+    * late-bound into its oracle SQL (the q110 staged-root thunk
+    * convention). */
+  @volatile private[graft] var lshOracleRoot: Option[String] = None
+
+  /** Write-once content-keyed SRP signature table (vec_id, tbl,
+    * bucket) — the deterministic, spec-gated intermediate
+    * (SignatureExprSpec pins the fused native expression bit for bit)
+    * that the q20 oracle recomputes candidates from: the hyperplane
+    * dots themselves have no SQL twin (structurally-hashed plane
+    * seeds), but everything DOWNSTREAM of the signatures — the
+    * multi-probe mask expansion, the bucket equi-join, the exact
+    * cosine re-rank — is pure relational algebra DuckDB replays from
+    * the same staged parquet (the staged-fingerprint convention). */
+  private[graft] def srpSignaturesStaged(spark: org.apache.spark.sql.SparkSession,
+      dir: String, tables: Int = 32, bits: Int = 14, dim: Int = 64): String = {
+    val out = "target/similarity/graft_srp_" + Bucketed.md5hex(
+      s"$dir/s1/$tables/$bits/$dim/" +
+        Layout.contentKey(spark, s"$dir/embeddings.parquet")).take(8)
+    Staging.ensure(spark, out) { tmp =>
+      srpBuckets(prepared(Tables.embeddings(spark, dir)), tables, bits, dim)
+        .select(col("vec_id"), col("table").as("tbl"), col("bucket"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    out
+  }
+
+  /** q20's probe over the STAGED signature table — candidate set and
+    * re-rank identical to [[knnLsh]] by construction (the signatures
+    * are deterministic; staging just materializes them where the
+    * oracle can read the same bytes). */
+  def knnLshStaged(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nQueries: Int, k: Int, bits: Int = 14,
+      probeHamming: Int = 2): DataFrame = {
+    val root = srpSignaturesStaged(spark, dir)
+    lshOracleRoot = Some(root)
+    val sig = spark.read.parquet(root)
+    val probes = sig.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("tbl"),
+        explode(typedlit(probeMasks(bits, probeHamming))).as("mask"),
+        col("bucket"))
+      .select(col("query_id"), col("tbl"),
+        col("bucket").bitwiseXOR(col("mask")).as("bucket"))
+    val cand = sig.join(broadcast(probes), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val e = prepared(Tables.embeddings(spark, dir))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val scored = cand
+      .join(broadcast(q), Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("emb"),
+        col("nrm")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("q_nrm"), col("emb"), col("nrm")).as("score"))
+    topK(scored, k)
+  }
+
   // ---- IVF (inverted-file) ANN ----
 
   /** Corpus × centroid cosine scores. The centroid side is ALWAYS a
@@ -710,9 +770,45 @@ object Similarity {
         "(never a cross product), exact cosine re-ranks candidates only. " +
         "Recall@5 ~0.74 on near-random data at ~20% candidate volume " +
         "(was 0.46 pre-multi-probe at the same volume); measured vs q19 in " +
-        "ScalaTest and tracked in RECALL_LOCAL.json. No oracle: " +
-        "approximate by design.",
-      (s, dir) => knnLsh(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
+        "ScalaTest and tracked in RECALL_LOCAL.json. ORACLE since round " +
+        "14 via the staged-fingerprint convention: the hyperplane dots " +
+        "have no SQL twin (structurally-hashed plane seeds), but the " +
+        "signature table is their spec-gated deterministic output, and " +
+        "everything downstream — the 106-mask multi-probe expansion, " +
+        "the bucket equi-join, the exact-cosine re-rank — is pure " +
+        "relational algebra DuckDB replays from the same staged " +
+        "parquet, hash-exact.",
+      (s, dir) => knnLshStaged(s, dir, nQueries = 10, k = 5),
+      oracleFn = Some(() => lshOracleRoot.map { root =>
+        val masks = probeMasks(14, 2).mkString("(", "), (", ")")
+        s"""
+        WITH sig AS (SELECT vec_id, tbl, bucket
+                     FROM read_parquet('$root/*.parquet')),
+        masks(mask) AS (VALUES $masks),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        q AS (SELECT vec_id AS query_id, v AS q_emb, nrm AS q_nrm
+              FROM n WHERE vec_id < 10),
+        probes AS (SELECT s.vec_id AS query_id, s.tbl,
+                          xor(s.bucket, m.mask) AS pb
+                   FROM sig s CROSS JOIN masks m WHERE s.vec_id < 10),
+        cand AS (SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id
+                 FROM probes p
+                 JOIN sig s ON p.tbl = s.tbl AND s.bucket = p.pb
+                 WHERE s.vec_id <> p.query_id),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 list_dot_product(q.q_emb, n.v) / (q.q_nrm * n.nrm)
+                   AS score
+          FROM cand c
+          JOIN q USING (query_id)
+          JOIN n ON c.neighbor_id = n.vec_id)
+        SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, score
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rn FROM scored)
+        WHERE rn <= 5
+        ORDER BY query_id, rank"""
+      })),
 
     Query(
       "q29_knn_ivf",
@@ -752,9 +848,44 @@ object Similarity {
         "dequantized reconstructions, so quantization error enters once. " +
         "The gentlest point on the ANN compression spectrum next to " +
         "q74's PQ (64x). Recall vs q19 gated in ScalaTest plus a " +
-        "reconstruction-error bound of half a quantization step. No " +
-        "oracle: approximate by design.",
-      (s, dir) => knnSq8(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
+        "reconstruction-error bound of half a quantization step. " +
+        "ORACLE since round 14: unlike the iteratively-trained ANN " +
+        "paths, SQ8 is CLOSED-FORM end to end (bounds are a min/max " +
+        "aggregate, encode/decode are arithmetic), so DuckDB replays " +
+        "the whole pipeline — bounds, clamp-round quantization, " +
+        "reconstruction, asymmetric cosine, top-k — from the source " +
+        "table, hash-exact.",
+      (s, dir) => knnSq8(Tables.embeddings(s, dir), nQueries = 10, k = 5),
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        x AS (SELECT vec_id, unnest(v) AS x,
+                     unnest(range(1, len(v) + 1)) AS d
+              FROM e),
+        b AS (SELECT d, min(x) AS mn,
+                     greatest(max(x) - min(x), 1e-12) AS span
+              FROM x GROUP BY d),
+        deq AS (
+          SELECT vec_id,
+                 list(least(greatest(round((x - mn) / span * 255.0), 0.0),
+                            255.0) * span / 255.0 + mn
+                      ORDER BY d) AS vh
+          FROM x JOIN b USING (d)
+          GROUP BY vec_id),
+        nh AS (SELECT vec_id, vh, sqrt(list_dot_product(vh, vh)) AS nrmh
+               FROM deq),
+        q AS (SELECT vec_id AS query_id, v AS q_emb,
+                     sqrt(list_dot_product(v, v)) AS q_nrm
+              FROM e WHERE vec_id < 10),
+        scored AS (
+          SELECT q.query_id, n.vec_id AS neighbor_id,
+                 list_dot_product(q.q_emb, n.vh) / (q.q_nrm * n.nrmh)
+                   AS score
+          FROM nh n JOIN q ON n.vec_id <> q.query_id)
+        SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, score
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rn FROM scored)
+        WHERE rn <= 5
+        ORDER BY query_id, rank""")),
 
     Query(
       "q21_embed_neardup",
