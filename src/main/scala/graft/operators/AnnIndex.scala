@@ -71,15 +71,125 @@ object AnnIndex {
     }
   }
 
+  /** Roots of the staged IVF artifacts the last probe entries ran
+    * against — late-bound into their oracle SQL (the q110 staged-root
+    * thunk convention). One var per entry because each probes a
+    * different artifact family. */
+  @volatile private[graft] var ivfOracleRoot: Option[String] = None
+  @volatile private[graft] var ivfAppendOracleRoots: Option[(String, String)] = None
+  @volatile private[graft] var ivfCompactOracleRoot: Option[String] = None
+  @volatile private[graft] var ivfRetrainOracleRoot: Option[String] = None
+  @volatile private[graft] var ivfFilteredOracleRoot: Option[String] = None
+
+  /** The IVF probe as ANSI SQL over staged artifacts — the shared
+    * template behind the q77/q109/q124/q125/q156 oracles (one
+    * definition, so the probe semantics can never drift between the
+    * entries' SQL twins): rank the staged centroids per query, keep
+    * `nProbe`, join the cluster-pruned lists (one or more staged
+    * segments, unioned), exact-cosine score, top-`k`. The
+    * double-precision scores ride `list_dot_product` (the q19
+    * bit-stability precedent). */
+  private def ivfProbeSql(listGlobs: Seq[String], centRoot: String,
+      queryPred: String, nProbe: Int, k: Int,
+      listPred: String = "TRUE"): String = {
+    val listsSel = listGlobs.map(g =>
+      s"""SELECT CAST(cluster AS INT) AS cluster, vec_id, emb, nrm
+              FROM read_parquet('$g', hive_partitioning=1)
+              WHERE $listPred""").mkString("\n              UNION ALL\n              ")
+    s"""
+        WITH cent AS (
+          SELECT cent_id, c_emb, c_nrm
+          FROM read_parquet('$centRoot/*.parquet')
+        ),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS q_emb,
+                     sqrt(list_dot_product(v, v)) AS q_nrm
+              FROM e WHERE $queryPred),
+        probes AS (
+          SELECT query_id, q_emb, q_nrm, cent_id AS cluster
+          FROM (SELECT q.query_id, q.q_emb, q.q_nrm, c.cent_id,
+                       row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY list_dot_product(q.q_emb, c.c_emb)
+                                    / (q.q_nrm * c.c_nrm) DESC,
+                                  c.cent_id) AS rn
+                FROM q CROSS JOIN cent c)
+          WHERE rn <= $nProbe),
+        l AS (${listsSel}),
+        scored AS (
+          SELECT p.query_id, l.vec_id AS neighbor_id,
+                 list_dot_product(p.q_emb, l.emb) / (p.q_nrm * l.nrm)
+                   AS score
+          FROM probes p
+          JOIN l ON p.cluster = l.cluster AND l.vec_id <> p.query_id)
+        SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, score
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rn FROM scored)
+        WHERE rn <= $k
+        ORDER BY query_id, rank"""
+  }
+
   /** IVF query over the persisted index — [[Similarity.ivfProbe]] fed by
     * index scans instead of a fresh train+assign. The cluster equi-join
     * against the broadcast probe side prunes the partitioned lists
     * (dynamic partition pruning); no training or corpus-assignment
     * stage exists in this plan at all. */
-  /** Root of the staged IVF index the last [[knnIvfIndexed]] run
-    * probed — late-bound into q77's oracle SQL (the q110 staged-root
-    * thunk convention). */
-  @volatile private[graft] var ivfOracleRoot: Option[String] = None
+  /** The PQ/ADC probe as ANSI SQL over staged codebooks + one or more
+    * code segments — the shared template behind the q78/q162 oracles:
+    * per-query sub-distance LUT (squared-L2 via a self-dot of the diff
+    * vector), ADC fold through a dot-with-ones (both preserving the
+    * engine's left-to-right accumulation bit for bit — the q19
+    * precedent), candidate cut, exact-cosine re-rank, top-k. */
+  private def pqProbeSql(codeGlobs: Seq[String], cbRoot: String,
+      queryPred: String, candidates: Int, k: Int): String = {
+    val codesSel = codeGlobs.map(g =>
+      s"SELECT vec_id, codes FROM read_parquet('$g')")
+      .mkString("\n               UNION ALL\n               ")
+    s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        q AS (SELECT vec_id AS query_id, v AS q_emb, nrm AS q_nrm,
+                     list_transform(v, x -> x / nrm) AS q_u
+              FROM n WHERE $queryPred),
+        cb AS (SELECT sub, cid, c_sv
+               FROM read_parquet('$cbRoot/*.parquet')),
+        lut AS (
+          SELECT q.query_id, cb.sub, cb.cid,
+                 list_dot_product(
+                   list_transform(range(1, 9),
+                     i -> q.q_u[cb.sub * 8 + i] - cb.c_sv[i]),
+                   list_transform(range(1, 9),
+                     i -> q.q_u[cb.sub * 8 + i] - cb.c_sv[i])) AS val
+          FROM q CROSS JOIN cb),
+        codeseg AS ($codesSel),
+        cx AS (SELECT vec_id, unnest(codes) AS c,
+                      unnest(range(0, 8)) AS sub
+               FROM codeseg),
+        adc AS (
+          SELECT l.query_id, cx.vec_id AS neighbor_id,
+                 list_dot_product(
+                   list(l.val ORDER BY cx.sub),
+                   [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]) AS adc
+          FROM cx JOIN lut l ON cx.sub = l.sub AND cx.c = l.cid
+          WHERE cx.vec_id <> l.query_id
+          GROUP BY l.query_id, cx.vec_id),
+        cand AS (
+          SELECT query_id, neighbor_id
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc, neighbor_id) AS rn FROM adc)
+          WHERE rn <= $candidates),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 list_dot_product(q.q_emb, n.v) / (q.q_nrm * n.nrm)
+                   AS score
+          FROM cand c
+          JOIN q ON c.query_id = q.query_id
+          JOIN n ON c.neighbor_id = n.vec_id)
+        SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, score
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rn FROM scored)
+        WHERE rn <= $k
+        ORDER BY query_id, rank"""
+  }
 
   def knnIvfIndexed(spark: SparkSession, dir: String, nQueries: Int, k: Int,
       centroids: Int = 256, nProbe: Int = 32, lloydIters: Int = 3): DataFrame = {
@@ -162,6 +272,7 @@ object AnnIndex {
   def knnIvfAppended(spark: SparkSession, dir: String, nQueries: Int, k: Int,
       centroids: Int = 256, nProbe: Int = 32, lloydIters: Int = 3): DataFrame = {
     val (baseRoot, deltaRoot) = ivfDeltaIndex(spark, dir, centroids, lloydIters)
+    ivfAppendOracleRoots = Some((baseRoot, deltaRoot))
     val cent = spark.read.parquet(s"$baseRoot/centroids")
     val lists = spark.read.parquet(s"$baseRoot/lists")
       .unionByName(spark.read.parquet(s"$deltaRoot/lists"))
@@ -201,9 +312,11 @@ object AnnIndex {
   /** IVF query over the compacted single segment — the q77 probe shape
     * against the [[ivfCompactIndex]] artifact. */
   def knnIvfCompacted(spark: SparkSession, dir: String, nQueries: Int, k: Int,
-      centroids: Int = 256, nProbe: Int = 32, lloydIters: Int = 3): DataFrame =
-    probeAt(spark, dir, ivfCompactIndex(spark, dir, centroids, lloydIters),
-      nQueries, k, nProbe)
+      centroids: Int = 256, nProbe: Int = 32, lloydIters: Int = 3): DataFrame = {
+    val idx = ivfCompactIndex(spark, dir, centroids, lloydIters)
+    ivfCompactOracleRoot = Some(idx)
+    probeAt(spark, dir, idx, nQueries, k, nProbe)
+  }
 
   /** Centroid RETRAIN — the second maintenance op (drift repair): after
     * enough appends, the frozen base-slice quantizer no longer reflects
@@ -239,9 +352,11 @@ object AnnIndex {
   /** IVF query over the retrained index — the q77 probe shape against
     * the [[ivfRetrainIndex]] artifact. */
   def knnIvfRetrained(spark: SparkSession, dir: String, nQueries: Int, k: Int,
-      centroids: Int = 256, nProbe: Int = 32, lloydIters: Int = 3): DataFrame =
-    probeAt(spark, dir, ivfRetrainIndex(spark, dir, centroids, lloydIters),
-      nQueries, k, nProbe)
+      centroids: Int = 256, nProbe: Int = 32, lloydIters: Int = 3): DataFrame = {
+    val idx = ivfRetrainIndex(spark, dir, centroids, lloydIters)
+    ivfRetrainOracleRoot = Some(idx)
+    probeAt(spark, dir, idx, nQueries, k, nProbe)
+  }
 
   // ---- q156: attribute-constrained (filtered) ANN ----
 
@@ -300,6 +415,7 @@ object AnnIndex {
       k: Int, label: Int, centroids: Int = 64, nProbe: Int = 32,
       lloydIters: Int = 3): DataFrame = {
     val idx = ivfFilteredIndex(spark, dir, centroids, lloydIters)
+    ivfFilteredOracleRoot = Some(idx)
     val cent = spark.read.parquet(s"$idx/centroids")
     val lists = spark.read.parquet(s"$idx/lists")
       .filter(col("label") === lit(label))
@@ -337,6 +453,9 @@ object AnnIndex {
     * — late-bound into q78's oracle SQL (the staged-root thunk
     * convention). */
   @volatile private[graft] var pqOracleRoot: Option[String] = None
+
+  /** (base, delta) roots the last q162 append probe served from. */
+  @volatile private[graft] var pqAppendOracleRoots: Option[(String, String)] = None
 
   def knnPqIndexed(spark: SparkSession, dir: String, nQueries: Int, k: Int,
       m: Int = 8, kCent: Int = 64, candidates: Int = 256, d: Int = 64): DataFrame = {
@@ -405,6 +524,7 @@ object AnnIndex {
       m: Int = 8, kCent: Int = 64, candidates: Int = 256,
       d: Int = 64): DataFrame = {
     val (baseRoot, deltaRoot) = pqDeltaIndex(spark, dir, m, kCent, d)
+    pqAppendOracleRoots = Some((baseRoot, deltaRoot))
     val cb = spark.read.parquet(s"$baseRoot/codebooks")
     val codes = spark.read.parquet(s"$baseRoot/codes")
       .unionByName(spark.read.parquet(s"$deltaRoot/codes"))
@@ -481,37 +601,9 @@ object AnnIndex {
         "double-precision scores ride list_dot_product, the q19 " +
         "bit-stability precedent).",
       (s, dir) => knnIvfIndexed(s, dir, nQueries = 10, k = 5),
-      oracleFn = Some(() => ivfOracleRoot.map(idx => s"""
-        WITH cent AS (
-          SELECT cent_id, c_emb, c_nrm
-          FROM read_parquet('$idx/centroids/*.parquet')
-        ),
-        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        q AS (SELECT vec_id AS query_id, v AS q_emb,
-                     sqrt(list_dot_product(v, v)) AS q_nrm
-              FROM e WHERE vec_id < 10),
-        probes AS (
-          SELECT query_id, q_emb, q_nrm, cent_id AS cluster
-          FROM (SELECT q.query_id, q.q_emb, q.q_nrm, c.cent_id,
-                       row_number() OVER (PARTITION BY q.query_id
-                         ORDER BY list_dot_product(q.q_emb, c.c_emb)
-                                    / (q.q_nrm * c.c_nrm) DESC,
-                                  c.cent_id) AS rn
-                FROM q CROSS JOIN cent c)
-          WHERE rn <= 32),
-        l AS (SELECT CAST(cluster AS INT) AS cluster, vec_id, emb, nrm
-              FROM read_parquet('$idx/lists/*/*.parquet', hive_partitioning=1)),
-        scored AS (
-          SELECT p.query_id, l.vec_id AS neighbor_id,
-                 list_dot_product(p.q_emb, l.emb) / (p.q_nrm * l.nrm)
-                   AS score
-          FROM probes p
-          JOIN l ON p.cluster = l.cluster AND l.vec_id <> p.query_id)
-        SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, score
-        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                ORDER BY score DESC, neighbor_id) AS rn FROM scored)
-        WHERE rn <= 5
-        ORDER BY query_id, rank"""))),
+      oracleFn = Some(() => ivfOracleRoot.map(idx => ivfProbeSql(
+        Seq(s"$idx/lists/*/*.parquet"), s"$idx/centroids",
+        queryPred = "vec_id < 10", nProbe = 32, k = 5)))),
 
     Query(
       "q78_knn_pq_indexed",
@@ -531,50 +623,9 @@ object AnnIndex {
         "left-to-right accumulation bit for bit), replays the " +
         "candidate cut and the exact-cosine re-rank, hash-exact.",
       (s, dir) => knnPqIndexed(s, dir, nQueries = 10, k = 5),
-      oracleFn = Some(() => pqOracleRoot.map(idx => s"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        q AS (SELECT vec_id AS query_id, v AS q_emb, nrm AS q_nrm,
-                     list_transform(v, x -> x / nrm) AS q_u
-              FROM n WHERE vec_id < 10),
-        cb AS (SELECT sub, cid, c_sv
-               FROM read_parquet('$idx/codebooks/*.parquet')),
-        lut AS (
-          SELECT q.query_id, cb.sub, cb.cid,
-                 list_dot_product(
-                   list_transform(range(1, 9),
-                     i -> q.q_u[cb.sub * 8 + i] - cb.c_sv[i]),
-                   list_transform(range(1, 9),
-                     i -> q.q_u[cb.sub * 8 + i] - cb.c_sv[i])) AS val
-          FROM q CROSS JOIN cb),
-        cx AS (SELECT vec_id, unnest(codes) AS c,
-                      unnest(range(0, 8)) AS sub
-               FROM read_parquet('$idx/codes/*.parquet')),
-        adc AS (
-          SELECT l.query_id, cx.vec_id AS neighbor_id,
-                 list_dot_product(
-                   list(l.val ORDER BY cx.sub),
-                   [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]) AS adc
-          FROM cx JOIN lut l ON cx.sub = l.sub AND cx.c = l.cid
-          WHERE cx.vec_id <> l.query_id
-          GROUP BY l.query_id, cx.vec_id),
-        cand AS (
-          SELECT query_id, neighbor_id
-          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                  ORDER BY adc, neighbor_id) AS rn FROM adc)
-          WHERE rn <= 256),
-        scored AS (
-          SELECT c.query_id, c.neighbor_id,
-                 list_dot_product(q.q_emb, n.v) / (q.q_nrm * n.nrm)
-                   AS score
-          FROM cand c
-          JOIN q ON c.query_id = q.query_id
-          JOIN n ON c.neighbor_id = n.vec_id)
-        SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, score
-        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                ORDER BY score DESC, neighbor_id) AS rn FROM scored)
-        WHERE rn <= 5
-        ORDER BY query_id, rank"""))),
+      oracleFn = Some(() => pqOracleRoot.map(idx => pqProbeSql(
+        Seq(s"$idx/codes/*.parquet"), s"$idx/codebooks",
+        queryPred = "vec_id < 10", candidates = 256, k = 5)))),
 
     Query(
       "q109_knn_ivf_append",
@@ -591,7 +642,13 @@ object AnnIndex {
         "AnnIndexSpec, with delta-size and segment-disjointness " +
         "probes). No oracle: approximate by design — gated by that " +
         "equality instead.",
-      (s, dir) => knnIvfAppended(s, dir, nQueries = 10, k = 5)),
+      (s, dir) => knnIvfAppended(s, dir, nQueries = 10, k = 5),
+      oracleFn = Some(() => ivfAppendOracleRoots.map { case (b, d) =>
+        ivfProbeSql(
+          Seq(s"$b/lists/*/*.parquet", s"$d/lists/*/*.parquet"),
+          s"$b/centroids", queryPred = "vec_id < 10", nProbe = 32,
+          k = 5)
+      })),
 
     Query(
       "q124_knn_ivf_compact",
@@ -607,7 +664,10 @@ object AnnIndex {
         "oracle: approximate by design — gated in AnnIndexSpec by " +
         "bit-equality with the appended probe, a lists-union row check, " +
         "and the no-aggregate plan assert.",
-      (s, dir) => knnIvfCompacted(s, dir, nQueries = 10, k = 5)),
+      (s, dir) => knnIvfCompacted(s, dir, nQueries = 10, k = 5),
+      oracleFn = Some(() => ivfCompactOracleRoot.map(idx => ivfProbeSql(
+        Seq(s"$idx/lists/*/*.parquet"), s"$idx/centroids",
+        queryPred = "vec_id < 10", nProbe = 32, k = 5)))),
 
     Query(
       "q125_knn_ivf_retrain",
@@ -622,7 +682,10 @@ object AnnIndex {
         "erode. No oracle: approximate by design — gated in " +
         "AnnIndexSpec by frame-for-frame equality with the q77 index " +
         "and probe bit-equality.",
-      (s, dir) => knnIvfRetrained(s, dir, nQueries = 10, k = 5)),
+      (s, dir) => knnIvfRetrained(s, dir, nQueries = 10, k = 5),
+      oracleFn = Some(() => ivfRetrainOracleRoot.map(idx => ivfProbeSql(
+        Seq(s"$idx/lists/*/*.parquet"), s"$idx/centroids",
+        queryPred = "vec_id < 10", nProbe = 32, k = 5)))),
 
     Query(
       "q138_cluster_quality",
@@ -689,7 +752,11 @@ object AnnIndex {
         "AnnIndexSpec: recall >= the IVF bar vs the filtered exact " +
         "answer (knnBruteFiltered), every neighbor carries the " +
         "constraint label, partition-pruning plan assert, determinism.",
-      (s, dir) => knnIvfFiltered(s, dir, nQueries = 100, k = 5, label = 3)),
+      (s, dir) => knnIvfFiltered(s, dir, nQueries = 100, k = 5, label = 3),
+      oracleFn = Some(() => ivfFilteredOracleRoot.map(idx => ivfProbeSql(
+        Seq(s"$idx/lists/*/*/*.parquet"), s"$idx/centroids",
+        queryPred = "vec_id < 100", nProbe = 32, k = 5,
+        listPred = "CAST(label AS INT) = 3")))),
 
     Query(
       "q162_knn_pq_append",
@@ -711,6 +778,13 @@ object AnnIndex {
         "query recall clears the PQ floor vs exact, determinism, " +
         "idempotent staging; tracked in RECALL_LOCAL on the delta " +
         "query set.",
-      (s, dir) => knnPqAppended(s, dir, k = 5))
+      (s, dir) => knnPqAppended(s, dir, k = 5),
+      oracleFn = Some(() => pqAppendOracleRoots.map { case (b, d) =>
+        pqProbeSql(
+          Seq(s"$b/codes/*.parquet", s"$d/codes/*.parquet"),
+          s"$b/codebooks",
+          queryPred = "vec_id % 10 = 0 AND vec_id < 100",
+          candidates = 256, k = 5)
+      }))
   )
 }
