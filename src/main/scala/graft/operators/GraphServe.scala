@@ -233,6 +233,260 @@ object GraphServe {
       .select(col("query_id"), col("p.node").as("node"),
         (-col("p.ns")).as("score"))
 
+  // ---- oracle replay of the traversal (round-14 upgrade) ----
+
+  /** (index root, staged-entries root) the last q151 oracle run served
+    * from — late-bound into its SQL twin. */
+  @volatile private[graft] var graphOracleRoots: Option[(String, String)] = None
+
+  /** (index root, staged-entries root) of the last q157 filtered run. */
+  @volatile private[graft] var graphFilteredOracleRoots: Option[(String, String)] = None
+
+  /** (index root, hier root, levels top-first) of the last q154 run. */
+  @volatile private[graft] var hierOracleInfo: Option[(String, String, Seq[Int])] = None
+
+  /** Same for the q155 post-append hierarchy run. */
+  @volatile private[graft] var hierAppendOracleInfo: Option[(String, String, Seq[Int])] = None
+
+  /** (fp index root, sq8 root, staged-entries root) of the last q158
+    * run. */
+  @volatile private[graft] var sq8OracleRoots: Option[(String, String, String)] = None
+
+  /** The batched beam traversal as ANSI SQL — the [[batchBeam]] loop
+    * UNROLLED hop by hop into chained CTEs over the staged index (the
+    * hop budget is a fixed configuration constant, so the loop is
+    * finite and the unrolling is mechanical). Each hop replays the
+    * exact merge semantics: full-row DISTINCT stands in for the
+    * struct `array_distinct` (ns/lab are functionally dependent on
+    * (query, node), so row-distinct ≡ struct-distinct), `list_sort`
+    * over (ns, node, lab) structs is the same lexicographic serving
+    * order (ns = negated cosine), and the scores ride
+    * `list_dot_product` (the q19 bit-stability precedent). The ONE
+    * non-SQL ingredient — the xxhash64 entry-slot draw — is itself a
+    * spec-gated deterministic frame (`entrySlotHash` twin test) and
+    * stages as parquet next to the index, so the oracle reads the
+    * same entry bytes the engine serves from. collect_list order
+    * never matters: every consumer of the gathered proposals is
+    * either sorted or set-semantics (the argument in [[batchBeam]]'s
+    * doc), which is what makes a SQL replay possible at all. */
+  private val EmptyProps =
+    "CAST([] AS STRUCT(ns DOUBLE, node BIGINT, lab INTEGER)[])"
+
+  /** One unrolled [[batchBeam]] hop chain as CTE text: assumes a CTE
+    * `${pfx}_init` with (query_id, q_emb, q_nrm, frontier, visited,
+    * best[, bestf]) exists; emits `cand/p/s` CTEs `${pfx}_0 ..
+    * ${pfx}_$hops` replaying the exact merge semantics (full-row
+    * DISTINCT ≡ struct array_distinct because ns/lab are functionally
+    * dependent on (query, node); list_sort over (ns, node, lab) is
+    * the serving order; every consumer of the gathered proposals is
+    * sorted or set-semantics, so collect_list order cannot matter —
+    * which is what makes a SQL replay possible at all). Hop 0 scores
+    * the entry nodes via `vecs`; later hops expand through
+    * `$edgesRel`. */
+  private def hopChainSql(pfx: String, edgesRel: String, beam: Int,
+      hops: Int, filterLab: Option[Int]): String = {
+    def fresh = s"""list_filter(coalesce(p.props, $EmptyProps),
+                 x -> NOT list_contains(s.visited, x.node))"""
+    def bestfNext = filterLab match {
+      case Some(l) =>
+        s""",
+             list_slice(list_sort(s.bestf ||
+               list_filter($fresh, x -> x.lab = $l)), 1, $beam) AS bestf"""
+      case None => ""
+    }
+    (0 to hops).map { i =>
+      val prev = if (i == 0) s"${pfx}_init" else s"${pfx}_${i - 1}"
+      val cand =
+        if (i == 0) s"""
+        cand_${pfx}_0 AS MATERIALIZED (
+          SELECT s.query_id,
+                 -(list_dot_product(s.q_emb, v.emb) / (s.q_nrm * v.nrm)) AS ns,
+                 v.vec_id AS node, CAST(v.lab AS INTEGER) AS lab
+          FROM ${pfx}_init s, UNNEST(s.frontier) AS u(fn)
+          JOIN vecs v ON v.vec_id = u.fn)"""
+        else s"""
+        cand_${pfx}_$i AS MATERIALIZED (
+          SELECT s.query_id,
+                 -(list_dot_product(s.q_emb, ed.d_emb) / (s.q_nrm * ed.d_nrm)) AS ns,
+                 ed.dst AS node, CAST(ed.d_lab AS INTEGER) AS lab
+          FROM $prev s, UNNEST(s.frontier) AS u(fn)
+          JOIN $edgesRel ed ON ed.src = u.fn)"""
+      s"""$cand,
+        p_${pfx}_$i AS MATERIALIZED (
+          SELECT query_id,
+                 list(struct_pack(ns := ns, node := node, lab := lab)) AS props
+          FROM (SELECT DISTINCT query_id, ns, node, lab FROM cand_${pfx}_$i)
+          GROUP BY query_id),
+        ${pfx}_$i AS MATERIALIZED (
+          SELECT s.query_id, s.q_emb, s.q_nrm,
+                 list_transform(list_slice(list_sort($fresh), 1, $beam),
+                   x -> x.node) AS frontier,
+                 s.visited || list_transform($fresh, x -> x.node) AS visited,
+                 list_slice(list_sort(s.best || $fresh), 1, $beam) AS best$bestfNext
+          FROM $prev s
+          LEFT JOIN p_${pfx}_$i p USING (query_id))"""
+    }.mkString(",")
+  }
+
+  /** Shared prologue: the query frame (ids drawn from the staged
+    * entry/top frame's query set) and the fp vector CTE. */
+  private def probePrologue(vecsGlob: String, querySrc: String): String = s"""
+        vecs AS MATERIALIZED (
+          SELECT vec_id, emb, nrm, lab
+          FROM read_parquet('$vecsGlob', hive_partitioning=1)
+        ),
+        e0 AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS MATERIALIZED (SELECT vec_id AS query_id, v AS q_emb,
+                     sqrt(list_dot_product(v, v)) AS q_nrm
+              FROM e0 WHERE vec_id IN ($querySrc))"""
+
+  private def finalCut(stateCte: String, pool: String, k: Int): String = s"""
+        SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, score
+        FROM (
+          SELECT s.query_id, t.x.node AS neighbor_id, -t.x.ns AS score,
+                 row_number() OVER (PARTITION BY s.query_id
+                   ORDER BY -t.x.ns DESC, t.x.node) AS rn
+          FROM $stateCte s, UNNEST(s.$pool) AS t(x))
+        WHERE rn <= $k
+        ORDER BY query_id, rank"""
+
+  /** The FLAT batched traversal as ANSI SQL — [[batchBeam]] unrolled
+    * hop by hop into chained CTEs over the staged index; the ONE
+    * non-SQL ingredient (the xxhash64 entry-slot draw) is itself a
+    * spec-gated deterministic frame and stages as parquet, so the
+    * oracle reads the same entry bytes the engine serves from. */
+  private def graphProbeSql(edgesGlob: String, vecsGlob: String,
+      entriesGlob: String, beam: Int, hops: Int, k: Int,
+      filterLab: Option[Int] = None): String = {
+    val bestfInit =
+      if (filterLab.isDefined) s",\n                 $EmptyProps AS bestf" else ""
+    val pool = if (filterLab.isDefined) "bestf" else "best"
+    s"""
+        WITH edges AS MATERIALIZED (
+          SELECT src, dst, d_emb, d_nrm, d_lab
+          FROM read_parquet('$edgesGlob', hive_partitioning=1)
+        ),
+        en AS MATERIALIZED (
+          SELECT query_id, list(node) AS frontier
+          FROM read_parquet('$entriesGlob') GROUP BY query_id
+        ),${probePrologue(vecsGlob, "SELECT query_id FROM en")},
+        f_init AS MATERIALIZED (
+          SELECT q.query_id, q.q_emb, q.q_nrm, en.frontier,
+                 [q.query_id] AS visited,
+                 $EmptyProps AS best$bestfInit
+          FROM q JOIN en USING (query_id)),${hopChainSql("f", "edges", beam, hops, filterLab)}
+        ${finalCut(s"f_$hops", pool, k)}"""
+  }
+
+  /** The HIERARCHICAL descent as ANSI SQL — [[hierServe]] unrolled:
+    * every query starts at the staged top entries (a staged table, no
+    * hash needed), each upper layer runs its own unrolled hop chain
+    * at the working beam over that layer's staged edges, the carried
+    * per-query best re-enters the next layer as its entry frontier
+    * (re-scored at that layer's hop 0 via the vecs CTE — exactly the
+    * carry-down induction the engine relies on), and the base layer
+    * gets the full budget. `layerGlobs` are ordered top level first,
+    * base last. */
+  private def hierProbeSql(layerGlobs: Seq[String], baseEdgesGlob: String,
+      vecsGlob: String, topGlob: String, workBeam: Int,
+      upperBudget: Int, baseBudget: Int, k: Int, queryPred: String): String = {
+    val allLayers = layerGlobs.zipWithIndex.map { case (g, j) =>
+      (s"l$j", s"edges_l$j", g, upperBudget)
+    } :+ (("base", "edges_base", baseEdgesGlob, baseBudget))
+    val edgeCtes = allLayers.map { case (_, rel, g, _) => s"""
+        $rel AS MATERIALIZED (
+          SELECT src, dst, d_emb, d_nrm, d_lab
+          FROM read_parquet('$g', hive_partitioning=1)
+        )""" }.mkString(",")
+    val chains = allLayers.zipWithIndex.map { case ((pfx, rel, _, budget), j) =>
+      val init =
+        if (j == 0) s"""
+        ${pfx}_init AS MATERIALIZED (
+          SELECT q.query_id, q.q_emb, q.q_nrm, en.frontier,
+                 [q.query_id] AS visited,
+                 $EmptyProps AS best
+          FROM q JOIN en USING (query_id))"""
+        else {
+          val (ppfx, _, _, pbudget) = allLayers(j - 1)
+          s"""
+        ${pfx}_init AS MATERIALIZED (
+          SELECT s.query_id, s.q_emb, s.q_nrm,
+                 list_transform(s.best, x -> x.node) AS frontier,
+                 [s.query_id] AS visited,
+                 $EmptyProps AS best
+          FROM ${ppfx}_$pbudget s)"""
+        }
+      s"$init,${hopChainSql(pfx, rel, workBeam, budget, None)}"
+    }.mkString(",")
+    s"""
+        WITH$edgeCtes,${probePrologue(vecsGlob, queryPred)},
+        en AS MATERIALIZED (
+          SELECT q.query_id, list(t.entry_id) AS frontier
+          FROM q, read_parquet('$topGlob') t
+          WHERE t.entry_id <> q.query_id
+          GROUP BY q.query_id
+        ),$chains
+        ${finalCut(s"base_$baseBudget", "best", k)}"""
+  }
+
+  /** The SQ8 serving path as ANSI SQL — the flat unrolled chain over
+    * the QUANTIZED edge table (dequantized inline from the staged
+    * bounds row, the same ((code*span)/255)+mn arithmetic the engine
+    * runs) followed by the full-precision re-rank of the bounded
+    * pool against the fp vecs table. */
+  private def sq8ProbeSql(qedgesGlob: String, boundsGlob: String,
+      vecsGlob: String, entriesGlob: String, beam: Int, hops: Int,
+      k: Int): String = s"""
+        WITH bounds AS MATERIALIZED (
+          SELECT mns, spans FROM read_parquet('$boundsGlob')
+        ),
+        edges AS MATERIALIZED (
+          SELECT src, dst, CAST(d_lab AS INTEGER) AS d_lab,
+                 list_transform(list_zip(d_codes,
+                     (SELECT mns FROM bounds), (SELECT spans FROM bounds)),
+                   t -> t[1] * t[3] / 255.0 + t[2]) AS d_emb,
+                 d_nrm_hat AS d_nrm
+          FROM read_parquet('$qedgesGlob', hive_partitioning=1)
+        ),
+        en AS MATERIALIZED (
+          SELECT query_id, list(node) AS frontier
+          FROM read_parquet('$entriesGlob') GROUP BY query_id
+        ),${probePrologue(vecsGlob, "SELECT query_id FROM en")},
+        f_init AS MATERIALIZED (
+          SELECT q.query_id, q.q_emb, q.q_nrm, en.frontier,
+                 [q.query_id] AS visited,
+                 $EmptyProps AS best
+          FROM q JOIN en USING (query_id)),${hopChainSql("f", "edges", beam, hops, None)},
+        pool AS MATERIALIZED (
+          SELECT s.query_id, t.x.node AS neighbor_id
+          FROM f_$hops s, UNNEST(s.best) AS t(x)),
+        rescored AS (
+          SELECT p.query_id, p.neighbor_id,
+                 list_dot_product(q.q_emb, v.emb) / (q.q_nrm * v.nrm)
+                   AS score
+          FROM pool p
+          JOIN q USING (query_id)
+          JOIN vecs v ON p.neighbor_id = v.vec_id)
+        SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, score
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rn FROM rescored)
+        WHERE rn <= $k
+        ORDER BY query_id, rank"""
+
+  /** Stage a deterministic per-query entry frame next to the index so
+    * the SQL twin reads the SAME entry bytes the engine serves from
+    * (the xxhash64 slot draw has no SQL twin; the frame does). */
+  private def stagedEntries(spark: SparkSession, root: String,
+      queries: DataFrame, beam: Int, tag: String): String = {
+    val eroot = "target/nndescent/graft_gse_" + Bucketed.md5hex(
+      s"$root/e1/$tag/$beam").take(8)
+    Staging.ensure(spark, eroot) { tmp =>
+      entriesBatch(spark, queries, root, beam)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+    eroot
+  }
+
   // ---- q151 (and q147 via wrapper): flat batched serving ----
 
   /** Batched graph-ANN serving for the query set `vec_id < nQueries`
@@ -270,15 +524,33 @@ object GraphServe {
       spark.read.parquet(s"$root/vecs"), queries, root, k, beam, hops)
   }
 
+  /** q151's catalog form: the flat batch serve with its entry frame
+    * STAGED (so the SQL twin reads the same bytes) and the oracle
+    * roots published. Answer identical to [[graphSearchBatch]] — the
+    * staged frame IS the [[entriesBatch]] frame, materialized. */
+  def graphSearchBatchOracle(spark: SparkSession, dir: String,
+      nQueries: Int, k: Int, beam: Int = 8, hops: Int = 8): DataFrame = {
+    val root = NnDescent.graphIndexStaged(spark, dir)
+    val edges = spark.read.parquet(s"$root/edges")
+    val vecs = spark.read.parquet(s"$root/vecs")
+    val queries = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val eroot = stagedEntries(spark, root, queries, beam, s"q$nQueries")
+    graphOracleRoots = Some((root, eroot))
+    serveBatch(spark, edges, vecs, queries, root, k, beam, hops,
+      entriesOpt = Some(spark.read.parquet(eroot)))
+  }
+
   /** Entry selection + the beam loop + the final cut, over an
     * arbitrary query table. AQE broadcasts the query side when it is
     * small, and shuffles co-partition both sides when it is not — the
     * same plan a 1000-executor deployment wants. */
   private def serveBatch(spark: SparkSession, edges: DataFrame,
       vecs: DataFrame, queries: DataFrame, root: String, k: Int,
-      beam: Int, hops: Int): DataFrame = {
+      beam: Int, hops: Int, entriesOpt: Option[DataFrame] = None): DataFrame = {
     require(k <= beam, s"top-k $k must fit inside the running beam $beam")
-    val entries = entriesBatch(spark, queries, root, beam)
+    val entries = entriesOpt.getOrElse(entriesBatch(spark, queries, root, beam))
     val tr = batchBeam(edges, vecs, queries, entries, beam, hops)
     Similarity.topK(
       tr.best.select(col("query_id"), col("node").as("neighbor_id"),
@@ -491,6 +763,9 @@ object GraphServe {
       hops: Int = 8): DataFrame = {
     val root0 = NnDescent.graphIndexStaged(spark, dir)
     val aroot = graphHierAppendStaged(spark, dir)
+    hierAppendOracleInfo = Some((root0, aroot,
+      spark.read.parquet(s"$aroot/meta").select("level")
+        .collect().map(_.getInt(0)).sorted.reverse.toSeq))
     val vecs = spark.read.parquet(s"$root0/vecs")
     val queries = vecs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
@@ -533,7 +808,9 @@ object GraphServe {
     val workBeam = DescentWorkFactor * beam
     require(k <= workBeam,
       s"top-k $k must fit inside the filtered working beam $workBeam")
-    val entries = entriesBatch(spark, queries, root, workBeam)
+    val eroot = stagedEntries(spark, root, queries, workBeam, s"qf$nQueries")
+    graphFilteredOracleRoots = Some((root, eroot))
+    val entries = spark.read.parquet(eroot)
     val tr = batchBeam(edges, vecs, queries, entries, workBeam, hops,
       filterLab = Some(label))
     Similarity.topK(
@@ -620,7 +897,9 @@ object GraphServe {
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"))
     require(k <= beam, s"top-k $k must fit inside the running beam $beam")
-    val entries = entriesBatch(spark, queries, root, beam)
+    val eroot = stagedEntries(spark, root, queries, beam, s"qs$nQueries")
+    sq8OracleRoots = Some((root, qroot, eroot))
+    val entries = spark.read.parquet(eroot)
     val tr = batchBeam(edges, vecs, queries, entries, beam, hops)
     // full-precision rerank of the bounded pool: two query/node-keyed
     // joins over |Q|·beam rows, then the exact cosine and the cut
@@ -742,6 +1021,9 @@ object GraphServe {
       hops: Int = 8): DataFrame = {
     val root0 = NnDescent.graphIndexStaged(spark, dir)
     val hroot = graphHierStaged(spark, dir)
+    hierOracleInfo = Some((root0, hroot,
+      spark.read.parquet(s"$hroot/meta").select("level")
+        .collect().map(_.getInt(0)).sorted.reverse.toSeq))
     val vecs = spark.read.parquet(s"$root0/vecs")
     val queries = vecs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
@@ -826,7 +1108,12 @@ object GraphServe {
         "on the learned graph); design-gated (identity with the q147 " +
         "wrapper, recall >= the IVF bar over the 100-query batch, " +
         "determinism).",
-      (s, dir) => graphSearchBatch(s, dir, nQueries = 100, k = 5)),
+      (s, dir) => graphSearchBatchOracle(s, dir, nQueries = 100, k = 5),
+      oracleFn = Some(() => graphOracleRoots.map { case (root, eroot) =>
+        graphProbeSql(s"$root/edges/*/*.parquet",
+          s"$root/vecs/*/*.parquet", s"$eroot/*.parquet",
+          beam = 8, hops = 8, k = 5)
+      })),
 
     Query(
       "q152_knn_graph_hier",
@@ -869,7 +1156,14 @@ object GraphServe {
         "the next layer's graph. No oracle (learned-graph trajectory); " +
         "design-gated in GraphServeSpec (recall >= the IVF bar over " +
         "the 100-query batch, determinism, no-cartesian plan assert).",
-      (s, dir) => graphSearchHierBatch(s, dir, nQueries = 100, k = 5)),
+      (s, dir) => graphSearchHierBatch(s, dir, nQueries = 100, k = 5),
+      oracleFn = Some(() => hierOracleInfo.map { case (root0, hroot, levels) =>
+        hierProbeSql(levels.map(l => s"$hroot/layer_$l/*/*.parquet"),
+          s"$root0/edges/*/*.parquet", s"$root0/vecs/*/*.parquet",
+          s"$hroot/top/*.parquet", workBeam = DescentWorkFactor * 8,
+          upperBudget = 2, baseBudget = 8, k = 5,
+          queryPred = "SELECT vec_id FROM embeddings WHERE vec_id < 100")
+      })),
 
     Query(
       "q155_knn_graph_hier_append",
@@ -893,7 +1187,14 @@ object GraphServe {
         "with the delta subset asserted separately, staleness " +
         "differential — the base hierarchy provably holds no delta " +
         "node, determinism, idempotent staging).",
-      (s, dir) => graphSearchHierAppended(s, dir, nQueries = 100, k = 5)),
+      (s, dir) => graphSearchHierAppended(s, dir, nQueries = 100, k = 5),
+      oracleFn = Some(() => hierAppendOracleInfo.map { case (root0, aroot, levels) =>
+        hierProbeSql(levels.map(l => s"$aroot/layer_$l/*/*.parquet"),
+          s"$aroot/edges/*/*.parquet", s"$root0/vecs/*/*.parquet",
+          s"$aroot/top/*.parquet", workBeam = DescentWorkFactor * 8,
+          upperBudget = 2, baseBudget = 8, k = 5,
+          queryPred = "SELECT vec_id FROM embeddings WHERE vec_id < 100")
+      })),
 
     Query(
       "q157_knn_graph_filtered",
@@ -918,7 +1219,13 @@ object GraphServe {
         "answer, label-purity of every neighbor, determinism, " +
         "no-cartesian plan assert) and tracked in RECALL_LOCAL.json.",
       (s, dir) => graphSearchFilteredBatch(s, dir, nQueries = 100, k = 5,
-        label = 3)),
+        label = 3),
+      oracleFn = Some(() => graphFilteredOracleRoots.map { case (root, eroot) =>
+        graphProbeSql(s"$root/edges/*/*.parquet",
+          s"$root/vecs/*/*.parquet", s"$eroot/*.parquet",
+          beam = DescentWorkFactor * 8, hops = 8, k = 5,
+          filterLab = Some(3))
+      })),
 
     Query(
       "q158_knn_graph_sq8",
@@ -941,6 +1248,11 @@ object GraphServe {
         "(learned-graph trajectory); design-gated in GraphServeSpec " +
         "(recall >= the IVF bar, footprint ratio, determinism, " +
         "no-cartesian plan assert) and tracked in RECALL_LOCAL.json.",
-      (s, dir) => graphSearchSq8Batch(s, dir, nQueries = 100, k = 5))
+      (s, dir) => graphSearchSq8Batch(s, dir, nQueries = 100, k = 5),
+      oracleFn = Some(() => sq8OracleRoots.map { case (root, qroot, eroot) =>
+        sq8ProbeSql(s"$qroot/edges/*/*.parquet",
+          s"$qroot/bounds/*.parquet", s"$root/vecs/*/*.parquet",
+          s"$eroot/*.parquet", beam = 8, hops = 8, k = 5)
+      }))
   )
 }
