@@ -324,11 +324,22 @@ object Pca {
   /** Write-once staged model with explained-variance k selection —
     * the q136 production fit. Keyed by the variance threshold, not a
     * k, since k is data-derived. */
+  /** (staged model root, proportional candidate quota) of the last
+    * q136 run — late-bound into its oracle SQL (the staged-root thunk
+    * convention). */
+  @volatile private[graft] var rerankOracleInfo: Option[(String, Int)] = None
+
   def modelStagedByVariance(spark: SparkSession, dir: String,
-      varFrac: Double = 0.6): Model =
-    stagedModel(spark, dir, s"var$varFrac",
+      varFrac: Double = 0.6): Model = {
+    val m = stagedModel(spark, dir, s"var$varFrac",
       () => fitFromMomentsByVariance(moments(Tables.embeddings(spark, dir)),
         varFrac))
+    rerankOracleInfo = Some((lastModelRoot, proportionalCand(m.n)))
+    m
+  }
+
+  /** Root the most recent [[stagedModel]] call resolved to. */
+  @volatile private var lastModelRoot: String = null
 
   // "model2": the round-12 schema adds the fitted corpus size `n`
   // (proportional-quota input) — a fresh path prefix so a stale
@@ -337,6 +348,7 @@ object Pca {
       fitNow: () => Model): Model = {
     val out = "target/pca/model2_" + Bucketed.md5hex(
       s"$dir/$tag/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}").take(8)
+    lastModelRoot = out
     Staging.ensure(spark, out) { tmp =>
       val m = fitNow()
       import spark.implicits._
@@ -471,7 +483,51 @@ object Pca {
         "(the candidate space is eigendecomposition-derived); " +
         "design-gated in PcaSpec.",
       (s, dir) => knnPcaRerankWith(Tables.embeddings(s, dir),
-        modelStagedByVariance(s, dir), nQueries = 10, k = 5, nCand0 = 0)),
+        modelStagedByVariance(s, dir), nQueries = 10, k = 5, nCand0 = 0),
+      oracleFn = Some(() => rerankOracleInfo.map { case (root, nCand) =>
+        val diff = "list_transform(list_zip(p.ys, q.qys), t -> t[1] - t[2])"
+        s"""
+        WITH md AS (SELECT mu, basis FROM read_parquet('$root/*.parquet')),
+        bs AS (SELECT unnest(basis) AS bv,
+                      unnest(range(1, len(basis) + 1)) AS comp
+               FROM md),
+        e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        proj AS MATERIALIZED (
+          SELECT e0.vec_id, b.comp,
+                 list_dot_product(
+                   list_transform(list_zip(e0.v, (SELECT mu FROM md)),
+                     t -> t[1] - t[2]),
+                   b.bv) AS y
+          FROM e0 CROSS JOIN bs b),
+        pv AS MATERIALIZED (
+          SELECT vec_id, list(y ORDER BY comp) AS ys
+          FROM proj GROUP BY vec_id),
+        qp AS (SELECT vec_id AS query_id, ys AS qys FROM pv WHERE vec_id < 10),
+        cand AS MATERIALIZED (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, neighbor_id) AS rn
+            FROM (SELECT q.query_id, p.vec_id AS neighbor_id,
+                         0.0 - list_dot_product($diff, $diff) AS score
+                  FROM pv p JOIN qp q ON p.vec_id <> q.query_id))
+          WHERE rn <= $nCand),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),
+        qe AS (SELECT vec_id AS query_id, v AS q_emb, nrm AS q_nrm
+               FROM n WHERE vec_id < 10),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 list_dot_product(qe.q_emb, n.v) / (qe.q_nrm * n.nrm)
+                   AS score
+          FROM cand c
+          JOIN qe USING (query_id)
+          JOIN n ON c.neighbor_id = n.vec_id)
+        SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, score
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rn FROM scored)
+        WHERE rn <= 5
+        ORDER BY query_id, rank"""
+      })),
 
     Query(
       "q140_pca_refresh",
