@@ -71,6 +71,15 @@ object Verify {
             !failed.contains(name))
           failed(name) = "oracle-gated entry resolved no oracle SQL after " +
             "its run (staged root never set — see Query.oracleFn)"
+        // Round-14 regression class: a resolved oracle whose
+        // read_parquet globs are relative or match no files passes
+        // here but errors in the driver's DuckDB (different cwd).
+        // Audit readability-from-another-cwd, not just presence.
+        if (!failed.contains(name))
+          entry.oracleNow.foreach { sql =>
+            val probs = OracleAudit.problems(sql)
+            if (probs.nonEmpty) failed(name) = probs.mkString("; ")
+          }
       }
     }
     val json = SparkEntry.oracleSql

@@ -194,7 +194,7 @@ object AnnIndex {
   def knnIvfIndexed(spark: SparkSession, dir: String, nQueries: Int, k: Int,
       centroids: Int = 256, nProbe: Int = 32, lloydIters: Int = 3): DataFrame = {
     val idx = ivfIndex(spark, dir, centroids, lloydIters)
-    ivfOracleRoot = Some(idx)
+    ivfOracleRoot = Some(Staging.abs(idx))
     probeAt(spark, dir, idx, nQueries, k, nProbe)
   }
 
@@ -272,7 +272,7 @@ object AnnIndex {
   def knnIvfAppended(spark: SparkSession, dir: String, nQueries: Int, k: Int,
       centroids: Int = 256, nProbe: Int = 32, lloydIters: Int = 3): DataFrame = {
     val (baseRoot, deltaRoot) = ivfDeltaIndex(spark, dir, centroids, lloydIters)
-    ivfAppendOracleRoots = Some((baseRoot, deltaRoot))
+    ivfAppendOracleRoots = Some((Staging.abs(baseRoot), Staging.abs(deltaRoot)))
     val cent = spark.read.parquet(s"$baseRoot/centroids")
     val lists = spark.read.parquet(s"$baseRoot/lists")
       .unionByName(spark.read.parquet(s"$deltaRoot/lists"))
@@ -314,7 +314,7 @@ object AnnIndex {
   def knnIvfCompacted(spark: SparkSession, dir: String, nQueries: Int, k: Int,
       centroids: Int = 256, nProbe: Int = 32, lloydIters: Int = 3): DataFrame = {
     val idx = ivfCompactIndex(spark, dir, centroids, lloydIters)
-    ivfCompactOracleRoot = Some(idx)
+    ivfCompactOracleRoot = Some(Staging.abs(idx))
     probeAt(spark, dir, idx, nQueries, k, nProbe)
   }
 
@@ -354,7 +354,7 @@ object AnnIndex {
   def knnIvfRetrained(spark: SparkSession, dir: String, nQueries: Int, k: Int,
       centroids: Int = 256, nProbe: Int = 32, lloydIters: Int = 3): DataFrame = {
     val idx = ivfRetrainIndex(spark, dir, centroids, lloydIters)
-    ivfRetrainOracleRoot = Some(idx)
+    ivfRetrainOracleRoot = Some(Staging.abs(idx))
     probeAt(spark, dir, idx, nQueries, k, nProbe)
   }
 
@@ -415,7 +415,7 @@ object AnnIndex {
       k: Int, label: Int, centroids: Int = 64, nProbe: Int = 32,
       lloydIters: Int = 3): DataFrame = {
     val idx = ivfFilteredIndex(spark, dir, centroids, lloydIters)
-    ivfFilteredOracleRoot = Some(idx)
+    ivfFilteredOracleRoot = Some(Staging.abs(idx))
     val cent = spark.read.parquet(s"$idx/centroids")
     val lists = spark.read.parquet(s"$idx/lists")
       .filter(col("label") === lit(label))
@@ -460,7 +460,7 @@ object AnnIndex {
   def knnPqIndexed(spark: SparkSession, dir: String, nQueries: Int, k: Int,
       m: Int = 8, kCent: Int = 64, candidates: Int = 256, d: Int = 64): DataFrame = {
     val idx = pqIndex(spark, dir, m, kCent, d)
-    pqOracleRoot = Some(idx)
+    pqOracleRoot = Some(Staging.abs(idx))
     val cb = spark.read.parquet(s"$idx/codebooks")
     val codes = spark.read.parquet(s"$idx/codes")
     val e = Similarity.pqPrepared(Tables.embeddings(spark, dir), d)
@@ -524,7 +524,7 @@ object AnnIndex {
       m: Int = 8, kCent: Int = 64, candidates: Int = 256,
       d: Int = 64): DataFrame = {
     val (baseRoot, deltaRoot) = pqDeltaIndex(spark, dir, m, kCent, d)
-    pqAppendOracleRoots = Some((baseRoot, deltaRoot))
+    pqAppendOracleRoots = Some((Staging.abs(baseRoot), Staging.abs(deltaRoot)))
     val cb = spark.read.parquet(s"$baseRoot/codebooks")
     val codes = spark.read.parquet(s"$baseRoot/codes")
       .unionByName(spark.read.parquet(s"$deltaRoot/codes"))
@@ -532,6 +532,97 @@ object AnnIndex {
     Similarity.pqAdcSearch(codes, cb,
       e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 100), e,
       k, m, d / m, kCent, candidates)
+  }
+
+  // ---- q163: vector DELETE (tombstones) — the fourth maintenance op ----
+
+  /** Idempotently stage the deterministic retraction batch as a
+    * TOMBSTONE segment: ids only, under `ids/`. The victim set is
+    * `vec_id % 10 == 5` — a fixed 10% slice disjoint from the q109
+    * delta convention (`% 10 == 0`), standing in for the GDPR /
+    * right-to-be-forgotten removals a production corpus takes.
+    *
+    * Delete is the missing fourth maintenance op after append (q109),
+    * compact (q124), and retrain (q125) — and the LSM economics are
+    * the same: a delete batch never rewrites the index. The segment
+    * holds ONLY the removed ids (at 100 TB: bytes per retraction, not
+    * a list rewrite), probes anti-join it broadcast-sided, and the
+    * q124-style compaction physically drops masked rows when the
+    * tombstone fraction warrants the one-off rewrite. */
+  def tombstonesStaged(spark: SparkSession, dir: String): String = {
+    val out = "target/ann/graft_ivft_" + md5hex(
+      s"$dir/ts5/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
+      .take(8)
+    Staging.ensure(spark, out) { tmp =>
+      Tables.embeddings(spark, dir).select("vec_id")
+        .filter(col("vec_id") % 10 === 5)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/ids")
+    }
+  }
+
+  /** (index root, tombstone root) the last q163 probe served from. */
+  @volatile private[graft] var ivfDeleteOracleRoots: Option[(String, String)] = None
+
+  /** IVF probe UNDER the logical delete: the q77 index is untouched —
+    * the probe anti-joins the tombstone segment (ids only, broadcast:
+    * tombstones are tiny relative to the corpus; once they are not,
+    * [[ivfDeleteCompactIndex]] is due) so a retracted vector can never
+    * be served, while the index build amortization is preserved.
+    * Queries are the surviving convention set (victims cannot query —
+    * a deleted document has no retrieval identity). */
+  def knnIvfDeleted(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+      centroids: Int = 256, nProbe: Int = 32, lloydIters: Int = 3): DataFrame = {
+    val idx = ivfIndex(spark, dir, centroids, lloydIters)
+    val ts = tombstonesStaged(spark, dir)
+    ivfDeleteOracleRoots = Some((Staging.abs(idx), Staging.abs(ts)))
+    val cent = spark.read.parquet(s"$idx/centroids")
+    val lists = spark.read.parquet(s"$idx/lists")
+      .join(broadcast(spark.read.parquet(s"$ts/ids")), Seq("vec_id"),
+        "left_anti")
+    val q = Similarity.prepared(Tables.embeddings(spark, dir))
+      .filter(col("vec_id") < nQueries && col("vec_id") % 10 =!= 5)
+    Similarity.ivfProbe(lists, cent, q, nProbe, k)
+  }
+
+  /** Tombstone COMPACTION — physically drop the masked rows: one
+    * partition-preserving rewrite of the lists anti-joined to the
+    * tombstone segment, centroids verbatim (the q124 economics — no
+    * training, no re-assignment, no source scan). The compacted index
+    * answers every probe BIT-IDENTICALLY to the tombstone-anti-joined
+    * base (asserted in AnnIndexSpec): anti-join-then-probe and
+    * probe-over-the-anti-joined-rewrite commute because assignment is
+    * per-vector. After compaction the tombstone segment is obsolete —
+    * probes over this artifact carry no anti-join at all. */
+  def ivfDeleteCompactIndex(spark: SparkSession, dir: String,
+      centroids: Int = 256, lloydIters: Int = 3): String = {
+    val idx = ivfIndex(spark, dir, centroids, lloydIters)
+    val ts = tombstonesStaged(spark, dir)
+    val out = "target/ann/graft_ivfdc_" + md5hex(
+      s"$dir/delcompact/$centroids/$lloydIters/" +
+        Layout.contentKey(spark, s"$dir/embeddings.parquet")).take(8)
+    Staging.ensure(spark, out) { tmp =>
+      spark.read.parquet(s"$idx/centroids")
+        .write.mode("overwrite").parquet(s"$tmp/centroids")
+      spark.read.parquet(s"$idx/lists")
+        .join(broadcast(spark.read.parquet(s"$ts/ids")), Seq("vec_id"),
+          "left_anti")
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$tmp/lists")
+    }
+    out
+  }
+
+  /** The q77 probe over the delete-compacted artifact — no anti-join
+    * in the plan; the masked rows are gone physically. */
+  def knnIvfDeleteCompacted(spark: SparkSession, dir: String, nQueries: Int,
+      k: Int, centroids: Int = 256, nProbe: Int = 32,
+      lloydIters: Int = 3): DataFrame = {
+    val idx = ivfDeleteCompactIndex(spark, dir, centroids, lloydIters)
+    val cent = spark.read.parquet(s"$idx/centroids")
+    val lists = spark.read.parquet(s"$idx/lists")
+    val q = Similarity.prepared(Tables.embeddings(spark, dir))
+      .filter(col("vec_id") < nQueries && col("vec_id") % 10 =!= 5)
+    Similarity.ivfProbe(lists, cent, q, nProbe, k)
   }
 
   /** Simplified-silhouette cluster-quality audit over a persisted IVF

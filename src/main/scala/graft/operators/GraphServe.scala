@@ -537,7 +537,7 @@ object GraphServe {
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"))
     val eroot = stagedEntries(spark, root, queries, beam, s"q$nQueries")
-    graphOracleRoots = Some((root, eroot))
+    graphOracleRoots = Some((Staging.abs(root), Staging.abs(eroot)))
     serveBatch(spark, edges, vecs, queries, root, k, beam, hops,
       entriesOpt = Some(spark.read.parquet(eroot)))
   }
@@ -763,7 +763,7 @@ object GraphServe {
       hops: Int = 8): DataFrame = {
     val root0 = NnDescent.graphIndexStaged(spark, dir)
     val aroot = graphHierAppendStaged(spark, dir)
-    hierAppendOracleInfo = Some((root0, aroot,
+    hierAppendOracleInfo = Some((Staging.abs(root0), Staging.abs(aroot),
       spark.read.parquet(s"$aroot/meta").select("level")
         .collect().map(_.getInt(0)).sorted.reverse.toSeq))
     val vecs = spark.read.parquet(s"$root0/vecs")
@@ -809,7 +809,7 @@ object GraphServe {
     require(k <= workBeam,
       s"top-k $k must fit inside the filtered working beam $workBeam")
     val eroot = stagedEntries(spark, root, queries, workBeam, s"qf$nQueries")
-    graphFilteredOracleRoots = Some((root, eroot))
+    graphFilteredOracleRoots = Some((Staging.abs(root), Staging.abs(eroot)))
     val entries = spark.read.parquet(eroot)
     val tr = batchBeam(edges, vecs, queries, entries, workBeam, hops,
       filterLab = Some(label))
@@ -898,7 +898,7 @@ object GraphServe {
         col("nrm").as("q_nrm"))
     require(k <= beam, s"top-k $k must fit inside the running beam $beam")
     val eroot = stagedEntries(spark, root, queries, beam, s"qs$nQueries")
-    sq8OracleRoots = Some((root, qroot, eroot))
+    sq8OracleRoots = Some((Staging.abs(root), Staging.abs(qroot), Staging.abs(eroot)))
     val entries = spark.read.parquet(eroot)
     val tr = batchBeam(edges, vecs, queries, entries, beam, hops)
     // full-precision rerank of the bounded pool: two query/node-keyed
@@ -1021,7 +1021,7 @@ object GraphServe {
       hops: Int = 8): DataFrame = {
     val root0 = NnDescent.graphIndexStaged(spark, dir)
     val hroot = graphHierStaged(spark, dir)
-    hierOracleInfo = Some((root0, hroot,
+    hierOracleInfo = Some((Staging.abs(root0), Staging.abs(hroot),
       spark.read.parquet(s"$hroot/meta").select("level")
         .collect().map(_.getInt(0)).sorted.reverse.toSeq))
     val vecs = spark.read.parquet(s"$root0/vecs")

@@ -518,7 +518,7 @@ object NnDescent {
   def graphHealth(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val root = graphIndexStaged(spark, dir)
-    healthOracleRoot = Some(root)
+    healthOracleRoot = Some(Staging.abs(root))
     val edges = spark.read.parquet(s"$root/edges")
       .select(col("nbucket").cast("int").as("nbucket"), col("src"),
         col("dst"), col("score"))

@@ -319,7 +319,7 @@ object Pca {
     * model equals the in-flight fit bit-for-bit (PcaSpec-gated). */
   def modelStaged(spark: SparkSession, dir: String, k: Int = TopK): Model =
     stagedModel(spark, dir, s"k$k",
-      () => fit(Tables.embeddings(spark, dir), k))
+      () => fit(Tables.embeddings(spark, dir), k))._1
 
   /** Write-once staged model with explained-variance k selection —
     * the q136 production fit. Keyed by the variance threshold, not a
@@ -331,24 +331,24 @@ object Pca {
 
   def modelStagedByVariance(spark: SparkSession, dir: String,
       varFrac: Double = 0.6): Model = {
-    val m = stagedModel(spark, dir, s"var$varFrac",
+    val (m, root) = stagedModel(spark, dir, s"var$varFrac",
       () => fitFromMomentsByVariance(moments(Tables.embeddings(spark, dir)),
         varFrac))
-    rerankOracleInfo = Some((lastModelRoot, proportionalCand(m.n)))
+    rerankOracleInfo = Some((Staging.abs(root), proportionalCand(m.n)))
     m
   }
 
-  /** Root the most recent [[stagedModel]] call resolved to. */
-  @volatile private var lastModelRoot: String = null
-
   // "model2": the round-12 schema adds the fitted corpus size `n`
   // (proportional-quota input) — a fresh path prefix so a stale
-  // 4-column round-11 artifact can never satisfy the 5-column read
+  // 4-column round-11 artifact can never satisfy the 5-column read.
+  // Returns (model, staged root) so callers that embed the root into
+  // oracle SQL get it from the SAME call that fit the model — routing
+  // it through a second mutable global could mis-pair an interleaved
+  // caller's root with this model (round-14 advice).
   private def stagedModel(spark: SparkSession, dir: String, tag: String,
-      fitNow: () => Model): Model = {
+      fitNow: () => Model): (Model, String) = {
     val out = "target/pca/model2_" + Bucketed.md5hex(
       s"$dir/$tag/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}").take(8)
-    lastModelRoot = out
     Staging.ensure(spark, out) { tmp =>
       val m = fitNow()
       import spark.implicits._
@@ -361,8 +361,8 @@ object Pca {
     val r = spark.read.parquet(out).head()
     def mat(i: Int): Array[Array[Double]] =
       r.getSeq[scala.collection.Seq[Double]](i).map(_.toArray).toArray
-    Model(r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray,
-      mat(2), mat(3), r.getLong(4))
+    (Model(r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray,
+      mat(2), mat(3), r.getLong(4)), out)
   }
 
   /** Unscaled (plain-PCA) top-k projection — the candidate-generation

@@ -199,7 +199,7 @@ object Sampling {
   def diversitySample(spark: org.apache.spark.sql.SparkSession,
       dir: String, perCluster: Int = 4, centroids: Int = 64): DataFrame = {
     val idx = AnnIndex.ivfIndex(spark, dir, centroids)
-    diversityOracleRoot = Some(idx)
+    diversityOracleRoot = Some(Staging.abs(idx))
     val lists = spark.read.parquet(s"$idx/lists")
       .select(col("cluster").cast("int").as("cluster"), col("vec_id"),
         col("emb"), col("nrm"))

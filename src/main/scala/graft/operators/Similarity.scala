@@ -242,7 +242,7 @@ object Similarity {
       nQueries: Int, k: Int, bits: Int = 14,
       probeHamming: Int = 2): DataFrame = {
     val root = srpSignaturesStaged(spark, dir)
-    lshOracleRoot = Some(root)
+    lshOracleRoot = Some(Staging.abs(root))
     val sig = spark.read.parquet(root)
     val probes = sig.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("tbl"),

@@ -47,6 +47,14 @@ import org.apache.spark.sql.SparkSession
   * here precisely so that swap is one function. */
 object Staging {
 
+  /** Absolute form of a staged-artifact root, for embedding in oracle
+    * SQL. The DuckDB oracle harness runs from a DIFFERENT working
+    * directory than the builder, so a relative `target/...` glob in the
+    * oracle text resolves to nothing there (the round-14 regression:
+    * 16 entries erred on exactly this). Every oracle-root variable must
+    * store this form, never the raw relative staging path. */
+  def abs(path: String): String = new java.io.File(path).getAbsolutePath
+
   /** One lock object per stage path — same-JVM build serialization is
     * PER STAGE, not global (round-10 advice: callers' object-level
     * `synchronized` serialized builders of unrelated stages behind one
