@@ -144,6 +144,41 @@ object Recall {
         println(f"[recall] $name%-22s recall@k = $recall%.3f (floor $floor%.2f, filtered brute)")
         s""""$name":{"recall":$recall,"floor":$floor,"baseline":"filtered_brute"}"""
       }
+    } ++ {
+      // q163/q164 delete serving (r15): ground truth is the exact
+      // answer over the SURVIVING corpus for the surviving query set
+      // (victims are vec_id % 10 == 5) — the contract a post-delete
+      // query actually has. Floor = the family convention; specs pin
+      // >= 0.72 at sf0.001 (graph) and anti-join==mask bit-equality
+      // (IVF).
+      import org.apache.spark.sql.functions.col
+      val exact = graft.operators.Similarity
+        .knnBrute(graft.sources.Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") % 10 =!= 5), 100, 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      // q163 serves the 0..9 survivor convention, q164 the 0..99 one:
+      // score each over ITS query set (every served query must appear
+      // in the baseline; a thinner-than-expected query set is itself a
+      // failure)
+      Seq(("q163_knn_ivf_delete", 9), ("q164_knn_graph_delete", 90))
+        .map { case (name, nExpected) =>
+          val floor = 0.4
+          val got = pairs(name)
+          require(got.size == nExpected,
+            s"$name served ${got.size} queries, expected $nExpected")
+          val perQuery = got.keys.toSeq.map { q =>
+            val truth = exact.getOrElse(q, Set.empty)
+            require(truth.nonEmpty, s"$name query $q missing from baseline")
+            (got(q) & truth).size.toDouble / truth.size
+          }
+          val recall = perQuery.sum / perQuery.size
+          require(recall >= floor,
+            f"$name delete recall@k collapsed: $recall%.3f < floor $floor%.2f")
+          println(f"[recall] $name%-22s recall@k = $recall%.3f (floor $floor%.2f, surviving brute)")
+          s""""$name":{"recall":$recall,"floor":$floor,"baseline":"surviving_brute"}"""
+        }
     }
 
     // Recall/latency FRONTIER (round-9, verdict item 5): the catalog

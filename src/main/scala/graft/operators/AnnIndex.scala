@@ -850,6 +850,33 @@ object AnnIndex {
         listPred = "CAST(label AS INT) = 3")))),
 
     Query(
+      "q163_knn_ivf_delete",
+      "Vector DELETE via tombstones — the fourth maintenance op after " +
+        "append (q109), compact (q124), and retrain (q125), closing the " +
+        "lifecycle a production vector store needs for GDPR/right-to-be-" +
+        "forgotten retractions: the delete batch stages as an ids-only " +
+        "TOMBSTONE segment (bytes per retraction — the index is never " +
+        "rewritten on the delete path), probes anti-join it broadcast-" +
+        "sided so a retracted vector can never be served, and the " +
+        "q124-style compaction (ivfDeleteCompactIndex) physically drops " +
+        "masked rows in one partition-preserving rewrite when the " +
+        "tombstone fraction warrants it — bit-identical probes before " +
+        "and after compaction (asserted in AnnIndexSpec, with the " +
+        "staleness differential: pre-delete probes serve the victims, " +
+        "post-delete probes never do). Oracle: the shared IVF probe " +
+        "template extended with a NOT IN (tombstones) leg over the " +
+        "staged segments, hash-exact.",
+      (s, dir) => knnIvfDeleted(s, dir, nQueries = 10, k = 5),
+      oracleFn = Some(() => ivfDeleteOracleRoots.map { case (idx, ts) =>
+        ivfProbeSql(
+          Seq(s"$idx/lists/*/*.parquet"), s"$idx/centroids",
+          queryPred = "vec_id < 10 AND vec_id % 10 <> 5", nProbe = 32,
+          k = 5,
+          listPred = "vec_id NOT IN (SELECT vec_id FROM " +
+            s"read_parquet('$ts/ids/*.parquet'))")
+      })),
+
+    Query(
       "q162_knn_pq_append",
       "PQ delta APPEND — the maintenance op completing the PQ " +
         "family's parity with IVF (q109/q124/q125) and the graph " +

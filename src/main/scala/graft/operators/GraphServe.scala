@@ -75,13 +75,15 @@ object GraphServe {
   private[operators] final case class BatchTrace(best: DataFrame, hops: Int,
       bestF: DataFrame = null)
 
-  /** SQL type of the (ns, node, lab) proposal struct: `ns` is the
+  /** SQL type of the (ns, node, lab, del) proposal struct: `ns` is the
     * NEGATED cosine so `sort_array`'s natural struct order (first
     * field asc, then the rest) is exactly the serving order (score
-    * DESC, node ASC — `lab` is functionally dependent on `node`, so it
-    * never decides a comparison); negation is exact in IEEE, so `-ns`
-    * recovers the score bit-for-bit. */
-  private val PropType = "array<struct<ns:double,node:bigint,lab:int>>"
+    * DESC, node ASC — `lab` and `del` are functionally dependent on
+    * `node`, so they never decide a comparison); negation is exact in
+    * IEEE, so `-ns` recovers the score bit-for-bit. `del` is the
+    * tombstone flag (q164): false everywhere unless the traversal
+    * runs under a delete set. */
+  private val PropType = "array<struct<ns:double,node:bigint,lab:int,del:boolean>>"
 
   /** The distributed beam loop over ONE edge table. ALL traversal
     * state lives in a single query-keyed frame — one row per query
@@ -135,17 +137,43 @@ object GraphServe {
   private[operators] def batchBeam(edges: DataFrame, vecs: DataFrame,
       queries: DataFrame, entries: DataFrame, beam: Int,
       maxHops: Int, converge: Boolean = false,
-      filterLab: Option[Int] = None): BatchTrace = {
+      filterLab: Option[Int] = None,
+      tombstones: Option[DataFrame] = None): BatchTrace = {
     val nb = lit(NnDescent.NodeBuckets)
+    // With `tombstones` (q164 delete serving), the walk stays
+    // predicate-agnostic — deleted nodes keep ROUTING (removing them
+    // from traversal fragments the graph, the same filtered-HNSW
+    // failure mode q157 avoids; HNSW soft-delete semantics) — and the
+    // delete constrains COLLECTION via the same second-pool machinery
+    // as filterLab: each surviving node folds into `bestf` the hop it
+    // is first scored. The flag is attached to the expand view by ONE
+    // broadcast join per serve call (tombstones are ids-only and tiny
+    // relative to the corpus — once they are not, compaction is due),
+    // so the per-hop plan gains no join at all.
+    val tsFlag = tombstones.map(t => broadcast(
+      t.select(col("vec_id").as("ts_id"), lit(true).as("ts_hit"))))
+    def withDel(df: DataFrame, idCol: String): DataFrame = tsFlag match {
+      case Some(t) => df.join(t, df(idCol) === t("ts_id"), "left")
+        .withColumn("d_del", coalesce(col("ts_hit"), lit(false)))
+        .drop("ts_id", "ts_hit")
+      case None => df.withColumn("d_del", lit(false))
+    }
     // expand view: node = src, destination vector embedded at stage
     // time; nbucket is the partition key of the staged layout — the
     // frontier side computes it too, so the join key includes it and
     // partition pruning can act on the scan
-    val edgesN = edges.select(col("nbucket"), col("src").as("node"),
-      col("dst"), col("d_emb"), col("d_nrm"), col("d_lab"))
-    val vecsN = vecs.select(col("nbucket"), col("vec_id").as("node"),
+    val edgesN = withDel(edges.select(col("nbucket"), col("src").as("node"),
+      col("dst"), col("d_emb"), col("d_nrm"), col("d_lab")), "dst")
+    val vecsN = withDel(vecs.select(col("nbucket"), col("vec_id").as("node"),
       col("emb").as("d_emb"), col("nrm").as("d_nrm"),
-      col("lab").as("d_lab"))
+      col("lab").as("d_lab")), "node")
+    // the one result-pool predicate (over the proposal struct): label
+    // equality (q157) or tombstone survival (q164) — mutually
+    // exclusive by construction (no caller needs both today)
+    val resultPred: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+      filterLab.map(l => (p: org.apache.spark.sql.Column) => p("lab") === lit(l))
+        .orElse(tombstones.map(_ =>
+          (p: org.apache.spark.sql.Column) => !p("del")))
 
     // state: ONE row per query. Every array is bounded by configuration
     // constants — frontier ≤ beam, best ≤ beam, visited ≤ 1 + (hops+1)·
@@ -181,7 +209,7 @@ object GraphServe {
         .select(col("query_id"), struct(
           (-Similarity.cosine(col("q_emb"), col("q_nrm"), col("d_emb"),
             col("d_nrm"))).as("ns"), col("node"),
-          col("d_lab").as("lab")).as("p"))
+          col("d_lab").as("lab"), col("d_del").as("del")).as("p"))
         .groupBy("query_id").agg(collect_list(col("p")).as("props"))
       // merge: dedup proposals, drop visited, fold into the running
       // top-beam, cut the next frontier — all per-row array ops over
@@ -196,11 +224,20 @@ object GraphServe {
       // most once, and the running merge keeps the exact top of all
       // matching nodes ever scored). Without a filter the column
       // stays the empty array — zero per-row work.
-      val bestfNext = filterLab match {
-        case Some(l) => slice(sort_array(concat(col("bestf"),
-          filter(col("fresh"), p => p("lab") === lit(l)))), 1, beam)
+      val bestfNext = resultPred match {
+        case Some(pred) => slice(sort_array(concat(col("bestf"),
+          filter(col("fresh"), pred))), 1, beam)
         case None => col("bestf")
       }
+      // the adaptive stop's change signal must also watch the filtered
+      // pool when one is active: navigation can keep improving `bestf`
+      // without changing `best` (round-14 advice — the latent
+      // converge × filter interaction)
+      val changedNext =
+        if (resultPred.isDefined)
+          not(col("pool") === col("best")) ||
+            not(bestfNext === col("bestf"))
+        else not(col("pool") === col("best"))
       state = state.join(props, Seq("query_id"), "left")
         .withColumn("fresh", fresh)
         .withColumn("pool",
@@ -212,7 +249,7 @@ object GraphServe {
             transform(col("fresh"), p => p("node"))).as("visited"),
           col("pool").as("best"),
           bestfNext.as("bestf"),
-          not(col("pool") === col("best")).as("changed"))
+          changedNext.as("changed"))
         .localCheckpoint(false)
       // adaptive stop (trace paths only): a hop where no query's
       // running top-beam changed ends the loop — one bounded action
@@ -223,7 +260,7 @@ object GraphServe {
       hop += 1
     }
     BatchTrace(bestOf(state, "best"), hop,
-      if (filterLab.isDefined) bestOf(state, "bestf") else null)
+      if (resultPred.isDefined) bestOf(state, "bestf") else null)
   }
 
   /** A running top-beam of a traversal state, exploded back to the
@@ -270,7 +307,7 @@ object GraphServe {
     * either sorted or set-semantics (the argument in [[batchBeam]]'s
     * doc), which is what makes a SQL replay possible at all. */
   private val EmptyProps =
-    "CAST([] AS STRUCT(ns DOUBLE, node BIGINT, lab INTEGER)[])"
+    "CAST([] AS STRUCT(ns DOUBLE, node BIGINT, lab INTEGER, del BOOLEAN)[])"
 
   /** One unrolled [[batchBeam]] hop chain as CTE text: assumes a CTE
     * `${pfx}_init` with (query_id, q_emb, q_nrm, frontier, visited,
@@ -284,16 +321,22 @@ object GraphServe {
     * the entry nodes via `vecs`; later hops expand through
     * `$edgesRel`. */
   private def hopChainSql(pfx: String, edgesRel: String, beam: Int,
-      hops: Int, filterLab: Option[Int]): String = {
+      hops: Int, filterExpr: Option[String],
+      tsRel: Option[String] = None): String = {
     def fresh = s"""list_filter(coalesce(p.props, $EmptyProps),
                  x -> NOT list_contains(s.visited, x.node))"""
-    def bestfNext = filterLab match {
-      case Some(l) =>
+    def bestfNext = filterExpr match {
+      case Some(fe) =>
         s""",
              list_slice(list_sort(s.bestf ||
-               list_filter($fresh, x -> x.lab = $l)), 1, $beam) AS bestf"""
+               list_filter($fresh, x -> $fe)), 1, $beam) AS bestf"""
       case None => ""
     }
+    // tombstone flag: a plain IN-subquery in the projection (q164) —
+    // constant FALSE when no delete set rides the traversal, so the
+    // non-delete oracles replay the same semantics as before
+    def delExpr(id: String) = tsRel
+      .map(r => s"($id IN (SELECT vec_id FROM $r))").getOrElse("FALSE")
     (0 to hops).map { i =>
       val prev = if (i == 0) s"${pfx}_init" else s"${pfx}_${i - 1}"
       val cand =
@@ -301,21 +344,24 @@ object GraphServe {
         cand_${pfx}_0 AS MATERIALIZED (
           SELECT s.query_id,
                  -(list_dot_product(s.q_emb, v.emb) / (s.q_nrm * v.nrm)) AS ns,
-                 v.vec_id AS node, CAST(v.lab AS INTEGER) AS lab
+                 v.vec_id AS node, CAST(v.lab AS INTEGER) AS lab,
+                 ${delExpr("v.vec_id")} AS del
           FROM ${pfx}_init s, UNNEST(s.frontier) AS u(fn)
           JOIN vecs v ON v.vec_id = u.fn)"""
         else s"""
         cand_${pfx}_$i AS MATERIALIZED (
           SELECT s.query_id,
                  -(list_dot_product(s.q_emb, ed.d_emb) / (s.q_nrm * ed.d_nrm)) AS ns,
-                 ed.dst AS node, CAST(ed.d_lab AS INTEGER) AS lab
+                 ed.dst AS node, CAST(ed.d_lab AS INTEGER) AS lab,
+                 ${delExpr("ed.dst")} AS del
           FROM $prev s, UNNEST(s.frontier) AS u(fn)
           JOIN $edgesRel ed ON ed.src = u.fn)"""
       s"""$cand,
         p_${pfx}_$i AS MATERIALIZED (
           SELECT query_id,
-                 list(struct_pack(ns := ns, node := node, lab := lab)) AS props
-          FROM (SELECT DISTINCT query_id, ns, node, lab FROM cand_${pfx}_$i)
+                 list(struct_pack(ns := ns, node := node, lab := lab,
+                                  del := del)) AS props
+          FROM (SELECT DISTINCT query_id, ns, node, lab, del FROM cand_${pfx}_$i)
           GROUP BY query_id),
         ${pfx}_$i AS MATERIALIZED (
           SELECT s.query_id, s.q_emb, s.q_nrm,
@@ -357,12 +403,22 @@ object GraphServe {
     * oracle reads the same entry bytes the engine serves from. */
   private def graphProbeSql(edgesGlob: String, vecsGlob: String,
       entriesGlob: String, beam: Int, hops: Int, k: Int,
-      filterLab: Option[Int] = None): String = {
+      filterLab: Option[Int] = None,
+      tombstoneGlob: Option[String] = None): String = {
+    // result-pool predicate over the proposal struct: label equality
+    // (q157) or tombstone survival (q164) — mirrors batchBeam's
+    // resultPred exactly
+    val filterExpr = filterLab.map(l => s"x.lab = $l")
+      .orElse(tombstoneGlob.map(_ => "NOT x.del"))
     val bestfInit =
-      if (filterLab.isDefined) s",\n                 $EmptyProps AS bestf" else ""
-    val pool = if (filterLab.isDefined) "bestf" else "best"
+      if (filterExpr.isDefined) s",\n                 $EmptyProps AS bestf" else ""
+    val pool = if (filterExpr.isDefined) "bestf" else "best"
+    val tsCte = tombstoneGlob.map(g => s"""
+        ts AS MATERIALIZED (
+          SELECT vec_id FROM read_parquet('$g')
+        ),""").getOrElse("")
     s"""
-        WITH edges AS MATERIALIZED (
+        WITH$tsCte edges AS MATERIALIZED (
           SELECT src, dst, d_emb, d_nrm, d_lab
           FROM read_parquet('$edgesGlob', hive_partitioning=1)
         ),
@@ -374,7 +430,8 @@ object GraphServe {
           SELECT q.query_id, q.q_emb, q.q_nrm, en.frontier,
                  [q.query_id] AS visited,
                  $EmptyProps AS best$bestfInit
-          FROM q JOIN en USING (query_id)),${hopChainSql("f", "edges", beam, hops, filterLab)}
+          FROM q JOIN en USING (query_id)),${hopChainSql("f", "edges", beam, hops,
+            filterExpr, tombstoneGlob.map(_ => "ts"))}
         ${finalCut(s"f_$hops", pool, k)}"""
   }
 
@@ -819,6 +876,51 @@ object GraphServe {
       k)
   }
 
+  // ---- q164: graph serving UNDER vector delete (tombstones) ----
+
+  /** (index root, staged-entries root, tombstone root) of the last
+    * q164 run. */
+  @volatile private[graft] var graphDeleteOracleRoots: Option[(String, String, String)] = None
+
+  /** Graph-ANN serving under the logical DELETE — the graph twin of
+    * q163's tombstone-anti-joined IVF probe, completing the delete op
+    * across both index families: the persisted graph is untouched
+    * (rewriting adjacency on the delete path would cost a rebuild —
+    * the LSM economics), deleted nodes keep ROUTING (HNSW soft-delete:
+    * removing them from traversal fragments the graph, the q157
+    * failure mode), and the tombstone set constrains COLLECTION via
+    * the same second-pool machinery as the attribute filter — a
+    * retracted vector can navigate a walk but can never be served.
+    * The flag rides the expand view via ONE broadcast join per serve
+    * call (ids-only tombstones), so the per-hop plan is unchanged.
+    * Runs at the 2× working beam (the q157 convention) so surviving
+    * mass keeps flowing; the answer is the exact top-k of every
+    * surviving node the walk scored. */
+  def graphSearchDeleted(spark: SparkSession, dir: String,
+      nQueries: Int, k: Int, beam: Int = 8, hops: Int = 8): DataFrame = {
+    val root = NnDescent.graphIndexStaged(spark, dir)
+    val ts = AnnIndex.tombstonesStaged(spark, dir)
+    val edges = spark.read.parquet(s"$root/edges")
+    val vecs = spark.read.parquet(s"$root/vecs")
+    val queries = vecs
+      .filter(col("vec_id") < nQueries && col("vec_id") % 10 =!= 5)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val workBeam = DescentWorkFactor * beam
+    require(k <= workBeam,
+      s"top-k $k must fit inside the delete working beam $workBeam")
+    val eroot = stagedEntries(spark, root, queries, workBeam, s"qd$nQueries")
+    graphDeleteOracleRoots =
+      Some((Staging.abs(root), Staging.abs(eroot), Staging.abs(ts)))
+    val entries = spark.read.parquet(eroot)
+    val tr = batchBeam(edges, vecs, queries, entries, workBeam, hops,
+      tombstones = Some(spark.read.parquet(s"$ts/ids")))
+    Similarity.topK(
+      tr.bestF.select(col("query_id"), col("node").as("neighbor_id"),
+        col("score")),
+      k)
+  }
+
   // ---- q158: SQ8-quantized serving index (footprint) ----
 
   /** Stage the SQ8-QUANTIZED serving edge table next to the
@@ -1225,6 +1327,33 @@ object GraphServe {
           s"$root/vecs/*/*.parquet", s"$eroot/*.parquet",
           beam = DescentWorkFactor * 8, hops = 8, k = 5,
           filterLab = Some(3))
+      })),
+
+    Query(
+      "q164_knn_graph_delete",
+      "Graph-ANN serving under vector DELETE — the graph twin of " +
+        "q163's tombstone probe, completing the delete maintenance op " +
+        "across both index families: the persisted NN-descent graph " +
+        "is never rewritten on the delete path (LSM economics — a " +
+        "retraction batch stages as the same ids-only tombstone " +
+        "segment q163 reads), deleted nodes keep ROUTING (HNSW " +
+        "soft-delete semantics: excising them from traversal " +
+        "fragments the graph, the q157 failure mode), and the " +
+        "tombstone set constrains COLLECTION via the q157 second-" +
+        "pool machinery — a retracted vector can navigate a walk but " +
+        "can never be served. The survival flag rides the expand " +
+        "view via ONE broadcast join per serve call, so the per-hop " +
+        "plan gains no join; runs at the 2x working beam so " +
+        "surviving mass keeps flowing. Oracle: the unrolled beam-" +
+        "traversal SQL with a tombstone CTE and the NOT-deleted " +
+        "collection predicate, hash-exact over the staged segments.",
+      (s, dir) => graphSearchDeleted(s, dir, nQueries = 100, k = 5),
+      oracleFn = Some(() => graphDeleteOracleRoots.map {
+        case (root, eroot, ts) =>
+          graphProbeSql(s"$root/edges/*/*.parquet",
+            s"$root/vecs/*/*.parquet", s"$eroot/*.parquet",
+            beam = DescentWorkFactor * 8, hops = 8, k = 5,
+            tombstoneGlob = Some(s"$ts/ids/*.parquet"))
       })),
 
     Query(

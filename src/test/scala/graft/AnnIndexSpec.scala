@@ -358,4 +358,79 @@ class AnnIndexSpec extends AnyFunSuite {
       s"label predicate did not reach the lists scan as a partition filter")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  // ---- q163: vector DELETE (tombstones) ----
+
+  test("q163 delete: staleness differential — pre-delete probes serve " +
+      "victims, post-delete probes never do") {
+    import org.apache.spark.sql.functions.col
+    // pre-delete: the q77 probe over the same surviving query set
+    // still serves tombstoned neighbors (the vectors are in the lists)
+    val pre = AnnIndex.knnIvfIndexed(spark, sf, nQueries = 100, k = 5)
+      .filter(col("query_id") % 10 =!= 5)
+    assert(pre.filter(col("neighbor_id") % 10 === 5).count() > 0,
+      "differential vacuous: no victim appears in any pre-delete top-k")
+    val post = AnnIndex.knnIvfDeleted(spark, sf, nQueries = 100, k = 5)
+    assert(post.filter(col("neighbor_id") % 10 === 5).count() === 0,
+      "a tombstoned vector was served post-delete")
+    assert(post.count() > 0)
+    // every query still gets a full answer: victims are backfilled by
+    // the next-best survivors, never by a shorter result
+    assert(post.groupBy("query_id").count()
+      .filter(col("count") =!= 5).count() === 0)
+  }
+
+  test("q163 delete: tombstone anti-join equals the predicate mask, " +
+      "and the probe is deterministic") {
+    import org.apache.spark.sql.functions.col
+    val idx = AnnIndex.ivfIndex(spark, sf)
+    val cent = spark.read.parquet(s"$idx/centroids")
+    val masked = spark.read.parquet(s"$idx/lists")
+      .filter(col("vec_id") % 10 =!= 5)
+    val q = Similarity.prepared(Tables.embeddings(spark, sf))
+      .filter(col("vec_id") < 100 && col("vec_id") % 10 =!= 5)
+    val expected = rows(Similarity.ivfProbe(masked, cent, q, 32, 5))
+    val got = rows(AnnIndex.knnIvfDeleted(spark, sf, nQueries = 100, k = 5))
+    assert(got === expected)
+    assert(got === rows(AnnIndex.knnIvfDeleted(spark, sf, nQueries = 100, k = 5)))
+  }
+
+  test("q163 delete compaction: physically dropped rows, bit-identical " +
+      "probes, no anti-join or pre-compaction segment in the plan") {
+    import org.apache.spark.sql.functions.col
+    val viaTombstone = rows(AnnIndex.knnIvfDeleted(spark, sf, nQueries = 100, k = 5))
+    spark.sharedState.cacheManager.clearCache()
+    val df = AnnIndex.knnIvfDeleteCompacted(spark, sf, nQueries = 100, k = 5)
+    assert(rows(df) === viaTombstone)
+    // masked rows are gone physically; survivors verbatim
+    val idx = AnnIndex.ivfDeleteCompactIndex(spark, sf)
+    val lists = spark.read.parquet(s"$idx/lists")
+    assert(lists.filter(col("vec_id") % 10 === 5).count() === 0)
+    val full = spark.read.parquet(s"${AnnIndex.ivfIndex(spark, sf)}/lists")
+    assert(lists.count() === full.filter(col("vec_id") % 10 =!= 5).count())
+    // the compacted probe plan reads only the compacted artifact — no
+    // tombstone segment, no anti-join
+    val leaves = scanPaths(df)
+    assert(leaves.exists(_.contains("graft_ivfdc_")),
+      s"expected the delete-compacted scan among leaves:\n${leaves.mkString("\n")}")
+    assert(!leaves.exists(_.contains("graft_ivft_")),
+      "compacted probe must not touch the tombstone segment")
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType.sql.contains("ANTI") => j
+    }
+    assert(joins.isEmpty, "compacted probe must carry no anti-join")
+  }
+
+  test("q163 delete: tombstone and compaction staging are idempotent") {
+    val ts = AnnIndex.tombstonesStaged(spark, sf)
+    val dc = AnnIndex.ivfDeleteCompactIndex(spark, sf)
+    val ts0 = fileStates(ts)
+    val dc0 = fileStates(dc)
+    assert(ts0.nonEmpty && dc0.nonEmpty)
+    assert(AnnIndex.tombstonesStaged(spark, sf) === ts)
+    assert(AnnIndex.ivfDeleteCompactIndex(spark, sf) === dc)
+    assert(fileStates(ts) === ts0)
+    assert(fileStates(dc) === dc0)
+  }
 }

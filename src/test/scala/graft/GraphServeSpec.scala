@@ -296,6 +296,45 @@ class GraphServeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q164 graph delete: no tombstoned node is ever served, recall " +
+    "clears the IVF bar vs the SURVIVING exact answer, the walk stays " +
+    "predicate-agnostic, repeats are deterministic, and the plan holds " +
+    "no cartesian join") {
+    val emb = Tables.embeddings(spark, sf)
+    // exact ground truth over the surviving corpus, for the surviving
+    // query set — the contract a post-delete query actually has
+    val exact = pairsOf(Similarity.knnBrute(
+      emb.filter(col("vec_id") % 10 =!= 5), 100, 5))
+    assert(exact.nonEmpty)
+    def run() = SparkEntry.queries("q164_knn_graph_delete")(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val first = run()
+    assert(first === run(), "delete serving must be deterministic")
+    // a retracted vector can never be served; queries are survivors
+    first.foreach { case (q, n) =>
+      assert(q % 10 != 5, s"victim $q queried post-delete")
+      assert(n % 10 != 5, s"victim $n served post-delete")
+    }
+    val got = first.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.keys.toSeq
+      .map(q => (got.getOrElse(q, Set.empty) & exact(q)).size).sum
+      .toDouble / exact.values.map(_.size).sum
+    info(s"q164 delete graph recall@5 = $recall")
+    assert(recall >= 0.72d, s"delete recall $recall below the IVF bar")
+    // staleness differential (the q163 criterion, graph form): the
+    // PRE-delete walk over the same index still serves victims — the
+    // tombstone set constrains collection, never the graph bytes
+    val pre = GraphServe.graphSearchBatch(spark, sf, 100, 5)
+      .select("neighbor_id").collect().map(_.getLong(0))
+    assert(pre.exists(_ % 10 == 5),
+      "differential vacuous: no victim in any pre-delete top-k")
+    val plan = GraphServe.graphSearchDeleted(spark, sf, 10, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("the driver-side entry slot hash equals the SQL xxhash64 twin " +
     "(the batch/interactive identity precondition)") {
     import spark.implicits._
