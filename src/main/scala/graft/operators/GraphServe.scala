@@ -687,7 +687,7 @@ object GraphServe {
     // included (r13 advice: changing either must not silently serve a
     // stale level count or entry set)
     val out = "target/nndescent/graft_nnh_" + Bucketed.md5hex(
-      s"$dir/h4/$tag/k${NnDescent.K}/w${NnDescent.WorkFactor}/d$HierDecimation" +
+      s"$dir/h6/$tag/k${NnDescent.K}/w${NnDescent.WorkFactor}/d$HierDecimation" +
         s"/m$MinLevelNodes/t$TopEntries" +
         s"/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
       .take(8)
@@ -772,7 +772,7 @@ object GraphServe {
     * idempotent staging. */
   def graphHierAppendStaged(spark: SparkSession, dir: String): String = {
     val out = "target/nndescent/graft_nnha_" + Bucketed.md5hex(
-      s"$dir/a2/k${NnDescent.K}/w${NnDescent.WorkFactor}/d$HierDecimation" +
+      s"$dir/a4/k${NnDescent.K}/w${NnDescent.WorkFactor}/d$HierDecimation" +
         s"/m$MinLevelNodes/t$TopEntries" +
         s"/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
       .take(8)
@@ -947,7 +947,7 @@ object GraphServe {
   def graphSq8IndexStaged(spark: SparkSession, dir: String): String = {
     val root = NnDescent.graphIndexStaged(spark, dir)
     val out = "target/nndescent/graft_nngq_" + Bucketed.md5hex(
-      s"$dir/q1/k${NnDescent.K}/w${NnDescent.WorkFactor}/r${NnDescent.Rounds}" +
+      s"$dir/q3/k${NnDescent.K}/w${NnDescent.WorkFactor}/r${NnDescent.Rounds}" +
         s"/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
       .take(8)
     Staging.ensure(spark, out) { tmp =>

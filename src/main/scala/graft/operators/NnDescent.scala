@@ -27,15 +27,22 @@ import graft.sources.Tables
   *   - ROUND: symmetrize (union reversed edges), CAP each node's
   *     adjacency at [[Cap]] by hash order (the published sampling-ρ
   *     trick — bounds the per-node join fan-out), self-join on the
-  *     CENTER node so each adjacency list proposes its member PAIRS,
-  *     dedup, score by exact cosine (two node-keyed equi-joins to
-  *     attach vectors — never a cross join), union both directions
-  *     with the current edges, keep top-K per src on (score DESC,
-  *     dst ASC). Per-round work is ≤ N·Cap² candidate scores — LINEAR
-  *     in N with a constant factor, the published economics.
-  *   - TERMINATION: fixed [[Rounds]] (the q114 convention — a
-  *     convergence test would add a count action per round for no
-  *     plan benefit at these diameters); `localCheckpoint` truncates
+  *     CENTER node so each adjacency list proposes its member PAIRS —
+  *     only pairs touching an edge ADDED last round (the published
+  *     new/old incremental split, round 15: proposal volume tracks
+  *     the CHURN, not the graph size, so converging late rounds cost
+  *     near zero where they used to repeat the full N·Cap² sweep) —
+  *     score by exact cosine (two node-keyed equi-joins to attach
+  *     vectors — never a cross join), then merge + dedup + top-K +
+  *     newness flag in ONE exchange (per-src array ops over the
+  *     constant-bounded candidate set). Per-round work is ≤ N·Cap²
+  *     candidate scores in the worst (first) round — LINEAR in N with
+  *     a constant factor, the published economics.
+  *   - TERMINATION: the log-scaled [[autoRounds]] budget with the
+  *     standard NN-descent early exit — a round that adds no edge
+  *     cannot produce proposals next round (one bounded emptiness
+  *     probe per round on the checkpointed state, skipped for the
+  *     never-converging first rounds); `localCheckpoint` truncates
   *     lineage each round.
   *
   * The per-node top-K uses a `Window.partitionBy(src)` — bounded by
@@ -212,18 +219,37 @@ object NnDescent {
     val capW = math.max(cap, workFactor * cap)
     // seeded + random union: SRP pairs supply likely-neighbor seeds,
     // random chains keep the graph connected across hash regions
+    // init merge rides the same one-exchange array top-k as the
+    // rounds (array_distinct absorbs the seed-family overlap, so the
+    // former pre-score `.distinct()` exchange is gone)
     val init = rendezvousInit(e, kW, n, "nn-init")
       .unionByName(srpChains(e, n, dim, "nn-init-srp"))
-      .distinct()
-    var edges = topKPerSrc(scorePairs(init, e), kW).localCheckpoint(false)
+    var edges = scorePairs(init, e)
+      .select(col("src"),
+        struct((-col("score")).as("ns"), col("dst")).as("c"))
+      .groupBy("src")
+      .agg(slice(sort_array(array_distinct(collect_list(col("c")))),
+        1, kW).as("top"))
+      .select(col("src"), explode(col("top")).as("c"))
+      .select(col("src"), col("c.dst").as("dst"),
+        (-col("c.ns")).as("score"), lit(true).as("isnew"))
+      .localCheckpoint(false)
 
     var r = 0
-    while (r < nRounds) {
-      edges = refineOnce(edges, e, kW, capW, roundSalt = r)
+    var converged = false
+    while (r < nRounds && !converged) {
+      edges = refineOnceFlagged(edges, e, kW, capW, roundSalt = r)
+      // standard NN-descent termination: a round that adds no edge
+      // cannot produce proposals next round. The probe is one bounded
+      // action on the just-checkpointed state; rounds 0-2 never
+      // converge on any measured corpus (churn is still >10% of the
+      // edge set), so the probe starts at round 3
+      converged = r >= 3 && edges.filter(col("isnew")).isEmpty
       r += 1
     }
+    val done = edges.drop("isnew")
     // the working beam cuts to the degree the graph contract serves
-    if (kW == k) edges else topKPerSrc(edges, k)
+    if (kW == k) done else topKPerSrc(done, k)
   }
 
   /** ANN-query view of the graph: the query nodes' top-k neighbors in
@@ -349,28 +375,77 @@ object NnDescent {
   /** One NN-descent refinement round — the loop body of [[build]],
     * shared with [[appendToGraph]]. */
   private def refineOnce(edges: DataFrame, e: DataFrame, k: Int,
+      cap: Int, roundSalt: Int): DataFrame =
+    refineOnceFlagged(edges.withColumn("isnew", lit(true)), e, k, cap,
+      roundSalt).drop("isnew")
+
+  /** One NN-descent round over a NEW-flagged edge frame — the
+    * published incremental trick (Dong et al. §2.3's new/old split):
+    * a pair of two OLD adjacency members was already proposed the
+    * round both became established, so only pairs touching at least
+    * one edge ADDED last round are scored. Round-over-round proposal
+    * volume tracks the churn, not the graph size — on a converging
+    * build the late rounds go from N·cap²/2 scored pairs to near
+    * zero, which is where the fixed log-scaled budget spent most of
+    * its wall time. An edge is `isnew` when (src, dst) was absent
+    * from the previous round's frame; the caller's loop can also
+    * early-exit when a round adds nothing (the standard NN-descent
+    * termination — one bounded emptiness probe on the checkpointed
+    * state). [[refineOnce]] (all-new) is the exact pre-flag
+    * semantics, kept for the single symmetric finishing round of
+    * [[appendToGraph]]. */
+  private def refineOnceFlagged(edges: DataFrame, e: DataFrame, k: Int,
       cap: Int, roundSalt: Int): DataFrame = {
-    val undirected = edges.select("src", "dst")
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    val undirected = edges.select(col("src"), col("dst"), col("isnew"))
+      .unionByName(edges.select(col("dst").as("src"),
+        col("src").as("dst"), col("isnew")))
+      .groupBy("src", "dst").agg(max("isnew").as("isnew"))
     val capW = Window.partitionBy("src")
       .orderBy(xxhash64(col("src"), col("dst"), lit(roundSalt)).asc,
         col("dst").asc)
     val adj = undirected.withColumn("rk", row_number().over(capW))
       .filter(col("rk") <= cap)
-      .select(col("src").as("ctr"), col("dst").as("m"))
+      .select(col("src").as("ctr"), col("dst").as("m"), col("isnew"))
+    // no pre-score distinct: duplicate proposals (a pair surfacing
+    // under several shared centers) score to BIT-IDENTICAL cosines,
+    // and the merge below dedups them as a set — trading one full
+    // shuffle of the pair space for re-scoring a bounded duplicate
+    // fraction (map-side work), a win in both the per-round stage
+    // count and at scale
     val proposals = adj.as("a").join(adj.as("b"), "ctr")
-      .where(col("a.m") < col("b.m"))
+      .where(col("a.m") < col("b.m") &&
+        (col("a.isnew") || col("b.isnew")))
       .select(col("a.m").as("src"), col("b.m").as("dst"))
-      .distinct()
     val scored = scorePairs(proposals, e)
     val both = scored.unionByName(
       scored.select(col("dst").as("src"), col("src").as("dst"),
         col("score")))
-    topKPerSrc(
-        edges.unionByName(both)
-          .groupBy("src", "dst").agg(max("score").as("score")),
-        k)
+    // merge + dedup + top-k + newness flag in ONE exchange: gather
+    // each node's candidate structs (negated score first, so the
+    // natural struct order is the serving order — the batchBeam
+    // convention); array_distinct dedups exactly (duplicate pairs
+    // carry bit-identical scores); sort+slice cut the new list; the
+    // SAME aggregate collects the node's previous dst set (≤ k ids,
+    // aggregate functions skip the nulls the proposal rows carry) so
+    // `isnew` is a per-row array test, not a second join. Per-src
+    // input is bounded by k + cap²/2 + cap (current edges +
+    // both-direction proposals), never corpus-sized. Replaces the
+    // former groupBy(src,dst).max + window + flag-join chain.
+    val cands = edges.select(col("src"), col("dst"), col("score"),
+        lit(true).as("seen"))
+      .unionByName(both.withColumn("seen", lit(false)))
+    cands
+      .select(col("src"),
+        struct((-col("score")).as("ns"), col("dst")).as("c"),
+        when(col("seen"), col("dst")).as("seend"))
+      .groupBy("src")
+      .agg(slice(sort_array(array_distinct(collect_list(col("c")))),
+          1, k).as("top"),
+        collect_set(col("seend")).as("prevd"))
+      .select(col("src"), col("prevd"), explode(col("top")).as("c"))
+      .select(col("src"), col("c.dst").as("dst"),
+        (-col("c.ns")).as("score"),
+        (!array_contains(col("prevd"), col("c.dst"))).as("isnew"))
       .localCheckpoint(false)
   }
 
@@ -394,7 +469,7 @@ object NnDescent {
     // round-13 working-beam build must not be satisfied by a stale
     // narrow-list artifact (the r12 convention)
     val out = "target/nndescent/graft_nngb_" + Bucketed.md5hex(
-      s"$dir/base10/i3/k$K/w$WorkFactor/r$Rounds/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
+      s"$dir/base10/i5/k$K/w$WorkFactor/r$Rounds/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
       .take(8)
     Staging.ensure(spark, out) { tmp =>
       build(Tables.embeddings(spark, dir).filter(col("vec_id") % 10 =!= 0))
@@ -430,7 +505,7 @@ object NnDescent {
     // filtered-search attribute-rides-the-index rule), so a stale
     // i4/i5 artifact must not be served
     val out = "target/nndescent/graft_nng_" + Bucketed.md5hex(
-      s"$dir/i6/k$K/w$WorkFactor/r$Rounds/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
+      s"$dir/i8/k$K/w$WorkFactor/r$Rounds/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
       .take(8)
     Staging.ensure(spark, out) { tmp =>
       val emb = Tables.embeddings(spark, dir)
