@@ -78,7 +78,7 @@ object Bench {
     "q154_knn_graph_hier_batch", "q155_knn_graph_hier_append", "q156_knn_filtered",
     "q157_knn_graph_filtered", "q158_knn_graph_sq8", "q159_graph_index_health",
     "q160_diversity_sample", "q161_memorization_risk", "q162_knn_pq_append",
-    "q163_knn_ivf_delete", "q164_knn_graph_delete",
+    "q163_knn_ivf_delete", "q164_knn_graph_delete", "q165_audio_stats",
     // the nine sub-second parity/scan entries below were excluded by
     // curation through r11; the r11 verdict asked the artifact to
     // cover the full catalog (they cost ~3 s of bench time total)

@@ -12,12 +12,15 @@ import graft.sources.Tables
   * extraction, frame sampling, and payload statistics.
   *
   * The Spark-side plumbing (schema, batch iteration, partitioning, frame
-  * arithmetic) is real and tested; the *codec* itself is a clearly-marked
-  * deterministic STUB (`fakeDecode`) because no media libraries exist in
-  * this environment. Swapping in a real decoder changes one function: the
-  * per-record byte→feature step inside `extractFeatures`, which is the
-  * same seam a `mapInPandas`/`mapPartitions` batch UDF gives you — batch
-  * in, batch out, executor-local, no driver involvement.
+  * arithmetic) is real and tested. Two codecs are REAL via the JDK alone:
+  * PNG/JPEG images (`javax.imageio` — decode, resize, dHash) and WAV/PCM
+  * audio (`javax.sound.sampled` — channels/rate/energy/peak, q165). Video
+  * remains a clearly-marked deterministic STUB (`fakeDecode`) because no
+  * video library exists in this environment. Swapping in a real decoder
+  * changes one function: the per-record byte→feature step inside
+  * `extractFeatures`, which is the same seam a
+  * `mapInPandas`/`mapPartitions` batch UDF gives you — batch in, batch
+  * out, executor-local, no driver involvement.
   *
   * Scale shape: everything here is embarrassingly parallel (map-only —
   * no shuffle at all except the catalog query's final orderBy); payloads
@@ -193,6 +196,133 @@ object Multimodal {
           }
         }
       }
+  }
+
+  // ---- real audio decode (q165): WAV/PCM via javax.sound.sampled ----
+
+  /** Decoded audio statistics — integer-exact columns only (the
+    * q96/q71 rule), so the oracle compare is hash-exact: sample counts,
+    * the sum of squared samples (the energy integral RMS derives from),
+    * and the peak magnitude. */
+  final case class AudioStats(
+      doc_id: Long,
+      is_audio: Boolean,
+      channels: Int,
+      sample_rate: Int,
+      n_samples: Long,
+      sum_sq: Long,
+      peak_abs: Int)
+
+  /** RIFF/WAVE magic sniff (the audio twin of [[looksLikeImage]]). */
+  private[graft] def looksLikeWav(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R'.toByte && bytes(1) == 'I'.toByte &&
+      bytes(2) == 'F'.toByte && bytes(3) == 'F'.toByte &&
+      bytes(8) == 'W'.toByte && bytes(9) == 'A'.toByte &&
+      bytes(10) == 'V'.toByte && bytes(11) == 'E'.toByte
+
+  /** REAL audio decode via the JDK's built-in `javax.sound.sampled`
+    * (zero external dependencies — the audio analogue of the q23/q110
+    * `javax.imageio` precedent): WAV bytes → (channels, sample rate,
+    * sample count, Σ s², max |s|) over the signed 16-bit little-endian
+    * PCM samples. Integer arithmetic throughout, so the decode is
+    * bit-deterministic and the stats replay exactly in any engine that
+    * can reach the same bytes. Scoped to PCM_SIGNED 16-bit LE (the
+    * canonical WAV interchange format); anything else returns None and
+    * takes the stub path — same NonFatal discipline as [[decodeImage]]
+    * (corrupt bytes fall back, never kill the task). */
+  private[graft] def decodeWav(
+      bytes: Array[Byte]): Option[(Int, Int, Long, Long, Int)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      val pcm16le = fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian
+      if (!pcm16le) None
+      else {
+        val data = ais.readAllBytes()
+        var i = 0; var n = 0L; var sumSq = 0L; var peak = 0
+        while (i + 1 < data.length) {
+          val s = (((data(i + 1): Int) << 8) | (data(i) & 0xFF)).toShort.toInt
+          sumSq += s.toLong * s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          n += 1
+          i += 2
+        }
+        Some((fmt.getChannels, math.round(fmt.getSampleRate), n, sumSq, peak))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Batch audio statistics on the q23 executor-local seam: WAV
+    * payloads take the REAL [[decodeWav]] path; everything else emits
+    * the explicit non-audio row (zeros, `is_audio = false`) — the
+    * stub's only job here is keeping one output schema over a mixed
+    * corpus, never fabricating audio-shaped numbers. Map-only;
+    * payloads never leave the scanning executor. */
+  def audioStats(payloadsDf: DataFrame): Dataset[AudioStats] = {
+    val spark = payloadsDf.sparkSession
+    import spark.implicits._
+    payloadsDf.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          (if (looksLikeWav(bytes)) decodeWav(bytes) else None) match {
+            case Some((ch, rate, n, sumSq, peak)) =>
+              AudioStats(id, is_audio = true, ch, rate, n, sumSq, peak)
+            case None =>
+              AudioStats(id, is_audio = false, 0, 0, 0L, 0L, 0)
+          }
+        }
+      }
+  }
+
+  /** The payloads frame with a deterministic mono PCM16 sine-tone WAV
+    * planted on every `doc_id % 20 == 10` row (disjoint from the
+    * planted-PNG rows): frequency/amplitude keyed by `doc_id / 20`,
+    * 400 samples at 8 kHz, synthesized in integer-rounded samples and
+    * written through the JDK's canonical WAV writer — so the planted
+    * energy integral is computable in closed form by the spec and the
+    * bytes are identical across executors and retries. All other rows
+    * keep their text payload and take the non-audio path. */
+  def plantedAudioPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    payloads(docs).select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          if (id % 20 != 10) (id, bytes, "text/plain")
+          else (id, synthWav(id / 20), "audio/wav")
+        }
+      }.toDF("doc_id", "payload", "mime")
+      .select(col("doc_id"), col("payload"),
+        struct(col("mime"), length(col("payload")).as("nbytes")).as("meta"))
+  }
+
+  /** The planted tone for key `key`: 400 int16 samples of
+    * round(amp·sin(2π·f·i/8000)), f = 220 + 20·(key mod 16),
+    * amp = 8000 + 500·(key mod 8). */
+  private[graft] def synthWav(key: Long): Array[Byte] = {
+    val rate = 8000f
+    val n = 400
+    val f = 220.0 + 20.0 * (key % 16).toDouble
+    val amp = 8000.0 + 500.0 * (key % 8).toDouble
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = math.round(amp * math.sin(2.0 * math.Pi * f * i / rate)).toShort
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
   }
 
   /** Frame sampling: slice the payload into fixed-size chunks ("frames")
@@ -372,6 +502,82 @@ object Multimodal {
     out
   }
 
+  /** Staged planted-audio payloads for the q165 oracle: unlike q110's
+    * staged FINGERPRINTS, the stage here is the INPUT boundary —
+    * (doc_id, payload) bytes — because DuckDB can decode canonical
+    * PCM16 WAV itself (hex-string byte extraction), making the oracle
+    * an INDEPENDENT decoder twin rather than a replay of the engine's
+    * own output. */
+  @volatile private[graft] var audioOracleRoot: Option[String] = None
+
+  private[graft] def audioPayloadsStaged(spark: SparkSession,
+      dir: String): String = {
+    val out = "target/multimodal/graft_wav_" + Bucketed.md5hex(
+      s"$dir/a1/${Layout.contentKey(spark, s"$dir/documents.parquet")}").take(8)
+    Staging.ensure(spark, out) { tmp =>
+      plantedAudioPayloads(Tables.documents(spark, dir))
+        .select("doc_id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/payloads")
+    }
+  }
+
+  /** The q165 oracle: a WAV decoder in PURE SQL over the staged
+    * payload bytes — RIFF/WAVE magic check, channel/rate fields from
+    * the fmt chunk, the data chunk located by its tag, and every
+    * 16-bit little-endian sample re-assembled from hex-nibble lookups
+    * — then the same integer energy/peak folds the engine computes.
+    * Independent of every engine code path (the decode twin). */
+  private def audioStatsSql(root: String): String = {
+    val nib = "0123456789abcdef"
+    def byteAt(off: String) =
+      s"""((strpos('$nib', substr(h, 2*($off)+1, 1))-1)*16
+         + strpos('$nib', substr(h, 2*($off)+2, 1))-1)"""
+    s"""
+        WITH x AS (
+          SELECT doc_id, lower(hex(payload)) AS h,
+                 octet_length(payload) AS len
+          FROM read_parquet('$root/payloads/*.parquet')
+        ), hdr AS (
+          SELECT doc_id, h,
+                 substr(h,1,8)='52494646' AND substr(h,17,8)='57415645'
+                   AND strpos(h,'64617461') > 0 AS is_wav,
+                 (strpos(h,'64617461')-1)//2 + 8 AS dstart,
+                 ${byteAt("22")} + 256*${byteAt("23")} AS channels,
+                 ${byteAt("24")} + 256*${byteAt("25")}
+                   + 65536*${byteAt("26")} + 16777216*${byteAt("27")}
+                   AS sample_rate,
+                 len
+          FROM x
+        ), sized AS (
+          SELECT doc_id, h, is_wav, dstart, channels, sample_rate,
+                 CASE WHEN is_wav THEN (len - dstart) // 2 ELSE 0 END
+                   AS nsamp
+          FROM hdr
+        ), s AS (
+          SELECT doc_id, is_wav, channels, sample_rate, nsamp,
+            list_transform(
+              list_transform(range(0, nsamp), i ->
+                ${byteAt("dstart+2*i+1")}*256 + ${byteAt("dstart+2*i")}),
+              u -> CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)
+              AS samples
+          FROM sized
+        )
+        SELECT doc_id, is_wav AS is_audio,
+               CAST(CASE WHEN is_wav THEN channels ELSE 0 END AS INT)
+                 AS channels,
+               CAST(CASE WHEN is_wav THEN sample_rate ELSE 0 END AS INT)
+                 AS sample_rate,
+               CAST(nsamp AS BIGINT) AS n_samples,
+               CAST(coalesce(list_sum(
+                 list_transform(samples, v -> CAST(v AS BIGINT)*v)), 0)
+                 AS BIGINT) AS sum_sq,
+               CAST(coalesce(list_max(
+                 list_transform(samples, v -> abs(v))), 0) AS INT)
+                 AS peak_abs
+        FROM s
+        ORDER BY doc_id"""
+  }
+
   // `def`, not `val`: q110's oracle SQL embeds the staged root set by
   // the entry's run (the q105 convention)
   def queries: Seq[Query] = Seq(
@@ -427,6 +633,31 @@ object Multimodal {
                CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.fp, b.fp)) <= 3
-        ORDER BY doc_a, doc_b""")))
+        ORDER BY doc_a, doc_b"""))),
+
+    Query(
+      "q165_audio_stats",
+      "REAL audio decode on the multimodal batch seam (the javax.imageio " +
+        "precedent applied to sound): every doc_id%20==10 row carries a " +
+        "deterministic planted mono PCM16 sine WAV (frequency/amplitude " +
+        "keyed by doc_id, canonical JDK WAV writer), and the engine " +
+        "decodes it for REAL via javax.sound.sampled — channels, sample " +
+        "rate, sample count, the integer energy integral (sum of squared " +
+        "samples) and peak magnitude; non-audio rows emit the explicit " +
+        "zeros row (is_audio=false — the stub keeps one schema, never " +
+        "fabricates audio numbers). Map-only, payloads never leave the " +
+        "scanning executor. Oracle: the staged artifact is the INPUT " +
+        "payload bytes, and DuckDB runs an INDEPENDENT WAV decoder in " +
+        "pure SQL — magic check, fmt fields, data-chunk location, every " +
+        "16-bit LE sample re-assembled from hex nibbles — then the same " +
+        "integer folds, hash-exact: a true decode twin, not a replay of " +
+        "engine output. Closed-form energy, determinism, and stub " +
+        "isolation stay gated in MultimodalSpec.",
+      (s: SparkSession, dir: String) => {
+        audioOracleRoot = Some(Staging.abs(audioPayloadsStaged(s, dir)))
+        audioStats(plantedAudioPayloads(Tables.documents(s, dir)))
+          .orderBy("doc_id").toDF()
+      },
+      oracleFn = Some(() => audioOracleRoot.map(audioStatsSql)))
   )
 }

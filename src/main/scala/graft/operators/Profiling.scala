@@ -146,9 +146,16 @@ object Profiling {
     * one row per column — n_null is the null value-group's count,
     * n_distinct is the number of non-null value groups (the exact
     * multi-column distinct, FD-shared like the hypercube's rewrite).
-    * Distinct values are keyed by their STRING image, which is
-    * injective per column: Spark renders doubles at shortest-round-trip
-    * precision, so distinct doubles never collide.
+    * Distinct values are keyed by a fixed-width MD5 DIGEST of their
+    * STRING image (round-15, verdict task 7): the string image is
+    * injective per column (Spark renders doubles at shortest-
+    * round-trip precision), and hashing it means the stage-1 exchange
+    * carries 32-char digests regardless of value width — a data card
+    * over a documents table must never ship full text bodies through
+    * the shuffle. Raw values only ever feed min/max/sum, which exist
+    * for NUMERIC columns alone (doubles/decimals — fixed width). MD5
+    * collisions would undercount n_distinct at ~2^-64 per pair — the
+    * repo's established cross-engine-hash argument (q39/q161).
     *
     * The per-value min/max/sum partials in stage 1 are exact (min/max
     * trivially; sum is a decimal times an integer count via repeated
@@ -159,22 +166,22 @@ object Profiling {
       numeric.map(c => struct(lit(c).as("col_name"),
         col(c).cast("double").as("num_v"),
         col(c).cast("decimal(18,2)").as("num_dec"),
-        col(c).cast("string").as("str_v"))) ++
+        md5(col(c).cast("string").cast("binary")).as("str_h"))) ++
       other.map(c => struct(lit(c).as("col_name"),
         lit(null).cast("double").as("num_v"),
         lit(null).cast("decimal(18,2)").as("num_dec"),
-        col(c).cast("string").as("str_v")))
+        md5(col(c).cast("string").cast("binary")).as("str_h")))
     val stacked = df.select(explode(array(entries: _*)).as("s"))
       .select(col("s.col_name"), col("s.num_v"), col("s.num_dec"),
-        col("s.str_v"))
-    val perValue = stacked.groupBy("col_name", "str_v")
+        col("s.str_h"))
+    val perValue = stacked.groupBy("col_name", "str_h")
       .agg(count(lit(1)).as("cnt"), min("num_v").as("mn"),
         max("num_v").as("mx"), sum("num_dec").as("sm"))
     perValue.groupBy("col_name")
       .agg(sum("cnt").as("n_rows"),
-        sum(when(col("str_v").isNull, col("cnt")).otherwise(lit(0L)))
+        sum(when(col("str_h").isNull, col("cnt")).otherwise(lit(0L)))
           .as("n_null"),
-        count(when(col("str_v").isNotNull, lit(1))).as("n_distinct"),
+        count(when(col("str_h").isNotNull, lit(1))).as("n_distinct"),
         min("mn").as("min_v"), max("mx").as("max_v"),
         sum("sm").cast("double").as("sum_v"))
   }

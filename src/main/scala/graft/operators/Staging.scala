@@ -24,15 +24,22 @@ import org.apache.spark.sql.SparkSession
   *      (atomic on POSIX and HDFS). Readers see either nothing or the
   *      complete finished stage, never an intermediate state.
   *
-  * Residual window (documented, not closed — this is a lock-free
-  * protocol): a concurrent commit landing between the pre-delete
-  * `_SUCCESS` re-check and the delete (or between the pre-rename check
-  * and the rename, where a losing rename nests its temp root inside
-  * the winner's commit as an orphan subdirectory) is a two-metadata-op
-  * window. Content-fingerprinted keys make every competing build
-  * byte-equivalent, so the served stage is correct in all interleavings;
-  * the final marker `require` refuses to serve a destination that holds
-  * no finished stage.
+  * Since round 15 the rename protocol runs under a cross-process
+  * LOCK FILE (`<out>.lock`, atomic create-if-absent — O_EXCL on the
+  * local FS, the same single-writer create on HDFS): competing
+  * processes serialize the whole check-build-commit sequence, so the
+  * former two-metadata-op residual windows (pre-delete re-check →
+  * delete; pre-rename check → rename) cannot interleave at all in the
+  * locked path. The lock is liveness-guarded — a holder that died
+  * mid-build leaves a lock whose mtime stops advancing, and a waiter
+  * takes it over after `graft.staging.lock.stale.ms` (default 10 min).
+  * A takeover that races a live-but-stalled holder degrades exactly to
+  * the pre-lock lock-free protocol, for which the rename commit
+  * remains the correctness backstop: content-fingerprinted keys make
+  * every competing build byte-equivalent, so the served stage is
+  * correct in all interleavings, and the final marker `require`
+  * refuses to serve a destination that holds no finished stage.
+  * StagingSpec races two real JVMs on one key to pin the contract.
   *
   * If the rename fails because a concurrent builder won the race, the
   * loser discards its temp root and serves the winner's stage — both
@@ -70,61 +77,90 @@ object Staging {
     * (duplicate-build elision — callers need no `synchronized` of their
     * own); different stages build concurrently. Returns `out`. */
   def ensure(spark: SparkSession, out: String)(build: String => Unit): String =
+    ensureConf(spark.sparkContext.hadoopConfiguration, out)(build)
+
+  /** Spark-free form (the helper only ever needs a Hadoop
+    * configuration) — what the two-JVM race probe drives. */
+  def ensureConf(conf: org.apache.hadoop.conf.Configuration, out: String)(
+      build: String => Unit): String =
     locks.computeIfAbsent(out, _ => new Object).synchronized {
-      ensureLocked(spark, out)(build)
+      ensureLocked(conf, out)(build)
     }
 
-  private def ensureLocked(spark: SparkSession, out: String)(build: String => Unit): String = {
-    val conf = spark.sparkContext.hadoopConfiguration
+  /** Serialize competing PROCESSES of one stage behind an atomic
+    * create-if-absent lock file. Liveness: a waiter that sees the
+    * lock's mtime frozen past the staleness bound deletes it and
+    * retries — a crashed holder cannot block the stage forever, and a
+    * takeover that races a live holder degrades to the lock-free
+    * rename protocol (correct, see the object doc). */
+  private def withProcessLock[T](fs: org.apache.hadoop.fs.FileSystem,
+      out: String)(body: => T): T = {
+    val lock = new Path(s"$out.lock")
+    val staleMs = sys.props.getOrElse("graft.staging.lock.stale.ms",
+      "600000").toLong
+    var acquired = false
+    while (!acquired) {
+      try {
+        Option(lock.getParent).foreach(fs.mkdirs(_))
+        fs.create(lock, false).close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          val stale =
+            try System.currentTimeMillis() -
+              fs.getFileStatus(lock).getModificationTime > staleMs
+            catch { case _: java.io.FileNotFoundException => false }
+          if (stale) fs.delete(lock, false) else Thread.sleep(50L)
+      }
+    }
+    try body finally fs.delete(lock, false)
+  }
+
+  private def ensureLocked(conf: org.apache.hadoop.conf.Configuration,
+      out: String)(build: String => Unit): String = {
     val root = new Path(out)
     val fs = root.getFileSystem(conf)
     val ok = new Path(out, "_SUCCESS")
-    if (!fs.exists(ok)) {
-      // markerless residue at the root (a crashed pre-rename-era build)
-      // is never served by anyone — clear it so the commit rename finds
-      // no destination (Hadoop's local rename would otherwise NEST the
-      // temp root inside an existing directory instead of replacing it).
-      // The marker is RE-CHECKED immediately before the delete (round-10
-      // advice): between the outer exists(ok) and here, a concurrent
-      // process may have committed a finished stage, and deleting it
-      // would remove an artifact cross-process readers could be
-      // mid-scan. The re-check shrinks the lost-commit window from the
-      // whole build to two adjacent metadata ops; a commit landing
-      // inside THAT window is the residual race documented below.
-      if (fs.exists(root) && !fs.exists(ok)) fs.delete(root, true)
-      // if the re-check saw a concurrent commit, serve it instead of
-      // running a full build only to discard it at the pre-rename check
-      // (a staged build can be minutes of training at scale)
-      if (fs.exists(ok)) return out
-      // nanoTime + thread id: unique enough for concurrent builders of
-      // the same stage without polluting the content-keyed namespace
-      val tmp = new Path(
-        s"$out.tmp-${java.lang.Thread.currentThread.getId}-${System.nanoTime}")
-      try {
-        build(tmp.toString)
-        fs.create(new Path(tmp, "_SUCCESS")).close()
-        Option(root.getParent).foreach(fs.mkdirs(_))
-        if (!fs.exists(ok)) {
-          // (a concurrent winner committing in exactly this window would
-          // be nested-into by the rename — the residual theoretical race
-          // of a lock-free protocol; both artifacts are content-equal,
-          // and the window is one metadata op wide vs. the whole build
-          // before this helper existed)
-          if (!fs.rename(tmp, root)) {
-            // rename refused: either a concurrent process committed
-            // first (serve its stage) or a real failure (surface it)
-            require(fs.exists(ok),
-              s"stage commit failed and no finished stage exists at $out")
+    if (!fs.exists(ok)) withProcessLock(fs, out) {
+      // the lock serializes competing processes around the whole
+      // check-build-commit sequence; a waiter that acquires it after a
+      // winner committed sees the marker HERE and serves the winner's
+      // stage without building
+      if (!fs.exists(ok)) {
+        // markerless residue at the root (a crashed build) is never
+        // served by anyone — clear it so the commit rename finds no
+        // destination (Hadoop's local rename would otherwise NEST the
+        // temp root inside an existing directory instead of replacing
+        // it). Under the lock no live process can commit between this
+        // check and the delete; only a stale-lock takeover racing a
+        // live holder re-opens the window, and the rename commit below
+        // remains that path's correctness backstop.
+        if (fs.exists(root)) fs.delete(root, true)
+        // nanoTime + thread id: unique enough for concurrent builders of
+        // the same stage without polluting the content-keyed namespace
+        val tmp = new Path(
+          s"$out.tmp-${java.lang.Thread.currentThread.getId}-${System.nanoTime}")
+        try {
+          build(tmp.toString)
+          fs.create(new Path(tmp, "_SUCCESS")).close()
+          Option(root.getParent).foreach(fs.mkdirs(_))
+          if (!fs.exists(ok)) {
+            if (!fs.rename(tmp, root)) {
+              // rename refused: either a takeover-raced process
+              // committed first (serve its stage) or a real failure
+              // (surface it)
+              require(fs.exists(ok),
+                s"stage commit failed and no finished stage exists at $out")
+            }
           }
+        } finally {
+          if (fs.exists(tmp)) fs.delete(tmp, true)
         }
-      } finally {
-        if (fs.exists(tmp)) fs.delete(tmp, true)
+        // serve nothing unverified: whichever branch ran, the
+        // destination must hold the finished-stage marker before any
+        // caller reads it
+        require(fs.exists(ok), s"no finished stage marker at $out after commit")
       }
-      // serve nothing unverified: whichever branch ran (our rename, a
-      // skipped rename behind a winner, or a losing rename that nested
-      // the temp root inside a winner's commit), the destination must
-      // hold the finished-stage marker before any caller reads it
-      require(fs.exists(ok), s"no finished stage marker at $out after commit")
     }
     out
   }

@@ -194,4 +194,55 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(got.toSeq === again.toSeq)
   }
+
+  // ---- q165: real WAV decode ----
+
+  test("decodeWav recovers the EXACT synthesized samples: energy and peak " +
+      "equal the synthesis-side integer folds") {
+    val key = 7L
+    val wav = Multimodal.synthWav(key)
+    assert(Multimodal.looksLikeWav(wav))
+    // closed-form twin of synthWav's integer samples
+    val f = 220.0 + 20.0 * (key % 16)
+    val amp = 8000.0 + 500.0 * (key % 8)
+    val samples = (0 until 400).map(i =>
+      math.round(amp * math.sin(2.0 * math.Pi * f * i / 8000.0)).toInt)
+    val wantSumSq = samples.map(s => s.toLong * s).sum
+    val wantPeak = samples.map(math.abs).max
+    val Some((ch, rate, n, sumSq, peak)) = Multimodal.decodeWav(wav)
+    assert(ch == 1 && rate == 8000 && n == 400L)
+    assert(sumSq === wantSumSq, "decoded energy differs from synthesis")
+    assert(peak === wantPeak)
+    // sine RMS sanity: sqrt(sumSq/n) ~ amp/sqrt(2) within a few percent
+    val rms = math.sqrt(sumSq.toDouble / n)
+    assert(math.abs(rms - amp / math.sqrt(2.0)) / (amp / math.sqrt(2.0)) < 0.05)
+  }
+
+  test("audioStats: planted rows decode for real, text rows take the " +
+      "explicit non-audio path, repeats are deterministic") {
+    val p = Multimodal.plantedAudioPayloads(
+      graft.sources.Tables.documents(spark, sf))
+    val got = Multimodal.audioStats(p).collect().sortBy(_.doc_id)
+    val audio = got.filter(_.is_audio)
+    assert(audio.nonEmpty)
+    audio.foreach { a =>
+      assert(a.doc_id % 20 == 10, s"non-planted row decoded as audio: $a")
+      assert(a.channels == 1 && a.sample_rate == 8000 && a.n_samples == 400L)
+      assert(a.sum_sq > 0L && a.peak_abs >= 8000 && a.peak_abs <= 11500)
+    }
+    got.filterNot(_.is_audio).foreach { t =>
+      assert(t.doc_id % 20 != 10, s"planted row fell to the stub: $t")
+      assert(t.channels == 0 && t.sample_rate == 0 && t.n_samples == 0L &&
+        t.sum_sq == 0L && t.peak_abs == 0,
+        s"stub fabricated audio-shaped numbers: $t")
+    }
+    val again = Multimodal.audioStats(p).collect().sortBy(_.doc_id)
+    assert(got.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("corrupt RIFF bytes fall back to the non-audio row, never kill the task") {
+    val junk = "RIFFxxxxWAVEgarbage-not-a-real-wave-file".getBytes("UTF-8")
+    assert(Multimodal.looksLikeWav(junk))
+    assert(Multimodal.decodeWav(junk).isEmpty)
+  }
 }

@@ -293,4 +293,38 @@ class ProfilingIntervalsSpec extends AnyFunSuite {
     assert(expands.isEmpty,
       "profile plan contains Expand — the m-way distinct shape it must avoid")
   }
+
+  test("profileColumns over a long-text column ships digests through the " +
+      "exchange, never the text (r14 verdict task 7)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // documents-table shape: a body column far wider than any digest
+    val docs = (1 to 50).map(i => (i.toLong, ("lorem ipsum " * 400) + i))
+      .toDF("doc_id", "text")
+    val out = Profiling.profileColumns(docs, numeric = Seq("doc_id"),
+      other = Seq("text"))
+    // correctness on the wide column first
+    val row = out.filter(col("col_name") === "text").head()
+    assert(row.getLong(1) === 50L && row.getLong(3) === 50L)
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val expanded = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Seq.empty
+      }
+      p +: (p.children ++ expanded).flatMap(allNodes)
+    }
+    val exchanges = allNodes(out.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "expected at least the stage-1 exchange")
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name.toLowerCase)
+      assert(names.exists(_.contains("str_h")) || !names.exists(_.contains("str")),
+        s"exchange carries an un-hashed value column: $names")
+      assert(!names.contains("text") && !names.exists(_.contains("str_v")),
+        s"exchange schema leaks the raw text column: $names")
+    }
+  }
 }
