@@ -140,9 +140,10 @@ object AnnIndex {
     * engine's left-to-right accumulation bit for bit — the q19
     * precedent), candidate cut, exact-cosine re-rank, top-k. */
   private def pqProbeSql(codeGlobs: Seq[String], cbRoot: String,
-      queryPred: String, candidates: Int, k: Int): String = {
+      queryPred: String, candidates: Int, k: Int,
+      codePred: String = "TRUE"): String = {
     val codesSel = codeGlobs.map(g =>
-      s"SELECT vec_id, codes FROM read_parquet('$g')")
+      s"SELECT vec_id, codes FROM read_parquet('$g') WHERE $codePred")
       .mkString("\n               UNION ALL\n               ")
     s"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -625,6 +626,31 @@ object AnnIndex {
     Similarity.ivfProbe(lists, cent, q, nProbe, k)
   }
 
+  /** (index root, tombstone root) the last q167 probe served from. */
+  @volatile private[graft] var pqDeleteOracleRoots: Option[(String, String)] = None
+
+  /** PQ/ADC probe UNDER the logical delete — the PQ member of the
+    * delete family (q163 IVF / q164 graph / q166 BM25): the persisted
+    * codes are untouched, the probe anti-joins the same ids-only
+    * tombstone segment broadcast-sided before the ADC scan, so a
+    * retracted vector is never even LUT-scored, let alone served.
+    * Queries are the surviving convention set. */
+  def knnPqDeleted(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+      m: Int = 8, kCent: Int = 64, candidates: Int = 256,
+      d: Int = 64): DataFrame = {
+    val idx = pqIndex(spark, dir, m, kCent, d)
+    val ts = tombstonesStaged(spark, dir)
+    pqDeleteOracleRoots = Some((Staging.abs(idx), Staging.abs(ts)))
+    val cb = spark.read.parquet(s"$idx/codebooks")
+    val codes = spark.read.parquet(s"$idx/codes")
+      .join(broadcast(spark.read.parquet(s"$ts/ids")), Seq("vec_id"),
+        "left_anti")
+    val e = Similarity.pqPrepared(Tables.embeddings(spark, dir), d)
+    Similarity.pqAdcSearch(codes, cb,
+      e.filter(col("vec_id") < nQueries && col("vec_id") % 10 =!= 5), e,
+      k, m, d / m, kCent, candidates)
+  }
+
   /** Simplified-silhouette cluster-quality audit over a persisted IVF
     * index's own frames — the "when to retrain" monitor next to the
     * q125 retrain op: appends under frozen centroids (q109) erode
@@ -873,6 +899,28 @@ object AnnIndex {
           queryPred = "vec_id < 10 AND vec_id % 10 <> 5", nProbe = 32,
           k = 5,
           listPred = "vec_id NOT IN (SELECT vec_id FROM " +
+            s"read_parquet('$ts/ids/*.parquet'))")
+      })),
+
+    Query(
+      "q167_knn_pq_delete",
+      "PQ delete via tombstones — the PQ member of the delete family " +
+        "(q163 IVF, q164 graph, q166 BM25), so every persisted index " +
+        "family now has the full lifecycle: build, append, compact/" +
+        "retrain where meaningful, and DELETE. The persisted codes are " +
+        "never rewritten on the delete path; the probe anti-joins the " +
+        "same ids-only tombstone segment broadcast-sided BEFORE the " +
+        "ADC scan, so a retracted vector is never even LUT-scored. " +
+        "Oracle: the shared PQ probe template with a NOT IN " +
+        "(tombstones) leg on the code segment, hash-exact; staleness " +
+        "differential and anti-join==mask bit-equality in AnnIndexSpec.",
+      (s, dir) => knnPqDeleted(s, dir, nQueries = 10, k = 5),
+      oracleFn = Some(() => pqDeleteOracleRoots.map { case (idx, ts) =>
+        pqProbeSql(
+          Seq(s"$idx/codes/*.parquet"), s"$idx/codebooks",
+          queryPred = "vec_id < 10 AND vec_id % 10 <> 5",
+          candidates = 256, k = 5,
+          codePred = "vec_id NOT IN (SELECT vec_id FROM " +
             s"read_parquet('$ts/ids/*.parquet'))")
       })),
 

@@ -607,7 +607,7 @@ object Similarity {
     * persisted index ([[AnnIndex.knnPqIndexed]]); `eq` carries the query
     * vectors (normalized `u` for the LUTs, raw for the re-rank) and
     * `eAll` the full corpus vectors the re-rank touches candidates-only. */
-  private[operators] def pqAdcSearch(codes: DataFrame, cb: DataFrame,
+  private[graft] def pqAdcSearch(codes: DataFrame, cb: DataFrame,
       eq: DataFrame, eAll: DataFrame, k: Int, m: Int, subdim: Int,
       kCent: Int, candidates: Int): DataFrame = {
     // per-query LUT as a dense array indexed by sub·k + cid — same

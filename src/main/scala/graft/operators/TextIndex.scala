@@ -240,6 +240,70 @@ object TextIndex {
     bm25Rank(cand, bounds, k, k1, b)
   }
 
+  // ---- q166: document DELETE (tombstones) on the text index ----
+
+  /** Idempotently stage the BM25 tombstone segment for the
+    * deterministic retraction batch (`doc_id % 10 == 5`, the shared
+    * delete-family victim convention): (doc_id, dl) — the id plus the
+    * ONE statistic the corpus bounds need back out (document length).
+    * A retraction naturally knows the document it removes, so
+    * capturing dl at delete time costs nothing extra; the segment
+    * stays bytes-per-retraction and the index is never rewritten. */
+  def bm25TombstonesStaged(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val out = "target/text/graft_bm25t_" + Bucketed.md5hex(
+      s"$dir/ts5/${Layout.contentKey(spark, s"$dir/documents.parquet")}")
+      .take(8)
+    Staging.ensure(spark, out) { tmp =>
+      val toks = TextAnalysis.tokens(col("text"))
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % 10 === 5)
+        .select(col("doc_id"), size(toks).cast("long").as("dl"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/ids")
+    }
+  }
+
+  /** BM25 search UNDER the logical delete — the text-index member of
+    * the delete family (q163 IVF / q164 graph / q167 PQ), and the one
+    * where delete must touch the RANKING STATISTICS, not just the
+    * candidate set: BM25's idf rides N and its length normalization
+    * rides avgdl = Σdl/N, so a delete that only masked postings would
+    * keep scoring against phantom corpus statistics. Here the probe
+    * (1) anti-joins the tombstone segment out of the bucket-pruned
+    * postings (broadcast — candidates shrink), (2) recomposes the
+    * bounds by SUBTRACTION from the stored meta and the tombstones'
+    * own (count, Σdl) — two longs, never a corpus rescan — and (3)
+    * lets df fall out of the surviving candidate rows, which equal a
+    * survivor-only rebuild's rows exactly (postings are doc-local).
+    * The deleted-index query therefore ranks EVERY query identically
+    * to a from-scratch rebuild over the surviving corpus (gated in
+    * TextIndexSpec at 1e-12, the q96 libm rule), while paying only
+    * the tombstone anti-join. */
+  def bm25SearchDeleted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, terms: Seq[String], k: Int, k1: Double,
+      b: Double): DataFrame = {
+    require(terms.nonEmpty, "bm25SearchDeleted needs at least one term")
+    require(terms.distinct.size == terms.size, s"duplicate query terms: $terms")
+    val idx = bm25Index(spark, dir)
+    val ts = spark.read.parquet(s"${bm25TombstonesStaged(spark, dir)}/ids")
+    val buckets = terms.map(termBucketLocal).distinct
+    val cand = spark.read.parquet(s"$idx/postings")
+      .filter(col("tbucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select("term", "doc_id", "dl", "tf")
+      .join(broadcast(ts.select("doc_id")), Seq("doc_id"), "left_anti")
+    // bounds by subtraction: stored meta minus the tombstones' own
+    // (count, Σdl) — a 1-row and a tombstone-sized aggregate, never a
+    // corpus rescan
+    val tsAgg = ts.agg(count(lit(1)).cast("long").as("__tn"),
+      coalesce(sum("dl"), lit(0L)).cast("long").as("__tdl"))
+    val bounds = spark.read.parquet(s"$idx/meta")
+      .crossJoin(broadcast(tsAgg))
+      .select((col("__n") - col("__tn")).cast("long").as("__n"),
+        (col("__sumdl") - col("__tdl")).cast("long").as("__sumdl"))
+    bm25Rank(cand, bounds, k, k1, b)
+  }
+
   /** [[bm25Search]] over the persisted index: the query plan holds NO
     * tokenize/explode and never touches the documents table — the
     * candidate rows come from a bucket-pruned, term-filtered index
@@ -348,6 +412,28 @@ object TextIndex {
         "BOTH the full persisted index and the in-flight form, segment " +
         "disjointness/completeness, and the no-Generate plan assert.",
       (s, dir) => bm25SearchAppended(s, dir,
+        Seq("spark", "join", "filter"), k = 20, k1 = 1.2, b = 0.75)),
+
+    Query(
+      "q166_bm25_delete",
+      "Document DELETE on the persisted BM25 index — the text-index " +
+        "member of the delete family (q163 IVF, q164 graph, q167 PQ), " +
+        "and the one where delete must touch the RANKING STATISTICS: " +
+        "idf rides N and length normalization rides avgdl, so masking " +
+        "postings alone would score against phantom corpus stats. The " +
+        "retraction batch stages as (doc_id, dl) tombstones (bytes per " +
+        "retraction — a retraction knows the document it removes; the " +
+        "index is never rewritten); the probe anti-joins them out of " +
+        "the bucket-pruned postings, recomposes (N, sum dl) by " +
+        "SUBTRACTION from the stored meta (two longs, no corpus " +
+        "rescan), and df falls out of the surviving candidates — so " +
+        "the deleted index ranks every query IDENTICALLY to a from-" +
+        "scratch rebuild over the surviving corpus. No oracle (ln " +
+        "scores, the q108/q126 convention); gated in TextIndexSpec by " +
+        "score-identical ranking vs the survivor rebuild at 1e-12, the " +
+        "staleness differential (pre-delete top-k serves victims, " +
+        "post-delete never), exact recomposed bounds, and determinism.",
+      (s, dir) => bm25SearchDeleted(s, dir,
         Seq("spark", "join", "filter"), k = 20, k1 = 1.2, b = 0.75))
   )
 }

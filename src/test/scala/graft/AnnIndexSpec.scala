@@ -422,6 +422,31 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(joins.isEmpty, "compacted probe must carry no anti-join")
   }
 
+  test("q167 PQ delete: anti-join equals the predicate mask, victims are " +
+      "served pre-delete and never post-delete") {
+    import org.apache.spark.sql.functions.col
+    // staleness differential on the PQ path
+    val pre = AnnIndex.knnPqIndexed(spark, sf, nQueries = 100, k = 5)
+      .filter(col("query_id") % 10 =!= 5)
+    assert(pre.filter(col("neighbor_id") % 10 === 5).count() > 0,
+      "differential vacuous: no victim in any pre-delete PQ top-k")
+    val post = AnnIndex.knnPqDeleted(spark, sf, nQueries = 100, k = 5)
+    assert(post.filter(col("neighbor_id") % 10 === 5).count() === 0,
+      "a tombstoned vector was served by the PQ delete probe")
+    // anti-join == predicate mask, bit for bit
+    val idx = AnnIndex.pqIndex(spark, sf)
+    val cb = spark.read.parquet(s"$idx/codebooks")
+    val masked = spark.read.parquet(s"$idx/codes")
+      .filter(col("vec_id") % 10 =!= 5)
+    val e = Similarity.pqPrepared(Tables.embeddings(spark, sf), 64)
+    val expected = rows(Similarity.pqAdcSearch(masked, cb,
+      e.filter(col("vec_id") < 100 && col("vec_id") % 10 =!= 5), e,
+      5, 8, 8, 64, 256))
+    val got = rows(AnnIndex.knnPqDeleted(spark, sf, nQueries = 100, k = 5))
+    assert(got === expected)
+    assert(got === rows(AnnIndex.knnPqDeleted(spark, sf, nQueries = 100, k = 5)))
+  }
+
   test("q163 delete: tombstone and compaction staging are idempotent") {
     val ts = AnnIndex.tombstonesStaged(spark, sf)
     val dc = AnnIndex.ivfDeleteCompactIndex(spark, sf)

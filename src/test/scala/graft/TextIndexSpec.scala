@@ -272,4 +272,62 @@ class TextIndexSpec extends AnyFunSuite {
     assert(!nodes.exists(_.isInstanceOf[SortExec]),
       "unexpected global SortExec — top-k must not sort the matched set")
   }
+
+  // ---- q166: document DELETE on the persisted BM25 index ----
+
+  test("q166: deleted-index BM25 ranks identically to a from-scratch " +
+      "rebuild over the surviving corpus (stats-exact delete)") {
+    val terms = Seq("spark", "join", "filter")
+    val deleted = TextIndex.bm25SearchDeleted(spark, sf, terms, k = 20,
+        k1 = 1.2, b = 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // survivor rebuild: the in-flight BM25 over the corpus minus the
+    // victims — a genuinely independent path (tokenize + aggregate +
+    // fresh stats), not the index
+    val survivors = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 =!= 5)
+    val rebuilt = TextIndex.bm25Search(survivors, terms, k = 20,
+        k1 = 1.2, b = 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(deleted.map(_._1).toSeq === rebuilt.map(_._1).toSeq,
+      "deleted index ranks differently from the survivor rebuild")
+    deleted.zip(rebuilt).foreach { case ((di, dn, ds), (_, rn, rs)) =>
+      assert(dn === rn, s"doc $di matched-term count")
+      assert(math.abs(ds - rs) < 1e-12,
+        s"doc $di: deleted-index score $ds vs rebuild $rs — the corpus " +
+          "stats were not adjusted exactly")
+    }
+    // determinism
+    val again = TextIndex.bm25SearchDeleted(spark, sf, terms, k = 20,
+        k1 = 1.2, b = 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(deleted.toSeq === again.toSeq)
+  }
+
+  test("q166: staleness differential — the pre-delete index serves " +
+      "victims, the deleted index never does, and the recomposed " +
+      "bounds equal the survivor aggregate exactly") {
+    val terms = Seq("spark", "join", "filter")
+    val pre = TextIndex.bm25SearchIndexed(spark, sf, terms, k = 20,
+        k1 = 1.2, b = 0.75)
+      .collect().map(_.getLong(0))
+    assert(pre.exists(_ % 10 == 5),
+      "differential vacuous: no victim in the pre-delete top-k")
+    val post = TextIndex.bm25SearchDeleted(spark, sf, terms, k = 20,
+        k1 = 1.2, b = 0.75)
+      .collect().map(_.getLong(0))
+    assert(post.forall(_ % 10 != 5), "a retracted document was served")
+    // bounds recomposition is exact: meta - tombstones == survivor agg
+    val idx = TextIndex.bm25Index(spark, sf)
+    val ts = spark.read.parquet(
+      s"${TextIndex.bm25TombstonesStaged(spark, sf)}/ids")
+    val meta = spark.read.parquet(s"$idx/meta").head()
+    val tsAgg = ts.agg(count(lit(1)), sum("dl")).head()
+    val toks = graft.operators.TextAnalysis.tokens(col("text"))
+    val want = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 =!= 5)
+      .agg(count(lit(1)), sum(size(toks).cast("long"))).head()
+    assert(meta.getLong(0) - tsAgg.getLong(0) === want.getLong(0))
+    assert(meta.getLong(1) - tsAgg.getLong(1) === want.getLong(1))
+  }
 }
