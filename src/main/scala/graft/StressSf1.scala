@@ -109,7 +109,8 @@ object StressSf1 {
           if ((scala.util.hashing.MurmurHash3.productHash((k, d)) & 1) == 0)
             1.0f else -1.0f))
         base.select((col("vec_id") + lit(k * EmbIdStride)).as("vec_id"),
-          zip_with(col("embedding"), signs, (a, b) => a * b).as("embedding"))
+          zip_with(col("embedding"), signs, (a, b) => a * b).as("embedding"),
+          col("label"))
       }
     }.reduce(_ unionByName _)
     corpus.repartition(spark.sparkContext.defaultParallelism)
@@ -120,7 +121,7 @@ object StressSf1 {
   // stride- and schema-keyed: a change must invalidate the cached corpus
   // (v3: events carry event_id/event_type, customer carries c_acctbal,
   // lineitem offsets l_partkey, orders/part corpora added — round 11)
-  private val stressRoot = s"target/stress_sf1_s${IdStride}_v3"
+  private val stressRoot = s"target/stress_sf1_s${IdStride}_v4"
 
   /** Idempotently build + return the 10× embeddings corpus path — shared
     * with [[Recall]]'s 10×-tier frontier sweep (round-10: the sf0.1
@@ -131,7 +132,8 @@ object StressSf1 {
     val embStressPath = s"$stressRoot/embeddings.parquet"
     if (!Files.exists(Paths.get(embStressPath, "_SUCCESS")))
       buildEmbCorpus(spark,
-        Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
+        Tables.embeddings(spark, sfDir)
+          .select("vec_id", "embedding", "label"),
         embStressPath)
     embStressPath
   }
@@ -140,7 +142,7 @@ object StressSf1 {
     val spark = GraftSession.local("graft-stress-sf1")
     val base = Tables.documents(spark, sfDir)
       .select("doc_id", "text", "lang", "n_chars")
-    val embBase = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val embBase = Tables.embeddings(spark, sfDir).select("vec_id", "embedding", "label")
     val stressPath = s"$stressRoot/documents.parquet"
     if (!Files.exists(Paths.get(stressPath, "_SUCCESS")))
       buildCorpus(spark, base, stressPath)

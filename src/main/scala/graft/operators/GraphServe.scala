@@ -563,12 +563,21 @@ object GraphServe {
     serveBatch(spark, edges, vecs, queries, root, k, beam, hops)
   }
 
-  /** Serving over an ARBITRARY query frame of (query_id, embedding) —
-    * the entry point the STREAMING deployment feeds each arriving
-    * micro-batch through ([[graft.streaming.AnnServeStream]]): the
-    * index is write-once and the traversal machinery is identical, so
-    * an online query stream and an offline query table get the same
-    * answer by construction (spec-pinned row for row). */
+  /** Serving over a query frame of (query_id, embedding) — the entry
+    * point the STREAMING deployment feeds each arriving micro-batch
+    * through ([[graft.streaming.AnnServeStream]]): the index is
+    * write-once and the traversal machinery is identical, so an online
+    * query stream and an offline query table get the same answer by
+    * construction (spec-pinned row for row).
+    *
+    * Query-id contract (round-14 advice): the traversal seeds each
+    * query's visited set with its own `query_id` (self-exclusion — a
+    * corpus vector querying for neighbors must not answer itself), so
+    * `query_id`s must either BE corpus `vec_id`s (the spec-pinned
+    * case) or be drawn from an id space DISJOINT from `vec_id` — an
+    * arbitrary online id that happens to collide with an unrelated
+    * corpus id would silently exclude that one corpus node from its
+    * answers. */
   def graphSearchBatchOver(spark: SparkSession, dir: String,
       rawQueries: DataFrame, k: Int, beam: Int = 8,
       hops: Int = 8): DataFrame = {

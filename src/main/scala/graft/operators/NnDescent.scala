@@ -406,16 +406,17 @@ object NnDescent {
     val adj = undirected.withColumn("rk", row_number().over(capW))
       .filter(col("rk") <= cap)
       .select(col("src").as("ctr"), col("dst").as("m"), col("isnew"))
-    // no pre-score distinct: duplicate proposals (a pair surfacing
-    // under several shared centers) score to BIT-IDENTICAL cosines,
-    // and the merge below dedups them as a set — trading one full
-    // shuffle of the pair space for re-scoring a bounded duplicate
-    // fraction (map-side work), a win in both the per-round stage
-    // count and at scale
+    // the pre-score distinct is LOAD-BEARING at scale: a pair is
+    // proposed once per shared capped neighbor (up to ~cap duplicates
+    // on a converged graph), and without the dedup those duplicates
+    // multiply through both scoring joins and the merge exchange — a
+    // round-15 experiment that dropped it measured q146's 10× stress
+    // tier at 101 s vs 64 s with it
     val proposals = adj.as("a").join(adj.as("b"), "ctr")
       .where(col("a.m") < col("b.m") &&
         (col("a.isnew") || col("b.isnew")))
       .select(col("a.m").as("src"), col("b.m").as("dst"))
+      .distinct()
     val scored = scorePairs(proposals, e)
     val both = scored.unionByName(
       scored.select(col("dst").as("src"), col("src").as("dst"),
