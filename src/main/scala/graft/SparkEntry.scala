@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnIndex, AsOf, Bpe, BloomJoin, Bucketed, Curation, Decontamination, Dedup, Dsir, DupClusters, Eval, Events, Fuzzy, Graph, GraphServe, Intervals, Layout, Logit, Multimodal, NnDescent, Partitioned, Pca, Profiling, Relational, Retrieval, Sampling, SemanticDedup, Shards, Similarity, Skew, SnapshotDiff, SqlFrontDoor, StreamTwins, TextAnalysis, TextIndex, TrainOrder, TrainingPipeline, Unigram, Vocab}
+import graft.operators.{AnnIndex, AsOf, DeletionAudit, Bpe, BloomJoin, Bucketed, Curation, Decontamination, Dedup, Dsir, DupClusters, Eval, Events, Fuzzy, Graph, GraphServe, Intervals, Layout, Logit, Multimodal, NnDescent, Partitioned, Pca, Profiling, Relational, Retrieval, Sampling, SemanticDedup, Shards, Similarity, Skew, SnapshotDiff, SqlFrontDoor, StreamTwins, TextAnalysis, TextIndex, TrainOrder, TrainingPipeline, Unigram, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,7 +26,7 @@ object SparkEntry {
       Retrieval.queries ++ StreamTwins.queries ++ Bpe.queries ++
       Fuzzy.queries ++ Graph.queries ++ Logit.queries ++ Eval.queries ++
       Dsir.queries ++ Pca.queries ++ Unigram.queries ++ NnDescent.queries ++
-      GraphServe.queries
+      GraphServe.queries ++ DeletionAudit.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The hypercube shape (3-table join + 5-dim GROUP BY + multi-distinct)
