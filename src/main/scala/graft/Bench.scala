@@ -80,6 +80,8 @@ object Bench {
     "q160_diversity_sample", "q161_memorization_risk", "q162_knn_pq_append",
     "q163_knn_ivf_delete", "q164_knn_graph_delete", "q165_audio_stats",
     "q166_bm25_delete", "q167_knn_pq_delete", "q168_deletion_audit",
+    "q169_knn_pq_delete_compact", "q170_knn_graph_delete_compact",
+    "q171_bm25_delete_compact",
     // the nine sub-second parity/scan entries below were excluded by
     // curation through r11; the r11 verdict asked the artifact to
     // cover the full catalog (they cost ~3 s of bench time total)

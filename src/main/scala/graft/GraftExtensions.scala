@@ -205,7 +205,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_bm25",
         "graft_bm25(docsView, termsCsv, k) - BM25-ranked disjunctive " +
           "keyword search over a documents view (Lucene idf, k1=1.2, " +
-          "b=0.75): top-k (doc_id, n_terms, score), ties to smallest " +
+          "b=0.75): top-k (doc_id, n_terms, score, tf_sum, dl), ties to smallest " +
           "doc_id; the q108 plan with document length riding through " +
           "the explode"),
       (args: Seq[Expression]) => {
@@ -229,7 +229,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "from the persisted term-bucketed index of dataDir's " +
           "documents table (built once, content-keyed, committed by " +
           "atomic rename; later calls reuse it): top-k (doc_id, " +
-          "n_terms, score) at index cost — the query plan never " +
+          "n_terms, score, tf_sum, dl) at index cost — the query plan never " +
           "tokenizes or reads the documents table. Interactive " +
           "retrieval's SQL front door"),
       (args: Seq[Expression]) => {

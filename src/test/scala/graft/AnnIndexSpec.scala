@@ -447,6 +447,38 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(got === rows(AnnIndex.knnPqDeleted(spark, sf, nQueries = 100, k = 5)))
   }
 
+  test("q169 PQ delete compaction: physically dropped rows, bit-identical " +
+      "probes, no anti-join or tombstone segment in the plan") {
+    import org.apache.spark.sql.functions.col
+    val viaTombstone = rows(AnnIndex.knnPqDeleted(spark, sf, nQueries = 100, k = 5))
+    spark.sharedState.cacheManager.clearCache()
+    val df = AnnIndex.knnPqDeleteCompacted(spark, sf, nQueries = 100, k = 5)
+    // mask-then-scan == scan-the-masked-rewrite (the ADC scan is
+    // per-vector, so the two commute bit for bit)
+    assert(rows(df) === viaTombstone)
+    // masked rows are gone physically; survivors verbatim
+    val idx = AnnIndex.pqDeleteCompactIndex(spark, sf)
+    val codes = spark.read.parquet(s"$idx/codes")
+    assert(codes.filter(col("vec_id") % 10 === 5).count() === 0)
+    val full = spark.read.parquet(s"${AnnIndex.pqIndex(spark, sf)}/codes")
+    assert(codes.count() === full.filter(col("vec_id") % 10 =!= 5).count())
+    // codebooks verbatim (compaction never retrains)
+    assert(spark.read.parquet(s"$idx/codebooks")
+      .exceptAll(spark.read.parquet(
+        s"${AnnIndex.pqIndex(spark, sf)}/codebooks")).count() === 0)
+    // the compacted probe plan reads only the compacted artifact
+    val leaves = scanPaths(df)
+    assert(leaves.exists(_.contains("graft_pqdc_")),
+      s"expected the compacted PQ scan among leaves:\n${leaves.mkString("\n")}")
+    assert(!leaves.exists(_.contains("graft_ivft_")),
+      "compacted PQ probe must not touch the tombstone segment")
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType.sql.contains("ANTI") => j
+    }
+    assert(joins.isEmpty, "compacted PQ probe must carry no anti-join")
+  }
+
   test("q163 delete: tombstone and compaction staging are idempotent") {
     val ts = AnnIndex.tombstonesStaged(spark, sf)
     val dc = AnnIndex.ivfDeleteCompactIndex(spark, sf)

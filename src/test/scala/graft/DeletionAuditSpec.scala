@@ -20,8 +20,13 @@ class DeletionAuditSpec extends AnyFunSuite {
       .parquet(s"${AnnIndex.tombstonesStaged(spark, sf)}/ids").count()
     assert(nVictims > 0)
     // the erasure proof: compaction physically dropped every masked row
-    assert(got("ivf_delete_compacted") === 0L,
-      "delete-compacted surface still holds victim bytes")
+    // on EVERY family's compacted surface (round 16 closes the gap the
+    // r15 audit itself measured: graph/PQ/BM25 had bytes but no op)
+    Seq("ivf_delete_compacted", "pq_delete_compacted",
+      "bm25_delete_compacted", "graph_dc_edges_src", "graph_dc_edges_dst",
+      "graph_dc_vecs", "graph_dc_entries").foreach(sfc =>
+      assert(got(sfc) === 0L,
+        s"compacted surface $sfc still holds victim bytes"))
     // one row per vector on the vector-keyed surfaces
     assert(got("ivf_lists") === nVictims)
     assert(got("pq_codes") === nVictims)

@@ -335,6 +335,57 @@ class GraphServeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q170 graph delete compaction: every serving table is physically " +
+    "erased, no victim is ever served, recall clears the IVF bar vs the " +
+    "surviving exact answer, repeats are deterministic, and the plan " +
+    "touches neither the tombstones nor the pre-compaction index") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = pairsOf(Similarity.knnBrute(
+      emb.filter(col("vec_id") % 10 =!= 5), 100, 5))
+    assert(exact.nonEmpty)
+    def run() = SparkEntry.queries("q170_knn_graph_delete_compact")(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val first = run()
+    assert(first === run(), "compacted serving must be deterministic")
+    first.foreach { case (q, n) =>
+      assert(q % 10 != 5, s"victim $q queried post-compaction")
+      assert(n % 10 != 5, s"victim $n served post-compaction")
+    }
+    val got = first.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.keys.toSeq
+      .map(q => (got.getOrElse(q, Set.empty) & exact(q)).size).sum
+      .toDouble / exact.values.map(_.size).sum
+    info(s"q170 compacted graph recall@5 = $recall")
+    assert(recall >= 0.72d, s"compacted recall $recall below the IVF bar")
+    // physical erasure on every table the serving path reads
+    val root = GraphServe.graphDeleteCompactIndexStaged(spark, sf)
+    assert(spark.read.parquet(s"$root/edges")
+      .filter(col("src") % 10 === 5 || col("dst") % 10 === 5)
+      .count() === 0, "victim bytes survived in the compacted edges")
+    assert(spark.read.parquet(s"$root/vecs")
+      .filter(col("vec_id") % 10 === 5).count() === 0,
+      "victim bytes survived in the compacted vecs")
+    assert(spark.read.parquet(s"$root/entries")
+      .filter(col("entry_id") % 10 === 5).count() === 0,
+      "the entry sample names a victim")
+    // meta carries the survivor count
+    assert(spark.read.parquet(s"$root/meta").head().getLong(0) ===
+      emb.filter(col("vec_id") % 10 =!= 5).count())
+    // the serve reads only the compacted artifact: its published
+    // oracle roots point at the nngdc stage (the per-hop state is
+    // checkpointed, so the final frame's lineage shows RDD leaves —
+    // the staged-roots var is the readable evidence of what was read)
+    val df = GraphServe.graphSearchDeleteCompacted(spark, sf, 10, 5)
+    df.collect()
+    val (servedRoot, _) = GraphServe.graphCompactOracleRoots.get
+    assert(servedRoot.contains("graft_nngdc_"),
+      s"compacted serve ran against $servedRoot, not the nngdc stage")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("the driver-side entry slot hash equals the SQL xxhash64 twin " +
     "(the batch/interactive identity precondition)") {
     import spark.implicits._
