@@ -46,8 +46,18 @@ object Graph {
     require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
     // one-time normalization: p = weight / total outgoing weight(src)
     val outw = edges.groupBy("src").agg(sum("weight").as("outw"))
+    // CO-PARTITION the edge frame by src ONCE before checkpointing
+    // (r15 verdict item 5): the outw join above broadcasts when the
+    // node side is small, so without the explicit repartition the
+    // checkpointed frame inherits the SCAN's partitioning and every
+    // round's ranks⋈edges join re-shuffles the EDGE-sized side — 15
+    // edge shuffles where one suffices. LogicalRDD preserves the hash
+    // partitioning through localCheckpoint, so after this every round
+    // only exchanges the NODE-sized ranks frame (to meet the join) and
+    // the node-sized map-side-combined sums.
     val norm = edges.join(outw, "src")
       .select(col("src"), col("dst"), (col("weight") / col("outw")).as("p"))
+      .repartition(col("src"))
       .localCheckpoint(eager = true)
     val nodes = norm.select(col("src").as("node")).distinct()
       .localCheckpoint(eager = true)

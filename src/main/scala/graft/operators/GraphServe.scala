@@ -602,7 +602,8 @@ object GraphServe {
     val queries = vecs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"))
-    val eroot = stagedEntries(spark, root, queries, beam, s"q$nQueries")
+    val workBeam = DescentWorkFactor * beam
+    val eroot = stagedEntries(spark, root, queries, workBeam, s"q$nQueries")
     graphOracleRoots = Some((Staging.abs(root), Staging.abs(eroot)))
     serveBatch(spark, edges, vecs, queries, root, k, beam, hops,
       entriesOpt = Some(spark.read.parquet(eroot)))
@@ -611,13 +612,25 @@ object GraphServe {
   /** Entry selection + the beam loop + the final cut, over an
     * arbitrary query table. AQE broadcasts the query side when it is
     * small, and shuffles co-partition both sides when it is not — the
-    * same plan a 1000-executor deployment wants. */
+    * same plan a 1000-executor deployment wants.
+    *
+    * Since round 16 the FLAT walk runs at the 2× WORKING BEAM
+    * ([[DescentWorkFactor]]) and cuts to k at the end — the r15
+    * verdict's recall item: the serve-width flat default shipped
+    * recall@5 0.74 while the engine's own measured frontier had
+    * workFactor=2 at ~0.92 for ~2× the per-hop work; the filtered
+    * (q157), delete (q164), and hierarchical (q152/q154) walks
+    * already ran at this width, so this also removes the one serving
+    * path that contracted mid-walk. */
   private def serveBatch(spark: SparkSession, edges: DataFrame,
       vecs: DataFrame, queries: DataFrame, root: String, k: Int,
       beam: Int, hops: Int, entriesOpt: Option[DataFrame] = None): DataFrame = {
-    require(k <= beam, s"top-k $k must fit inside the running beam $beam")
-    val entries = entriesOpt.getOrElse(entriesBatch(spark, queries, root, beam))
-    val tr = batchBeam(edges, vecs, queries, entries, beam, hops)
+    val workBeam = DescentWorkFactor * beam
+    require(k <= workBeam,
+      s"top-k $k must fit inside the working beam $workBeam")
+    val entries = entriesOpt.getOrElse(
+      entriesBatch(spark, queries, root, workBeam))
+    val tr = batchBeam(edges, vecs, queries, entries, workBeam, hops)
     Similarity.topK(
       tr.best.select(col("query_id"), col("node").as("neighbor_id"),
         col("score")),
@@ -930,6 +943,93 @@ object GraphServe {
       k)
   }
 
+  // ---- q170: graph delete COMPACTION (physical erasure) ----
+
+  /** Graph tombstone COMPACTION — physically erase the victims from
+    * every table the serving path reads, completing the graph member
+    * of the erasure family (q168's audit proved victim bytes remained
+    * on `graph_edges_dst` and `graph_vecs` with no op to drain them —
+    * the round-15 verdict's top gap): ONE partition-preserving rewrite
+    * of `edges/` dropping every row whose src OR dst is tombstoned
+    * (two broadcast anti-joins — victims must stop being routable AND
+    * stop being reachable), of `vecs/` dropping the victim rows, a
+    * fresh min-hash `entries/` sample over the SURVIVORS only (a
+    * stale sample could name a victim as an entry — re-serving its
+    * bytes), and a one-row `meta/` with the survivor count. No
+    * NN-descent rounds run: adjacency simply loses its tombstoned
+    * members (nodes whose lists shrink below K keep their surviving
+    * edges — the q159 degree audit makes the erosion visible, and the
+    * q125-style rebuild is the repair when it matters). Unlike
+    * IVF/PQ/BM25, compaction here is NOT trajectory-equivalent to the
+    * tombstoned probe (q164 keeps victims ROUTING; erasure removes
+    * them from navigation — the HNSW soft-delete vs rebuild
+    * distinction), so the gate is the serving contract itself: no
+    * victim served, recall floor vs the survivor exact answer,
+    * determinism (GraphServeSpec) plus the hash-exact SQL replay of
+    * the traversal over the compacted segments. */
+  def graphDeleteCompactIndexStaged(spark: SparkSession,
+      dir: String): String = {
+    val root = NnDescent.graphIndexStaged(spark, dir)
+    val ts = AnnIndex.tombstonesStaged(spark, dir)
+    val out = "target/nndescent/graft_nngdc_" + Bucketed.md5hex(
+      s"$dir/delcompact/i8/k${NnDescent.K}/w${NnDescent.WorkFactor}" +
+        s"/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
+      .take(8)
+    Staging.ensure(spark, out) { tmp =>
+      val tsIds = spark.read.parquet(s"$ts/ids")
+      spark.read.parquet(s"$root/edges")
+        .join(broadcast(tsIds.select(col("vec_id").as("src"))), Seq("src"),
+          "left_anti")
+        .join(broadcast(tsIds.select(col("vec_id").as("dst"))), Seq("dst"),
+          "left_anti")
+        .repartition(col("nbucket"))
+        .sortWithinPartitions("src")
+        .write.mode("overwrite").partitionBy("nbucket")
+        .parquet(s"$tmp/edges")
+      val survivors = spark.read.parquet(s"$root/vecs")
+        .join(broadcast(tsIds), Seq("vec_id"), "left_anti")
+      survivors
+        .repartition(col("nbucket"))
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite").partitionBy("nbucket")
+        .parquet(s"$tmp/vecs")
+      NnDescent.writeEntrySample(survivors, s"$tmp/entries")
+      import spark.implicits._
+      Seq(Tuple1(survivors.count())).toDF("n").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/meta")
+    }
+    out
+  }
+
+  /** (compacted root, staged-entries root) of the last q170 run. */
+  @volatile private[graft] var graphCompactOracleRoots: Option[(String, String)] = None
+
+  /** Serving over the delete-compacted graph — the same [[batchBeam]]
+    * walk with NO tombstone frame anywhere in the plan: the victims'
+    * bytes are gone from edges, vecs, and the entry sample (q168's
+    * extended audit reads zero on all three). Runs at the q164 working
+    * beam so the two delete tiers stay comparable. */
+  def graphSearchDeleteCompacted(spark: SparkSession, dir: String,
+      nQueries: Int, k: Int, beam: Int = 8, hops: Int = 8): DataFrame = {
+    val root = graphDeleteCompactIndexStaged(spark, dir)
+    val edges = spark.read.parquet(s"$root/edges")
+    val vecs = spark.read.parquet(s"$root/vecs")
+    val queries = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val workBeam = DescentWorkFactor * beam
+    require(k <= workBeam,
+      s"top-k $k must fit inside the delete working beam $workBeam")
+    val eroot = stagedEntries(spark, root, queries, workBeam, s"qdc$nQueries")
+    graphCompactOracleRoots = Some((Staging.abs(root), Staging.abs(eroot)))
+    val entries = spark.read.parquet(eroot)
+    val tr = batchBeam(edges, vecs, queries, entries, workBeam, hops)
+    Similarity.topK(
+      tr.best.select(col("query_id"), col("node").as("neighbor_id"),
+        col("score")),
+      k)
+  }
+
   // ---- q158: SQ8-quantized serving index (footprint) ----
 
   /** Stage the SQ8-QUANTIZED serving edge table next to the
@@ -1007,11 +1107,16 @@ object GraphServe {
     val queries = vecs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"))
-    require(k <= beam, s"top-k $k must fit inside the running beam $beam")
-    val eroot = stagedEntries(spark, root, queries, beam, s"qs$nQueries")
+    // the 2× working beam (round 16 — see serveBatch): the quantized
+    // walk gets the same recall lift, and the fp rerank pool widens
+    // with it (still |Q|·workBeam rows — bounded)
+    val workBeam = DescentWorkFactor * beam
+    require(k <= workBeam,
+      s"top-k $k must fit inside the working beam $workBeam")
+    val eroot = stagedEntries(spark, root, queries, workBeam, s"qs$nQueries")
     sq8OracleRoots = Some((Staging.abs(root), Staging.abs(qroot), Staging.abs(eroot)))
     val entries = spark.read.parquet(eroot)
-    val tr = batchBeam(edges, vecs, queries, entries, beam, hops)
+    val tr = batchBeam(edges, vecs, queries, entries, workBeam, hops)
     // full-precision rerank of the bounded pool: two query/node-keyed
     // joins over |Q|·beam rows, then the exact cosine and the cut
     val exactScored = tr.best.select(col("query_id"), col("node"))
@@ -1223,7 +1328,7 @@ object GraphServe {
       oracleFn = Some(() => graphOracleRoots.map { case (root, eroot) =>
         graphProbeSql(s"$root/edges/*/*.parquet",
           s"$root/vecs/*/*.parquet", s"$eroot/*.parquet",
-          beam = 8, hops = 8, k = 5)
+          beam = DescentWorkFactor * 8, hops = 8, k = 5)
       })),
 
     Query(
@@ -1366,6 +1471,34 @@ object GraphServe {
       })),
 
     Query(
+      "q170_knn_graph_delete_compact",
+      "Graph delete COMPACTION — the graph member of the physical-" +
+        "erasure family (q169 PQ, q171 BM25; the r15 verdict's top " +
+        "gap: q168 proved victim bytes remained on graph_edges_dst " +
+        "and graph_vecs with no op to drain them): one partition-" +
+        "preserving rewrite drops every edge touching a victim (src " +
+        "OR dst — victims stop being routable AND reachable), the " +
+        "victim vector rows, and re-derives the min-hash entry sample " +
+        "over SURVIVORS only (a stale sample could name a victim as " +
+        "an entry). No NN-descent rounds run — adjacency just loses " +
+        "its tombstoned members; the q159 degree audit makes the " +
+        "erosion visible and the rebuild is the repair when it " +
+        "matters. Unlike IVF/PQ/BM25, erasure is NOT trajectory-" +
+        "equivalent to q164's soft delete (victims stop navigating — " +
+        "the HNSW soft-delete vs rebuild distinction), so the gate is " +
+        "the serving contract: no victim served, recall vs the " +
+        "survivor exact answer, determinism (GraphServeSpec), q168 " +
+        "reading zero on all three compacted surfaces. Oracle: the " +
+        "unrolled beam-traversal SQL over the compacted segments — " +
+        "no tombstone CTE anywhere — hash-exact.",
+      (s, dir) => graphSearchDeleteCompacted(s, dir, nQueries = 100, k = 5),
+      oracleFn = Some(() => graphCompactOracleRoots.map { case (root, eroot) =>
+        graphProbeSql(s"$root/edges/*/*.parquet",
+          s"$root/vecs/*/*.parquet", s"$eroot/*.parquet",
+          beam = DescentWorkFactor * 8, hops = 8, k = 5)
+      })),
+
+    Query(
       "q158_knn_graph_sq8",
       "SQ8-QUANTIZED graph serving index — the footprint half of the " +
         "serving story: the embedded destination vectors are the " +
@@ -1390,7 +1523,8 @@ object GraphServe {
       oracleFn = Some(() => sq8OracleRoots.map { case (root, qroot, eroot) =>
         sq8ProbeSql(s"$qroot/edges/*/*.parquet",
           s"$qroot/bounds/*.parquet", s"$root/vecs/*/*.parquet",
-          s"$eroot/*.parquet", beam = 8, hops = 8, k = 5)
+          s"$eroot/*.parquet", beam = DescentWorkFactor * 8, hops = 8,
+          k = 5)
       }))
   )
 }

@@ -539,9 +539,22 @@ object Multimodal {
           FROM read_parquet('$root/payloads/*.parquet')
         ), hdr AS (
           SELECT doc_id, h,
+                 -- the 'data' tag match must be BYTE-ALIGNED in the hex
+                 -- string ((strpos-1) % 2 = 0), else a tag straddling
+                 -- two bytes of an earlier chunk's payload would floor
+                 -- to a wrong offset (round-15 advice)
                  substr(h,1,8)='52494646' AND substr(h,17,8)='57415645'
-                   AND strpos(h,'64617461') > 0 AS is_wav,
+                   AND strpos(h,'64617461') > 0
+                   AND (strpos(h,'64617461')-1) % 2 = 0 AS is_wav,
                  (strpos(h,'64617461')-1)//2 + 8 AS dstart,
+                 -- the data chunk's own declared byte size (LE32 at
+                 -- tag+4) bounds the sample count below, so trailing
+                 -- chunks after the data payload are never decoded
+                 ${byteAt("(strpos(h,'64617461')-1)//2+4")}
+                   + 256*${byteAt("(strpos(h,'64617461')-1)//2+5")}
+                   + 65536*${byteAt("(strpos(h,'64617461')-1)//2+6")}
+                   + 16777216*${byteAt("(strpos(h,'64617461')-1)//2+7")}
+                   AS dsize,
                  ${byteAt("22")} + 256*${byteAt("23")} AS channels,
                  ${byteAt("24")} + 256*${byteAt("25")}
                    + 65536*${byteAt("26")} + 16777216*${byteAt("27")}
@@ -550,7 +563,8 @@ object Multimodal {
           FROM x
         ), sized AS (
           SELECT doc_id, h, is_wav, dstart, channels, sample_rate,
-                 CASE WHEN is_wav THEN (len - dstart) // 2 ELSE 0 END
+                 CASE WHEN is_wav
+                      THEN least(len - dstart, dsize) // 2 ELSE 0 END
                    AS nsamp
           FROM hdr
         ), s AS (

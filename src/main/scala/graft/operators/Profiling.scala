@@ -146,31 +146,43 @@ object Profiling {
     * one row per column — n_null is the null value-group's count,
     * n_distinct is the number of non-null value groups (the exact
     * multi-column distinct, FD-shared like the hypercube's rewrite).
-    * Distinct values are keyed by a fixed-width MD5 DIGEST of their
-    * STRING image (round-15, verdict task 7): the string image is
-    * injective per column (Spark renders doubles at shortest-
-    * round-trip precision), and hashing it means the stage-1 exchange
-    * carries 32-char digests regardless of value width — a data card
-    * over a documents table must never ship full text bodies through
-    * the shuffle. Raw values only ever feed min/max/sum, which exist
-    * for NUMERIC columns alone (doubles/decimals — fixed width). MD5
-    * collisions would undercount n_distinct at ~2^-64 per pair — the
-    * repo's established cross-engine-hash argument (q39/q161).
+    * Distinct values are keyed by a fixed-width 128-bit DIGEST — two
+    * independently-composed xxhash64 lanes over the NATIVE value
+    * (round-16; the r15 form was MD5 over the value's string image,
+    * and the same-day A/B in BENCH_NOTES.md measured it ~30% of the
+    * q83 wall at sf0.1: MD5's rounds plus the per-value string render
+    * on every numeric cell). Native hashing keys the same value
+    * groups (a column's type is fixed, and the hash input is the
+    * value's binary form), the digest is 16 bytes on the wire
+    * regardless of value width — a data card over a documents table
+    * must never ship full text bodies through the shuffle — and both
+    * lanes are codegen'd single-pass kernels. Raw values only ever
+    * feed min/max/sum, which exist for NUMERIC columns alone
+    * (doubles/decimals — fixed width). Two-lane collisions would
+    * undercount n_distinct at ~2^-128 per pair (one 64-bit lane alone
+    * would NOT be safe at 100 TB: 10¹² values ⇒ ~10⁴ expected
+    * birthday collisions; the pair keeps the repo's established
+    * cross-engine-hash argument, q39/q161).
     *
     * The per-value min/max/sum partials in stage 1 are exact (min/max
     * trivially; sum is a decimal times an integer count via repeated
     * addition), so the two-stage fold equals the direct aggregate. */
   def profileColumns(df: DataFrame, numeric: Seq[String],
       other: Seq[String]): DataFrame = {
+    // null digest ⇔ null value (xxhash64 SKIPS null inputs — it would
+    // return the seed, not NULL — so the null branch is explicit)
+    def digest(c: org.apache.spark.sql.Column) =
+      when(c.isNotNull, struct(
+        xxhash64(c).as("h1"), xxhash64(lit("graft-profile-2"), c).as("h2")))
     val entries =
       numeric.map(c => struct(lit(c).as("col_name"),
         col(c).cast("double").as("num_v"),
         col(c).cast("decimal(18,2)").as("num_dec"),
-        md5(col(c).cast("string").cast("binary")).as("str_h"))) ++
+        digest(col(c)).as("str_h"))) ++
       other.map(c => struct(lit(c).as("col_name"),
         lit(null).cast("double").as("num_v"),
         lit(null).cast("decimal(18,2)").as("num_dec"),
-        md5(col(c).cast("string").cast("binary")).as("str_h")))
+        digest(col(c)).as("str_h")))
     val stacked = df.select(explode(array(entries: _*)).as("s"))
       .select(col("s.col_name"), col("s.num_v"), col("s.num_dec"),
         col("s.str_h"))

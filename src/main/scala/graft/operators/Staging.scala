@@ -25,21 +25,30 @@ import org.apache.spark.sql.SparkSession
   *      complete finished stage, never an intermediate state.
   *
   * Since round 15 the rename protocol runs under a cross-process
-  * LOCK FILE (`<out>.lock`, atomic create-if-absent — O_EXCL on the
-  * local FS, the same single-writer create on HDFS): competing
+  * LOCK FILE (`<out>.lock`, create-if-absent — a true single-writer
+  * create on HDFS; on the local FS Hadoop's create(overwrite=false)
+  * is check-then-create, i.e. NOT atomic, which is one more reason
+  * the rename commit below stays the correctness backstop): competing
   * processes serialize the whole check-build-commit sequence, so the
   * former two-metadata-op residual windows (pre-delete re-check →
   * delete; pre-rename check → rename) cannot interleave at all in the
-  * locked path. The lock is liveness-guarded — a holder that died
-  * mid-build leaves a lock whose mtime stops advancing, and a waiter
-  * takes it over after `graft.staging.lock.stale.ms` (default 10 min).
-  * A takeover that races a live-but-stalled holder degrades exactly to
-  * the pre-lock lock-free protocol, for which the rename commit
-  * remains the correctness backstop: content-fingerprinted keys make
-  * every competing build byte-equivalent, so the served stage is
-  * correct in all interleavings, and the final marker `require`
-  * refuses to serve a destination that holds no finished stage.
-  * StagingSpec races two real JVMs on one key to pin the contract.
+  * locked path. The lock is liveness-guarded AND heartbeat-kept
+  * (round 16): the holder advances the lock's mtime from a daemon
+  * thread every quarter of `graft.staging.lock.stale.ms` (default
+  * 10 min), so a live build of ANY duration never looks crashed,
+  * while a holder that died mid-build leaves a frozen mtime and a
+  * waiter takes the lock over after the stale bound. The lock body
+  * carries an owner token (pid + nonce) and release verifies
+  * ownership before deleting — a mistaken takeover can no longer
+  * cascade into deleting the new holder's lock. A takeover that races
+  * a live-but-stalled holder degrades exactly to the pre-lock
+  * lock-free protocol, for which the rename commit remains the
+  * correctness backstop: content-fingerprinted keys make every
+  * competing build byte-equivalent, so the served stage is correct in
+  * all interleavings, and the final marker `require` refuses to serve
+  * a destination that holds no finished stage. StagingSpec races two
+  * real JVMs on one key and two threads across the stale bound to pin
+  * the contract.
   *
   * If the rename fails because a concurrent builder won the race, the
   * loser discards its temp root and serves the winner's stage — both
@@ -87,22 +96,41 @@ object Staging {
       ensureLocked(conf, out)(build)
     }
 
-  /** Serialize competing PROCESSES of one stage behind an atomic
-    * create-if-absent lock file. Liveness: a waiter that sees the
-    * lock's mtime frozen past the staleness bound deletes it and
-    * retries — a crashed holder cannot block the stage forever, and a
-    * takeover that races a live holder degrades to the lock-free
-    * rename protocol (correct, see the object doc). */
-  private def withProcessLock[T](fs: org.apache.hadoop.fs.FileSystem,
+  /** Serialize competing PROCESSES of one stage behind a
+    * create-if-absent lock file (single-writer create on HDFS;
+    * check-then-create on the local FS — NOT atomic there, which is
+    * one more reason the rename commit stays the correctness
+    * backstop). Liveness: a waiter that sees the lock's mtime frozen
+    * past the staleness bound deletes it and retries — a crashed
+    * holder cannot block the stage forever.
+    *
+    * Round-16 hardening (r15 advice): the holder HEARTBEATS the lock —
+    * a daemon thread advances its mtime every staleMs/4 — so a LIVE
+    * build of any duration (staged trainings can exceed the stale
+    * bound at stress tiers) never looks crashed to a waiter; staleness
+    * now means "holder stopped heartbeating", not "build ran long".
+    * And the lock carries an OWNER TOKEN (pid + nonce): the
+    * finally-release deletes the lock only if the token on disk is
+    * still its own, so a waiter that (mis)took over from a stalled-
+    * but-live holder keeps ITS lock when the original holder finishes
+    * — no delete cascade. A takeover racing a live holder still
+    * degrades to the lock-free rename protocol, for which the
+    * content-keyed rename commit remains correct in all
+    * interleavings. */
+  private[graft] def withProcessLock[T](fs: org.apache.hadoop.fs.FileSystem,
       out: String)(body: => T): T = {
     val lock = new Path(s"$out.lock")
     val staleMs = sys.props.getOrElse("graft.staging.lock.stale.ms",
       "600000").toLong
+    val token =
+      s"${ProcessHandle.current().pid()}-${java.util.UUID.randomUUID()}"
     var acquired = false
     while (!acquired) {
       try {
         Option(lock.getParent).foreach(fs.mkdirs(_))
-        fs.create(lock, false).close()
+        val os = fs.create(lock, false)
+        os.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        os.close()
         acquired = true
       } catch {
         case _: java.io.IOException =>
@@ -113,7 +141,38 @@ object Staging {
           if (stale) fs.delete(lock, false) else Thread.sleep(50L)
       }
     }
-    try body finally fs.delete(lock, false)
+    // heartbeat: keep the held lock's mtime advancing while the build
+    // runs; stops on interrupt or on any IO error (e.g. the lock was
+    // taken over and deleted — then there is nothing left to keep alive)
+    val hb = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(math.max(250L, staleMs / 4))
+          fs.setTimes(lock, System.currentTimeMillis(), -1L)
+        }
+      } catch {
+        case _: InterruptedException => ()
+        case _: java.io.IOException => ()
+      }
+    }, s"graft-staging-heartbeat-${new Path(out).getName}")
+    hb.setDaemon(true)
+    hb.start()
+    try body finally {
+      hb.interrupt()
+      // ownership check before release: delete only OUR lock
+      try {
+        val mine =
+          try {
+            val in = fs.open(lock)
+            val buf = new Array[Byte](256)
+            val n = math.max(0, in.read(buf))
+            in.close()
+            new String(buf, 0, n,
+              java.nio.charset.StandardCharsets.UTF_8) == token
+          } catch { case _: java.io.FileNotFoundException => false }
+        if (mine) fs.delete(lock, false)
+      } catch { case _: java.io.IOException => () }
+    }
   }
 
   private def ensureLocked(conf: org.apache.hadoop.conf.Configuration,

@@ -341,8 +341,7 @@ object Unigram {
       vocabSize: Int = VocabSize): (DataFrame, DataFrame) = {
     val out = unigramRoot(spark, dir, vocabSize)
     Staging.ensure(spark, out) { tmp =>
-      val wf = Bpe.wordFreqs(Tables.documents(spark, dir)).collect()
-        .map(r => (r.getAs[String]("word"), r.getAs[Long]("freq"))).toSeq
+      val wf = Bpe.wordTable(Tables.documents(spark, dir))
       val (pieces, segs) = learnLocal(wf, vocabSize)
       spark.createDataFrame(pieces).write.mode("overwrite")
         .parquet(s"$tmp/pieces")
@@ -379,8 +378,7 @@ object Unigram {
       vocabSize: Int = VocabSize): (DataFrame, DataFrame) = {
     val out = unigramByteRoot(spark, dir, vocabSize)
     Staging.ensure(spark, out) { tmp =>
-      val wf = Bpe.wordFreqs(Tables.documents(spark, dir)).collect()
-        .map(r => (r.getAs[String]("word"), r.getAs[Long]("freq"))).toSeq
+      val wf = Bpe.wordTable(Tables.documents(spark, dir))
       val (pieces, segs) =
         learnLocalWith(wf, vocabSize, byteMap, Bpe.ByteEndOfWord)
       spark.createDataFrame(pieces).write.mode("overwrite")
@@ -418,9 +416,8 @@ object Unigram {
       s"$dir/v$vocabSize$keySuffix/${Layout.contentKey(spark, s"$dir/documents.parquet")}")
       .take(8)
     Staging.ensure(spark, out) { tmp =>
-      val wf = Bpe.wordFreqs(Tables.documents(spark, dir)).collect()
-        .map(r => (mapWord(r.getAs[String]("word")), r.getAs[Long]("freq")))
-        .toSeq
+      val wf = Bpe.wordTable(Tables.documents(spark, dir))
+        .map { case (w, f) => (mapWord(w), f) }
       val (ranked, _) = graft.UnigramReference.learn(wf, vocabSize)
       spark.createDataFrame(ranked.zipWithIndex.map { case ((p, lp), i) =>
           (i + 1, p, math.floor(lp * 1e9d).toLong)

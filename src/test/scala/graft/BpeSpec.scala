@@ -79,6 +79,27 @@ class BpeSpec extends AnyFunSuite {
     words.unpersist()
   }
 
+  test("wordTable bounds the driver collect: top-maxWords by (freq DESC, " +
+      "word ASC), deterministic, and the full-table default is a no-op " +
+      "at test scale") {
+    val docs = Seq(
+      (1L, "b b b c c a a a a"),
+      (2L, "c d a"),
+      (3L, "e")).toDF("doc_id", "text")
+    // a=5, c=3, b=3, d=1, e=1 — cap 3 keeps the head, ties on word ASC
+    val capped = Bpe.wordTable(docs, maxWords = 3)
+    assert(capped === Seq(("a", 5L), ("b", 3L), ("c", 3L)))
+    // the default cap admits every word of a test-scale corpus — the
+    // staged tokenizers are byte-identical with or without the bound
+    val full = Bpe.wordTable(docs)
+    assert(full.size === 5)
+    assert(full.toMap === Map("a" -> 5L, "b" -> 3L, "c" -> 3L,
+      "d" -> 1L, "e" -> 1L))
+    assert(Bpe.wordTable(Tables.documents(spark, sf)).size
+      < Bpe.MaxWordTable,
+      "fixture corpus hit the cap — the no-op-at-test-scale claim broke")
+  }
+
   test("merge learning stops when no pair clears minCount") {
     val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
     // 'a b' count 2, 'b </w>' count 2, 'c d'/'d </w>' count 1: with

@@ -77,6 +77,60 @@ class StagingSpec extends AnyFunSuite {
     assert(!Files.exists(lock), "stale lock not cleaned up")
   }
 
+  test("a live build LONGER than the stale bound keeps its lock via the " +
+      "heartbeat — a waiter never steals it, builds never overlap") {
+    val out = Files.createTempDirectory("staging-hb").resolve("stage_hb")
+      .toString
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+    val prev = sys.props.get("graft.staging.lock.stale.ms")
+    sys.props("graft.staging.lock.stale.ms") = "2000"
+    try {
+      val inBody = new java.util.concurrent.atomic.AtomicInteger(0)
+      val overlapped = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def hold(ms: Long): Unit =
+        Staging.withProcessLock(fs, out) {
+          if (inBody.incrementAndGet() > 1) overlapped.set(true)
+          Thread.sleep(ms)
+          inBody.decrementAndGet()
+        }
+      // holder runs 5 s — 2.5× the stale bound; without the heartbeat
+      // the competitor would declare it stale at 2 s and enter
+      val holder = new Thread(() => hold(5000L))
+      holder.start()
+      Thread.sleep(300L) // let the holder acquire first
+      hold(50L)          // competitor: must WAIT ~4.7 s, not steal
+      holder.join()
+      assert(!overlapped.get(),
+        "a waiter stole a heartbeat-kept live lock — bodies overlapped")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.staging.lock.stale.ms") = v
+        case None => sys.props -= "graft.staging.lock.stale.ms"
+      }
+    }
+  }
+
+  test("release verifies ownership: a holder never deletes a lock that " +
+      "was taken over by someone else") {
+    val out = Files.createTempDirectory("staging-own").resolve("stage_own")
+      .toString
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+    val lock = Paths.get(s"$out.lock")
+    Staging.withProcessLock(fs, out) {
+      // simulate a takeover mid-build: the lock is replaced by a
+      // foreign holder's token
+      Files.delete(lock)
+      Files.writeString(lock, "foreign-holder-token")
+    }
+    // the original holder's release must NOT have deleted the foreign
+    // lock (the r15-advice delete cascade)
+    assert(Files.exists(lock), "release deleted a lock it no longer owned")
+    assert(Files.readString(lock) == "foreign-holder-token")
+    Files.delete(lock)
+  }
+
   test("second ensure of a committed stage rebuilds nothing and takes no lock") {
     val out = Files.createTempDirectory("staging-idem").resolve("stage_z")
       .toString
