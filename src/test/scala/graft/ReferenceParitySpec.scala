@@ -108,4 +108,19 @@ class ReferenceParitySpec extends AnyFunSuite {
         col("time") < 1 || col("time") > 36).count()
     assert(outOfDomain === 0L)
   }
+
+  test("--stage-times (the reference's -l 1 twin) writes a byte-identical " +
+      "hypercube CSV and a schema-compatible timing line") {
+    val outA = java.nio.file.Files.createTempDirectory("etl-default").toString
+    val outB = java.nio.file.Files.createTempDirectory("etl-staged").toString
+    EtlMain.run(spark, sample, outA, singleFile = true)
+    EtlMain.run(spark, sample, outB, singleFile = true, stageTimes = true)
+    def csvOf(dir: String): String = {
+      val f = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".csv")).minBy(_.getName)
+      java.nio.file.Files.readString(f.toPath)
+    }
+    assert(csvOf(outB) === csvOf(outA),
+      "staged timing mode changed the hypercube output")
+  }
 }
