@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.DataFrame
 
@@ -22,12 +22,38 @@ import org.apache.spark.sql.DataFrame
   *     time their timed runs arrived (q109 tracked 14.3 s vs 3.7 s
   *     steady). Warm-up durations are recorded per query (`warm_sec`) so
   *     one-time build costs are measured, not hidden.
+  *
+  * Round-17 survivability (the r16 driver run hit its wall-clock budget
+  * at rc 124 and produced NO artifact — the detail file was written only
+  * at the end, and the classic protocol spends its early budget giving
+  * three timed runs to the cheap head entries while the tail starves):
+  *   - the detail JSON is FLUSHED after every entry via write-temp +
+  *     atomic rename (`"partial":true` until the final write), so a
+  *     kill at any point leaves a complete, valid artifact covering
+  *     everything measured so far;
+  *   - when `$SPARK_GRAFT_BENCH_BUDGET_SEC` is set > 0 (default 1380 —
+  *     safely inside the driver timeout the r16 partial implies), the
+  *     run is COVERAGE-FIRST: phase 1 runs every entry ONCE (`fused` —
+  *     the single run is both warm-up and the recorded time, so
+  *     one-time staged-build costs land in the number, honestly
+  *     flagged in `modes`), giving a complete artifact after ~1/3 of
+  *     the classic cost; phase 2 then UPGRADES entries in catalog
+  *     order to the classic warm-up + 3 timed runs protocol while the
+  *     projected per-entry cost fits the remaining budget. A hostile
+  *     2.8× host-drift day yields 171 fused rows; a quiet day yields
+  *     mostly `full` rows — same artifact shape either way, rc 0.
+  *   - budget 0 disables phases and runs the classic full protocol
+  *     (the tracked quiet-host runs).
   */
 object Bench {
 
   /** The FULL catalog (r11 verdict: the artifact either covers every
     * entry or names its curation rule — it now covers every entry;
-    * the nine cheapest parity/scan entries ride at the tail). */
+    * the nine cheapest parity/scan entries ride at the tail).
+    * Round 17: the delete-compaction entries (q169/q170/q171) run
+    * BEFORE the q168 audit that reads all their staged surfaces, so
+    * each family's one-time compaction build lands in its own entry's
+    * warm_sec instead of inflating q168's (28.8 s in r16). */
   val headline: Seq[String] = Seq(
     "q1_agg", "q4_hypercube", "q5_topk", "q7_join_shuffle", "q9_semi_anti",
     "q11_hypercube_ref", "q12_approx_distinct", "q13_sessionize",
@@ -79,9 +105,9 @@ object Bench {
     "q157_knn_graph_filtered", "q158_knn_graph_sq8", "q159_graph_index_health",
     "q160_diversity_sample", "q161_memorization_risk", "q162_knn_pq_append",
     "q163_knn_ivf_delete", "q164_knn_graph_delete", "q165_audio_stats",
-    "q166_bm25_delete", "q167_knn_pq_delete", "q168_deletion_audit",
+    "q166_bm25_delete", "q167_knn_pq_delete",
     "q169_knn_pq_delete_compact", "q170_knn_graph_delete_compact",
-    "q171_bm25_delete_compact",
+    "q171_bm25_delete_compact", "q168_deletion_audit",
     // the nine sub-second parity/scan entries below were excluded by
     // curation through r11; the r11 verdict asked the artifact to
     // cover the full catalog (they cost ~3 s of bench time total)
@@ -114,9 +140,18 @@ object Bench {
       .split(" ").take(3).mkString("[", ",", "]")
     catch { case _: Exception => "[]" }
 
+  /** Per-entry measurement: how it was run (`mode`: full | warm1 |
+    * fused | skip), the timed runs that succeeded, the warm-up
+    * duration, and the error if any. */
+  private final case class Row(name: String, mode: String,
+      times: Seq[Double], warmSec: Double, err: Option[String],
+      skipped: Boolean = false)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // 0 = unbounded (classic full protocol — the tracked quiet runs)
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1380").toDouble
     val spark = GraftSession.local("graft-bench")
 
     val selected = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -129,6 +164,11 @@ object Bench {
       s"unknown bench queries: ${unknown.mkString(", ")} (catalog: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
     val queries = selected.map(n => n -> SparkEntry.queries(n))
     val loadStart = loadavgJson()
+    val t00 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - t00) / 1e9
+    def remainingSec: Double =
+      if (budgetSec <= 0) Double.PositiveInfinity else budgetSec - elapsedSec
+
     // Fault isolation (round-6 fix): one broken query must cost one row,
     // not the artifact. Round 6's q13 AnalysisException during warm-up
     // aborted the whole 76-query run and left BENCH_r06.json with rc=1
@@ -145,87 +185,151 @@ object Bench {
         System.err.println(s"[bench] $name failed: $msg")
         Some(msg)
       }
-    // Warm-up: one untimed pass per query run IMMEDIATELY before that
-    // query's timed runs — not as a separate global pass (the round-10
-    // shape). A global pass front-loads every staged build, but by the
-    // time a late query's timed runs start, ~300 intervening runs have
-    // churned the JIT/code-gen/file caches cold again, and any one-time
-    // cost that re-surfaces (staged artifact first-build on a fresh
-    // target/, cold codegen) lands in timed run 1 and skews the median —
-    // round 10 tracked q109 at 14.3 s for a 3.7 s steady-state query.
-    // Adjacent warm-up is the RECALL frontier's per-family pattern: the
-    // timed region sees only steady state, and the warm-up's own
-    // duration is RECORDED (warm_sec in the detail artifact) so a
-    // staged build's one-time cost stays visible instead of hidden.
-    //
-    // A failed timed run stops the repetition loop immediately (the
-    // remaining repetitions would just pay the failure cost again) but
-    // KEEPS the already-measured successful run times: the row is still
-    // reported as an error (a partial median is not comparable to a
-    // 3-run one), while the partial times land in the "runs" detail map
-    // for diagnosis.
-    val results: Seq[(String, (Either[String, Seq[Double]], Seq[Double], Double))] = queries.map {
-      case (name, fn) =>
-        val w0 = System.nanoTime()
-        val warmErr = attempt(name, fn)
-        val warmSec = (System.nanoTime() - w0) / 1e9
-        warmErr match {
-          case Some(e) =>
-            name -> (Left(e): Either[String, Seq[Double]], Seq.empty[Double], warmSec)
-          case None =>
-            val times = Seq.newBuilder[Double]
-            var err = Option.empty[String]
-            var i = 0
-            while (i < 3 && err.isEmpty) {
-              val t0 = System.nanoTime()
-              attempt(name, fn) match {
-                case Some(e) => err = Some(e)
-                case None    => times += (System.nanoTime() - t0) / 1e9
-              }
-              i += 1
-            }
-            val ok = times.result()
-            name -> (err.toLeft(ok), ok, warmSec)
-        }
-    }
-    // stdout line is COMPACT (4-decimal medians, no raw runs): the
-    // driver records only a bounded stdout tail, and the round-5 full
-    // line overflowed it — 32 of 66 queries parsed. Full-precision
-    // medians + raw run lists + load averages go to the tracked file,
-    // where medians alone can't prove a number was (or wasn't) taken
-    // under host contention.
+
     def fmt(d: Double): String = BigDecimal(d)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
-    // A failed query appears in "queries" as {"err":"..."} (never a
-    // number) so per-query status is visible in-place, and its name is
-    // repeated in "errors" so "every value in queries is a second" stays
+    // A failed query appears in "queries" as {"err":"..."} and a
+    // budget-skipped one as {"skipped":"budget"} (never a number) so
+    // per-query status is visible in-place; names are repeated in
+    // "errors"/"skipped" so "every value in queries is a second" stays
     // true for readers that skip non-number values.
-    def qJson(k: String, v: Either[String, Seq[Double]], full: Boolean): String = v match {
-      case Left(e)   => s""""$k":{"err":"${esc(e)}"}"""
-      case Right(ts) => s""""$k":${if (full) median(ts).toString else fmt(median(ts))}"""
+    def qJson(r: Row, full: Boolean): String =
+      if (r.skipped) s""""${r.name}":{"skipped":"budget"}"""
+      else r.err match {
+        case Some(e) => s""""${r.name}":{"err":"${esc(e)}"}"""
+        case None =>
+          val m = median(r.times)
+          s""""${r.name}":${if (full) m.toString else fmt(m)}"""
+      }
+
+    def artifactJson(rows: Seq[Row], partial: Boolean): String = {
+      val qsFull = rows.map(qJson(_, full = true)).mkString("{", ",", "}")
+      // partial times of error rows included (non-empty times on an err
+      // row): real measurements, useful to see how a query behaved
+      // before its failing repetition
+      val runs = rows.collect { case r if r.times.nonEmpty =>
+        s""""${r.name}":[${r.times.mkString(",")}]""" }.mkString("{", ",", "}")
+      // per-query warm-up durations: where a query's one-time cost
+      // (staged artifact build, codegen compile) is reported — a
+      // warm_sec far above the median IS the build cost, measured
+      // instead of leaked. For a `fused` row warm_sec IS the single
+      // recorded run.
+      val warms = rows.collect { case r if !r.skipped =>
+        s""""${r.name}":${fmt(r.warmSec)}""" }.mkString("{", ",", "}")
+      val modes = rows.map(r => s""""${r.name}":"${r.mode}"""").mkString("{", ",", "}")
+      val errs = rows.collect { case r if r.err.isDefined =>
+        s""""${r.name}":"${esc(r.err.get)}"""" }.mkString("{", ",", "}")
+      val skipped = rows.collect { case r if r.skipped => s""""${r.name}"""" }.mkString("[", ",", "]")
+      val total = rows.collect { case r if r.err.isEmpty && !r.skipped => median(r.times) }.sum
+      s"""{"metric":"total","value":$total,"unit":"sec","partial":$partial,""" +
+        s""""queries":$qsFull,"errors":$errs,"skipped":$skipped,"modes":$modes,""" +
+        s""""sf":"$sfDir","runs":$runs,"warm_sec":$warms,""" +
+        s""""budget_sec":$budgetSec,"elapsed_sec":${fmt(elapsedSec)},""" +
+        s""""loadavg_start":$loadStart,"loadavg_end":${loadavgJson()}}"""
     }
-    val qsFull = results.map { case (k, (v, _, _)) => qJson(k, v, full = true) }.mkString("{", ",", "}")
-    val qsShort = results.map { case (k, (v, _, _)) => qJson(k, v, full = false) }.mkString("{", ",", "}")
-    // partial times of error rows included (Left rows with non-empty ts):
-    // they are real measurements, useful to see how a query behaved
-    // before its failing repetition
-    val runs = results.collect { case (k, (_, ts, _)) if ts.nonEmpty => s""""$k":[${ts.mkString(",")}]""" }.mkString("{", ",", "}")
-    // per-query warm-up durations: where a query's one-time cost (staged
-    // artifact build, codegen compile) is reported — a warm_sec far above
-    // the median IS the build cost, measured instead of leaked
-    val warms = results.map { case (k, (_, _, w)) => s""""$k":${fmt(w)}""" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, (Left(e), _, _)) => s""""$k":"${esc(e)}"""" }.mkString("{", ",", "}")
-    val nErr = results.count(_._2._1.isLeft)
-    val total = results.collect { case (_, (Right(ts), _, _)) => median(ts) }.sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errs,"sf":"$sfDir","runs":$runs,"warm_sec":$warms,"loadavg_start":$loadStart,"loadavg_end":${loadavgJson()}}"""
-    Files.writeString(Paths.get(outPath), json + "\n")
+
+    /** Write-temp + atomic rename: a reader (or a post-kill forensics
+      * pass) always sees a complete, valid JSON document. */
+    def flush(rows: Seq[Row], partial: Boolean): Unit = {
+      val tmp = Paths.get(outPath + ".tmp")
+      Files.writeString(tmp, artifactJson(rows, partial) + "\n")
+      Files.move(tmp, Paths.get(outPath), StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    /** Classic protocol: adjacent warm-up + `reps` timed runs. */
+    def classic(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => DataFrame,
+        reps: Int, mode: String): Row = {
+      val w0 = System.nanoTime()
+      val warmErr = attempt(name, fn)
+      val warmSec = (System.nanoTime() - w0) / 1e9
+      warmErr match {
+        case Some(e) => Row(name, mode, Seq.empty, warmSec, Some(e))
+        case None =>
+          // a failed timed run stops the repetition loop (the remaining
+          // repetitions would just pay the failure cost again) but
+          // KEEPS the already-measured successful times
+          val times = Seq.newBuilder[Double]
+          var err = Option.empty[String]
+          var i = 0
+          while (i < reps && err.isEmpty) {
+            val t0 = System.nanoTime()
+            attempt(name, fn) match {
+              case Some(e) => err = Some(e)
+              case None    => times += (System.nanoTime() - t0) / 1e9
+            }
+            i += 1
+          }
+          Row(name, mode, times.result(), warmSec, err)
+      }
+    }
+
+    var done: Vector[Row] =
+      if (budgetSec <= 0) {
+        // classic full protocol, flushed incrementally
+        var acc = Vector.empty[Row]
+        queries.foreach { case (name, fn) =>
+          acc = acc :+ classic(name, fn, reps = 3, mode = "full")
+          flush(acc, partial = true)
+        }
+        acc
+      } else {
+        // ---- phase 1: coverage — every entry once ----
+        var acc = Vector.empty[Row]
+        queries.foreach { case (name, fn) =>
+          val row =
+            if (remainingSec < 0.06 * budgetSec) {
+              // so close to the wall that even one run risks the
+              // finalize write — record the skip honestly
+              Row(name, "skip", Seq.empty, 0.0, None, skipped = true)
+            } else {
+              val t0 = System.nanoTime()
+              val err = attempt(name, fn)
+              val sec = (System.nanoTime() - t0) / 1e9
+              Row(name, "fused", if (err.isEmpty) Seq(sec) else Seq.empty,
+                sec, err)
+            }
+          acc = acc :+ row
+          flush(acc, partial = true)
+        }
+        // ---- phase 2: upgrade rows to the classic protocol while the
+        // projected cost (4 runs ≈ 4× the fused time, which OVERSTATES
+        // steady state because the fused run carried the one-time
+        // builds — a safe planning bound) fits the remaining budget,
+        // keeping a finalization reserve ----
+        val byName = queries.toMap
+        acc.zipWithIndex.foreach { case (r, i) =>
+          if (r.mode == "fused" && r.err.isEmpty) {
+            val est = 4.0 * math.max(r.times.headOption.getOrElse(0.0), 0.05)
+            if (remainingSec > est + 30) {
+              acc = acc.updated(i, classic(r.name, byName(r.name), reps = 3,
+                mode = "full"))
+              flush(acc, partial = true)
+            }
+          }
+        }
+        acc
+      }
+    flush(done, partial = false)
     spark.stop()
-    // last line of stdout; detail_file points the reader at the full artifact
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort,"errors":$errs,"error_count":$nErr,"sf":"$sfDir","detail_file":"$outPath"}""")
+    // stdout line is COMPACT (4-decimal medians, no raw runs): the
+    // driver records only a bounded stdout tail, and the round-5 full
+    // line overflowed it — 32 of 66 queries parsed. Full-precision
+    // medians + raw run lists + load averages + modes go to the tracked
+    // file, where medians alone can't prove a number was (or wasn't)
+    // taken under host contention.
+    val qsShort = done.map(qJson(_, full = false)).mkString("{", ",", "}")
+    val errs = done.collect { case r if r.err.isDefined =>
+      s""""${r.name}":"${esc(r.err.get)}"""" }.mkString("{", ",", "}")
+    val nErr = done.count(_.err.isDefined)
+    val nSkip = done.count(_.skipped)
+    val nFused = done.count(_.mode == "fused")
+    val total = done.collect { case r if r.err.isEmpty && !r.skipped => median(r.times) }.sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort,"errors":$errs,"error_count":$nErr,"skipped_count":$nSkip,"fused_count":$nFused,"sf":"$sfDir","detail_file":"$outPath"}""")
   }
 }

@@ -709,7 +709,7 @@ object GraphServe {
     // included (r13 advice: changing either must not silently serve a
     // stale level count or entry set)
     val out = "target/nndescent/graft_nnh_" + Bucketed.md5hex(
-      s"$dir/h6/$tag/k${NnDescent.K}/w${NnDescent.WorkFactor}/d$HierDecimation" +
+      s"$dir/h7/$tag/k${NnDescent.K}/w${NnDescent.WorkFactor}/d$HierDecimation" +
         s"/m$MinLevelNodes/t$TopEntries" +
         s"/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
       .take(8)
@@ -794,7 +794,7 @@ object GraphServe {
     * idempotent staging. */
   def graphHierAppendStaged(spark: SparkSession, dir: String): String = {
     val out = "target/nndescent/graft_nnha_" + Bucketed.md5hex(
-      s"$dir/a4/k${NnDescent.K}/w${NnDescent.WorkFactor}/d$HierDecimation" +
+      s"$dir/a5/k${NnDescent.K}/w${NnDescent.WorkFactor}/d$HierDecimation" +
         s"/m$MinLevelNodes/t$TopEntries" +
         s"/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
       .take(8)
@@ -972,7 +972,7 @@ object GraphServe {
     val root = NnDescent.graphIndexStaged(spark, dir)
     val ts = AnnIndex.tombstonesStaged(spark, dir)
     val out = "target/nndescent/graft_nngdc_" + Bucketed.md5hex(
-      s"$dir/delcompact/i8/k${NnDescent.K}/w${NnDescent.WorkFactor}" +
+      s"$dir/delcompact/i9/k${NnDescent.K}/w${NnDescent.WorkFactor}" +
         s"/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
       .take(8)
     Staging.ensure(spark, out) { tmp =>
@@ -1056,7 +1056,7 @@ object GraphServe {
   def graphSq8IndexStaged(spark: SparkSession, dir: String): String = {
     val root = NnDescent.graphIndexStaged(spark, dir)
     val out = "target/nndescent/graft_nngq_" + Bucketed.md5hex(
-      s"$dir/q3/k${NnDescent.K}/w${NnDescent.WorkFactor}/r${NnDescent.Rounds}" +
+      s"$dir/q4/k${NnDescent.K}/w${NnDescent.WorkFactor}/r${NnDescent.Rounds}" +
         s"/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
       .take(8)
     Staging.ensure(spark, out) { tmp =>

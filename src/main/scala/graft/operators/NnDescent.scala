@@ -413,13 +413,6 @@ object NnDescent {
     topKPerSrc(refineOnceFlagged(flagged, e, kWork, cap).drop("isnew"), k)
   }
 
-  /** One NN-descent refinement round — the loop body of [[build]],
-    * shared with [[appendToGraph]]. */
-  private def refineOnce(edges: DataFrame, e: DataFrame, k: Int,
-      cap: Int): DataFrame =
-    refineOnceFlagged(edges.withColumn("isnew", lit(true)), e, k, cap)
-      .drop("isnew")
-
   /** One NN-descent round over a NEW-flagged edge frame — the
     * published incremental trick (Dong et al. §2.3's new/old split):
     * a pair of two OLD adjacency members was already proposed the
@@ -432,9 +425,9 @@ object NnDescent {
     * from the previous round's frame; the caller's loop can also
     * early-exit when a round adds nothing (the standard NN-descent
     * termination — one bounded emptiness probe on the checkpointed
-    * state). [[refineOnce]] (all-new) is the exact pre-flag
-    * semantics, kept for the single symmetric finishing round of
-    * [[appendToGraph]]. */
+    * state). [[appendToGraph]]'s single symmetric finishing round
+    * also runs through this flagged form, with only edges touching a
+    * delta node marked new. */
   private def refineOnceFlagged(edges: DataFrame, e: DataFrame, k: Int,
       cap: Int): DataFrame = {
     val undirected = edges.select(col("src"), col("dst"), col("isnew"))
@@ -523,11 +516,13 @@ object NnDescent {
     * [[appendToGraph]] maintains when the `% 10 == 0` arrivals land. */
   def baseGraphStaged(spark: org.apache.spark.sql.SparkSession,
       dir: String): String = {
-    // "i3": the init/build algorithm is part of the key — the
-    // round-13 working-beam build must not be satisfied by a stale
-    // narrow-list artifact (the r12 convention)
+    // the init/build algorithm is part of the key — the round-13
+    // working-beam build must not be satisfied by a stale narrow-list
+    // artifact (the r12 convention); i5→i6 alongside graphIndexStaged's
+    // i9 bump: [[build]] itself changed in round 16, so this artifact's
+    // bytes change too (r16 advice: builder changes ride the key)
     val out = "target/nndescent/graft_nngb_" + Bucketed.md5hex(
-      s"$dir/base10/i5/k$K/w$WorkFactor/r$Rounds/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
+      s"$dir/base10/i6/k$K/w$WorkFactor/r$Rounds/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
       .take(8)
     Staging.ensure(spark, out) { tmp =>
       build(Tables.embeddings(spark, dir).filter(col("vec_id") % 10 =!= 0))
@@ -557,13 +552,16 @@ object NnDescent {
     * sample is deterministic, hash-uniform, and corpus-spread. */
   def graphIndexStaged(spark: org.apache.spark.sql.SparkSession,
       dir: String): String = {
-    // "i6": init/build algorithm AND index layout ride the key — the
+    // "i9": init/build algorithm AND index layout ride the key — the
     // round-14 edge layout embeds each destination's vector (the
     // serving fusion) and its payload attribute `d_lab` (the q157
-    // filtered-search attribute-rides-the-index rule), so a stale
-    // i4/i5 artifact must not be served
+    // filtered-search attribute-rides-the-index rule); bumped i8→i9
+    // for the round-16 build-algorithm changes (edge-only cap salt,
+    // rho=0.5 new-member cap, delta-K-N termination) — the built
+    // graph's BYTES change, so a pre-r16 staged artifact under the
+    // same content key must not be served (r16 advice)
     val out = "target/nndescent/graft_nng_" + Bucketed.md5hex(
-      s"$dir/i8/k$K/w$WorkFactor/r$Rounds/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
+      s"$dir/i9/k$K/w$WorkFactor/r$Rounds/${Layout.contentKey(spark, s"$dir/embeddings.parquet")}")
       .take(8)
     Staging.ensure(spark, out) { tmp =>
       val emb = Tables.embeddings(spark, dir)

@@ -142,18 +142,25 @@ object Staging {
       }
     }
     // heartbeat: keep the held lock's mtime advancing while the build
-    // runs; stops on interrupt or on any IO error (e.g. the lock was
-    // taken over and deleted — then there is nothing left to keep alive)
+    // runs; stops on interrupt or when the lock file is GONE (taken
+    // over and deleted — nothing left to keep alive). Any OTHER
+    // IOException is treated as transient and the loop continues
+    // (r16 advice: a single hiccup from fs.setTimes must not silently
+    // freeze the mtime of a still-running long build — a waiter would
+    // then declare it stale and take over, reverting to the pre-lock
+    // race for that build).
     val hb = new Thread(() => {
       try {
-        while (!Thread.currentThread().isInterrupted) {
+        var live = true
+        while (live && !Thread.currentThread().isInterrupted) {
           Thread.sleep(math.max(250L, staleMs / 4))
-          fs.setTimes(lock, System.currentTimeMillis(), -1L)
+          try fs.setTimes(lock, System.currentTimeMillis(), -1L)
+          catch {
+            case _: java.io.FileNotFoundException => live = false
+            case _: java.io.IOException => ()
+          }
         }
-      } catch {
-        case _: InterruptedException => ()
-        case _: java.io.IOException => ()
-      }
+      } catch { case _: InterruptedException => () }
     }, s"graft-staging-heartbeat-${new Path(out).getName}")
     hb.setDaemon(true)
     hb.start()
