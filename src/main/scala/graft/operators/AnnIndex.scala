@@ -89,7 +89,7 @@ object AnnIndex {
     * segments, unioned), exact-cosine score, top-`k`. The
     * double-precision scores ride `list_dot_product` (the q19
     * bit-stability precedent). */
-  private def ivfProbeSql(listGlobs: Seq[String], centRoot: String,
+  private[operators] def ivfProbeSql(listGlobs: Seq[String], centRoot: String,
       queryPred: String, nProbe: Int, k: Int,
       listPred: String = "TRUE"): String = {
     val listsSel = listGlobs.map(g =>
@@ -139,7 +139,7 @@ object AnnIndex {
     * vector), ADC fold through a dot-with-ones (both preserving the
     * engine's left-to-right accumulation bit for bit — the q19
     * precedent), candidate cut, exact-cosine re-rank, top-k. */
-  private def pqProbeSql(codeGlobs: Seq[String], cbRoot: String,
+  private[operators] def pqProbeSql(codeGlobs: Seq[String], cbRoot: String,
       queryPred: String, candidates: Int, k: Int,
       codePred: String = "TRUE"): String = {
     val codesSel = codeGlobs.map(g =>

@@ -272,9 +272,12 @@ object GraphServe {
 
   // ---- oracle replay of the traversal (round-14 upgrade) ----
 
-  /** (index root, staged-entries root) the last q151 oracle run served
-    * from — late-bound into its SQL twin. */
-  @volatile private[graft] var graphOracleRoots: Option[(String, String)] = None
+  /** (index root, staged-entries root) the last flat batch-oracle runs
+    * served from, keyed by query count — late-bound into the q151
+    * (nQueries=100) and q147 (nQueries=10) SQL twins; a shared Option
+    * would let whichever entry ran last clobber the other's staged
+    * entry root. */
+  @volatile private[graft] var graphOracleRoots: Map[Int, (String, String)] = Map.empty
 
   /** (index root, staged-entries root) of the last q157 filtered run. */
   @volatile private[graft] var graphFilteredOracleRoots: Option[(String, String)] = None
@@ -284,6 +287,13 @@ object GraphServe {
 
   /** Same for the q155 post-append hierarchy run. */
   @volatile private[graft] var hierAppendOracleInfo: Option[(String, String, Seq[Int])] = None
+
+  /** (index root, hier root, levels top-first, per-layer REALIZED
+    * iteration counts, query count) of the last q152 converge-mode
+    * trace — the realized counts are what its oracle replays (see
+    * [[hierServe]]'s doc on why an exact-length unrolled chain
+    * reproduces the adaptive walk). */
+  @volatile private[graft] var hierTraceOracleInfo: Option[(String, String, Seq[Int], Seq[Int], Int)] = None
 
   /** (fp index root, sq8 root, staged-entries root) of the last q158
     * run. */
@@ -401,7 +411,7 @@ object GraphServe {
     * non-SQL ingredient (the xxhash64 entry-slot draw) is itself a
     * spec-gated deterministic frame and stages as parquet, so the
     * oracle reads the same entry bytes the engine serves from. */
-  private def graphProbeSql(edgesGlob: String, vecsGlob: String,
+  private[operators] def graphProbeSql(edgesGlob: String, vecsGlob: String,
       entriesGlob: String, beam: Int, hops: Int, k: Int,
       filterLab: Option[Int] = None,
       tombstoneGlob: Option[String] = None): String = {
@@ -443,12 +453,17 @@ object GraphServe {
     * (re-scored at that layer's hop 0 via the vecs CTE — exactly the
     * carry-down induction the engine relies on), and the base layer
     * gets the full budget. `layerGlobs` are ordered top level first,
-    * base last. */
+    * base last; `upperBudgets` gives each upper layer its OWN hop
+    * budget (the q154/q155 fixed-budget twins pass a constant; the
+    * q152 converge-mode twin passes the realized per-layer counts). */
   private def hierProbeSql(layerGlobs: Seq[String], baseEdgesGlob: String,
       vecsGlob: String, topGlob: String, workBeam: Int,
-      upperBudget: Int, baseBudget: Int, k: Int, queryPred: String): String = {
-    val allLayers = layerGlobs.zipWithIndex.map { case (g, j) =>
-      (s"l$j", s"edges_l$j", g, upperBudget)
+      upperBudgets: Seq[Int], baseBudget: Int, k: Int,
+      queryPred: String): String = {
+    require(upperBudgets.size == layerGlobs.size,
+      s"${layerGlobs.size} layers need ${layerGlobs.size} budgets, got ${upperBudgets.size}")
+    val allLayers = layerGlobs.zip(upperBudgets).zipWithIndex.map {
+      case ((g, b), j) => (s"l$j", s"edges_l$j", g, b)
     } :+ (("base", "edges_base", baseEdgesGlob, baseBudget))
     val edgeCtes = allLayers.map { case (_, rel, g, _) => s"""
         $rel AS MATERIALIZED (
@@ -604,7 +619,7 @@ object GraphServe {
         col("nrm").as("q_nrm"))
     val workBeam = DescentWorkFactor * beam
     val eroot = stagedEntries(spark, root, queries, workBeam, s"q$nQueries")
-    graphOracleRoots = Some((Staging.abs(root), Staging.abs(eroot)))
+    graphOracleRoots += nQueries -> ((Staging.abs(root), Staging.abs(eroot)))
     serveBatch(spark, edges, vecs, queries, root, k, beam, hops,
       entriesOpt = Some(spark.read.parquet(eroot)))
   }
@@ -802,10 +817,13 @@ object GraphServe {
       val emb = Tables.embeddings(spark, dir)
       val e = Similarity.preparedLab(emb)
       val deltaPred = col("vec_id") % 10 === 0
-      // layer 0: the q148 delta walk against the staged converged base
-      val base0 = spark.read.parquet(NnDescent.baseGraphStaged(spark, dir))
+      // layer 0: the q148 delta walk against the staged converged
+      // base — REUSED from the staged flat append (round 17: one
+      // append walk serves q148's oracle, this hierarchy, and any
+      // future flat consumer) rather than recomputed here
       NnDescent.writeServingEdges(
-        NnDescent.appendToGraph(emb, base0, deltaPred), e, s"$tmp/edges")
+        spark.read.parquet(NnDescent.appendedGraphStaged(spark, dir)),
+        e, s"$tmp/edges")
       // appended level populations (counts over the union corpus)
       val counts = levelCounts(e)
       val levels = (1 to counts.size).takeWhile(l => counts(l - 1) >= MinLevelNodes)
@@ -1146,11 +1164,18 @@ object GraphServe {
     * top of everything scored so far carries down as the next layer's
     * entries, and only the final answer cuts to k. Every
     * layer's scored nodes are real corpus nodes and compete in the
-    * final top-k. Returns (result, hops, levels). */
+    * final top-k. Returns (result, per-layer realized iteration
+    * counts in descent order — top layers first, base last; total
+    * hops is their sum — and the level count). The per-layer counts
+    * are what the q152 converge-mode oracle replays: a layer's
+    * adaptive stop fires AFTER a no-improvement iteration whose state
+    * fold cannot change `best`, so an unrolled SQL chain of exactly
+    * those realized iterations reproduces the final pool bit for
+    * bit. */
   private def hierServe(spark: SparkSession, hroot: String,
       baseEdges: DataFrame, vecs: DataFrame, queries: DataFrame, k: Int,
       beam: Int, upperBudget: Int, baseBudget: Int,
-      converge: Boolean, filterLab: Option[Int] = None): (DataFrame, Int, Int) = {
+      converge: Boolean, filterLab: Option[Int] = None): (DataFrame, Seq[Int], Int) = {
     import spark.implicits._
     require(k <= DescentWorkFactor * beam,
       s"top-k $k must fit inside the descent working beam")
@@ -1166,7 +1191,7 @@ object GraphServe {
       .where(col("node") =!= col("query_id"))
     var best: DataFrame = null
     var bestF: DataFrame = null
-    var hops = 0
+    val layerHops = Seq.newBuilder[Int]
     // EVERY layer (base included) runs at the working width; only the
     // final answer cuts to k. Cutting the frontier below the carried
     // entry count mid-descent is the r13 mid-walk-contraction mistake
@@ -1186,7 +1211,7 @@ object GraphServe {
     layerPlan.foreach { case (edges, budget, lab) =>
       val tr = batchBeam(edges, vecs, queries, entries, workBeam,
         budget, converge, lab)
-      hops += tr.hops
+      layerHops += tr.hops
       best = tr.best
       bestF = tr.bestF
       // carry each query's best nodes seen SO FAR down a level: each
@@ -1201,7 +1226,7 @@ object GraphServe {
       pool.select(col("query_id"), col("node").as("neighbor_id"),
         col("score")),
       k)
-    (result, hops, levels.size)
+    (result, layerHops.result(), levels.size)
   }
 
   /** Attribute-constrained HIERARCHICAL serving — the q157 filtered
@@ -1268,10 +1293,16 @@ object GraphServe {
         (0L until nQueries.toLong).toSeq)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"))
-    val (result, hops, levels) = hierServe(spark, hroot,
+    val (result, layerHops, levels) = hierServe(spark, hroot,
       spark.read.parquet(s"$root0/edges"), vecs, queries, k, beam,
       upperBudget = maxHops, baseBudget = maxHops, converge = true)
-    HierTrace(result, hops, levels)
+    // realized per-layer iteration counts → the q152 oracle replay
+    // (levels in descent order, matching the staged layer list)
+    hierTraceOracleInfo = Some((Staging.abs(root0), Staging.abs(hroot),
+      spark.read.parquet(s"$hroot/meta").select("level")
+        .collect().map(_.getInt(0)).sorted.reverse.toSeq,
+      layerHops, nQueries))
+    HierTrace(result, layerHops.sum, levels)
   }
 
   /** FLAT search under the same adaptive hops-to-converge rule as the
@@ -1325,7 +1356,7 @@ object GraphServe {
         "wrapper, recall >= the IVF bar over the 100-query batch, " +
         "determinism).",
       (s, dir) => graphSearchBatchOracle(s, dir, nQueries = 100, k = 5),
-      oracleFn = Some(() => graphOracleRoots.map { case (root, eroot) =>
+      oracleFn = Some(() => graphOracleRoots.get(100).map { case (root, eroot) =>
         graphProbeSql(s"$root/edges/*/*.parquet",
           s"$root/vecs/*/*.parquet", s"$eroot/*.parquet",
           beam = DescentWorkFactor * 8, hops = 8, k = 5)
@@ -1351,10 +1382,25 @@ object GraphServe {
         "level graph has constant expected diameter, so total hops " +
         "grow with the LEVEL COUNT — logarithmic in N — while flat " +
         "search hops grow with the layer-0 diameter; STRESS_SF1 " +
-        "carries the measured hops at 1x and 10x corpus. No oracle; " +
-        "design-gated (recall >= the IVF bar, determinism, hop " +
-        "telemetry <= budget, layered-vs-flat hop audit).",
-      (s, dir) => graphSearchHierTrace(s, dir, nQueries = 10, k = 5).result),
+        "carries the measured hops at 1x and 10x corpus. ORACLE since " +
+        "round 17 (r16 verdict item 3): the run records each layer's " +
+        "REALIZED iteration count, and the SQL twin unrolls exactly " +
+        "that many steps per layer over the staged hierarchy — the " +
+        "adaptive stop fires after a no-improvement iteration whose " +
+        "fold cannot change the carried pool, so the replay is exact " +
+        "(hierServe doc). Recall/hop-telemetry stay design-gated.",
+      (s, dir) => graphSearchHierTrace(s, dir, nQueries = 10, k = 5).result,
+      oracleFn = Some(() => hierTraceOracleInfo.map {
+        case (root0, hroot, levels, layerHops, nq) =>
+          hierProbeSql(levels.map(l => s"$hroot/layer_$l/*/*.parquet"),
+            s"$root0/edges/*/*.parquet", s"$root0/vecs/*/*.parquet",
+            s"$hroot/top/*.parquet", workBeam = DescentWorkFactor * 8,
+            // realized iterations → SQL hop budget: the chain emits
+            // steps 0..budget, i.e. budget+1 iterations
+            upperBudgets = layerHops.dropRight(1).map(h => math.max(0, h - 1)),
+            baseBudget = math.max(0, layerHops.last - 1), k = 5,
+            queryPred = s"SELECT vec_id FROM embeddings WHERE vec_id < $nq")
+      })),
 
     Query(
       "q154_knn_graph_hier_batch",
@@ -1377,7 +1423,7 @@ object GraphServe {
         hierProbeSql(levels.map(l => s"$hroot/layer_$l/*/*.parquet"),
           s"$root0/edges/*/*.parquet", s"$root0/vecs/*/*.parquet",
           s"$hroot/top/*.parquet", workBeam = DescentWorkFactor * 8,
-          upperBudget = 2, baseBudget = 8, k = 5,
+          upperBudgets = Seq.fill(levels.size)(2), baseBudget = 8, k = 5,
           queryPred = "SELECT vec_id FROM embeddings WHERE vec_id < 100")
       })),
 
@@ -1408,7 +1454,7 @@ object GraphServe {
         hierProbeSql(levels.map(l => s"$aroot/layer_$l/*/*.parquet"),
           s"$aroot/edges/*/*.parquet", s"$root0/vecs/*/*.parquet",
           s"$aroot/top/*.parquet", workBeam = DescentWorkFactor * 8,
-          upperBudget = 2, baseBudget = 8, k = 5,
+          upperBudgets = Seq.fill(levels.size)(2), baseBudget = 8, k = 5,
           queryPred = "SELECT vec_id FROM embeddings WHERE vec_id < 100")
       })),
 

@@ -820,8 +820,20 @@ object Similarity {
         "cosine re-ranks candidates. The data-driven-bucketing counterpart " +
         "of q20's LSH; at scale the cluster-keyed layout is written bucketed " +
         "so probes are partition-pruned reads. Recall vs q19 measured in " +
-        "ScalaTest. No oracle: approximate by design.",
-      (s, dir) => knnIvf(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
+        "ScalaTest. ORACLE since round 17 via the q77 staged-root " +
+        "convention: the ad-hoc build is bit-identical to the persisted " +
+        "q77 index (deterministic training, asserted in AnnIndexSpec), " +
+        "so DuckDB replays the probe from the staged parquet — the " +
+        "equality check is exactly that build-determinism invariant, " +
+        "now cross-engine on bytes.",
+      (s, dir) => {
+        AnnIndex.ivfOracleRoot = Some(Staging.abs(AnnIndex.ivfIndex(s, dir)))
+        knnIvf(Tables.embeddings(s, dir), nQueries = 10, k = 5)
+      },
+      oracleFn = Some(() => AnnIndex.ivfOracleRoot.map(idx =>
+        AnnIndex.ivfProbeSql(Seq(s"$idx/lists/*/*.parquet"),
+          s"$idx/centroids", queryPred = "vec_id < 10", nProbe = 32,
+          k = 5)))),
 
     Query(
       "q74_knn_pq",
@@ -834,9 +846,20 @@ object Similarity {
         "only. The memory-bound ANN decomposition next to q20 (LSH) and " +
         "q29 (IVF); recall@5 ~0.9 on the near-random sf0.1 embeddings " +
         "(was 0.48 at 16 centroids/64 candidates), gated in ScalaTest " +
-        "and tracked in RECALL_LOCAL.json. No oracle: approximate by " +
-        "design.",
-      (s, dir) => knnPq(Tables.embeddings(s, dir), nQueries = 10, k = 5)),
+        "and tracked in RECALL_LOCAL.json. ORACLE since round 17 via " +
+        "the q78 staged-root convention: the ad-hoc build is bit-" +
+        "identical to the persisted q78 index (deterministic codebook " +
+        "fit, asserted in AnnIndexSpec), so DuckDB replays the " +
+        "LUT-build + ADC scan + re-rank from the staged parquet — the " +
+        "build-determinism invariant checked cross-engine on bytes.",
+      (s, dir) => {
+        AnnIndex.pqOracleRoot = Some(Staging.abs(AnnIndex.pqIndex(s, dir)))
+        knnPq(Tables.embeddings(s, dir), nQueries = 10, k = 5)
+      },
+      oracleFn = Some(() => AnnIndex.pqOracleRoot.map(idx =>
+        AnnIndex.pqProbeSql(Seq(s"$idx/codes/*.parquet"),
+          s"$idx/codebooks", queryPred = "vec_id < 10",
+          candidates = 256, k = 5)))),
 
     Query(
       "q116_knn_sq8",
