@@ -430,11 +430,9 @@ object NnDescent {
     * delta node marked new. */
   private def refineOnceFlagged(edges: DataFrame, e: DataFrame, k: Int,
       cap: Int): DataFrame = {
-    val undirected = edges.select(col("src"), col("dst"), col("isnew"))
-      .unionByName(edges.select(col("dst").as("src"),
-        col("src").as("dst"), col("isnew")))
-      .groupBy("src", "dst").agg(max("isnew").as("isnew"))
-    // Adjacency cap, round-16 shape. Two changes vs the r15 round:
+    // Adjacency cap, round-16 shape (round 17 fuses its EXECUTION —
+    // semantics unchanged, see below). Two properties vs the r15
+    // round:
     //  - the cap hash is salted by the EDGE ONLY, not the round (r15
     //    advice): a per-round re-draw churned which pairs were capped
     //    out, so a pair capped away while its members were new was
@@ -448,24 +446,71 @@ object NnDescent {
     //    already linear partners — stay fully joined. Recall holds
     //    because every unsampled pair keeps resurfacing while either
     //    member stays new, and the NnDescentSpec floors gate it.
-    val ord = xxhash64(col("src"), col("dst"), lit("nn-cap"))
+    //
+    // Round-17 FUSION (r16 verdict item 5 — the measured cost is a
+    // per-round stage-scheduling floor, not data volume): the former
+    // symmetrize → dedup-groupBy(src,dst) → cap-window(src,isnew) →
+    // self-join-on-ctr chain was THREE exchanges per round; it is now
+    // ONE — group the undirected edge stream by center node and do
+    // dedup, capping, and pair generation as per-row array ops over
+    // the ≤ 2·(k+cap)-bounded member list:
+    //   - dedup by dst with max(isnew): sort (dst ASC, !isnew ASC) —
+    //     the isnew=true copy of a dst sorts first — and fold keeping
+    //     the first instance of each dst, exactly
+    //     groupBy(src,dst).agg(max(isnew));
+    //   - cap: partition members by isnew, sort each by the SAME
+    //     (xxhash64(ctr,dst,'nn-cap'), dst) order the window used
+    //     (the hash rides the collected struct), slice to capNewN /
+    //     cap;
+    //   - pairs: all unordered member pairs with at least one new
+    //     member, emitted (least, greatest) — the join's a.m < b.m
+    //     selection over the same capped set.
+    // Per-row work is O((k+cap)·log + cap²) on constant-bounded
+    // arrays — independent of corpus size, the batchBeam argument.
     val capNewN = math.max(4, cap / 2)
-    val capW = Window.partitionBy("src", "isnew")
-      .orderBy(ord.asc, col("dst").asc)
-    val adj = undirected.withColumn("rk", row_number().over(capW))
-      .filter(when(col("isnew"), col("rk") <= capNewN)
-        .otherwise(col("rk") <= cap))
-      .select(col("src").as("ctr"), col("dst").as("m"), col("isnew"))
-    // the pre-score distinct is LOAD-BEARING at scale: a pair is
-    // proposed once per shared capped neighbor (up to ~cap duplicates
-    // on a converged graph), and without the dedup those duplicates
-    // multiply through both scoring joins and the merge exchange — a
-    // round-15 experiment that dropped it measured q146's 10× stress
-    // tier at 101 s vs 64 s with it
-    val proposals = adj.as("a").join(adj.as("b"), "ctr")
-      .where(col("a.m") < col("b.m") &&
-        (col("a.isnew") || col("b.isnew")))
-      .select(col("a.m").as("src"), col("b.m").as("dst"))
+    val dir = edges.select(col("src"), col("dst"), col("isnew"))
+    val members = dir.unionByName(
+        dir.select(col("dst").as("src"), col("src").as("dst"),
+          col("isnew")))
+      .select(col("src").as("ctr"),
+        struct(col("dst"), (!col("isnew")).as("old"),
+          xxhash64(col("src"), col("dst"), lit("nn-cap")).as("h"))
+          .as("m"))
+      .groupBy("ctr").agg(collect_list(col("m")).as("ms"))
+    val proposals = members
+      .select(col("ctr"), aggregate(
+          // (dst ASC, old ASC): the new-flagged copy of a duplicated
+          // dst sorts first, so keep-first-per-dst == max(isnew)
+          sort_array(col("ms")),
+          expr("CAST(array() AS ARRAY<STRUCT<dst BIGINT, old BOOLEAN, h BIGINT>>)"),
+          (acc, s) => when(size(acc) > 0 &&
+              element_at(acc, -1)("dst") === s("dst"), acc)
+            .otherwise(concat(acc, array(s))))
+        .as("ms"))
+      .select(col("ctr"), concat(
+          slice(sort_array(transform(
+            filter(col("ms"), s => !s("old")),
+            s => struct(s("h").as("h"), s("dst").as("dst"),
+              lit(true).as("isnew")))), 1, capNewN),
+          slice(sort_array(transform(
+            filter(col("ms"), s => s("old")),
+            s => struct(s("h").as("h"), s("dst").as("dst"),
+              lit(false).as("isnew")))), 1, cap))
+        .as("cm"))
+      .select(explode(filter(
+          flatten(transform(col("cm"), (x, i) =>
+            transform(slice(col("cm"), i + 2, size(col("cm"))), y =>
+              struct(least(x("dst"), y("dst")).as("src"),
+                greatest(x("dst"), y("dst")).as("dst"),
+                (x("isnew") || y("isnew")).as("propose"))))),
+          p => p("propose"))).as("p"))
+      .select(col("p.src"), col("p.dst"))
+      // the pre-score distinct is LOAD-BEARING at scale: a pair is
+      // proposed once per shared capped neighbor (up to ~cap
+      // duplicates on a converged graph), and without the dedup those
+      // duplicates multiply through both scoring joins and the merge
+      // exchange — a round-15 experiment that dropped it measured
+      // q146's 10× stress tier at 101 s vs 64 s with it
       .distinct()
     val scored = scorePairs(proposals, e)
     val both = scored.unionByName(
