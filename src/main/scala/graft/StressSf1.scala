@@ -236,6 +236,25 @@ object StressSf1 {
     }
     val custStress = spark.read.parquet(custStressPath)
 
+    // customer at MidCopies for the q118 three-point fit (round-17:
+    // the merge row's (1,10) fit had floor_frac 0.63 with no residual
+    // check between the endpoints — r16 verdict item 4)
+    val custMidPath = s"$stressRoot/customer_mid$MidCopies.parquet"
+    if (!Files.exists(Paths.get(custMidPath, "_SUCCESS"))) {
+      val cBase = Tables.customer(spark, sfDir)
+        .select("c_custkey", "c_name", "c_acctbal")
+      (0 until MidCopies).map { k =>
+        if (k == 0) cBase
+        else cBase.select(
+          (col("c_custkey") + lit(k * IdStride)).as("c_custkey"),
+          concat(col("c_name"), lit(s"~$k$k$k")).as("c_name"),
+          col("c_acctbal"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(custMidPath)
+    }
+    val custMid = spark.read.parquet(custMidPath)
+
     // events at 10x under disjoint user families (ts/event_type
     // verbatim, event_id offset to stay unique): each family replays
     // the base per-user series -> spike rows AND SCD-2 version rows 10x
@@ -497,6 +516,15 @@ object StressSf1 {
         del.unionByName(upd).unionByName(ins),
         "c_custkey", Seq("c_name", "c_acctbal"))
     }
+    // supplier side of the q118 merge batch at `copies` families —
+    // shared by the 10x and mid-tier cases
+    def supCopies(copies: Int): DataFrame = (0 until copies).map { k =>
+      val sBase = Tables.supplier(spark, sfDir)
+        .select("s_suppkey", "s_name", "s_acctbal")
+      if (k == 0) sBase
+      else sBase.withColumn("s_suppkey",
+        col("s_suppkey") + lit(k * IdStride))
+    }.reduce(_ unionByName _)
 
     // persisted ANN segments for the q109 build/probe rows — ensured
     // (or reused) UNTIMED like the corpora: those rows measure the
@@ -644,16 +672,8 @@ object StressSf1 {
         ("q118_merge_upsert",
           () => mergeCase(Tables.customer(spark, sfDir)
               .select("c_custkey", "c_name", "c_acctbal"),
-            Tables.supplier(spark, sfDir)
-              .select("s_suppkey", "s_name", "s_acctbal")),
-          () => mergeCase(custStress,
-            (0 until Copies).map { k =>
-              val sBase = Tables.supplier(spark, sfDir)
-                .select("s_suppkey", "s_name", "s_acctbal")
-              if (k == 0) sBase
-              else sBase.withColumn("s_suppkey",
-                col("s_suppkey") + lit(k * IdStride))
-            }.reduce(_ unionByName _))),
+            supCopies(1)),
+          () => mergeCase(custStress, supCopies(Copies))),
         // q109 build form — the per-ingest cost of the incremental IVF
         // index: one broadcast-centroid assignment pass over the delta
         // arrivals (frozen centroids read from the persisted index, the
@@ -811,7 +831,11 @@ object StressSf1 {
       // same three-point linearity test as the dedup family
       "q146_knn_graph" -> (() => operators.NnDescent.build(embMid)),
       "q148_knn_graph_append" -> (() => operators.NnDescent.appendToGraph(
-        embMid, nnAppendBaseMid, col("vec_id") % 10 === 0)))
+        embMid, nnAppendBaseMid, col("vec_id") % 10 === 0)),
+      // round-17 (r16 verdict item 4): the worst-ratio row gets the
+      // same three-point linearity check — the (1,10) fit said
+      // floor 0.38 s + 0.23 s/copy, and the residual here tests it
+      "q118_merge_upsert" -> (() => mergeCase(custMid, supCopies(MidCopies))))
     val midSec: Map[String, Double] = midCases.map { case (n, b) =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()

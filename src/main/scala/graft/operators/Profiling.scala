@@ -153,14 +153,18 @@ object Profiling {
     * q83 wall at sf0.1: MD5's rounds plus the per-value string render
     * on every numeric cell). Native hashing keys the same value
     * groups (a column's type is fixed, and the hash input is the
-    * value's binary form), the digest is 16 bytes on the wire
+    * value's binary form), the digest is 12 bytes on the wire
     * regardless of value width — a data card over a documents table
     * must never ship full text bodies through the shuffle — and both
     * lanes are codegen'd single-pass kernels. Raw values only ever
     * feed min/max/sum, which exist for NUMERIC columns alone
-    * (doubles/decimals — fixed width). Two-lane collisions would
-    * undercount n_distinct at ~2^-128 per pair (one 64-bit lane alone
-    * would NOT be safe at 100 TB: 10¹² values ⇒ ~10⁴ expected
+    * (doubles/decimals — fixed width). The lanes are two structurally
+    * different hash FAMILIES — xxhash64 and Murmur3 (r16 advice: a
+    * second xxhash64 under a derived seed shares the family's
+    * seed-independent collision structures) — 96 independent bits:
+    * two-lane collisions undercount n_distinct at ~2^-96 per pair,
+    * ~6e-6 expected collisions at 10¹² values, where one 64-bit lane
+    * alone would NOT be safe at 100 TB (10¹² values ⇒ ~10⁴ expected
     * birthday collisions; the pair keeps the repo's established
     * cross-engine-hash argument, q39/q161).
     *
@@ -169,11 +173,20 @@ object Profiling {
     * addition), so the two-stage fold equals the direct aggregate. */
   def profileColumns(df: DataFrame, numeric: Seq[String],
       other: Seq[String]): DataFrame = {
-    // null digest ⇔ null value (xxhash64 SKIPS null inputs — it would
-    // return the seed, not NULL — so the null branch is explicit)
+    // null digest ⇔ null value (hash functions SKIP null inputs — they
+    // would return the seed, not NULL — so the null branch is explicit).
+    // The two lanes are STRUCTURALLY DIFFERENT hash families (round-17,
+    // r16 advice): xxhash64 + Murmur3 — the former second lane was
+    // xxhash64 with a constant prefix absorbed, i.e. the same family
+    // under a derived seed, whose known seed-independent collision
+    // structures could collide both lanes at once. 64+32 = 96
+    // independent bits: at 10^12 values the expected birthday
+    // collisions are ~6e-6 (vs ~10^4 for one 64-bit lane), and both
+    // lanes stay codegen'd native-input kernels (no string render —
+    // the measured q83 cost the r15 MD5 form paid).
     def digest(c: org.apache.spark.sql.Column) =
       when(c.isNotNull, struct(
-        xxhash64(c).as("h1"), xxhash64(lit("graft-profile-2"), c).as("h2")))
+        xxhash64(c).as("h1"), hash(c).as("h2")))
     val entries =
       numeric.map(c => struct(lit(c).as("col_name"),
         col(c).cast("double").as("num_v"),

@@ -397,4 +397,34 @@ class TextIndexSpec extends AnyFunSuite {
         assert(rn === sn); assert(rt === st); assert(rd === sd)
     }
   }
+
+  test("integer-rank oracle margin guard: adjacent ranked scores differ " +
+      "by >= 16 ulps (or are bit-equal ties) on the driver's corpora") {
+    // The bm25 hash oracles drop the double score and hash the RANK,
+    // whose cross-engine stability rests on no two structurally
+    // different stat vectors scoring within ~1 ulp of each other
+    // (idf rides ln(), the one libm call). This guard makes a future
+    // corpus/terms change surface the fragility as a NAMED diagnostic
+    // instead of a bare hash mismatch (r16 advice). Adjacent pairs
+    // with bit-equal scores are identical-stat ties — the doc_id
+    // tie-break covers those deterministically. The k+1 window covers
+    // the limit boundary: a flip across rank k changes WHICH doc the
+    // entries emit, not just its position.
+    val terms = Seq("spark", "join", "filter")
+    for (tier <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val scores = TextIndex.bm25Search(Tables.documents(spark, tier),
+          terms, k = 25, k1 = 1.2, b = 0.75)
+        .collect().map(_.getDouble(2)).take(21)
+      assert(scores.nonEmpty, s"no bm25 matches on $tier — change terms")
+      scores.zip(scores.drop(1)).zipWithIndex.foreach { case ((a, b0), i) =>
+        val ba = java.lang.Double.doubleToLongBits(a)
+        val bb = java.lang.Double.doubleToLongBits(b0)
+        val ulps = math.abs(ba - bb)
+        assert(ulps == 0L || ulps >= 16L,
+          s"$tier rank ${i + 1}->${i + 2}: scores $a vs $b0 are $ulps " +
+            "ulps apart — inside libm's ln() divergence margin; the " +
+            "integer-rank oracle can flip between engines here")
+      }
+    }
+  }
 }
