@@ -6,7 +6,8 @@ import org.apache.spark.sql.DataFrame
 
 /** Benchmark main. Runs the headline catalog queries on
   * `$SPARK_GRAFT_SF_DIR` and prints ONE JSON line (also written to
-  * `$SPARK_GRAFT_BENCH_OUT`, default `BENCH_LOCAL.json`, because stdout
+  * `$SPARK_GRAFT_BENCH_OUT`, default `target/BENCH_LOCAL.json`
+  * (untracked — promoting to the tracked copy is explicit), because stdout
   * may be interleaved with build-tool noise — round 1's output came back
   * unparseable).
   *
@@ -149,7 +150,13 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // default detail artifact lives under target/ (UNTRACKED): the r16
+    // driver bench defaulted onto the tracked BENCH_LOCAL.json and
+    // clobbered the quiet-host run in the worktree (4th dirty-tree
+    // recurrence). Promoting a quiet run to the tracked file is an
+    // explicit SPARK_GRAFT_BENCH_OUT=BENCH_LOCAL.json decision.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "target/BENCH_LOCAL.json")
     // 0 = unbounded (classic full protocol — the tracked quiet runs)
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1380").toDouble
     val spark = GraftSession.local("graft-bench")
