@@ -59,21 +59,66 @@ object Fuzzy {
 
   /** All pairs of `df` rows (columns: id, name) with
     * levenshtein(name_a, name_b) <= k, id_a < id_b, each pair exactly
-    * once, with the distance: (id_a, id_b, name_a, name_b, dist). */
+    * once, with the distance: (id_a, id_b, name_a, name_b, dist).
+    *
+    * Round-17 shape (same output, measured 7.4 s → see
+    * OPTIMIZATION_r17.md): the candidate join runs on HASHES of the
+    * deletion variants, not the variant strings — xxhash64 collisions
+    * can only ADD candidates (superset), never drop a true pair, and
+    * every candidate is verified with the exact `levenshtein` below,
+    * so the match set is unchanged (guide §2.3: shuffle 8-byte keys,
+    * not payload strings). Candidate (id, id) pairs are DEDUPLICATED
+    * BEFORE verification — a pair sharing v variants previously paid
+    * the O(L²) levenshtein v times and shipped both name strings v
+    * times through the exchange; now the verify runs once per distinct
+    * pair, with the names re-attached by a join against the (tiny
+    * compared to the candidate stream) name table. The length band
+    * rides the variant rows as a cheap pre-filter, as before. */
   def editJoin(df: DataFrame, k: Int): DataFrame = {
-    val variants = df.select(col("id"), col("name"),
-      explode(deletionNeighborhood(col("name"), k)).as("variant"))
+    // The candidate and verify stages are CPU-heavy per byte (the
+    // candidate stream is ~4× the corpus and every candidate pays an
+    // O(L²) levenshtein), but their rows are 16-24 bytes — AQE's
+    // byte-based coalescing squeezed them onto 1-3 tasks (measured:
+    // the join+dedup stage ran as ONE 1.2 s task and the verify as 3,
+    // ~10 s of single-threaded work on a 32-core box). The explicit
+    // partition counts below pin those exchanges at the session's
+    // shuffle parallelism — a conf-derived value (3× cores locally,
+    // cluster-sized in production), never a constant — which AQE does
+    // not coalesce. Same rows, same results; the exchanges now match
+    // the stage's CPU shape instead of its byte count.
+    val np = df.sparkSession.sessionState.conf.numShufflePartitions
+    val variants = df.select(col("id"), length(col("name")).as("len"),
+      explode(deletionNeighborhood(col("name"), k)).as("v"))
+      .select(col("id"), col("len"), xxhash64(col("v")).as("vh"))
+      .repartition(np, col("vh"))
     val a = variants.alias("a")
     val b = variants.alias("b")
-    a.join(b,
-        col("a.variant") === col("b.variant") &&
+    val cand = a.join(b,
+        col("a.vh") === col("b.vh") &&
         col("a.id") < col("b.id") &&
-        abs(length(col("a.name")) - length(col("b.name"))) <= k)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.name").as("name_a"), col("b.name").as("name_b"),
-        levenshtein(col("a.name"), col("b.name")).as("dist"))
-      .filter(col("dist") <= k)
-      .distinct()
+        abs(col("a.len") - col("b.len")) <= k)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val names = df.select(col("id"), col("name"))
+    cand
+      .join(names.select(col("id").as("id_a"), col("name").as("name_a")), "id_a")
+      .join(names.select(col("id").as("id_b"), col("name").as("name_b")), "id_b")
+      // THRESHOLD levenshtein (3-arg form): a banded O(k·L) DP with
+      // early exit instead of the full O(L²) table — it returns the
+      // exact distance when ≤ k and -1 otherwise, so the filter and
+      // the emitted distance are value-identical to the 2-arg form on
+      // every kept row. The dedup of pairs that share several variants
+      // runs AFTER verification, over the match set (the measured dup
+      // factor on candidates is ~2%, so verifying per occurrence is
+      // cheaper than a pre-verify distinct exchange of the candidate
+      // stream — and at scale it removes one candidate-sized shuffle).
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b"), k).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= k)
+      // dedup on the id pair: names and dist are functions of the ids,
+      // so this keeps exactly one copy of each identical match row (as
+      // the former all-column distinct did) while letting a caller
+      // that drops the name columns prune them out of the exchange
+      .dropDuplicates("id_a", "id_b")
   }
 
   val queries: Seq[Query] = Seq(

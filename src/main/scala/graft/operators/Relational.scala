@@ -86,8 +86,23 @@ object Relational {
     // because least(lit(B-1), floor(null)) skips the null in Spark
     val base = base0.filter(col("x").isNotNull)
     val b = lit(PctBuckets)
+    // The tiny stat frames below (`stats` G rows, `cum` ≤ G×B rows,
+    // `needed` G×2|ps| rows — bounded at ANY corpus size) are each
+    // referenced by SEVERAL downstream subplans. Without a persist the
+    // logical tree re-derives them per reference and the duplication
+    // COMPOUNDS (needed dups stats+counts, vals dups needed twice, a
+    // second chained round dups the whole first round): q69's plan
+    // reached 6,617 formatted lines / 932 Exchange nodes, and the
+    // optimizer+AQE executed ~60 sequential stage jobs per run — the
+    // measured wall was planning, not data (round 17; guide §7.3's
+    // "very large plans" failure mode). Persisting the three knots
+    // collapses the tree to the written design: two map-side scans
+    // per round plus KB-scale cached lookups. Memory pinned is
+    // G×(B+3) rows — KBs at any scale; callers clear the session
+    // cache between queries (the bench/Verify contract).
     val stats = base.groupBy(grp).agg(
       count(lit(1)).as("n"), min("x").as("mn"), max("x").as("mx"))
+      .persist()
     // Deterministic value bucket; the min==max (or single-row) group
     // degenerates to bucket 0. x==mx lands on B and is clamped to B-1.
     val bucketed = base.join(broadcast(stats), Seq(grp))
@@ -101,6 +116,7 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = counts.withColumn("cum", coalesce(sum("cnt").over(cw), lit(0L)))
       .withColumnRenamed(grp, "c_grp")
+      .persist()
     // 0-based fractional rank of percentile p is pos = p*(n-1); the
     // straddling 0-based order statistics are floor(pos) and ceil(pos).
     def posOf(p: Double): Column = lit(p) * (col("n") - 1).cast("double")
@@ -114,7 +130,13 @@ object Relational {
       col(grp) === col("c_grp") && col("r") >= col("cum") &&
         col("r") < col("cum") + col("cnt"))
       .select(col(grp), col("tag"), col("bkt"), (col("r") - col("cum")).as("lr"))
-    val needBkts = needed.select(grp, "bkt").distinct()
+      .persist()
+    // semi-join instead of distinct+inner: the LEFT SEMI keeps each
+    // bucketed row at most once however many targets share its bucket
+    // — identical row set to the former distinct()+inner join, minus
+    // the distinct's own exchange (round 17; the frame is tiny but the
+    // stage-count floor is what the small tiers pay for)
+    val needBkts = needed.select(grp, "bkt")
     // Rank straddling buckets over DISTINCT values, not rows: the
     // per-(grp,bkt,x) partial aggregate collapses ties map-side, so a
     // value-dominated group (99% one constant — the common real-world
@@ -126,7 +148,7 @@ object Relational {
     // bucket's value range — would need one recursive re-bucketing
     // level; ties, the case that actually concentrates mass, cannot
     // cause it by construction.)
-    val valCounts = bucketed.join(broadcast(needBkts), Seq(grp, "bkt"))
+    val valCounts = bucketed.join(broadcast(needBkts), Seq(grp, "bkt"), "left_semi")
       .groupBy(grp, "bkt", "x").agg(count(lit(1)).as("vcnt"))
     val vw = Window.partitionBy(grp, "bkt").orderBy("x")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -147,8 +169,11 @@ object Relational {
         (col(s"lo_$name") * (lit(1.0) - (posOf(p) - floor(posOf(p)))) +
           col(s"hi_$name") * (posOf(p) - floor(posOf(p)))).as(name)
       } :+ col("n"): _*)
-      .orderBy(grp)
   }
+  // NOTE (round 17): the former trailing `.orderBy(grp)` moved to the
+  // one caller that needs ordered output (the q31 entry). The other
+  // callers (q69's two chained rounds, q73's threshold frame) consume
+  // this via joins, where the sort was a dead exchange+sort per call.
 
   val queries: Seq[Query] = Seq(
 
@@ -643,7 +668,8 @@ object Relational {
         Tables.lineitem(s, dir)
           .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("x")),
         "l_returnflag",
-        Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95")),
+        Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95"))
+        .orderBy("l_returnflag"),
       Some("""
         SELECT l_returnflag,
                quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS p25,
