@@ -83,7 +83,8 @@ object GraphServe {
     * IEEE, so `-ns` recovers the score bit-for-bit. `del` is the
     * tombstone flag (q164): false everywhere unless the traversal
     * runs under a delete set. */
-  private val PropType = "array<struct<ns:double,node:bigint,lab:int,del:boolean>>"
+  private val PropElemType = "struct<ns:double,node:bigint,lab:int,del:boolean>"
+  private val PropType = s"array<$PropElemType>"
 
   /** The distributed beam loop over ONE edge table. ALL traversal
     * state lives in a single query-keyed frame — one row per query
@@ -646,7 +647,7 @@ object GraphServe {
     val entries = entriesOpt.getOrElse(
       entriesBatch(spark, queries, root, workBeam))
     val tr = batchBeam(edges, vecs, queries, entries, workBeam, hops)
-    Similarity.topK(
+    Similarity.topKBounded(
       tr.best.select(col("query_id"), col("node").as("neighbor_id"),
         col("score")),
       k)
@@ -910,7 +911,7 @@ object GraphServe {
     val entries = spark.read.parquet(eroot)
     val tr = batchBeam(edges, vecs, queries, entries, workBeam, hops,
       filterLab = Some(label))
-    Similarity.topK(
+    Similarity.topKBounded(
       tr.bestF.select(col("query_id"), col("node").as("neighbor_id"),
         col("score")),
       k)
@@ -955,7 +956,7 @@ object GraphServe {
     val entries = spark.read.parquet(eroot)
     val tr = batchBeam(edges, vecs, queries, entries, workBeam, hops,
       tombstones = Some(spark.read.parquet(s"$ts/ids")))
-    Similarity.topK(
+    Similarity.topKBounded(
       tr.bestF.select(col("query_id"), col("node").as("neighbor_id"),
         col("score")),
       k)
@@ -1042,7 +1043,7 @@ object GraphServe {
     graphCompactOracleRoots = Some((Staging.abs(root), Staging.abs(eroot)))
     val entries = spark.read.parquet(eroot)
     val tr = batchBeam(edges, vecs, queries, entries, workBeam, hops)
-    Similarity.topK(
+    Similarity.topKBounded(
       tr.best.select(col("query_id"), col("node").as("neighbor_id"),
         col("score")),
       k)
@@ -1144,7 +1145,7 @@ object GraphServe {
       .select(col("query_id"), col("node").as("neighbor_id"),
         Similarity.cosine(col("q_emb"), col("q_nrm"), col("r_emb"),
           col("r_nrm")).as("score"))
-    Similarity.topK(exactScored, k)
+    Similarity.topKBounded(exactScored, k)
   }
 
   /** The top level's [[TopEntries]] min-(xxhash64, id) nodes. */
@@ -1222,7 +1223,7 @@ object GraphServe {
       entries = best.select("query_id", "node").localCheckpoint(false)
     }
     val pool = if (filterLab.isDefined) bestF else best
-    val result = Similarity.topK(
+    val result = Similarity.topKBounded(
       pool.select(col("query_id"), col("node").as("neighbor_id"),
         col("score")),
       k)
@@ -1324,7 +1325,7 @@ object GraphServe {
     val tr = batchBeam(spark.read.parquet(s"$root0/edges"), vecs,
       queries, entries, beam, maxHops, converge = true)
     HierTrace(
-      Similarity.topK(
+      Similarity.topKBounded(
         tr.best.select(col("query_id"), col("node").as("neighbor_id"),
           col("score")),
         k),

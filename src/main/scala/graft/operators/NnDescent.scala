@@ -282,7 +282,7 @@ object NnDescent {
 
   /** The query view over an ALREADY-BUILT graph. */
   def knnGraphQueriesOf(g: DataFrame, nQueries: Int, k: Int): DataFrame =
-    Similarity.topK(
+    Similarity.topKBounded(
       g.filter(col("src") < nQueries)
         .select(col("src").as("query_id"), col("dst").as("neighbor_id"),
           col("score")),
@@ -912,7 +912,7 @@ object NnDescent {
         val appended = appendToGraph(emb,
           s.read.parquet(baseGraphStaged(s, dir)),
           col("vec_id") % 10 === 0)
-        Similarity.topK(
+        Similarity.topKBounded(
           appended
             .filter(col("src") % 10 === 0 && col("src") < 100)
             .select(col("src").as("query_id"),

@@ -116,6 +116,26 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rk").as("rank"), col("score"))
       .orderBy("query_id", "rank")
 
+  /** [[topK]] for pools that are ALREADY BOUNDED per query by
+    * construction (a traversal's running top-workBeam, a rerank pool,
+    * a served graph's ≤ k edges per node — never a corpus-sized scored
+    * frame): one bare window on the same (score desc, id asc) total
+    * order, which equals the tournament's output bit for bit (the
+    * tournament exists to keep corpus-sized groups off a single task;
+    * a ≤ workBeam-per-query pool has no such group, and the salted
+    * two-window form was two exchanges + two sorts of pure overhead on
+    * every serving entry — round 17). Callers MUST NOT pass unbounded
+    * frames; the corpus-scored ANN paths stay on [[topK]], and
+    * SimilaritySpec's plan guard pins those. */
+  private[operators] def topKBounded(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk").as("rank"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
   // ---- sign-random-projection LSH ----
 
   /** Deterministic uniform[-1,1) hyperplane entry for (table, bit, dim)
