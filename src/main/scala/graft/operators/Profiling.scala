@@ -63,22 +63,20 @@ object Profiling {
     val base = base0.filter(col("x").isNotNull)
     // each round's G-row stat frame is referenced by SEVERAL subplans of
     // the next round (its stats aggregate, its bucketing, its straddling-
-    // bucket value counts); the eager persist guarantees one execution
-    // per round regardless of exchange-reuse luck, at bytes-size pin cost
-    // (G rows). Measured NOTE: wall time at tiny SF is dominated by the
-    // ~25 sequential AQE stages two chained rank rounds cost, not by
-    // data — the per-stage driver latency amortizes away at real scale,
-    // which is the trade the scale-safe bucketed rank (q31) makes
-    // deliberately. Batch drivers clearCache() between queries (the q57
-    // contract).
-    val med = Relational.exactPercentiles(base, grp, Seq(0.5 -> "med"))
-      .select(col(grp), col("med")).persist()
-    med.count()
+    // bucket value counts); eagerly collapsing it to a LocalRelation
+    // (Relational.localize — bounded G rows) guarantees one execution
+    // per round with no cache pinned and no lazy-persist materialization
+    // race (the round-17 persist+count form measured 60 s under the
+    // driver bench vs 4.6 s before it). The second round's plan then
+    // starts from literal medians, not the first round's whole tree.
+    val med = Relational.localize(
+      Relational.exactPercentiles(base, grp, Seq(0.5 -> "med"))
+        .select(col(grp), col("med")))
     val dev = base.join(broadcast(med), Seq(grp))
       .select(col(grp), abs(col("x") - col("med")).as("x"))
-    val mad = Relational.exactPercentiles(dev, grp, Seq(0.5 -> "mad"))
-      .select(col(grp), col("mad")).persist()
-    mad.count()
+    val mad = Relational.localize(
+      Relational.exactPercentiles(dev, grp, Seq(0.5 -> "mad"))
+        .select(col(grp), col("mad")))
     base.join(broadcast(med.join(mad, Seq(grp))), Seq(grp))
       .groupBy(grp)
       .agg(

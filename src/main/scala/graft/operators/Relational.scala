@@ -80,6 +80,22 @@ object Relational {
     * @param grp  group column name
     * @param ps   (fraction, output column name) pairs
     */
+  /** Collect a BOUNDED stat frame (G×(B+3) rows at ANY corpus size) and
+    * rebuild it as a LocalRelation — the "broadcast the plan" move of
+    * guide §8/§5. Round 17 persisted these frames lazily instead; the
+    * cached blocks were then materialized concurrently by several AQE
+    * query stages of the one consuming action ("Block rdd already
+    * exists" races), and the driver bench measured q69 at 60 s vs the
+    * 4.6 s pre-change baseline, with monotone per-run escalation. An
+    * eager driver-side collect of a provably tiny frame is race-free,
+    * pins no cache for the session, and embeds the rows as literals so
+    * every downstream reference (and broadcast) is planning-free. */
+  private[operators] def localize(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   def exactPercentiles(base0: DataFrame, grp: String, ps: Seq[(Double, String)]): DataFrame = {
     // NULL measures are excluded up front (the quantile_cont contract);
     // without this they would inflate n AND land in the top bucket,
@@ -88,21 +104,20 @@ object Relational {
     val b = lit(PctBuckets)
     // The tiny stat frames below (`stats` G rows, `cum` ≤ G×B rows,
     // `needed` G×2|ps| rows — bounded at ANY corpus size) are each
-    // referenced by SEVERAL downstream subplans. Without a persist the
-    // logical tree re-derives them per reference and the duplication
-    // COMPOUNDS (needed dups stats+counts, vals dups needed twice, a
-    // second chained round dups the whole first round): q69's plan
-    // reached 6,617 formatted lines / 932 Exchange nodes, and the
-    // optimizer+AQE executed ~60 sequential stage jobs per run — the
-    // measured wall was planning, not data (round 17; guide §7.3's
-    // "very large plans" failure mode). Persisting the three knots
-    // collapses the tree to the written design: two map-side scans
-    // per round plus KB-scale cached lookups. Memory pinned is
-    // G×(B+3) rows — KBs at any scale; callers clear the session
-    // cache between queries (the bench/Verify contract).
-    val stats = base.groupBy(grp).agg(
-      count(lit(1)).as("n"), min("x").as("mn"), max("x").as("mx"))
-      .persist()
+    // referenced by SEVERAL downstream subplans. Left lazy, the logical
+    // tree re-derives them per reference and the duplication COMPOUNDS
+    // (needed dups stats+counts, vals dups needed twice, a second
+    // chained round dups the whole first round): the round-16 plan
+    // reached 6,617 formatted lines / 932 Exchange nodes on q69 and the
+    // measured wall was planning + ~60 sequential AQE stages, not data
+    // (guide §7.3's "very large plans" failure mode). Each knot is
+    // therefore computed EAGERLY, exactly once, via [[localize]]: the
+    // corpus-scan count is unchanged (stats and cum each cost the one
+    // scan they always did; `needed` derives from two LocalRelations in
+    // milliseconds) and the consuming plan collapses to one scan over
+    // broadcast literals per pass.
+    val stats = localize(base.groupBy(grp).agg(
+      count(lit(1)).as("n"), min("x").as("mn"), max("x").as("mx")))
     // Deterministic value bucket; the min==max (or single-row) group
     // degenerates to bucket 0. x==mx lands on B and is clamped to B-1.
     val bucketed = base.join(broadcast(stats), Seq(grp))
@@ -114,9 +129,9 @@ object Relational {
     val counts = bucketed.groupBy(grp, "bkt").agg(count(lit(1)).as("cnt"))
     val cw = Window.partitionBy(grp).orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = counts.withColumn("cum", coalesce(sum("cnt").over(cw), lit(0L)))
-      .withColumnRenamed(grp, "c_grp")
-      .persist()
+    val cum = localize(counts
+      .withColumn("cum", coalesce(sum("cnt").over(cw), lit(0L)))
+      .withColumnRenamed(grp, "c_grp"))
     // 0-based fractional rank of percentile p is pos = p*(n-1); the
     // straddling 0-based order statistics are floor(pos) and ceil(pos).
     def posOf(p: Double): Column = lit(p) * (col("n") - 1).cast("double")
@@ -124,13 +139,13 @@ object Relational {
       Seq(struct(lit(s"lo_$name").as("tag"), floor(posOf(p)).cast("long").as("r")),
         struct(lit(s"hi_$name").as("tag"), ceil(posOf(p)).cast("long").as("r")))
     }: _*)).as("t")).select(col(grp), col("t.tag").as("tag"), col("t.r").as("r"))
-    // Which bucket holds rank r — inequality join, but both sides are tiny
-    // (G×2|ps| targets vs G×B counts).
-    val needed = targets.join(cum,
+    // Which bucket holds rank r — inequality join, but both sides are
+    // LocalRelations (G×2|ps| targets vs G×B counts), so eagerly
+    // resolving it costs milliseconds and no corpus scan.
+    val needed = localize(targets.join(cum,
       col(grp) === col("c_grp") && col("r") >= col("cum") &&
         col("r") < col("cum") + col("cnt"))
-      .select(col(grp), col("tag"), col("bkt"), (col("r") - col("cum")).as("lr"))
-      .persist()
+      .select(col(grp), col("tag"), col("bkt"), (col("r") - col("cum")).as("lr")))
     // semi-join instead of distinct+inner: the LEFT SEMI keeps each
     // bucketed row at most once however many targets share its bucket
     // — identical row set to the former distinct()+inner join, minus
