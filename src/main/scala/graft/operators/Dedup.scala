@@ -245,10 +245,11 @@ object Dedup {
     *     only ever lengthen the prefix (more candidates, never a miss).
     */
   private[graft] def prefixTokens(withSz: DataFrame, tau: Double,
-      carry: Seq[String]): DataFrame = {
+      carry: Seq[String], pruneSingletons: Boolean = false): DataFrame = {
     val u = tau / (1.0 + tau)
     prefixTokensBy(withSz,
-      (col("sz") - ceil(col("sz") * u - 1e-9) + 1).cast("int"), carry)
+      (col("sz") - ceil(col("sz") * u - 1e-9) + 1).cast("int"), carry,
+      pruneSingletons)
   }
 
   /** [[prefixTokens]] with a caller-supplied prefix-length expression —
@@ -258,7 +259,7 @@ object Dedup {
     * global token order preserves losslessness; rare-first (df ASC)
     * minimizes candidates. */
   private[graft] def prefixTokensBy(withSz: DataFrame, prefixLen: Column,
-      carry: Seq[String]): DataFrame = {
+      carry: Seq[String], pruneSingletons: Boolean = false): DataFrame = {
     val keys = carry ++ Seq("doc_id", "sz")
     val dfreq = withSz.select(explode(col("hs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
@@ -267,8 +268,25 @@ object Dedup {
       .join(dfreq, Seq("h"))
       .groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
-    ordered.select(
-      keys.map(col) :+ explode(slice(col("ord.h"), lit(1), prefixLen)).as("h"): _*)
+    // df >= 2 prune (round 18, guide §2.3), OPT-IN per call site: a
+    // prefix token whose document frequency is 1 occurs exactly once in
+    // THIS input frame, so an equi-join on `h` whose other side draws
+    // from the SAME frame — self-bucket (q28/q40/q34/q137), tagged
+    // union (q70, both sides prefixed from one union-wide df), or
+    // inner×outer over one frame (q99) — can never pair it with a
+    // DIFFERENT document: singleton buckets expand to zero pairs and
+    // cross joins need an occurrence on both sides. Dropping those rows
+    // BEFORE the candidate exchange shrinks its bytes by the unique-
+    // shingle mass (the dominant fraction of any natural corpus),
+    // bit-identically. The prune is UNSOUND when the probe side is a
+    // FOREIGN frame the df never counted — the streaming ingest gate
+    // (q93) indexes corpus-only prefixes and probes them with incoming
+    // batch hashes, where a corpus-df==1 token is a perfectly good
+    // candidate — hence the explicit flag, default off.
+    val sliced = ordered.select(
+      keys.map(col) :+ explode(slice(col("ord"), lit(1), prefixLen)).as("t"): _*)
+    (if (pruneSingletons) sliced.filter(col("t.df") >= 2) else sliced)
+      .select(keys.map(col) :+ col("t.h").as("h"): _*)
   }
 
   /** Size prune necessary for J >= tau, relaxed by an epsilon so fp
@@ -282,7 +300,7 @@ object Dedup {
     * tokenization pass, q34, skips this operator's own corpus scan). */
   def jaccardJoinOnHashes(base: DataFrame, tau: Double): DataFrame = {
     val withSz = base.select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
-    val pref = prefixTokens(withSz, tau, carry = Nil)
+    val pref = prefixTokens(withSz, tau, carry = Nil, pruneSingletons = true)
     val cand = pairsWithinBuckets(pref, Seq("h"), Seq("doc_id", "sz"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sz").as("na"), col("b.sz").as("nb"))
@@ -332,8 +350,11 @@ object Dedup {
       size(col("hs")).as("sz"))
     // ONE prefixTokens call over the tagged union — both sides draw
     // their prefixes from the same union-wide frequency order, the
-    // precondition the operator scaladoc calls out
-    val pref = prefixTokens(withSz, tau, carry = Seq("side"))
+    // precondition the operator scaladoc calls out (which also makes
+    // the singleton prune sound: a union-wide df==1 token exists on
+    // only one side)
+    val pref = prefixTokens(withSz, tau, carry = Seq("side"),
+      pruneSingletons = true)
     val cand = pref.filter(col("side") === "c")
       .select(col("h"), col("doc_id").as("corpus_doc"), col("sz").as("na"))
       .join(pref.filter(col("side") === "b")
@@ -388,9 +409,13 @@ object Dedup {
       .persist()
     base.count() // barrier: df pass, prefix pass, and both verify sides
     val withSz = base.select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
-    // +1e-9 relaxation can only WIDEN the prefix (keep more), never drop
+    // +1e-9 relaxation can only WIDEN the prefix (keep more), never drop.
+    // Singleton prune is sound here: the outer stream below is the SAME
+    // frame the df counted, so a df==1 inner prefix token matches only
+    // its own doc — killed by the inner =!= outer filter.
     val innerPref = prefixTokensBy(withSz,
-        (floor(col("sz") * (1.0 - tau) + 1e-9) + 1).cast("int"), carry = Nil)
+        (floor(col("sz") * (1.0 - tau) + 1e-9) + 1).cast("int"), carry = Nil,
+        pruneSingletons = true)
       .select(col("doc_id").as("inner_doc"), col("sz").as("ni"), col("h"))
     val outerAll = withSz
       .select(col("doc_id").as("outer_doc"), col("sz").as("no"), explode(col("hs")).as("h"))

@@ -53,6 +53,12 @@ object DupClusters {
     // large-star links only larger neighbors but takes the min over ALL
     // neighbors; small-star restricts both sides to the not-larger ones
     val nbrs = if (large) bi else bi.filter(col("v") <= col("u"))
+    // m(u) via a min-aggregate joined back (NOT a node-keyed window: the
+    // aggregate's output is node-sized, so the join back broadcasts
+    // whenever components are small and degrades to a partition-reusing
+    // equi-join otherwise; a whole-partition window re-shuffles AND
+    // sorts the raw incidence every star — measured +15% on q40 when
+    // tried in round 18)
     val mins = nbrs.groupBy("u")
       .agg(least(min(col("v")), col("u")).as("m"))
     val relinked = nbrs

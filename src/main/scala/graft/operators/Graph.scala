@@ -42,8 +42,29 @@ object Graph {
   /** T power-iteration rounds of weighted PageRank over undirected
     * weighted edges (src, dst, weight) — returns (node, rank).
     * `edges` must already be symmetric (both directions present). */
-  def pageRank(edges: DataFrame, damping: Double, iters: Int): DataFrame = {
+  /** Shuffle-partition sizing for the iteration loop: one partition
+    * per ~4M edge rows (~100 MB of (long,long,double) rows — guide
+    * §2.2's partition-size band), clamped to [1, 65536]. Derived from
+    * the DATA, not the local core count, so the same rule yields 1
+    * partition on the test tiers and thousands on a 100 TB graph. */
+  private def loopPartitions(nEdges: Long): Int =
+    math.max(1L, math.min(65536L, (nEdges + (4L << 20) - 1) / (4L << 20))).toInt
+
+  def pageRank(edges0: DataFrame, damping: Double, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
+    // materialize the edge frame ONCE: it feeds both the out-weight
+    // aggregate and the normalize join (previously recomputed under
+    // each), and its count sizes the loop's edge-frame partitioning.
+    // (Round 18 note: running the whole loop with AQE disabled — the
+    // "fixed-shape plan" idea from guide §7.3 — was tried and measured
+    // ~2x SLOWER at the test tiers: the static planner cannot see that
+    // the ranks side is tiny and plans sort-merge joins, while AQE's
+    // runtime broadcast of ranks is what makes each round one
+    // map-side join + one exchange. AQE stays on; the win kept here is
+    // the explicit data-derived edge partitioning + one-time edge
+    // materialization.)
+    val edges = edges0.localCheckpoint(eager = true)
+    val parts = loopPartitions(edges.count())
     // one-time normalization: p = weight / total outgoing weight(src)
     val outw = edges.groupBy("src").agg(sum("weight").as("outw"))
     // CO-PARTITION the edge frame by src ONCE before checkpointing
@@ -54,10 +75,13 @@ object Graph {
     // edge shuffles where one suffices. LogicalRDD preserves the hash
     // partitioning through localCheckpoint, so after this every round
     // only exchanges the NODE-sized ranks frame (to meet the join) and
-    // the node-sized map-side-combined sums.
+    // the node-sized map-side-combined sums. Width comes from the edge
+    // count (loopPartitions), not the session default: the loop scans
+    // this frame 15x, so its task count must track the DATA at every
+    // scale — 1 task at the test tiers, thousands at 100 TB.
     val norm = edges.join(outw, "src")
       .select(col("src"), col("dst"), (col("weight") / col("outw")).as("p"))
-      .repartition(col("src"))
+      .repartition(parts, col("src"))
       .localCheckpoint(eager = true)
     val nodes = norm.select(col("src").as("node")).distinct()
       .localCheckpoint(eager = true)
